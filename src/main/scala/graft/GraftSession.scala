@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's canonical configuration.
+  *
+  * Design notes (scale-first):
+  *  - `spark.sql.shuffle.partitions` defaults to the local core count, not 200;
+  *    on a real cluster AQE coalesces post-shuffle partitions anyway.
+  *  - ANSI mode is OFF: the reference semantics (pandas `errors="coerce"`,
+  *    `pd.to_numeric`) are coercion-based — bad casts become null, they never
+  *    abort the job. (reference: python-service/scripts/clean_traffic.py:104,
+  *    clean_weather.py:71)
+  *  - Session timezone pinned to UTC: the reference parses timestamps with
+  *    `utc=True` then drops the tz (clean_traffic.py:76-86).
+  *  - AQE on: runtime coalescing + skew-join handling is the 100-TB story for
+  *    the join fan-out in the merge stage.
+  */
+object GraftSession {
+
+  def local(appName: String = "graft", cores: String = "*"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", cores)
+    configure(
+      SparkSession
+        .builder()
+        .master(s"local[$cpus]")
+        .appName(appName)
+    ).getOrCreate()
+  }
+
+  /** Apply graft's canonical conf to any builder (works for cluster masters
+    * too — nothing here is local-mode specific).
+    */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = {
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    b.config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+  }
+
+  def quiet(spark: SparkSession): SparkSession = {
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

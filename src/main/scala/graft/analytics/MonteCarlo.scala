@@ -1,0 +1,100 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.Cleaning
+
+/** Gold stage: Monte Carlo weather-scenario simulation.
+  * Mirrors python-service/scripts/monte_carlo.py:116-230.
+  *
+  * All four scenarios run in ONE Spark plan: a broadcast cross-join of
+  * `spark.range(nSim)` against the 4-row scenario dimension table, with
+  * `randn(seed)` supplying the per-(draw, scenario) normal variates. No
+  * driver-side loop, no UDF — pure codegen'd expressions, so the same plan
+  * scales to billions of draws.
+  *
+  * Quirk preserved for parity (SURVEY.md §7.4#3): the "traffic" column falls
+  * back to the FIRST numeric column (`traffic_id` on the merged table,
+  * monte_carlo.py:192-195), and the scenario multiplier COMPOUNDS with the
+  * config multiplier (monte_carlo.py:199-206). Override via `trafficCol`.
+  */
+object MonteCarlo {
+
+  /** Scenario config table (monte_carlo.py:133-154) + hard-coded
+    * scenario_multipliers (monte_carlo.py:199-204).
+    */
+  final case class Scenario(
+      scenario: String,
+      description: String,
+      trafficMult: Double,
+      accidentFactor: Double,
+      scenarioMult: Double
+  )
+
+  val scenarios: Seq[Scenario] = Seq(
+    Scenario("sunny", "Clear weather, normal conditions", 1.1, 0.7, 1.05),
+    Scenario("rainy", "Heavy rain, reduced visibility", 0.9, 1.6, 0.85),
+    Scenario("foggy", "Dense fog, low visibility", 0.8, 2.1, 0.75),
+    Scenario("snowy", "Snow/ice conditions, severe impact", 0.7, 2.8, 0.65)
+  )
+
+  val BaseAccidentRate = 0.025 // monte_carlo.py:217
+  val VolatilityFactor = 0.18 // monte_carlo.py:210
+
+  /** traffic_volume | volume | first numeric column (monte_carlo.py:192-195). */
+  def trafficColumn(df: DataFrame): String =
+    Seq("traffic_volume", "volume")
+      .find(df.columns.contains)
+      .getOrElse(Cleaning.numericCols(df).head)
+
+  /** 4-row result: scenario, description, mean_traffic, traffic_std,
+    * congestion_prob_high, accident_risk_high, threshold_used, n_simulations.
+    */
+  def simulate(
+      spark: SparkSession,
+      df: DataFrame,
+      nSimulations: Int = 10000,
+      seed: Long = 42L,
+      trafficCol: Option[String] = None
+  ): DataFrame = {
+    val tc = trafficCol.getOrElse(trafficColumn(df))
+    // base stats in one pass (mean + 75th percentile of the non-null values)
+    val row = df
+      .agg(avg(col(tc)).as("base"), percentile(col(tc), lit(0.75)).as("thr"))
+      .head()
+    val base = row.getDouble(0)
+    val threshold = row.getDouble(1)
+
+    import spark.implicits._
+    val dim = scenarios.zipWithIndex
+      .map { case (s, i) =>
+        (i, s.scenario, s.description, s.scenarioMult * s.trafficMult,
+          s.accidentFactor)
+      }
+      .toDF("ord", "scenario", "description", "mult", "accident_factor")
+
+    val sims = spark
+      .range(nSimulations.toLong)
+      .crossJoin(broadcast(dim))
+      .withColumn("sim",
+        randn(seed) * lit(VolatilityFactor * base) + lit(base) * col("mult"))
+      .withColumn("acc",
+        (rand(seed + 1) < lit(BaseAccidentRate) * col("accident_factor"))
+          .cast("double"))
+
+    sims
+      .groupBy("ord", "scenario", "description")
+      .agg(
+        round(avg(col("sim")), 2).as("mean_traffic"),
+        // np.std is population std (ddof=0), monte_carlo.py:225
+        round(stddev_pop(col("sim")), 2).as("traffic_std"),
+        round(avg((col("sim") > lit(threshold)).cast("double")) * 100, 2)
+          .as("congestion_prob_high"),
+        round(avg(col("acc")) * 100, 2).as("accident_risk_high")
+      )
+      .withColumn("threshold_used", round(lit(threshold), 2))
+      .withColumn("n_simulations", lit(nSimulations.toLong))
+      .orderBy("ord")
+      .drop("ord")
+  }
+}

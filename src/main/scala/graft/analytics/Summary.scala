@@ -1,0 +1,92 @@
+package graft.analytics
+
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.stat.Correlation
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.etl.Cleaning
+
+/** Interactive analytics surface (notebook cells 8/13, SURVEY.md §3 E3):
+  * describe, nunique, correlation matrix, top-k.
+  */
+object Summary {
+
+  /** A11: pandas `describe()` analog — count/mean/std/min/quartiles/max per
+    * numeric column, all in ONE aggregate pass (pandas scans per stat).
+    * Output: one row per column: index, count, mean, std, min, p25, p50,
+    * p75, max.
+    */
+  def describeNumeric(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cols = Cleaning.numericCols(df)
+    if (cols.isEmpty)
+      return spark.emptyDataFrame
+    val exprs = cols.flatMap { c =>
+      val dc = col(c).cast("double")
+      Seq(
+        count(dc),
+        avg(dc),
+        stddev_samp(dc),
+        min(dc),
+        percentile(dc, lit(0.25)),
+        percentile(dc, lit(0.5)),
+        percentile(dc, lit(0.75)),
+        max(dc)
+      )
+    }
+    val r = df.agg(exprs.head, exprs.tail: _*).head()
+    val schema = StructType(
+      StructField("index", StringType) +: Seq(
+        "count", "mean", "std", "min", "p25", "p50", "p75", "max"
+      ).map(StructField(_, DoubleType)))
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      val base = i * 8
+      Row.fromSeq(c +: (0 until 8).map { j =>
+        if (r.isNullAt(base + j)) null
+        else if (j == 0) r.getLong(base).toDouble
+        else r.getDouble(base + j)
+      })
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** A11: `nunique()` per column — exact by default; at lake scale flip
+    * `approximate=true` for one-pass HLL sketches.
+    */
+  def nunique(df: DataFrame, approximate: Boolean = false): DataFrame = {
+    val exprs = df.columns.toSeq.map { c =>
+      (if (approximate) approx_count_distinct(col(c))
+       else countDistinct(col(c))).as(c)
+    }
+    df.agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** A12: full Pearson correlation matrix over the numeric columns in a
+    * single pass (Spark ML Correlation over an assembled vector — the
+    * pandas `.corr()` analog). Output rows keyed by `index`.
+    */
+  def corrMatrix(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cols = Cleaning.numericCols(df)
+    require(cols.nonEmpty, "no numeric columns")
+    val assembled = new VectorAssembler()
+      .setInputCols(cols.toArray)
+      .setOutputCol("_graft_features")
+      .setHandleInvalid("skip")
+      .transform(df.select(cols.map(col): _*))
+    val m = Correlation
+      .corr(assembled, "_graft_features")
+      .head()
+      .getAs[org.apache.spark.ml.linalg.Matrix](0)
+    val schema = StructType(
+      StructField("index", StringType) +:
+        cols.map(c => StructField(c, DoubleType)))
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      Row.fromSeq(c +: cols.indices.map(j => m(i, j)))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** W1: top-k rows by absolute value of a column, deterministic tie-break. */
+  def topKByAbs(df: DataFrame, c: String, k: Int, tieBreak: String): DataFrame =
+    df.orderBy(abs(col(c)).desc, col(tieBreak).asc).limit(k)
+}

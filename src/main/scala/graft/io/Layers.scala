@@ -1,0 +1,96 @@
+package graft.io
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Medallion-layer IO.
+  *
+  * The reference moves bytes by hand through a MinIO SDK + WebHDFS client
+  * (clean_traffic.py:59-60,135-146; copy_to_hdfs.py:109-142). On Spark all of
+  * that collapses into path-based reads/writes: `s3a://bucket/...`,
+  * `hdfs://nn/...` and `file:/...` are interchangeable URIs handled by the
+  * Hadoop FS layer, so one code path covers local dev and the 100-TB cluster.
+  */
+final case class LakePaths(root: String) {
+  def bronze(name: String): String = s"$root/bronze/$name"
+  def silver(name: String): String = s"$root/silver/$name"
+  def gold(name: String): String = s"$root/gold/$name"
+}
+
+object Layers {
+
+  /** CSV scan with a declared schema (S1). Never `inferSchema`: the bronze
+    * tables contain mixed-type columns that sampling would mis-infer
+    * (FIXTURES.md §A, generate_weather_data.py:133-142).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** Parquet scan (S2). */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Parquet sink (S4/S5). Replaces the reference's write-local-then-upload
+    * double hop (clean_traffic.py:135-146) with a single distributed write.
+    * `partitionBy` is the 100-TB layout knob (date-partitioned silver/gold
+    * enables dynamic partition pruning downstream).
+    */
+  def writeParquet(
+      df: DataFrame,
+      path: String,
+      partitionBy: Seq[String] = Nil
+  ): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  /** CSV sink (S3). `header=true, no index` matches `to_csv(index=False)`
+    * (generate_traffic_data.py:131).
+    */
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+  }
+
+  /** Catalog listing (S9): parquet objects under a directory. */
+  def listParquet(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(hadoopConf(spark))
+    if (!fs.exists(p)) Seq.empty
+    else
+      fs.globStatus(new Path(p, "*.parquet"))
+        .toSeq
+        .map(_.getPath.toString)
+  }
+
+  /** Cross-filesystem copy (S6/S7 analog): local→s3a, s3a→hdfs, etc. The
+    * reference streams each object through the driver over WebHDFS
+    * (copy_to_hdfs.py:109-142); `FileUtil.copy` does the same through the
+    * Hadoop FS API and works for any scheme pair.
+    */
+  def copy(spark: SparkSession, from: String, to: String): Boolean = {
+    val conf = hadoopConf(spark)
+    val src = new Path(from)
+    val dst = new Path(to)
+    val srcFs = src.getFileSystem(conf)
+    val dstFs = dst.getFileSystem(conf)
+    FileUtil.copy(srcFs, src, dstFs, dst, false, true, conf)
+  }
+
+  /** Layer/bucket DDL analog (S8): mkdir -p on any Hadoop FS. */
+  def ensure(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(hadoopConf(spark))
+    if (!fs.exists(p)) { fs.mkdirs(p); () }
+  }
+
+  private def hadoopConf(spark: SparkSession): Configuration =
+    spark.sparkContext.hadoopConfiguration
+}
