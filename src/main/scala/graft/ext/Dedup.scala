@@ -1,0 +1,237 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design: no operator here ever shuffles full document text more than
+  * once. Exact dedup shuffles (hash, id) pairs; MinHash shuffles exploded
+  * shingle hashes (longs) and then fixed-width signatures; candidate
+  * generation is always a bucket-local self-join (LSH bands / simhash
+  * chunks), never an all-pairs cross join.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: keep the lowest-id row per identical content (hash
+    * compare on md5 of the concatenated content columns). The groupBy runs
+    * on (hash, id) only — text never shuffles.
+    */
+  def exact(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
+    val h = contentHash(contentCols)
+    val w = Window.partitionBy("_content_hash").orderBy(col(idCol).asc)
+    df.withColumn("_content_hash", h)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_content_hash", "_rn")
+  }
+
+  /** md5 over concatenated content columns (null-safe, cross-engine stable). */
+  def contentHash(contentCols: Seq[String]): Column =
+    md5(concat_ws("", contentCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+      .cast("binary"))
+
+  /** Duplicate-group summary: one row per content hash with >1 occurrence. */
+  def dupGroups(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame =
+    df.select(col(idCol), contentHash(contentCols).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
+      .filter(col("n_dups") > 1)
+      .orderBy("keep_id")
+
+  // ------------------------------------------------------------- shingles
+
+  /** Character k-shingles of the normalized text (distinct). */
+  def charShingles(c: Column, k: Int = 5): Column = {
+    val n = TextAnalysis.normalized(c)
+    array_distinct(
+      transform(sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
+        i => n.substr(i, lit(k))))
+  }
+
+  /** Word n-grams of the text (distinct). Empty text → empty set (so
+    * jaccard(empty, empty) = 0, matching set semantics in any engine);
+    * shorter-than-n text → one whole-text gram.
+    */
+  def wordNgrams(c: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(c)
+    array_distinct(
+      when(size(toks) === 0, array().cast("array<string>"))
+        .when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** Exact Jaccard similarity between two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** n-gram Jaccard similarity for all pairs within `groupCols` blocks —
+    * the blocking keys keep the self-join linear-ish at scale (use LSH
+    * bands via minHashPairs when no natural blocking key exists).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCols: Seq[String],
+      n: Int = 3,
+      minSim: Double = 0.5
+  ): DataFrame = {
+    val base = df.select(
+      (col(idCol) +: groupCols.map(col)) :+
+        wordNgrams(col(textCol), n).as("_grams"): _*)
+    val a = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c,
+      if (c == "_grams") "_grams_a" else if (c == idCol) "id_a" else c))
+    val b = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c,
+      if (c == "_grams") "_grams_b" else if (c == idCol) "id_b" else c))
+    a.join(b, groupCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard_sim", round(jaccard(col("_grams_a"), col("_grams_b")), 4))
+      .filter(col("jaccard_sim") >= minSim)
+      .select((Seq(col("id_a"), col("id_b")) ++ groupCols.map(col)) :+
+        col("jaccard_sim"): _*)
+      .orderBy("id_a", "id_b")
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** MinHash signatures: one row per id with an `nHashes`-wide array of
+    * minimum `xxhash64(i, shingle)` values. Single shuffle of (id, long).
+    */
+  def minHashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nHashes: Int = 64,
+      shingleSize: Int = 5
+  ): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(charShingles(col(textCol), shingleSize)).as("_sh"))
+    val minExprs = (0 until nHashes).map(i =>
+      min(xxhash64(lit(i), col("_sh"))).as(s"_h$i"))
+    exploded
+      .groupBy(col(idCol))
+      .agg(minExprs.head, minExprs.tail: _*)
+      .select(col(idCol),
+        array((0 until nHashes).map(i => col(s"_h$i")): _*).as("signature"))
+  }
+
+  /** Candidate pairs from LSH banding (any shared band-hash), verified with
+    * exact shingle-set Jaccard ≥ threshold. With b bands of r rows the
+    * match-probability curve is 1-(1-s^r)^b — defaults (16×4) catch ~every
+    * pair above ≈0.7 similarity.
+    */
+  def minHashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      nHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 5
+  ): DataFrame = {
+    require(nHashes % bands == 0, "bands must divide nHashes")
+    val r = nHashes / bands
+    val sigs = minHashSignatures(df, idCol, textCol, nHashes, shingleSize)
+    val banded = sigs.select(
+      col(idCol),
+      posexplode(
+        array((0 until bands).map(j =>
+          xxhash64(lit(j), concat_ws(",",
+            (0 until r).map(i => element_at(col("signature"), j * r + i + 1)): _*))): _*))
+        .as(Seq("_band", "_bandhash")))
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        col("x._band") === col("y._band") &&
+          col("x._bandhash") === col("y._bandhash") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    val sets = df.select(col(idCol),
+      charShingles(col(textCol), shingleSize).as("_set"))
+    candidates
+      .join(sets.select(col(idCol).as("id_a"), col("_set").as("_set_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("_set").as("_set_b")), "id_b")
+      .withColumn("jaccard_sim", round(jaccard(col("_set_a"), col("_set_b")), 4))
+      .filter(col("jaccard_sim") >= threshold)
+      .select("id_a", "id_b", "jaccard_sim")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Keep-lowest-id survivor set after MinHash near-dup clustering (greedy:
+    * any row matched to a lower id is dropped — one pass over the pair list).
+    */
+  def minHashDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    val dropIds = minHashPairs(df, idCol, textCol, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dropIds, Seq(idCol), "left_anti")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over tokens: per bit, sum ±1 weighted by token presence;
+    * bit set iff the sum is positive. Computed with 64 aggregate expressions
+    * in one pass (no UDF).
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("_tok"))
+      .withColumn("_th", xxhash64(col("_tok")))
+    val bitSums = (0 until 64).map(k =>
+      sum(shiftright(col("_th"), k).bitwiseAND(1) * 2 - 1).as(s"_b$k"))
+    val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val hashExpr = (0 until 64).map(k =>
+      shiftleft(when(col(s"_b$k") > 0, 1L).otherwise(0L), k)).reduce(_.bitwiseOR(_))
+    agg.select(col(idCol), hashExpr.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist. Candidates must
+    * share one of four 16-bit chunks (pigeonhole: distance ≤ 3 guarantees a
+    * shared chunk), then exact popcount verification.
+    */
+  def simHashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3
+  ): DataFrame = {
+    val hashes = simHash(df, idCol, textCol)
+    val chunked = hashes.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("_chunk", "_chunkval")))
+    chunked.as("x")
+      .join(chunked.as("y"),
+        col("x._chunk") === col("y._chunk") &&
+          col("x._chunkval") === col("y._chunkval") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding near-dup pairs (cosine ≥ threshold) — see Similarity. */
+  def embeddingNearDups(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95
+  ): DataFrame =
+    Similarity.nearDupPairs(df, idCol, vecCol, dim, threshold)
+}

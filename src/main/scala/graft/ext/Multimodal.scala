@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` with typed
+  * metadata (graft.schema.Schemas.media).
+  *
+  * The Spark-side plumbing — schema, partitioning, batched per-partition
+  * processing, feature schema — is real and tested; the actual media DECODE
+  * is STUBBED (no image/audio codecs in this environment) behind
+  * `decodeStub`, which produces a deterministic fake "decoded" payload from
+  * the bytes. Swapping in a real decoder changes only that one function.
+  *
+  * Scale notes: feature extraction is `mapPartitions` over batches of
+  * `batchSize` rows — the same batch shape a vectorized (Arrow/pandas-style)
+  * UDF would use — so codec state is amortized across a batch and memory is
+  * bounded per task. Binary payloads never shuffle: features are computed
+  * scan-side and the binary column is dropped before any wide operation.
+  */
+object Multimodal {
+
+  final case class MediaMeta(width: Option[Int], height: Option[Int],
+      sample_rate: Option[Int], duration_ms: Option[Long], codec: Option[String])
+  final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
+      meta: MediaMeta)
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      byte_entropy: Double, histogram: Array[Long], frames_sampled: Int)
+
+  /** STUB decode ??? — deterministic fake: a real implementation would hand
+    * `bytes` to an image/audio codec here. The fake "decoded frame" is the
+    * byte stream itself, so downstream feature math is still exercised
+    * end-to-end with stable results.
+    */
+  private def decodeStub(bytes: Array[Byte], kind: String): Array[Byte] = bytes
+
+  /** Frame sampling stub for video: every `stride`-th 256-byte block stands
+    * in for a frame.
+    */
+  private def sampleFrames(decoded: Array[Byte], stride: Int): Int =
+    if (decoded.isEmpty) 0 else 1 + (decoded.length - 1) / (256 * stride)
+
+  /** Batched per-partition feature extraction (byte histogram + entropy —
+    * the stand-in for embeddings/spectrograms).
+    */
+  def extractFeatures(
+      media: Dataset[MediaRow],
+      batchSize: Int = 64,
+      frameStride: Int = 4
+  ): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // batch boundary = where a real codec would init once per batch
+        batch.iterator.map { row =>
+          val decoded = decodeStub(row.bytes, row.kind)
+          val hist = new Array[Long](16)
+          var i = 0
+          while (i < decoded.length) {
+            hist((decoded(i) & 0xff) >> 4) += 1
+            i += 1
+          }
+          val n = decoded.length.toDouble.max(1.0)
+          val entropy = -hist.map(_ / n).filter(_ > 0)
+            .map(p => p * math.log(p) / math.log(2)).sum
+          MediaFeatures(row.media_id, row.kind, decoded.length.toLong,
+            math.rint(entropy * 10000) / 10000,
+            hist, sampleFrames(decoded, frameStride))
+        }
+      }
+    }
+  }
+
+  /** "Resize" stub: metadata-only transform (a real resize would re-encode
+    * bytes); keeps the contract that meta describes the payload.
+    */
+  def resize(df: DataFrame, width: Int, height: Int): DataFrame =
+    df.withColumn("meta",
+      struct(lit(width).as("width"), lit(height).as("height"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.duration_ms").as("duration_ms"),
+        col("meta.codec").as("codec")))
+
+  /** Deterministic synthetic media table (for tests/demos): payload bytes
+    * derived from the id, kind round-robin image/audio/video.
+    */
+  def synthetic(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val kind = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val rng = new scala.util.Random(seed + id)
+      val bytes = Array.fill((256 + (id % 512)).toInt)(rng.nextInt(256).toByte)
+      val meta = kind match {
+        case "image" => MediaMeta(Some(64), Some(64), None, None, Some("fake-png"))
+        case "audio" => MediaMeta(None, None, Some(16000), Some(1000L), Some("fake-wav"))
+        case _ => MediaMeta(Some(64), Some(64), None, Some(2000L), Some("fake-mp4"))
+      }
+      MediaRow(id, kind, bytes, meta)
+    }
+  }
+}

@@ -1,0 +1,171 @@
+package graft.ext
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * All distance math is Column-expression arithmetic in double precision
+  * (`zip_with` + `aggregate`), sequential over the array — deterministic and
+  * bit-identical to an equivalent sequential oracle computation, and fully
+  * codegen'd (no UDFs).
+  *
+  * Scale paths:
+  *  - brute force: one scan, O(n·d) — the correctness baseline;
+  *  - LSH (random hyperplanes): candidates share a signature bucket —
+  *    turns all-pairs near-dup into a bucket-local self-join;
+  *  - IVF (KMeans coarse quantizer): probe the `nProbe` nearest centroid
+  *    partitions only — the classic ANN layout for billion-row tables,
+  *    where cluster id becomes the physical partition key.
+  */
+object Similarity {
+
+  def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(toDouble(a), x => x * x), lit(0.0),
+      (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Top-k most similar rows to the vector of `queryId` (excluded), by
+    * cosine; deterministic ordering on (rounded sim desc, id asc).
+    */
+  def bruteForceTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int
+  ): DataFrame = {
+    val q = broadcast(
+      df.filter(col(idCol) === queryId).select(col(vecCol).as("_q_vec")))
+    df.filter(col(idCol) =!= queryId)
+      .crossJoin(q)
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("_q_vec")), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes (seeded), as literal arrays. */
+  private def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-random-projection LSH bucket id (a long of `nBits` sign bits). */
+  def lshBucket(vecCol: Column, dim: Int, nBits: Int = 16, seed: Long = 42L): Column = {
+    require(nBits <= 63, "bucket must fit a long")
+    val planes = hyperplanes(dim, nBits, seed)
+    planes.zipWithIndex.map { case (p, i) =>
+      val d = dot(vecCol, array(p.map(lit(_)): _*))
+      when(d >= 0, lit(1L) * lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN top-k via LSH: restrict the scan to the query's bucket, then exact
+    * cosine. Recall < 1 by construction; raise nBits↓/probe more buckets for
+    * higher recall. Returns the same schema as bruteForceTopK.
+    */
+  def lshTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      dim: Int,
+      nBits: Int = 12,
+      seed: Long = 42L
+  ): DataFrame = {
+    val withBucket = df.withColumn("_bucket", lshBucket(col(vecCol), dim, nBits, seed))
+    val q = broadcast(
+      withBucket.filter(col(idCol) === queryId)
+        .select(col(vecCol).as("_q_vec"), col("_bucket").as("_q_bucket")))
+    withBucket
+      .crossJoin(q)
+      .filter(col("_bucket") === col("_q_bucket") && col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("_q_vec")), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+  }
+
+  /** IVF index: KMeans coarse quantizer; rows tagged with their centroid id.
+    * At lake scale, write the table partitioned by `_ivf_cluster` so a probe
+    * prunes partitions at the source.
+    */
+  final case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Double]])
+
+  def ivfIndex(
+      df: DataFrame,
+      vecCol: String,
+      kClusters: Int = 16,
+      seed: Long = 42L
+  ): IvfIndex = {
+    val vec = df.withColumn("_features", array_to_vector(col(vecCol)))
+    val model = new KMeans()
+      .setK(kClusters).setSeed(seed).setFeaturesCol("_features")
+      .setPredictionCol("_ivf_cluster")
+      .fit(vec)
+    val assigned = model.transform(vec).drop("_features")
+    IvfIndex(assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** IVF probe: search only the `nProbe` centroid cells nearest the query. */
+  def ivfTopK(
+      index: IvfIndex,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      nProbe: Int = 3
+  ): DataFrame = {
+    val qVec = index.assigned
+      .filter(col(idCol) === queryId)
+      .select(vecCol).head().getSeq[Float](0).map(_.toDouble).toArray
+    val cells = index.centroids.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
+        (i, d)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    val qLit = array(qVec.map(lit(_)): _*)
+    index.assigned
+      .filter(col("_ivf_cluster").isin(cells: _*) && col(idCol) =!= queryId)
+      .select(col(idCol), round(cosine(col(vecCol), qLit), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+  }
+
+  /** All near-duplicate embedding pairs with cosine ≥ threshold, LSH-bucketed
+    * (same-bucket self-join instead of all-pairs), exact-verified.
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      nBits: Int = 8,
+      seed: Long = 42L
+  ): DataFrame = {
+    val b = df.select(col(idCol), col(vecCol))
+      .withColumn("_bucket", lshBucket(col(vecCol), dim, nBits, seed))
+    val a = b.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("_bucket"))
+    val c = b.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("_bucket"))
+    a.join(c, Seq("_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosine(col("vec_a"), col("vec_b")), 4))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+      .orderBy("id_a", "id_b")
+  }
+}

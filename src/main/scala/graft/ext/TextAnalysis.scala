@@ -1,0 +1,130 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines, over the
+  * `documents` table shape (doc_id, text, lang, source, n_chars).
+  *
+  * Everything here is pure Column expressions (whole-stage codegen, no UDFs)
+  * so the operators run at scan speed and push down through Catalyst.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empty-safe. */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => t =!= "")
+
+  /** Token count (long). */
+  def tokenCount(c: Column): Column =
+    size(tokens(c)).cast("long")
+
+  /** BPE-ish subword count estimate: alpha runs, single digits, punctuation
+    * marks each count as one piece — a cheap, deterministic stand-in for a
+    * real tokenizer's piece count.
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("long")
+
+  /** Character-class ratios for quality scoring. */
+  def alphaRatio(c: Column): Column = classRatio(c, "[^a-zA-Z]")
+  def digitRatio(c: Column): Column = classRatio(c, "[^0-9]")
+  def whitespaceRatio(c: Column): Column = classRatio(c, "[^\\s]")
+
+  private def classRatio(c: Column, negClass: String): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(
+        length(regexp_replace(c, negClass, "")).cast("double") / length(c))
+
+  /** Tiny per-language stopword regexes for the n-gram-heuristic language ID.
+    * Word-boundary matches over the lowercased text.
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|that|it|was|for)\\b",
+    "es" -> "\\b(el|la|de|que|y|los|las|en|un|una)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|eine|zu|mit)\\b",
+    "fr" -> "\\b(le|la|les|de|et|un|une|est|que|pour)\\b",
+    "zh" -> "[\\u4e00-\\u9fff]"
+  )
+
+  /** Language-ID heuristic: count marker hits per language, argmax with a
+    * deterministic tie-break (higher score wins; ties go to the
+    * alphabetically first language; zero hits → "und").
+    */
+  def langId(c: Column): Column = {
+    val lc = lower(c)
+    val scored = langMarkers.map { case (lang, re) =>
+      struct(
+        (-size(regexp_extract_all(lc, lit(re), lit(0)))).cast("long").as("neg"),
+        lit(lang).as("lang"),
+        size(regexp_extract_all(lc, lit(re), lit(0))).cast("long").as("score")
+      )
+    }
+    // sort_array ascending on (neg score, lang): first element = best
+    val best = element_at(sort_array(array(scored: _*)), 1)
+    when(best.getField("score") === 0, lit("und"))
+      .otherwise(best.getField("lang"))
+  }
+
+  /** Per-language marker hit count (exposed for scoring tables). */
+  def langScore(c: Column, lang: String): Column = {
+    val re = langMarkers.toMap.apply(lang)
+    size(regexp_extract_all(lower(c), lit(re), lit(0))).cast("long")
+  }
+
+  /** Stopword ratio: marker-stopword hits / token count (English marker set —
+    * a crude "natural prose vs junk" signal).
+    */
+  def stopwordRatio(c: Column): Column =
+    when(tokenCount(c) === 0, lit(0.0))
+      .otherwise(langScore(c, "en").cast("double") / tokenCount(c))
+
+  /** Composite quality score in [0,1]: weighted mix of length, alpha ratio,
+    * stopword density and mean token length sanity. Deterministic, tunable.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / 500.0, lit(1.0))
+    val alpha = alphaRatio(c)
+    val stop = least(stopwordRatio(c) * 5.0, lit(1.0))
+    val meanTokLen =
+      when(tokenCount(c) === 0, lit(0.0))
+        .otherwise(length(regexp_replace(c, "\\s+", "")).cast("double") /
+          tokenCount(c))
+    val tokScore =
+      when(meanTokLen.between(3.0, 12.0), 1.0).otherwise(0.3)
+    round(lenScore * 0.25 + alpha * 0.35 + stop * 0.2 + tokScore * 0.2, 4)
+  }
+
+  /** Normalized text for fingerprinting: lowercase, collapse whitespace. */
+  def normalized(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Content fingerprint: md5 of the normalized text (stable across engines). */
+  def fingerprintMd5(c: Column): Column =
+    md5(normalized(c).cast("binary"))
+
+  /** 64-bit rolling/polynomial fingerprint over tokens: xxhash64 per token
+    * folded with a prime multiplier. Overflow wraps (non-ANSI) — a cheap
+    * order-sensitive document signature.
+    */
+  def fingerprint64(c: Column): Column =
+    aggregate(
+      tokens(normalized(c)),
+      lit(0L),
+      (acc, tok) => acc * lit(1000003L) + xxhash64(tok)
+    )
+
+  /** Full per-document metrics table. */
+  def metrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    df.withColumn("n_tokens", tokenCount(c))
+      .withColumn("n_pieces", bpeishTokenCount(c))
+      .withColumn("alpha_ratio", round(alphaRatio(c), 4))
+      .withColumn("digit_ratio", round(digitRatio(c), 4))
+      .withColumn("stopword_ratio", round(stopwordRatio(c), 4))
+      .withColumn("quality_score", qualityScore(c))
+      .withColumn("pred_lang", langId(c))
+      .withColumn("fingerprint", fingerprintMd5(c))
+  }
+}

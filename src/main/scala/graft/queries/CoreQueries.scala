@@ -1,0 +1,476 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.Q._
+
+/** Relational core: scans, filters, joins, dedup, aggregates, windows,
+  * scalar functions — one oracle-backed query per SURVEY.md §2 operator
+  * family, expressed on the driver's TPC-H-ish testdata.
+  *
+  * Conventions (driver hash-compares Spark parquet vs DuckDB):
+  *  - every computed column is aliased identically in both engines;
+  *  - counts are BIGINT/long on both sides;
+  *  - big double sums go through DECIMAL (Q.sumExact) so the result is
+  *    order-independent and bit-identical across engines;
+  *  - multi-row results carry a deterministic ORDER BY.
+  */
+object CoreQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- A5/A8 + arithmetic: the classic pricing-summary aggregation (S2 scan → agg)
+    QueryDef(
+      "q01_pricing_summary",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sumExact(col("l_quantity"), 2).as("sum_qty"),
+            sumExact(col("l_extendedprice"), 2).as("sum_base_price"),
+            sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+              .as("sum_disc_price"),
+            (sumExact(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
+            (sumExact(col("l_discount"), 4) / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order")
+          )
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |${sqlSumExact("l_quantity", 2)} AS sum_qty,
+              |${sqlSumExact("l_extendedprice", 2)} AS sum_base_price,
+              |${sqlSumExact("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+              |${sqlSumExact("l_quantity", 2)} / count(*) AS avg_qty,
+              |${sqlSumExact("l_discount", 4)} / count(*) AS avg_disc,
+              |count(*) AS count_order
+              |FROM lineitem GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+
+    // ---- P1/P2-style projection + predicate pushdown (filter reaches the scan)
+    QueryDef(
+      "q02_filter_project",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(
+            col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz") &&
+              col("l_shipdate") < lit("1998-04-01").cast("timestamp_ntz") &&
+              col("l_discount") >= 0.05 && col("l_quantity") < 10)
+          .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |l_quantity, l_extendedprice
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-04-01'
+             |  AND l_discount >= 0.05 AND l_quantity < 10
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+
+    // ---- J1 analog: left equi-join + grouped agg
+    QueryDef(
+      "q03_left_join_agg",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        o.join(c, o("o_custkey") === c("c_custkey"), "left")
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sumExact(col("o_totalprice"), 2).as("total_price"),
+            (sumExact(col("c_acctbal"), 2) / count(col("c_acctbal")))
+              .as("avg_acctbal")
+          )
+          .orderBy(asc_nulls_first("c_mktsegment"))
+      },
+      Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
+              |${sqlSumExact("o_totalprice", 2)} AS total_price,
+              |${sqlSumExact("c_acctbal", 2)} / count(c_acctbal) AS avg_acctbal
+              |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""".stripMargin)
+    ),
+
+    // ---- multi-way join with broadcastable dims (region/nation/customer)
+    QueryDef(
+      "q04_regional_revenue",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name")
+          .agg(
+            sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+              .as("revenue"),
+            count(lit(1)).as("n_lineitems")
+          )
+          .orderBy("r_name")
+      },
+      Some(s"""SELECT r_name,
+              |${sqlSumExact("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+              |count(*) AS n_lineitems
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    ),
+
+    // ---- D1: keep-first dedup via row_number (earliest order per customer)
+    QueryDef(
+      "q05_dedup_keep_first",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+             |FROM (SELECT *, row_number() OVER
+             |        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+             |      FROM orders)
+             |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)
+    ),
+
+    // ---- A1: mode with the pandas tie-break (most frequent, then smallest)
+    QueryDef(
+      "q06_mode",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .filter(col("o_orderpriority").isNotNull)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("o_orderpriority"))
+          .limit(1)
+          .select(col("o_orderpriority").as("mode_value"), col("cnt")),
+      Some("""SELECT o_orderpriority AS mode_value, count(*) AS cnt
+             |FROM orders WHERE o_orderpriority IS NOT NULL
+             |GROUP BY o_orderpriority
+             |ORDER BY cnt DESC, o_orderpriority ASC LIMIT 1""".stripMargin)
+    ),
+
+    // ---- A2/A3: exact median + quartiles (linear interpolation, both engines)
+    QueryDef(
+      "q07_median_quantiles",
+      (s, dir) =>
+        t(s, dir, "lineitem").agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
+          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("q1_price"),
+          round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("q3_price"),
+          round(percentile(col("l_discount"), lit(0.95)), 6).as("p95_disc")
+        ),
+      Some("""SELECT round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+             |round(quantile_cont(l_extendedprice, 0.25), 4) AS q1_price,
+             |round(quantile_cont(l_extendedprice, 0.75), 4) AS q3_price,
+             |round(quantile_cont(l_discount, 0.95), 6) AS p95_disc
+             |FROM lineitem""".stripMargin)
+    ),
+
+    // ---- A3+C4+A10: IQR bounds → clip → aggregate (two-phase stats plan)
+    QueryDef(
+      "q08_iqr_clip",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val stats = li.agg(
+          percentile(col("l_extendedprice"), lit(0.25)).as("q1"),
+          percentile(col("l_extendedprice"), lit(0.75)).as("q3"))
+        val b = broadcast(stats)
+        li.crossJoin(b)
+          .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+          .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+          .agg(
+            (sumExact(least(greatest(col("l_extendedprice"), col("lo")), col("hi")), 4)
+              / count(lit(1))).as("clipped_avg"),
+            count(when(col("l_extendedprice") < col("lo")
+              || col("l_extendedprice") > col("hi"), 1)).as("n_outliers")
+          )
+      },
+      Some(s"""WITH b AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+              |                  quantile_cont(l_extendedprice, 0.75) AS q3
+              |           FROM lineitem),
+              |bounds AS (SELECT q1 - 1.5*(q3-q1) AS lo, q3 + 1.5*(q3-q1) AS hi FROM b)
+              |SELECT ${sqlSumExact("least(greatest(l_extendedprice, lo), hi)", 4)} / count(*) AS clipped_avg,
+              |count(*) FILTER (WHERE l_extendedprice < lo OR l_extendedprice > hi) AS n_outliers
+              |FROM lineitem, bounds""".stripMargin)
+    ),
+
+    // ---- A2/C5: median null-fill (nulls injected deterministically)
+    QueryDef(
+      "q09_median_fill",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .withColumn("qty_n",
+            when(col("l_orderkey") % 10 === 0, lit(null).cast("double"))
+              .otherwise(col("l_quantity")))
+        val med = broadcast(
+          li.agg(percentile(col("qty_n"), lit(0.5)).as("med")))
+        li.crossJoin(med)
+          .agg(
+            (sumExact(coalesce(col("qty_n"), col("med")), 2) / count(lit(1)))
+              .as("filled_avg"),
+            count(when(col("qty_n").isNull, 1)).as("n_filled")
+          )
+      },
+      Some(s"""WITH src AS (SELECT CASE WHEN l_orderkey % 10 = 0 THEN NULL
+              |                         ELSE l_quantity END AS qty_n FROM lineitem),
+              |m AS (SELECT quantile_cont(qty_n, 0.5) AS med FROM src)
+              |SELECT ${sqlSumExact("coalesce(qty_n, med)", 2)} / count(*) AS filled_avg,
+              |count(*) FILTER (WHERE qty_n IS NULL) AS n_filled
+              |FROM src, m""".stripMargin)
+    ),
+
+    // ---- A5/A6/A11: describe-style multi-stat in one pass (ddof both ways)
+    QueryDef(
+      "q10_describe_stats",
+      (s, dir) =>
+        t(s, dir, "orders").agg(
+          count(col("o_totalprice")).as("cnt"),
+          (sumExact(col("o_totalprice"), 2) / count(col("o_totalprice")))
+            .as("mean_price"),
+          round(stddev_samp(col("o_totalprice")), 2).as("std_samp"),
+          round(stddev_pop(col("o_totalprice")), 2).as("std_pop"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price")
+        ),
+      Some(s"""SELECT count(o_totalprice) AS cnt,
+              |${sqlSumExact("o_totalprice", 2)} / count(o_totalprice) AS mean_price,
+              |round(stddev_samp(o_totalprice), 2) AS std_samp,
+              |round(stddev_pop(o_totalprice), 2) AS std_pop,
+              |min(o_totalprice) AS min_price,
+              |max(o_totalprice) AS max_price
+              |FROM orders""".stripMargin)
+    ),
+
+    // ---- A12: correlation (pairwise Pearson)
+    QueryDef(
+      "q11_correlation",
+      (s, dir) =>
+        t(s, dir, "lineitem").agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("corr_qty_price"),
+          round(corr(col("l_discount"), col("l_tax")), 4).as("corr_disc_tax")
+        ),
+      Some("""SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+             |round(corr(l_discount, l_tax), 4) AS corr_disc_tax
+             |FROM lineitem""".stripMargin)
+    ),
+
+    // ---- W1: top-k by absolute value with deterministic tie-break
+    QueryDef(
+      "q12_topk_abs",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select(col("c_custkey"), round(abs(col("c_acctbal")), 2).as("abs_bal"))
+          .orderBy(desc("abs_bal"), asc("c_custkey"))
+          .limit(10),
+      Some("""SELECT c_custkey, round(abs(c_acctbal), 2) AS abs_bal
+             |FROM customer ORDER BY abs_bal DESC, c_custkey ASC LIMIT 10""".stripMargin)
+    ),
+
+    // ---- W3: ranking/analytic windows (row_number, lag, running sum)
+    QueryDef(
+      "q13_window_funcs",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            row_number().over(w).cast("long").as("rn"),
+            round(coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 2)
+              .as("prev_price"),
+            round(sum(col("o_totalprice")).over(wRows), 2).as("run_sum")
+          )
+          .filter(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, rn, prev_price, run_sum FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |    row_number() OVER w AS rn,
+             |    round(coalesce(lag(o_totalprice) OVER w, 0), 2) AS prev_price,
+             |    round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)
+    ),
+
+    // ---- C1: multi-format timestamp parse with coercion (strings built
+    //      deterministically from o_orderdate, incl. garbage)
+    QueryDef(
+      "q14_messy_timestamp_parse",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .withColumn("ts_str",
+            when(col("o_orderkey") % 4 === 0,
+              date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm"))
+              .when(col("o_orderkey") % 4 === 1,
+                date_format(col("o_orderdate"), "dd/MM/yyyy hha"))
+              .when(col("o_orderkey") % 4 === 2,
+                date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm'Z'"))
+              .otherwise(lit("TBD")))
+          .withColumn("parsed",
+            coalesce(
+              to_timestamp(col("ts_str"), "yyyy-MM-dd HH:mm"),
+              to_timestamp(col("ts_str"), "dd/MM/yyyy hha"),
+              to_timestamp(col("ts_str"), "yyyy-MM-dd'T'HH:mm'Z'"))
+              // session TZ is UTC; NTZ keeps the parquet output naive so the
+              // DuckDB oracle (naive timestamps) compares equal
+              .cast("timestamp_ntz"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("parsed")).as("n_parsed"),
+            min(col("parsed")).as("min_ts"),
+            max(col("parsed")).as("max_ts")
+          ),
+      Some("""WITH src AS (SELECT CASE
+             |    WHEN o_orderkey % 4 = 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M')
+             |    WHEN o_orderkey % 4 = 1 THEN strftime(o_orderdate, '%d/%m/%Y %I%p')
+             |    WHEN o_orderkey % 4 = 2 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%MZ')
+             |    ELSE 'TBD' END AS ts_str FROM orders),
+             |p AS (SELECT coalesce(
+             |    try_strptime(ts_str, '%Y-%m-%d %H:%M'),
+             |    try_strptime(ts_str, '%d/%m/%Y %I%p'),
+             |    try_strptime(ts_str, '%Y-%m-%dT%H:%MZ')) AS parsed FROM src)
+             |SELECT count(*) AS n_rows, count(parsed) AS n_parsed,
+             |min(parsed) AS min_ts, max(parsed) AS max_ts FROM p""".stripMargin)
+    ),
+
+    // ---- C2: date truncation + monthly rollup
+    QueryDef(
+      "q15_monthly_revenue",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .withColumn("month", date_trunc("month", col("o_orderdate")).cast("date"))
+          .groupBy("month")
+          .agg(sumExact(col("o_totalprice"), 2).as("revenue"),
+            count(lit(1)).as("n_orders"))
+          .orderBy("month"),
+      Some(s"""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+              |${sqlSumExact("o_totalprice", 2)} AS revenue, count(*) AS n_orders
+              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // ---- C6: season-from-month conditional
+    QueryDef(
+      "q16_season_case",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .withColumn("season",
+            when(month(col("o_orderdate")).isin(12, 1, 2), "Winter")
+              .when(month(col("o_orderdate")).isin(3, 4, 5), "Spring")
+              .when(month(col("o_orderdate")).isin(6, 7, 8), "Summer")
+              .otherwise("Autumn"))
+          .groupBy("season")
+          .agg(count(lit(1)).as("n"),
+            (sumExact(col("o_totalprice"), 2) / count(lit(1))).as("avg_price"))
+          .orderBy("season"),
+      Some(s"""SELECT CASE
+              |  WHEN month(o_orderdate) IN (12,1,2) THEN 'Winter'
+              |  WHEN month(o_orderdate) IN (3,4,5) THEN 'Spring'
+              |  WHEN month(o_orderdate) IN (6,7,8) THEN 'Summer'
+              |  ELSE 'Autumn' END AS season,
+              |count(*) AS n,
+              |${sqlSumExact("o_totalprice", 2)} / count(*) AS avg_price
+              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // ---- set operations: union / intersect / except counts
+    QueryDef(
+      "q17_set_ops",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_custkey").as("k"))
+        val c = t(s, dir, "customer").select(col("c_custkey").as("k"))
+        val u = o.union(c).distinct.count()
+        val i = o.intersect(c).count()
+        val e = c.except(o).count()
+        import s.implicits._
+        Seq((u, i, e)).toDF("n_union", "n_intersect", "n_except")
+      },
+      Some("""SELECT
+             |(SELECT count(*) FROM (SELECT o_custkey FROM orders UNION SELECT c_custkey FROM customer)) AS n_union,
+             |(SELECT count(*) FROM (SELECT o_custkey FROM orders INTERSECT SELECT c_custkey FROM customer)) AS n_intersect,
+             |(SELECT count(*) FROM (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)) AS n_except""".stripMargin)
+    ),
+
+    // ---- A9: boolean-mask share over a threshold
+    QueryDef(
+      "q18_threshold_share",
+      (s, dir) =>
+        t(s, dir, "orders").agg(
+          round(avg((col("o_totalprice") > 200000.0).cast("double")) * 100, 4)
+            .as("pct_high"),
+          count(when(col("o_totalprice") > 200000.0, 1)).as("n_high")
+        ),
+      Some("""SELECT round(avg(CASE WHEN o_totalprice > 200000.0 THEN 1.0 ELSE 0.0 END) * 100, 4) AS pct_high,
+             |count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_high
+             |FROM orders""".stripMargin)
+    ),
+
+    // ---- A10: outlier counts against fixed bounds
+    QueryDef(
+      "q19_outlier_count",
+      (s, dir) =>
+        t(s, dir, "lineitem").agg(
+          count(when(col("l_quantity") < 2 || col("l_quantity") > 49, 1))
+            .as("qty_outliers"),
+          count(when(col("l_extendedprice") > 90000, 1)).as("price_outliers")
+        ),
+      Some("""SELECT
+             |count(*) FILTER (WHERE l_quantity < 2 OR l_quantity > 49) AS qty_outliers,
+             |count(*) FILTER (WHERE l_extendedprice > 90000) AS price_outliers
+             |FROM lineitem""".stripMargin)
+    ),
+
+    // ---- A11: nunique (exact distinct counts)
+    QueryDef(
+      "q20_nunique",
+      (s, dir) =>
+        t(s, dir, "orders").agg(
+          countDistinct(col("o_custkey")).as("u_custkey"),
+          countDistinct(col("o_orderstatus")).as("u_status"),
+          countDistinct(col("o_orderpriority")).as("u_priority"),
+          count(lit(1)).as("n_rows")
+        ),
+      Some("""SELECT count(DISTINCT o_custkey) AS u_custkey,
+             |count(DISTINCT o_orderstatus) AS u_status,
+             |count(DISTINCT o_orderpriority) AS u_priority,
+             |count(*) AS n_rows FROM orders""".stripMargin)
+    ),
+
+    // ---- P5: low-variance column filter (std > 0.01 keeps the column)
+    QueryDef(
+      "q21_low_variance_filter",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val metrics = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val exprs = metrics.map(c => round(stddev_samp(col(c)), 4))
+        val r = li.agg(exprs.head, exprs.tail: _*).head()
+        import s.implicits._
+        metrics.zipWithIndex
+          .map { case (c, i) => (c, r.getDouble(i)) }
+          .filter(_._2 > 0.01)
+          .sortBy(_._1)
+          .toDF("col_name", "std")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'l_quantity' AS col_name, round(stddev_samp(l_quantity), 4) AS std FROM lineitem
+             |  UNION ALL SELECT 'l_extendedprice', round(stddev_samp(l_extendedprice), 4) FROM lineitem
+             |  UNION ALL SELECT 'l_discount', round(stddev_samp(l_discount), 4) FROM lineitem
+             |  UNION ALL SELECT 'l_tax', round(stddev_samp(l_tax), 4) FROM lineitem)
+             |WHERE std > 0.01 ORDER BY col_name""".stripMargin)
+    )
+  )
+}

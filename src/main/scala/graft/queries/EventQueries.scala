@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.queries.Q._
+
+/** Batch twins of the streaming surface over `events` — same window
+  * semantics the Structured Streaming pipelines use (graft.streaming.Events),
+  * oracle-checked on the static table.
+  */
+object EventQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- tumbling window counts per event_type (10 min buckets)
+    QueryDef(
+      "q35_tumbling_window",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(
+            window(col("ts"), "10 minutes")("start").cast("timestamp_ntz")
+              .as("window_start"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sumExact(col("value"), 2).as("total_value"))
+          .orderBy("window_start", "event_type"),
+      Some(s"""SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+              |event_type, count(*) AS n_events,
+              |${sqlSumExact("value", 2)} AS total_value
+              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // ---- sliding window (15 min window / 5 min slide) — native Spark
+    //      sliding window; the oracle expands each event into its 3 windows
+    QueryDef(
+      "q36_sliding_window",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(window(col("ts"), "15 minutes", "5 minutes")("start")
+            .cast("timestamp_ntz").as("window_start"))
+          .agg(count(lit(1)).as("n_events"),
+            (sumExact(col("value"), 2) / count(lit(1))).as("avg_value"))
+          .orderBy("window_start"),
+      Some(s"""WITH expanded AS (
+              |  SELECT time_bucket(INTERVAL '5 minutes', ts) - (i * INTERVAL '5 minutes') AS window_start,
+              |         value
+              |  FROM events, (SELECT unnest(range(0, 3)) AS i))
+              |SELECT window_start, count(*) AS n_events,
+              |${sqlSumExact("value", 2)} / count(*) AS avg_value
+              |FROM expanded GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // ---- sessionization (30 min gap) summary: sessions per user via
+    //      gaps-and-islands (lag + cumulative flag) — the batch twin of
+    //      streaming session_window
+    QueryDef(
+      "q37_sessionization",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val sessions = t(s, dir, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_session",
+            (col("prev_ts").isNull ||
+              unix_micros(col("ts").cast("timestamp")) - unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L)
+              .cast("long"))
+          .withColumn("session_id",
+            sum(col("new_session")).over(
+              w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            sumExact(col("value"), 2).as("session_value"))
+        sessions
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            max(col("n_events")).as("max_session_events"),
+            sumExact(col("session_value"), 2).as("total_value"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH flagged AS (
+              |  SELECT user_id, value, ts, event_id,
+              |    CASE WHEN lag(ts) OVER w IS NULL
+              |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              |         THEN 1 ELSE 0 END AS new_session
+              |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              |sess AS (
+              |  SELECT user_id, value,
+              |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              |  FROM flagged),
+              |per_session AS (
+              |  SELECT user_id, session_id, count(*) AS n_events,
+              |    ${sqlSumExact("value", 2)} AS session_value
+              |  FROM sess GROUP BY 1, 2)
+              |SELECT user_id, count(*) AS n_sessions,
+              |max(n_events) AS max_session_events,
+              |${sqlSumExact("session_value", 2)} AS total_value
+              |FROM per_session GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // ---- late/ordered-data census: event-time vs arrival-order inversions
+    //      (the watermark design signal: how out-of-order is the stream?)
+    QueryDef(
+      "q38_out_of_order_census",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.orderBy("event_id")
+        t(s, dir, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .agg(
+            count(when(col("ts") < col("prev_ts"), 1)).as("n_inversions"),
+            max(unix_micros(col("prev_ts").cast("timestamp")) - unix_micros(col("ts").cast("timestamp")))
+              .as("max_backstep_us"),
+            count(lit(1)).as("n_events")
+          )
+      },
+      Some("""WITH o AS (SELECT ts, lag(ts) OVER (ORDER BY event_id) AS prev_ts
+             |          FROM events)
+             |SELECT count(*) FILTER (WHERE ts < prev_ts) AS n_inversions,
+             |max(epoch_us(prev_ts) - epoch_us(ts)) AS max_backstep_us,
+             |count(*) AS n_events FROM o""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+import graft.queries.Q._
+
+/** Similarity search over `embeddings` (vec_id, embedding: Array[Float],
+  * label). Cosine math is sequential double arithmetic in both engines →
+  * the brute-force paths are oracle-backed; LSH/IVF depend on seeded
+  * engine-side randomness → rows-only + ScalaTest recall checks.
+  */
+object SimilarityQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- brute-force cosine top-k for a fixed query vector (vec_id 0)
+    QueryDef(
+      "q31_cosine_topk",
+      (s, dir) =>
+        Similarity.bruteForceTopK(
+          t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10),
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+             |SELECT e.vec_id,
+             |round(
+             |  list_sum(list_transform(range(1, len(e.embedding) + 1),
+             |    i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)) /
+             |  (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+             |   sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))), 4)
+             |  AS cos_sim
+             |FROM embeddings e, q WHERE e.vec_id <> 0
+             |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
+    ),
+
+    // ---- per-label centroid cosine (grouped vector aggregation):
+    //      avg pairwise-free representation via mean dot with a fixed vector
+    QueryDef(
+      "q32_label_similarity_stats",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe")))
+        e.crossJoin(q)
+          .withColumn("cos_sim", Similarity.cosine(col("embedding"), col("qe")))
+          .groupBy("label")
+          .agg(
+            count(lit(1)).as("n"),
+            round(min(col("cos_sim")), 4).as("min_sim"),
+            round(max(col("cos_sim")), 4).as("max_sim"),
+            round(percentile(col("cos_sim"), lit(0.5)), 4).as("median_sim")
+          )
+          .orderBy("label")
+      },
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+             |sims AS (SELECT e.label,
+             |  list_sum(list_transform(range(1, len(e.embedding) + 1),
+             |    i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)) /
+             |  (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+             |   sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))) AS cos_sim
+             |  FROM embeddings e, q)
+             |SELECT label, count(*) AS n,
+             |round(min(cos_sim), 4) AS min_sim,
+             |round(max(cos_sim), 4) AS max_sim,
+             |round(quantile_cont(cos_sim, 0.5), 4) AS median_sim
+             |FROM sims GROUP BY label ORDER BY label""".stripMargin)
+    ),
+
+    // ---- LSH-bucketed ANN top-k (seeded hyperplanes → rows-only check;
+    //      recall vs brute force asserted in ScalaTest)
+    QueryDef(
+      "q33_ann_lsh_topk",
+      (s, dir) =>
+        Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          queryId = 0L, k = 10, dim = 64, nBits = 4),
+      None
+    ),
+
+    // ---- embedding near-duplicate pairs (LSH + exact verify → rows-only).
+    //      The fixture's vectors are near-orthogonal (max pairwise cosine
+    //      ≈0.6), so the "near-dup" bar is set at the top ~0.1% of pairs.
+    QueryDef(
+      "q34_embedding_near_dups",
+      (s, dir) =>
+        Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, threshold = 0.35, nBits = 4),
+      None
+    )
+  )
+}

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.analytics.{Bootstrap, FactorAnalysisEM, MonteCarlo, Summary}
+import graft.queries.Q._
+
+/** The reference's gold-layer statistical operators (SURVEY.md §2.8), run on
+  * the driver testdata. Stochastic (seeded Spark RNG) or EM-iterative →
+  * no SQL oracle; the driver records rows-only checks and ScalaTest holds
+  * the tolerance/structure assertions.
+  */
+object StatQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- F1: Monte Carlo scenario simulation (traffic col := o_totalprice)
+    QueryDef(
+      "q40_monte_carlo_scenarios",
+      (s, dir) =>
+        MonteCarlo.simulate(s, t(s, dir, "orders"),
+          trafficCol = Some("o_totalprice")),
+      None
+    ),
+
+    // ---- F3: bootstrap CIs over lineitem numerics
+    QueryDef(
+      "q41_bootstrap_ci",
+      (s, dir) =>
+        Bootstrap(s, t(s, dir, "lineitem")
+          .select("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          nSim = 1000),
+      None
+    ),
+
+    // ---- F2: factor loadings over lineitem numeric structure
+    QueryDef(
+      "q42_factor_loadings",
+      (s, dir) => {
+        val df = t(s, dir, "lineitem")
+          .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val model = FactorAnalysisEM.fit(df, nComponents = 2)
+        FactorAnalysisEM.loadingsDF(s, model)
+      },
+      None
+    ),
+
+    // ---- A11: one-pass describe (count/mean/std/min/quartiles/max per col)
+    QueryDef(
+      "q43_describe",
+      (s, dir) =>
+        Summary.describeNumeric(s,
+          t(s, dir, "lineitem").select("l_quantity", "l_extendedprice"))
+          .withColumn("mean", round(col("mean"), 4))
+          .withColumn("std", round(col("std"), 4))
+          .withColumn("p25", round(col("p25"), 4))
+          .withColumn("p50", round(col("p50"), 4))
+          .withColumn("p75", round(col("p75"), 4))
+          .orderBy("index"),
+      Some("""SELECT 'l_extendedprice' AS index,
+             |CAST(count(l_extendedprice) AS DOUBLE) AS count,
+             |round(avg(l_extendedprice), 4) AS mean,
+             |round(stddev_samp(l_extendedprice), 4) AS std,
+             |min(l_extendedprice) AS min,
+             |round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+             |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+             |max(l_extendedprice) AS max
+             |FROM lineitem
+             |UNION ALL SELECT 'l_quantity',
+             |CAST(count(l_quantity) AS DOUBLE),
+             |round(avg(l_quantity), 4), round(stddev_samp(l_quantity), 4),
+             |min(l_quantity), round(quantile_cont(l_quantity, 0.25), 4),
+             |round(quantile_cont(l_quantity, 0.5), 4),
+             |round(quantile_cont(l_quantity, 0.75), 4), max(l_quantity)
+             |FROM lineitem
+             |ORDER BY index""".stripMargin)
+    ),
+
+    // ---- A12: full correlation matrix (one ML pass), keyed by `index`
+    QueryDef(
+      "q44_corr_matrix",
+      (s, dir) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val m = Summary.corrMatrix(s, t(s, dir, "lineitem").select(cols.map(col): _*))
+        cols.foldLeft(m)((d, c) => d.withColumn(c, round(col(c), 4)))
+          .orderBy("index")
+      },
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        cols.map { r =>
+          s"SELECT '$r' AS index, " + cols.map(c =>
+            s"round(corr($r, $c), 4) AS $c").mkString(", ") + " FROM lineitem"
+        }.mkString("", " UNION ALL ", " ORDER BY index")
+      }
+    )
+  )
+}

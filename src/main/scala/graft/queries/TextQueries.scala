@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, TextAnalysis}
+import graft.queries.Q._
+
+/** Text-analysis + dedup operators over `documents`, oracle-backed where the
+  * computation is engine-neutral (md5/regex/set algebra); hash-function-
+  * dependent operators (minhash/simhash — xxhash64 has no DuckDB twin) get
+  * rows-only checks here and exact-semantics ScalaTest specs.
+  */
+object TextQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- exact dedup census: md5 content hash (identical in both engines)
+    QueryDef(
+      "q22_exact_dup_census",
+      (s, dir) =>
+        t(s, dir, "documents").agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text").cast("binary"))).as("n_unique"),
+          (count(lit(1)) - countDistinct(md5(col("text").cast("binary"))))
+            .as("n_dups")
+        ),
+      Some("""SELECT count(*) AS n_docs,
+             |count(DISTINCT md5(text)) AS n_unique,
+             |count(*) - count(DISTINCT md5(text)) AS n_dups
+             |FROM documents""".stripMargin)
+    ),
+
+    // ---- exact dedup keep-first: survivors = min doc_id per content hash
+    QueryDef(
+      "q23_exact_dedup_keep_first",
+      (s, dir) => {
+        val survivors = Dedup.exact(t(s, dir, "documents"), "doc_id", Seq("text"))
+        survivors.agg(
+          count(lit(1)).as("n_survivors"),
+          sum(col("n_chars")).cast("double").as("total_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id")
+        )
+      },
+      Some("""WITH ranked AS (SELECT doc_id, n_chars,
+             |  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |  FROM documents)
+             |SELECT count(*) AS n_survivors,
+             |CAST(sum(n_chars) AS DOUBLE) AS total_chars,
+             |min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM ranked WHERE rn = 1""".stripMargin)
+    ),
+
+    // ---- word-unigram Jaccard pairs within (lang, source) blocks
+    QueryDef(
+      "q24_jaccard_pairs",
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          groupCols = Seq("lang", "source"), n = 1, minSim = 0.5),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, source,
+             |    list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |                  x -> x <> '')) AS t
+             |  FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang, a.source,
+             |  round(CASE WHEN len(list_distinct(a.t || b.t)) = 0 THEN 0.0
+             |        ELSE len(list_intersect(a.t, b.t))::DOUBLE /
+             |             len(list_distinct(a.t || b.t)) END, 4) AS jaccard_sim
+             |FROM toks a JOIN toks b
+             |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+             |WHERE CASE WHEN len(list_distinct(a.t || b.t)) = 0 THEN 0.0
+             |      ELSE len(list_intersect(a.t, b.t))::DOUBLE /
+             |           len(list_distinct(a.t || b.t)) END >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)
+    ),
+
+    // ---- minhash LSH near-dup pairs (xxhash64-dependent → rows-only check)
+    QueryDef(
+      "q25_minhash_near_dups",
+      (s, dir) =>
+        Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5),
+      None
+    ),
+
+    // ---- simhash hamming-distance pairs (xxhash64-dependent → rows-only)
+    QueryDef(
+      "q26_simhash_pairs",
+      (s, dir) =>
+        Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+          maxDist = 8),
+      None
+    ),
+
+    // ---- token counting (whitespace + BPE-ish piece estimate)
+    QueryDef(
+      "q27_token_counts",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+            TextAnalysis.bpeishTokenCount(col("text")).as("n_pieces"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |     x -> x <> '')) AS BIGINT) AS n_tokens,
+             |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+             |     AS BIGINT) AS n_pieces
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ---- quality scoring (char-class ratios; aggregate so the compare is
+    //      compact and numerically stable)
+    QueryDef(
+      "q28_quality_metrics",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .withColumn("len_chars", length(col("text")).cast("long"))
+          .withColumn("alpha_chars",
+            length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long"))
+          .withColumn("digit_chars",
+            length(regexp_replace(col("text"), "[^0-9]", "")).cast("long"))
+          .withColumn("space_chars",
+            length(regexp_replace(col("text"), "[^\\s]", "")).cast("long"))
+          .groupBy()
+          .agg(
+            sum(col("len_chars")).cast("long").as("total_chars"),
+            sum(col("alpha_chars")).cast("long").as("total_alpha"),
+            sum(col("digit_chars")).cast("long").as("total_digit"),
+            sum(col("space_chars")).cast("long").as("total_space"),
+            round(avg(col("alpha_chars").cast("double") /
+              greatest(col("len_chars"), lit(1L))), 6).as("mean_alpha_ratio")
+          ),
+      Some("""WITH m AS (SELECT
+             |  length(text) AS len_chars,
+             |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+             |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars,
+             |  length(regexp_replace(text, '[^\s]', '', 'g')) AS space_chars
+             |  FROM documents)
+             |SELECT CAST(sum(len_chars) AS BIGINT) AS total_chars,
+             |CAST(sum(alpha_chars) AS BIGINT) AS total_alpha,
+             |CAST(sum(digit_chars) AS BIGINT) AS total_digit,
+             |CAST(sum(space_chars) AS BIGINT) AS total_space,
+             |round(avg(alpha_chars::DOUBLE / greatest(len_chars, 1)), 6) AS mean_alpha_ratio
+             |FROM m""".stripMargin)
+    ),
+
+    // ---- language-ID heuristic (regex marker counts, deterministic argmax)
+    QueryDef(
+      "q29_lang_id",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.langScore(col("text"), "en").as("score_en"),
+            TextAnalysis.langScore(col("text"), "es").as("score_es"),
+            TextAnalysis.langId(col("text")).as("pred_lang"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang,
+             |CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS BIGINT) AS score_en,
+             |CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los|las|en|un|una)\b')) AS BIGINT) AS score_es,
+             |CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+             |     WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             |     WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             |     WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             |     WHEN s_fr >= s_zh THEN 'fr'
+             |     ELSE 'zh' END AS pred_lang
+             |FROM (SELECT doc_id, lang, text,
+             |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS s_en,
+             |  len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los|las|en|un|una)\b')) AS s_es,
+             |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|eine|zu|mit)\b')) AS s_de,
+             |  len(regexp_extract_all(lower(text), '\b(le|la|les|de|et|un|une|est|que|pour)\b')) AS s_fr,
+             |  len(regexp_extract_all(lower(text), '[一-鿿]')) AS s_zh
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ---- document fingerprinting (md5 of normalized text)
+    QueryDef(
+      "q30_fingerprints",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    )
+  )
+}

