@@ -1,0 +1,125 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Stochastic-stage parity vs the reference gold artifacts (SURVEY.md §5.2):
+  * seeded Spark RNG can't bitwise-match NumPy, so assertions are
+  * deterministic-part-exact + tolerance on the sampled part.
+  */
+class AnalyticsGoldenSpec extends SparkSpec {
+
+  private lazy val merged = spark.read.parquet(golden("merged_data.parquet"))
+
+  test("monte carlo: deterministic parts exact, sampled parts in tolerance") {
+    val result = MonteCarlo.simulate(spark, merged).collect()
+    assert(result.length == 4)
+    val goldenRows = spark.read.parquet(golden("monte_carlo_scenarios.parquet"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    // threshold = p75(traffic_id) is deterministic — must match exactly
+    val thr = result.head.getAs[Double]("threshold_used")
+    assert(thr == 12754.5, s"threshold $thr != 12754.5")
+
+    result.foreach { r =>
+      val g = goldenRows(r.getString(0))
+      assert(r.getString(1) == g.getAs[String]("description"))
+      val base = 11506.65 // mean(traffic_id) on merged golden, deterministic
+      val mcSe = 0.18 * base / math.sqrt(10000) // ≈ σ/√N of the sim mean
+      assert(math.abs(r.getAs[Double]("mean_traffic") - g.getAs[Double]("mean_traffic")) < 6 * mcSe,
+        s"${r.getString(0)} mean_traffic ${r.getAs[Double]("mean_traffic")} vs ${g.getAs[Double]("mean_traffic")}")
+      assert(math.abs(r.getAs[Double]("traffic_std") - g.getAs[Double]("traffic_std")) <
+        0.05 * g.getAs[Double]("traffic_std"))
+      assert(math.abs(r.getAs[Double]("congestion_prob_high") -
+        g.getAs[Double]("congestion_prob_high")) < 3.0)
+      assert(math.abs(r.getAs[Double]("accident_risk_high") -
+        g.getAs[Double]("accident_risk_high")) < 1.5)
+      assert(r.getAs[Long]("n_simulations") == 10000L)
+    }
+  }
+
+  test("bootstrap: CI structure and estimates against golden") {
+    val result = Bootstrap(spark, merged).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val goldenRows = spark.read.parquet(golden("monte_carlo_results.parquet"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(result.keySet == goldenRows.keySet, // same first-8 numeric columns
+      s"${result.keySet} vs ${goldenRows.keySet}")
+    goldenRows.foreach { case (name, g) =>
+      val r = result(name)
+      val gMean = g.getAs[Double]("mean_estimate")
+      val gStd = g.getAs[Double]("std_estimate")
+      assert(math.abs(r.getAs[Double]("mean_estimate") - gMean) < 6 * gStd,
+        s"$name mean ${r.getAs[Double]("mean_estimate")} vs $gMean")
+      assert(r.getAs[Double]("std_estimate") > 0.5 * gStd &&
+        r.getAs[Double]("std_estimate") < 2.0 * gStd)
+      assert(r.getAs[Double]("ci_lower_95") < r.getAs[Double]("mean_estimate"))
+      assert(r.getAs[Double]("ci_upper_95") > r.getAs[Double]("mean_estimate"))
+      assert(r.getAs[Double]("simulations") == 5000.0)
+    }
+  }
+
+  test("bootstrap: distributed Poisson path agrees with driver-side path") {
+    val cols = Seq("vehicle_count", "humidity")
+    val sub = merged.select(cols.map(col): _*)
+    val filled = Bootstrap.medianFill(sub, cols)
+    val a = Bootstrap.driverSide(spark, filled, cols, nSim = 800, seed = 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val b = Bootstrap.poisson(spark, filled, cols, nSim = 800, seed = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    cols.foreach { c =>
+      val (ra, rb) = (a(c), b(c))
+      val se = math.max(ra.getAs[Double]("std_estimate"), 1e-6)
+      assert(math.abs(ra.getAs[Double]("mean_estimate") -
+        rb.getAs[Double]("mean_estimate")) < 6 * se, s"$c driver vs poisson")
+    }
+  }
+
+  test("factor analysis: same variables, loading structure close to sklearn") {
+    val goldenL = spark.read.parquet(golden("factor_loadings.parquet"))
+    val model = FactorAnalysisEM.fit(merged, nComponents = 5)
+    val mine = FactorAnalysisEM.loadingsDF(spark, model)
+    val gRows = goldenL.collect().map(r => r.getString(0) -> r).toMap
+    val mRows = mine.collect().map(r => r.getString(0) -> r).toMap
+    assert(mRows.keySet == gRows.keySet, s"${mRows.keySet} vs ${gRows.keySet}")
+
+    // per (variable, factor): |loading| must match within 5% of the column
+    // scale (sign/rotation-tolerant: factor sign is arbitrary, order is
+    // variance-ranked in both implementations)
+    (1 to 5).foreach { f =>
+      val colName = s"Factor_${f}_loading"
+      val scale = math.max(1.0,
+        gRows.values.map(r => math.abs(r.getAs[Double](colName))).max)
+      gRows.foreach { case (v, g) =>
+        val gv = math.abs(g.getAs[Double](colName))
+        val mv = math.abs(mRows(v).getAs[Double](colName))
+        assert(math.abs(gv - mv) <= 0.05 * scale + 1.0,
+          s"$v $colName: |mine|=$mv |golden|=$gv (scale $scale)")
+      }
+    }
+
+    // scores: shape + finite values + mean ≈ 0 (posterior means are centered)
+    val scored = FactorAnalysisEM.transform(merged, model)
+    val stats = scored.agg(
+      avg(col("Factor_1_score")), stddev_samp(col("Factor_1_score")),
+      count(lit(1))).head()
+    assert(stats.getLong(2) == merged.count())
+    assert(math.abs(stats.getDouble(0)) < 0.05)
+    assert(stats.getDouble(1) > 0.1)
+  }
+
+  test("summary: corr matrix symmetric with unit diagonal on merged") {
+    val m = Summary.corrMatrix(spark, merged)
+    val rows = m.collect()
+    val cols = m.columns.drop(1)
+    rows.foreach { r =>
+      val name = r.getString(0)
+      val d = r.getAs[Double](name)
+      assert(math.abs(d - 1.0) < 1e-9, s"diag($name)=$d")
+    }
+    // symmetry: corr(a,b) == corr(b,a)
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    for (a <- cols; b <- cols)
+      assert(math.abs(byName(a).getAs[Double](b) - byName(b).getAs[Double](a)) < 1e-9)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  // long-ish docs so simhash bit sums are stable; doc 2 differs from 0 by
+  // a single token out of ~40
+  private val baseText =
+    "the quick brown fox jumps over the lazy dog near the river bank " +
+      "while morning fog settles across the quiet valley and distant hills " +
+      "as farmers begin their daily work in the golden fields of wheat"
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, baseText),
+      (1L, baseText), // exact dup of 0
+      (2L, baseText.replace("golden", "amber")), // near dup of 0
+      (3L, "completely different content about spark query engines and shuffles"),
+      (4L, "another unrelated document discussing parquet column pruning"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps lowest id per content") {
+    val out = Dedup.exact(docs, "doc_id", Seq("text"))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 2L, 3L, 4L, 5L))
+  }
+
+  test("dupGroups reports duplicate clusters") {
+    val g = Dedup.dupGroups(docs, "doc_id", Seq("text")).collect()
+    assert(g.length == 1 && g.head.getAs[Long]("n_dups") == 2 &&
+      g.head.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("jaccard: exact value on known sets") {
+    import spark.implicits._
+    val d = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y")).as("j"))
+    assert(math.abs(d.head().getDouble(0) - 0.5) < 1e-12) // |{b,c}|/|{a,b,c,d}|
+  }
+
+  test("minhash pairs find exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)), s"exact dup pair missing from $keys")
+    assert(keys.contains((0L, 2L)) && keys.contains((1L, 2L)),
+      s"near dup pair missing from $keys")
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
+    val exact = pairs.find(p => (p._1, p._2) == (0L, 1L)).get
+    assert(exact._3 == 1.0)
+  }
+
+  test("minHashDedup drops near-duplicates, keeps lowest id") {
+    val kept = Dedup.minHashDedup(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 3L, 4L, 5L), s"kept $kept")
+  }
+
+  test("simhash: identical docs distance 0, near dups close, others far") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
+    assert(pairs((0L, 1L)) == 0)
+    assert(pairs.get((0L, 2L)).exists(_ <= 16))
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("ngram jaccard pairs within groups") {
+    import spark.implicits._
+    val grouped = docs.withColumn("g", lit("all"))
+    val pairs = Dedup.ngramJaccardPairs(grouped, "doc_id", "text",
+      Seq("g"), n = 2, minSim = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("wordNgrams: empty text yields empty set; short text one gram") {
+    import spark.implicits._
+    val d = Seq("", "one two", "a b c d").toDF("t")
+      .select(Dedup.wordNgrams(col("t"), 3).as("g"))
+    val sizes = d.collect().map(_.getSeq[String](0).length).toSeq
+    assert(sizes == Seq(0, 1, 2))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  test("feature extraction: histogram mass equals byte count, entropy bounded") {
+    val media = Multimodal.synthetic(spark, 50)
+    val feats = Multimodal.extractFeatures(media, batchSize = 16).collect()
+    assert(feats.length == 50)
+    feats.foreach { f =>
+      assert(f.histogram.sum == f.n_bytes, s"${f.media_id} histogram mass")
+      assert(f.byte_entropy >= 0 && f.byte_entropy <= 4.0 + 1e-9) // 16 bins
+      assert(f.frames_sampled > 0)
+    }
+  }
+
+  test("deterministic across runs (stub decode is seeded)") {
+    val a = Multimodal.extractFeatures(Multimodal.synthetic(spark, 10)).collect()
+    val b = Multimodal.extractFeatures(Multimodal.synthetic(spark, 10)).collect()
+    assert(a.map(f => (f.media_id, f.byte_entropy)).toSet ==
+      b.map(f => (f.media_id, f.byte_entropy)).toSet)
+  }
+
+  test("resize rewrites meta dims only") {
+    val df = Multimodal.synthetic(spark, 6).toDF()
+    val out = Multimodal.resize(df, 128, 96)
+      .select("meta.width", "meta.height", "meta.codec").distinct().collect()
+    assert(out.forall(r => r.getInt(0) == 128 && r.getInt(1) == 96))
+  }
+
+  test("kinds are partition-stable and binary column never shuffles in features") {
+    val feats = Multimodal.extractFeatures(Multimodal.synthetic(spark, 30))
+    assert(feats.columns.toSet ==
+      Set("media_id", "kind", "n_bytes", "byte_entropy", "histogram", "frames_sampled"))
+    assert(feats.filter(col("kind") === "image").count() == 10)
+  }
+}

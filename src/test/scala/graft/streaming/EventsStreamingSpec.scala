@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** True streaming-execution tests: MemoryStream micro-batches through the
+  * watermarked window aggregations and the custom-state sessionizer.
+  */
+class EventsStreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def mkEvents: Seq[Events.Event] = Seq(
+    Events.Event(0, ts(0), 1, "click", 1.0),
+    Events.Event(1, ts(1), 1, "click", 2.0),
+    Events.Event(2, ts(11), 2, "view", 3.0),
+    Events.Event(3, ts(12), 1, "click", 4.0),
+    Events.Event(4, ts(25), 2, "view", 5.0)
+  )
+
+  test("tumbling window streaming result equals batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Events.Event]
+    val streaming = Events.tumblingCounts(mem.toDF(), "10 minutes")
+    val q = streaming.writeStream
+      .format("memory").queryName("tumbling_test").outputMode("complete").start()
+    try {
+      mem.addData(mkEvents: _*)
+      q.processAllAvailable()
+      val got = spark.table("tumbling_test")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      val expected = Set(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 10:10:00.0", "view", 1L, 3.0),
+        ("2024-01-01 10:10:00.0", "click", 1L, 4.0),
+        ("2024-01-01 10:20:00.0", "view", 1L, 5.0))
+      assert(got == expected, s"got $got")
+    } finally q.stop()
+  }
+
+  test("session_window groups by gap per user (streaming)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Events.Event]
+    val q = Events.sessionWindows(mem.toDF(), "10 minutes").writeStream
+      .format("memory").queryName("session_test").outputMode("complete").start()
+    try {
+      mem.addData(mkEvents: _*)
+      q.processAllAvailable()
+      val got = spark.table("session_test")
+        .select("user_id", "n_events", "session_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // user 1: events at :00,:01 then :12 (11min gap > 10) → two sessions
+      // user 2: :11 and :25 → two sessions
+      assert(got == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 3.0), (2L, 1L, 5.0)),
+        s"got $got")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer emits closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Events.Event]
+    val sessions = Events.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000L)
+    val q = sessions.writeStream
+      .format("memory").queryName("fmgws_test").outputMode("append").start()
+    try {
+      mem.addData(mkEvents: _*)
+      q.processAllAvailable()
+      // sessions closed by a later event in the same batch: user 1's
+      // :00-:01 session (closed by :12) and user 2's :11 (closed by :25)
+      val got = spark.table("fmgws_test")
+        .select("user_id", "n_events", "total_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set((1L, 2L, 3.0), (2L, 1L, 3.0)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("file-stream source over events parquet dir runs windowed agg") {
+    val sf = sfDir("0.001")
+    // static twin on the same data for comparison
+    val static = graft.queries.Q.t(spark, sf, "events")
+    val expected = static.groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events")).count()
+    import org.apache.spark.sql.types._
+    // nanos fixture: stream with long ts then convert, mirroring Q.t
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("props", StringType)))
+    // file-stream sources need a directory: stage the fixture into one
+    val streamDir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = Events.tumblingCounts(stream, "10 minutes").writeStream
+      .format("memory").queryName("file_stream_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode only emits watermark-closed windows; at least the bulk
+      // of windows must have been produced
+      val n = spark.table("file_stream_test").count()
+      assert(n > 0.8 * expected, s"file-stream windows $n vs static $expected")
+    } finally q.stop()
+  }
+}
