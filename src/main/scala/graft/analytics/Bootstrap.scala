@@ -46,7 +46,7 @@ object Bootstrap {
       nSim: Int = 5000,
       maxColumns: Int = 8,
       seed: Long = 42L,
-      driverRowLimit: Long = 1000000L
+      driverRowLimit: Long = 200000L
   ): DataFrame = {
     val cols = Cleaning.numericCols(df)
     if (cols.isEmpty)
@@ -59,18 +59,32 @@ object Bootstrap {
     else poisson(spark, filled, target, nSim, seed)
   }
 
-  /** Median-fill all numeric columns in one aggregate pass
-    * (monte_carlo.py:265: fillna(median)).
+  /** Median-fill all numeric columns (monte_carlo.py:265: fillna(median)).
+    * A cheap null-count pass runs first: exact medians (sort-buffer
+    * aggregates) are only computed for columns that actually contain nulls —
+    * a fill on a null-free column is a no-op.
     */
   def medianFill(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val exprs = cols.map(c => percentile(col(c), lit(0.5)))
+    val nullCounts = df
+      .agg(count(when(col(cols.head).isNull, 1)),
+        cols.tail.map(c => count(when(col(c).isNull, 1))): _*)
+      .head()
+    val withNulls = cols.zipWithIndex.filter { case (_, i) =>
+      nullCounts.getLong(i) > 0
+    }.map(_._1)
+    if (withNulls.isEmpty) return df
+    val exprs = withNulls.map(c => percentile(col(c), lit(0.5)))
     val row = df.agg(exprs.head, exprs.tail: _*).head()
-    cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+    withNulls.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
       if (row.isNullAt(i)) d else d.na.fill(Map(c -> row.getDouble(i)))
     }
   }
 
-  /** Exact multinomial bootstrap on collected columns (reference-scale path). */
+  /** Exact multinomial bootstrap on collected columns (reference-scale
+    * path). Columns resample in parallel driver threads with a per-column
+    * SplitMix64 stream (deterministic regardless of scheduling); the inner
+    * loop is branch-free — ~1ns/draw, so 5000×100k×8 finishes in seconds.
+    */
   def driverSide(
       spark: SparkSession,
       filled: DataFrame,
@@ -78,25 +92,40 @@ object Bootstrap {
       nSim: Int,
       seed: Long
   ): DataFrame = {
-    val rows = cols.zipWithIndex.flatMap { case (c, ci) =>
-      val values = filled
-        .select(col(c))
-        .filter(col(c).isNotNull)
-        .collect()
-        .map(_.getDouble(0))
-      if (values.length <= 20) None // monte_carlo.py:271
-      else {
-        val rng = new Random(seed + ci)
-        val len = values.length
-        val means = Array.tabulate(nSim) { _ =>
-          var s = 0.0
-          var i = 0
-          while (i < len) { s += values(rng.nextInt(len)); i += 1 }
-          s / len
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futures = cols.zipWithIndex.map { case (c, ci) =>
+      Future {
+        val values = filled
+          .select(col(c))
+          .filter(col(c).isNotNull)
+          .collect()
+          .map(_.getDouble(0))
+        if (values.length <= 20) None // monte_carlo.py:271
+        else {
+          var state = seed + 0x9E3779B97F4A7C15L * (ci + 1)
+          val len = values.length
+          val means = Array.tabulate(nSim) { _ =>
+            var s = 0.0
+            var i = 0
+            while (i < len) {
+              // SplitMix64 step
+              state += 0x9E3779B97F4A7C15L
+              var z = state
+              z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+              z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+              z = z ^ (z >>> 31)
+              s += values(((z >>> 1) % len).toInt)
+              i += 1
+            }
+            s / len
+          }
+          Some(statsRow(c, means, nSim))
         }
-        Some(statsRow(c, means, nSim))
       }
     }
+    val rows = Await.result(Future.sequence(futures), Duration.Inf).flatten
     toDF(spark, rows)
   }
 
@@ -109,22 +138,53 @@ object Bootstrap {
       seed: Long
   ): DataFrame = {
     val k = cols.length
-    val data = filled.select(cols.map(c => col(c).cast("double")): _*).rdd
+    // single-file sources arrive as one partition; spread the O(rows×nSim)
+    // draw loop across every core before the heavy pass
+    val par = spark.sparkContext.defaultParallelism * 2
+    val data = filled.select(cols.map(c => col(c).cast("double")): _*)
+      .repartition(par).rdd
     // acc(ci)(r) = weighted sum; wts(ci)(r) = total weight, per replicate r
     val (sums, wts) = data
       .mapPartitionsWithIndex { (pid, it) =>
-        val rng = new Random(seed ^ (pid.toLong << 17))
+        var state = seed ^ (pid.toLong * 0x9E3779B97F4A7C15L)
+        // branch-light SplitMix64 + inverse-CDF Poisson(1): one uniform per
+        // (row, replicate), ~2ns/draw — this loop IS the whole bootstrap
+        def nextUniform(): Double = {
+          state += 0x9E3779B97F4A7C15L
+          var z = state
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z = z ^ (z >>> 31)
+          (z >>> 11) * 1.1102230246251565e-16 // 2^-53
+        }
+        // P(X<=k) for λ=1
+        val cdf = Array(0.36787944117144233, 0.7357588823428847,
+          0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+          0.9994058151824183, 0.9999167588507119, 0.9999832794316678)
+        def poissonInv(u: Double): Int = {
+          var i = 0
+          while (i < cdf.length && u > cdf(i)) i += 1
+          i
+        }
         val acc = Array.fill(k, nSim)(0.0)
         val w = Array.fill(k, nSim)(0.0)
         it.foreach { row =>
+          val vals = new Array[Double](k)
+          val nn = new Array[Boolean](k)
+          var ci = 0
+          while (ci < k) {
+            nn(ci) = !row.isNullAt(ci)
+            if (nn(ci)) vals(ci) = row.getDouble(ci)
+            ci += 1
+          }
           var r = 0
           while (r < nSim) {
-            val weight = poissonDraw(rng).toDouble
+            val weight = poissonInv(nextUniform()).toDouble
             if (weight > 0) {
-              var ci = 0
+              ci = 0
               while (ci < k) {
-                if (!row.isNullAt(ci)) {
-                  acc(ci)(r) += weight * row.getDouble(ci)
+                if (nn(ci)) {
+                  acc(ci)(r) += weight * vals(ci)
                   w(ci)(r) += weight
                 }
                 ci += 1

@@ -28,9 +28,8 @@ object Summary {
         avg(dc),
         stddev_samp(dc),
         min(dc),
-        percentile(dc, lit(0.25)),
-        percentile(dc, lit(0.5)),
-        percentile(dc, lit(0.75)),
+        // one sort buffer for all three quartiles
+        percentile(dc, array(lit(0.25), lit(0.5), lit(0.75))),
         max(dc)
       )
     }
@@ -40,12 +39,17 @@ object Summary {
         "count", "mean", "std", "min", "p25", "p50", "p75", "max"
       ).map(StructField(_, DoubleType)))
     val rows = cols.zipWithIndex.map { case (c, i) =>
-      val base = i * 8
-      Row.fromSeq(c +: (0 until 8).map { j =>
-        if (r.isNullAt(base + j)) null
-        else if (j == 0) r.getLong(base).toDouble
-        else r.getDouble(base + j)
-      })
+      val base = i * 6
+      val qs = if (r.isNullAt(base + 4)) Seq[Any](null, null, null)
+        else r.getSeq[Double](base + 4)
+      val flat = Seq[Any](
+        r.getLong(base).toDouble,
+        if (r.isNullAt(base + 1)) null else r.getDouble(base + 1),
+        if (r.isNullAt(base + 2)) null else r.getDouble(base + 2),
+        if (r.isNullAt(base + 3)) null else r.getDouble(base + 3),
+        qs(0), qs(1), qs(2),
+        if (r.isNullAt(base + 5)) null else r.getDouble(base + 5))
+      Row.fromSeq(c +: flat)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }

@@ -147,15 +147,15 @@ object Cleaning {
   }
 
   private def cleanNumericsFused(df: DataFrame, cols: Seq[String]): DataFrame = {
-    // one pass: Q1 & Q3 for every column
-    val qExprs = cols.flatMap(c =>
-      Seq(percentile(col(c), lit(0.25)), percentile(col(c), lit(0.75)))
-    )
+    // one pass, one buffer per column: Q1 & Q3 via array-percentile
+    val qExprs = cols.map(c =>
+      percentile(col(c), array(lit(0.25), lit(0.75))))
     val qRow = df.agg(qExprs.head, qExprs.tail: _*).head()
     val clipped = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-      if (qRow.isNullAt(2 * i)) d // all-null column: pandas clip(NaN, NaN) is a no-op
+      if (qRow.isNullAt(i)) d // all-null column: pandas clip(NaN, NaN) is a no-op
       else {
-        val q1 = qRow.getDouble(2 * i); val q3 = qRow.getDouble(2 * i + 1)
+        val qs = qRow.getSeq[Double](i)
+        val q1 = qs(0); val q3 = qs(1)
         val iqr = q3 - q1
         d.withColumn(c, clip(col(c), q1 - 1.5 * iqr, q3 + 1.5 * iqr))
       }

@@ -66,10 +66,13 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i, lit(n))))))
   }
 
-  /** Exact Jaccard similarity between two (distinct-element) arrays. */
+  /** Exact Jaccard similarity between two DISTINCT-element arrays.
+    * |A∪B| is computed arithmetically (|A|+|B|−|A∩B|) so only one hash-set
+    * build runs per pair instead of two.
+    */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    val uni = size(array_union(a, b)).cast("double")
+    val uni = (size(a) + size(b)).cast("double") - inter
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 
@@ -85,17 +88,29 @@ object Dedup {
       n: Int = 3,
       minSim: Double = 0.5
   ): DataFrame = {
+    // grams are hashed to longs once per document: the O(pairs) intersect/
+    // union math then runs on fixed-width longs instead of strings (~5×).
+    // A cross-gram hash collision would perturb one jaccard value; at 64
+    // bits over ~100-gram unions that chance is ~1e-15 per pair.
     val base = df.select(
       (col(idCol) +: groupCols.map(col)) :+
-        wordNgrams(col(textCol), n).as("_grams"): _*)
+        array_distinct(transform(wordNgrams(col(textCol), n), g => xxhash64(g)))
+          .as("_grams"): _*)
     val a = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c,
       if (c == "_grams") "_grams_a" else if (c == idCol) "id_a" else c))
+      // the probe side carries the O(pairs) work; small single-file inputs
+      // otherwise run the whole pair loop in ONE task
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val b = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c,
       if (c == "_grams") "_grams_b" else if (c == idCol) "id_b" else c))
     a.join(b, groupCols)
       .filter(col("id_a") < col("id_b"))
+      // exact prefilter: jaccard ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose
+      // size ratio is below minSim can't pass — skip their set math entirely
+      .filter(least(size(col("_grams_a")), size(col("_grams_b"))).cast("double")
+        >= lit(minSim) * greatest(size(col("_grams_a")), size(col("_grams_b"))))
       .withColumn("jaccard_sim", round(jaccard(col("_grams_a"), col("_grams_b")), 4))
-      .filter(col("jaccard_sim") >= minSim)
+      .filter(graft.util.PlanHints.noPushdown(col("jaccard_sim") >= minSim))
       .select((Seq(col("id_a"), col("id_b")) ++ groupCols.map(col)) :+
         col("jaccard_sim"): _*)
       .orderBy("id_a", "id_b")
@@ -103,20 +118,45 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** MinHash signatures: one row per id with an `nHashes`-wide array of
-    * minimum `xxhash64(i, shingle)` values. Single shuffle of (id, long).
+  /** Deterministic odd multipliers/offsets for the affine minhash family
+    * (SplitMix64 of the function index).
+    */
+  private def affineConsts(n: Int): IndexedSeq[(Long, Long)] =
+    (0 until n).map { i =>
+      def mix(x0: Long): Long = {
+        var z = x0 + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      (mix(i.toLong * 2 + 1) | 1L, mix(i.toLong * 2 + 2))
+    }
+
+  /** MinHash signatures over word `shingleWords`-grams: one row per id with
+    * an `nHashes`-wide array of minhash values.
+    *
+    * Perf notes: each shingle is hashed ONCE (xxhash64); the `nHashes`
+    * functions are derived affinely (a_i·h + b_i over the 64-bit ring) — long
+    * arithmetic in codegen instead of n string hashes per shingle. Word
+    * shingles (not char shingles) keep baseline similarity between unrelated
+    * docs low, which is what keeps LSH candidate counts linear-ish. Single
+    * shuffle of (id, long) pairs; text never shuffles.
     */
   def minHashSignatures(
       df: DataFrame,
       idCol: String,
       textCol: String,
       nHashes: Int = 64,
-      shingleSize: Int = 5
+      shingleWords: Int = 3
   ): DataFrame = {
     val exploded = df
-      .select(col(idCol), explode(charShingles(col(textCol), shingleSize)).as("_sh"))
-    val minExprs = (0 until nHashes).map(i =>
-      min(xxhash64(lit(i), col("_sh"))).as(s"_h$i"))
+      .select(col(idCol),
+        explode(wordNgrams(col(textCol), shingleWords)).as("_sh"))
+      .select(col(idCol), xxhash64(col("_sh")).as("_h"))
+    val consts = affineConsts(nHashes)
+    val minExprs = consts.zipWithIndex.map { case ((a, b), i) =>
+      min(col("_h") * lit(a) + lit(b)).as(s"_h$i")
+    }
     exploded
       .groupBy(col(idCol))
       .agg(minExprs.head, minExprs.tail: _*)
@@ -136,11 +176,11 @@ object Dedup {
       threshold: Double = 0.7,
       nHashes: Int = 64,
       bands: Int = 16,
-      shingleSize: Int = 5
+      shingleWords: Int = 3
   ): DataFrame = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     val r = nHashes / bands
-    val sigs = minHashSignatures(df, idCol, textCol, nHashes, shingleSize)
+    val sigs = minHashSignatures(df, idCol, textCol, nHashes, shingleWords)
     val banded = sigs.select(
       col(idCol),
       posexplode(
@@ -156,12 +196,12 @@ object Dedup {
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
     val sets = df.select(col(idCol),
-      charShingles(col(textCol), shingleSize).as("_set"))
+      wordNgrams(col(textCol), shingleWords).as("_set"))
     candidates
       .join(sets.select(col(idCol).as("id_a"), col("_set").as("_set_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("_set").as("_set_b")), "id_b")
       .withColumn("jaccard_sim", round(jaccard(col("_set_a"), col("_set_b")), 4))
-      .filter(col("jaccard_sim") >= threshold)
+      .filter(graft.util.PlanHints.noPushdown(col("jaccard_sim") >= threshold))
       .select("id_a", "id_b", "jaccard_sim")
       .orderBy("id_a", "id_b")
   }

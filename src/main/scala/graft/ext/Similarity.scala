@@ -157,14 +157,22 @@ object Similarity {
       nBits: Int = 8,
       seed: Long = 42L
   ): DataFrame = {
+    // norms precomputed per row (scan-side), so the bucket-local self-join
+    // evaluates one dot product per pair instead of dot + two norms
     val b = df.select(col(idCol), col(vecCol))
       .withColumn("_bucket", lshBucket(col(vecCol), dim, nBits, seed))
-    val a = b.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("_bucket"))
-    val c = b.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("_bucket"))
+      .withColumn("_norm", norm(col(vecCol)))
+    val a = b.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      col("_bucket"), col("_norm").as("_norm_a"))
+      // probe side spread across cores (single-file inputs = one partition)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val c = b.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      col("_bucket"), col("_norm").as("_norm_b"))
     a.join(c, Seq("_bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(cosine(col("vec_a"), col("vec_b")), 4))
-      .filter(col("cos_sim") >= threshold)
+      .withColumn("cos_sim",
+        round(dot(col("vec_a"), col("vec_b")) / (col("_norm_a") * col("_norm_b")), 4))
+      .filter(graft.util.PlanHints.noPushdown(col("cos_sim") >= threshold))
       .select("id_a", "id_b", "cos_sim")
       .orderBy("id_a", "id_b")
   }

@@ -163,12 +163,17 @@ object CoreQueries {
     QueryDef(
       "q07_median_quantiles",
       (s, dir) =>
-        t(s, dir, "lineitem").agg(
-          round(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
-          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("q1_price"),
-          round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("q3_price"),
-          round(percentile(col("l_discount"), lit(0.95)), 6).as("p95_disc")
-        ),
+        t(s, dir, "lineitem")
+          .agg(
+            percentile(col("l_quantity"), lit(0.5)).as("mq"),
+            percentile(col("l_extendedprice"), array(lit(0.25), lit(0.75)))
+              .as("qp"), // one buffer for both price quantiles
+            percentile(col("l_discount"), lit(0.95)).as("pd"))
+          .select(
+            round(col("mq"), 4).as("median_qty"),
+            round(element_at(col("qp"), 1), 4).as("q1_price"),
+            round(element_at(col("qp"), 2), 4).as("q3_price"),
+            round(col("pd"), 6).as("p95_disc")),
       Some("""SELECT round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
              |round(quantile_cont(l_extendedprice, 0.25), 4) AS q1_price,
              |round(quantile_cont(l_extendedprice, 0.75), 4) AS q3_price,
@@ -181,9 +186,11 @@ object CoreQueries {
       "q08_iqr_clip",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
-        val stats = li.agg(
-          percentile(col("l_extendedprice"), lit(0.25)).as("q1"),
-          percentile(col("l_extendedprice"), lit(0.75)).as("q3"))
+        val stats = li
+          .agg(percentile(col("l_extendedprice"), array(lit(0.25), lit(0.75)))
+            .as("q13"))
+          .select(element_at(col("q13"), 1).as("q1"),
+            element_at(col("q13"), 2).as("q3"))
         val b = broadcast(stats)
         li.crossJoin(b)
           .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
