@@ -29,12 +29,14 @@ object GraftSession {
   }
 
   /** Apply graft's canonical conf to any builder (works for cluster masters
-    * too — nothing here is local-mode specific).
+    * too — nothing here is local-mode specific). Also installs graft's
+    * native Catalyst functions (graft.functions.GraftExtensions).
     */
   def configure(b: SparkSession.Builder): SparkSession.Builder = {
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
-    b.config("spark.sql.shuffle.partitions", shufflePartitions)
+    b.withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")

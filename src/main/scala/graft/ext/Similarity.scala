@@ -32,7 +32,15 @@ object Similarity {
     sqrt(aggregate(transform(toDouble(a), x => x * x), lit(0.0),
       (acc, x) => acc + x))
 
+  /** Cosine via graft's native fused expression (one codegen'd loop over the
+    * unsafe array data — see graft.functions.CosineSimilarity); requires a
+    * GraftSession / GraftFunctions.register'd session. `cosineComposable`
+    * is the pure-builtin fallback with identical numerics.
+    */
   def cosine(a: Column, b: Column): Column =
+    call_function("cosine_similarity", a, b)
+
+  def cosineComposable(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
   /** Top-k most similar rows to the vector of `queryId` (excluded), by
@@ -130,13 +138,14 @@ object Similarity {
   ): DataFrame = {
     val qVec = index.assigned
       .filter(col(idCol) === queryId)
-      .select(vecCol).head().getSeq[Float](0).map(_.toDouble).toArray
+      .select(vecCol).head().getSeq[Float](0).toArray
     val cells = index.centroids.zipWithIndex
       .map { case (c, i) =>
         val d = c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
         (i, d)
       }
       .sortBy(_._2).take(nProbe).map(_._1)
+    // float literals so the array element type matches the stored vectors
     val qLit = array(qVec.map(lit(_)): _*)
     index.assigned
       .filter(col("_ivf_cluster").isin(cells: _*) && col(idCol) =!= queryId)
@@ -157,21 +166,15 @@ object Similarity {
       nBits: Int = 8,
       seed: Long = 42L
   ): DataFrame = {
-    // norms precomputed per row (scan-side), so the bucket-local self-join
-    // evaluates one dot product per pair instead of dot + two norms
     val b = df.select(col(idCol), col(vecCol))
       .withColumn("_bucket", lshBucket(col(vecCol), dim, nBits, seed))
-      .withColumn("_norm", norm(col(vecCol)))
-    val a = b.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
-      col("_bucket"), col("_norm").as("_norm_a"))
+    val a = b.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("_bucket"))
       // probe side spread across cores (single-file inputs = one partition)
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val c = b.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
-      col("_bucket"), col("_norm").as("_norm_b"))
+    val c = b.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("_bucket"))
     a.join(c, Seq("_bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim",
-        round(dot(col("vec_a"), col("vec_b")) / (col("_norm_a") * col("_norm_b")), 4))
+      .withColumn("cos_sim", round(cosine(col("vec_a"), col("vec_b")), 4))
       .filter(graft.util.PlanHints.noPushdown(col("cos_sim") >= threshold))
       .select("id_a", "id_b", "cos_sim")
       .orderBy("id_a", "id_b")

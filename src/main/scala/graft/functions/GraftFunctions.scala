@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of graft's native Catalyst functions.
+  *
+  * Two entry points:
+  *  - `GraftExtensions` for `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    or `SparkSession.builder().withExtensions(...)` (used by GraftSession);
+  *  - `GraftFunctions.register(spark)` for an already-built session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      "cosine_similarity",
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_similarity takes 2 arguments")
+        CosineSimilarity(args.head, args(1))
+      }
+    )
+  )
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info, builder)
+    }
+}

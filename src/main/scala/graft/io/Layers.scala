@@ -51,6 +51,17 @@ object Layers {
       .parquet(path)
   }
 
+  /** Date-partitioned parquet sink — the 100-TB layout for silver/gold:
+    * one directory per calendar day of `tsCol`, so day-grain predicates
+    * (e.g. the merge stage's join key) prune partitions at the source and
+    * dynamic partition pruning kicks in for joins against a date dimension.
+    */
+  def writePartitionedByDay(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("_p_date",
+      org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col(tsCol)).cast("string"))
+      .write.mode("overwrite").partitionBy("_p_date").parquet(path)
+
   /** CSV sink (S3). `header=true, no index` matches `to_csv(index=False)`
     * (generate_traffic_data.py:131).
     */

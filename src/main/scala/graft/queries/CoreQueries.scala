@@ -457,6 +457,32 @@ object CoreQueries {
              |count(*) AS n_rows FROM orders""".stripMargin)
     ),
 
+    // ---- S1/S3: CSV sink + schema'd CSV scan round-trip (rows-only: the
+    //      oracle cannot see the engine's scratch directory)
+    QueryDef(
+      "q39_csv_roundtrip",
+      (s, dir) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+        val src = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        graft.io.Layers.writeCsv(src, out)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("o_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("o_custkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("o_orderstatus",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("o_totalprice",
+            org.apache.spark.sql.types.DoubleType)))
+        graft.io.Layers.readCsv(s, out, schema)
+          .agg(count(lit(1)).as("n_rows"),
+            sumExact(col("o_totalprice"), 2).as("total"),
+            countDistinct(col("o_orderstatus")).as("n_status"))
+      },
+      None
+    ),
+
     // ---- P5: low-variance column filter (std > 0.01 keeps the column)
     QueryDef(
       "q21_low_variance_filter",
