@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import graft.etl.MergeTrafficWeather
+import graft.io.Layers
+import graft.schema.Schemas
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan audits: the properties that make these queries scale are
+  * asserted, not assumed — filter pushdown to the scan, column pruning,
+  * broadcast joins for dims, whole-stage codegen, and (for the pair
+  * operators) the expensive predicate staying OUT of the join condition.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir("0.001"))
+
+  test("q02: predicates are pushed to the parquet scan") {
+    val p = plan(q("q02_filter_project"))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") ||
+      p.contains("IsNotNull(l_shipdate)"), s"shipdate filter not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"),
+      s"discount filter not pushed:\n$p")
+  }
+
+  test("q01: column pruning — scan reads only the needed lineitem columns") {
+    val p = plan(q("q01_pricing_summary"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_suppkey"),
+      s"scan reads unused columns: $readSchema")
+    assert(readSchema.contains("l_quantity"))
+  }
+
+  test("q04: dimension joins broadcast (no shuffle for small sides)") {
+    val p = plan(q("q04_regional_revenue"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts:\n$p")
+  }
+
+  test("q01: aggregation runs inside whole-stage codegen with partial agg") {
+    val df = q("q01_pricing_summary")
+    df.collect() // AQE: codegen stages only visible in the final plan
+    val p = plan(df)
+    assert(p.contains("codegen id"), p) // `* Node [codegen id: n]` markers
+    // partial (map-side) aggregation before the exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial + final aggregate")
+  }
+
+  test("merge stage: reference-scale sides broadcast; no cartesian") {
+    val traffic = Layers.readCsv(spark, golden("traffic_raw.csv"), Schemas.trafficRaw)
+      .limit(500)
+    val weather = Layers.readCsv(spark, golden("weather_raw.csv"), Schemas.weatherRaw)
+      .limit(500)
+    val p = plan(MergeTrafficWeather(traffic, weather))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), s"merge fell back to cartesian:\n$p")
+  }
+
+  test("q24: similarity predicate stays out of the join condition") {
+    val p = plan(q("q24_jaccard_pairs"))
+    val joinCond = p.linesIterator.filter(_.contains("Join condition"))
+      .mkString("\n")
+    assert(!joinCond.contains("array_intersect"),
+      s"jaccard pushed into join condition:\n$joinCond")
+    // the cheap pruning predicates DO belong in the join condition
+    assert(joinCond.contains("id_a") && joinCond.contains("size"),
+      s"cheap predicates missing from join condition:\n$joinCond")
+  }
+
+  test("q31: native cosine expression is used (no zip_with in the plan)") {
+    val p = plan(q("q31_cosine_topk"))
+    assert(p.contains("cosinesimilarity") || p.contains("CosineSimilarity") ||
+      p.contains("cosine_similarity"), s"native expression missing:\n$p")
+    assert(!p.contains("zip_with"), s"composable fallback in hot path:\n$p")
+  }
+
+  test("entry: flagship plan is fully columnar parquet + codegen") {
+    val df = SparkEntry.entry(spark)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("Scan parquet"))
+    assert(p.contains("codegen id"), p)
+  }
+}
