@@ -16,20 +16,32 @@ object Summary {
     * numeric column, all in ONE aggregate pass (pandas scans per stat).
     * Output: one row per column: index, count, mean, std, min, p25, p50,
     * p75, max.
+    *
+    * `approximate = true` swaps exact quartiles for `approx_percentile`
+    * sketches (bounded memory, no sort buffers) — the interactive-describe
+    * path for lake-scale tables; keep the exact default where results feed
+    * golden comparisons.
     */
-  def describeNumeric(spark: SparkSession, df: DataFrame): DataFrame = {
+  def describeNumeric(
+      spark: SparkSession,
+      df: DataFrame,
+      approximate: Boolean = false
+  ): DataFrame = {
     val cols = Cleaning.numericCols(df)
     if (cols.isEmpty)
       return spark.emptyDataFrame
     val exprs = cols.flatMap { c =>
       val dc = col(c).cast("double")
+      val quartiles =
+        if (approximate)
+          approx_percentile(dc, array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+        else percentile(dc, array(lit(0.25), lit(0.5), lit(0.75)))
       Seq(
         count(dc),
         avg(dc),
         stddev_samp(dc),
         min(dc),
-        // one sort buffer for all three quartiles
-        percentile(dc, array(lit(0.25), lit(0.5), lit(0.75))),
+        quartiles, // one buffer/sketch for all three quartiles
         max(dc)
       )
     }

@@ -29,6 +29,30 @@ object Joins {
     )
     l.join(r, on, how)
   }
+
+  /** Skew-busting salted join: the (skewed) left side gets a random salt in
+    * [0, salts); the right side is replicated once per salt value, so a hot
+    * key's rows spread over `salts` reducers instead of one. Semantics are
+    * identical to `left.join(right, on, how)` for how ∈ {inner, left} as
+    * long as `on` is unique on the right (each left row still matches each
+    * right row exactly once). AQE's skew-join split handles moderate skew
+    * at runtime; salting is the static fallback for the pathological keys
+    * (e.g. the merge stage's constant `city` at lake scale).
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      how: String = "inner",
+      salts: Int = 16
+  ): DataFrame = {
+    require(how == "inner" || how == "left", s"saltedJoin: unsupported $how")
+    val l = left.withColumn("_graft_salt",
+      (rand(42) * salts).cast("int"))
+    val r = right.withColumn("_graft_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, on :+ "_graft_salt", how).drop("_graft_salt")
+  }
 }
 
 /** Silver stage: traffic ⋈ weather on (city, calendar day).

@@ -28,8 +28,20 @@ object GraftFunctions {
         require(args.length == 2, "cosine_similarity takes 2 arguments")
         CosineSimilarity(args.head, args(1))
       }
+    ),
+    (
+      "mode_det",
+      new ExpressionInfo(classOf[DeterministicMode].getName, "mode_det"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "mode_det takes 1 argument")
+        DeterministicMode(args.head).toAggregateExpression()
+      }
     )
   )
+
+  /** Column-API form of the deterministic-tie mode aggregate. */
+  def modeDet(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("mode_det", c)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, info, builder) =>

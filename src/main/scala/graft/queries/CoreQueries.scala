@@ -159,6 +159,20 @@ object CoreQueries {
              |ORDER BY cnt DESC, o_orderpriority ASC LIMIT 1""".stripMargin)
     ),
 
+    // ---- A1 via the custom TypedImperativeAggregate (graft.functions.
+    //      DeterministicMode) — must agree with the groupBy formulation AND
+    //      the DuckDB oracle
+    QueryDef(
+      "q45_mode_det_aggregate",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .agg(graft.functions.GraftFunctions
+            .modeDet(col("o_orderpriority")).as("mode_value")),
+      Some("""SELECT o_orderpriority AS mode_value FROM orders
+             |WHERE o_orderpriority IS NOT NULL
+             |GROUP BY 1 ORDER BY count(*) DESC, 1 ASC LIMIT 1""".stripMargin)
+    ),
+
     // ---- A2/A3: exact median + quartiles (linear interpolation, both engines)
     QueryDef(
       "q07_median_quantiles",

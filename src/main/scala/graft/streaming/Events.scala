@@ -98,6 +98,26 @@ object Events {
       }
   }
 
+  /** Checkpointed gold-layer stream: watermarked tumbling aggregation →
+    * parquet sink with exactly-once file-sink semantics. `AvailableNow`
+    * drains everything currently in the source then stops — the same query
+    * restarted with the same checkpoint resumes from the recorded offsets
+    * (recovery is tested in EventsStreamingSpec).
+    */
+  def goldStream(
+      events: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      window_ : String = "10 minutes"
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    tumblingCounts(events, window_).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+
   // ---- batch twins (oracle-checkable, same aggregation semantics) ----
 
   def tumblingCountsBatch(events: DataFrame, minutes: Int = 10): DataFrame = {

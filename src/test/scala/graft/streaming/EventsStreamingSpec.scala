@@ -82,6 +82,41 @@ class EventsStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("goldStream: checkpointed parquet sink with restart recovery") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("goldstream")
+    val (src, out, ckpt) =
+      (s"$base/src", s"$base/out", s"$base/ckpt")
+    new java.io.File(src).mkdirs()
+
+    def writeBatch(name: String, events: Seq[Events.Event]): Unit =
+      events.toDF().write.parquet(s"$src/$name")
+
+    // batch 1: two closed-able windows plus a live one
+    writeBatch("b1", (0 until 30).map(i =>
+      Events.Event(i, ts(i * 2 % 60), i % 3, "click", 1.0)))
+    val stream1 = spark.readStream.schema(
+      implicitly[org.apache.spark.sql.Encoder[Events.Event]].schema)
+      .parquet(s"$src/*")
+    Events.goldStream(stream1, out, ckpt).awaitTermination()
+    val n1 = spark.read.parquet(out).count()
+
+    // batch 2: later events advance the watermark, closing earlier windows
+    writeBatch("b2", (100 until 130).map(i =>
+      Events.Event(i, Timestamp.valueOf("2024-01-01 13:00:00"), i % 3, "view", 2.0)))
+    val stream2 = spark.readStream.schema(
+      implicitly[org.apache.spark.sql.Encoder[Events.Event]].schema)
+      .parquet(s"$src/*")
+    Events.goldStream(stream2, out, ckpt).awaitTermination()
+    val result = spark.read.parquet(out)
+    val n2 = result.count()
+
+    assert(n2 > n1, s"restart produced no new windows ($n1 -> $n2)")
+    // exactly-once: no duplicate (window, event_type) rows across restarts
+    assert(result.groupBy("window_start", "event_type")
+      .count().filter(col("count") > 1).count() == 0)
+  }
+
   test("file-stream source over events parquet dir runs windowed agg") {
     val sf = sfDir("0.001")
     // static twin on the same data for comparison
