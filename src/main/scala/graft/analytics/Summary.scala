@@ -102,6 +102,13 @@ object Summary {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** A13 analog: the engine's size estimate for a plan's output (pandas
+    * `memory_usage(deep=True)` has no distributed equivalent; Catalyst
+    * statistics are the planning-time counterpart — report-only).
+    */
+  def estimatedSizeInBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
   /** W1: top-k rows by absolute value of a column, deterministic tie-break. */
   def topKByAbs(df: DataFrame, c: String, k: Int, tieBreak: String): DataFrame =
     df.orderBy(abs(col(c)).desc, col(tieBreak).asc).limit(k)

@@ -18,8 +18,8 @@ object Dedup {
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup: keep the lowest-id row per identical content (hash
-    * compare on md5 of the concatenated content columns). The groupBy runs
-    * on (hash, id) only — text never shuffles.
+    * compare on md5 of the concatenated content columns). One shuffle,
+    * co-locating rows by content hash; survivors keep full row content.
     */
   def exact(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
     val h = contentHash(contentCols)

@@ -174,6 +174,15 @@ object TextQueries {
              |ORDER BY doc_id""".stripMargin)
     ),
 
+    // ---- full curation funnel (filters → exact dedup → minhash dedup);
+    //      minhash stage is hash-seeded → rows-only check
+    QueryDef(
+      "q46_curation_pipeline",
+      (s, dir) =>
+        graft.ext.TrainingDataPipeline(t(s, dir, "documents")).stats,
+      None
+    ),
+
     // ---- document fingerprinting (md5 of normalized text)
     QueryDef(
       "q30_fingerprints",
