@@ -55,11 +55,12 @@ object TrainingDataPipeline {
 
     val curated = Dedup
       .minHashDedup(exactDeduped, idCol, textCol, config.nearDupThreshold)
-      .cache()
+      .cache() // serves the two stat actions below; released after
     val nFinal = curated.count()
     val tokenStats = curated.agg(
       sum(col("n_tokens")).cast("long").as("total_tokens"),
       round(avg(col("n_tokens")), 2).as("mean_tokens")).head()
+    curated.unpersist(false)
 
     import spark.implicits._
     val stats = Seq((n0, nFiltered, nExact, nFinal,

@@ -476,7 +476,8 @@ object CoreQueries {
     QueryDef(
       "q39_csv_roundtrip",
       (s, dir) => {
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_" +
+          java.util.UUID.randomUUID().toString.take(8)
         val src = t(s, dir, "orders")
           .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         graft.io.Layers.writeCsv(src, out)

@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftSession, SparkEntry}
+
+/** Scale experiment: replicate the sf0.1 testdata ~10× (≈ sf1: 6M lineitem
+  * rows, 50k documents, 20k embeddings, 1M events) into a scratch dir with
+  * shifted keys, then time the headline queries. Validates that the plans
+  * scale sub-linearly in wall-clock on local[32] (fixed overheads amortize,
+  * no blow-ups) — the evidence behind PERF.md's 100-TB claims.
+  *
+  * Usage: runMain graft.tools.ScaleCheck [factor] [outDir]
+  */
+object ScaleCheck {
+
+  def replicate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    val fs = new java.io.File(out)
+    if (new java.io.File(s"$out/_DONE").exists()) return
+    fs.mkdirs()
+    val reps = spark.range(factor).select(col("id").as("_rep"))
+
+    def scaleTable(name: String, keyShifts: Map[String, Long]): Unit = {
+      val df = spark.read.parquet(s"$src/$name.parquet")
+      val scaled = df.crossJoin(broadcast(reps))
+      val shifted = keyShifts.foldLeft(scaled) { case (d, (c, base)) =>
+        d.withColumn(c, col(c) + col("_rep") * base)
+      }
+      shifted.drop("_rep")
+        .repartition(16)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+    }
+
+    // keys shifted per replica so joins keep their selectivity
+    scaleTable("lineitem", Map("l_orderkey" -> 100000000L))
+    scaleTable("orders", Map("o_orderkey" -> 100000000L, "o_custkey" -> 1000000L))
+    scaleTable("customer", Map("c_custkey" -> 1000000L))
+    scaleTable("documents", Map("doc_id" -> 10000000L))
+    scaleTable("embeddings", Map("vec_id" -> 10000000L))
+    scaleTable("events", Map("event_id" -> 100000000L, "user_id" -> 1000000L))
+    Seq("region", "nation", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+    }
+    new java.io.File(s"$out/_DONE").createNewFile()
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val out = args.drop(1).headOption.getOrElse("/tmp/graft_scale")
+    val spark = GraftSession.quiet(GraftSession.local("scale-check"))
+    replicate(spark, "/root/testdata/sf0.1", out, factor)
+
+    val headline = Seq(
+      "q01_pricing_summary", "q04_regional_revenue", "q05_dedup_keep_first",
+      "q13_window_funcs", "q15_monthly_revenue", "q22_exact_dup_census",
+      "q24_jaccard_pairs", "q25_minhash_near_dups", "q27_token_counts",
+      "q31_cosine_topk", "q35_tumbling_window", "q37_sessionization",
+      "q41_bootstrap_ci", "q44_corr_matrix")
+    // warm-up at sf0.1, then timed at the scaled dir
+    headline.foreach(n =>
+      SparkEntry.queries(n)(spark, "/root/testdata/sf0.1")
+        .write.format("noop").mode("overwrite").save())
+    val results = headline.map { n =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, out)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $n: $dt%.2f s")
+      n -> dt
+    }
+    println(f"[scale] TOTAL: ${results.map(_._2).sum}%.2f s (factor $factor)")
+    spark.stop()
+  }
+}
