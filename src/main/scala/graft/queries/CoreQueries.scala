@@ -122,6 +122,64 @@ object CoreQueries {
               |GROUP BY r_name ORDER BY r_name""".stripMargin)
     ),
 
+    // ---- part/supplier dimension joins: brand-level margins
+    QueryDef(
+      "q47_brand_margins",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val p = t(s, dir, "part")
+        val su = t(s, dir, "supplier")
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+          .groupBy("p_brand")
+          .agg(
+            count(lit(1)).as("n_items"),
+            countDistinct(col("s_suppkey")).as("n_suppliers"),
+            sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+              .as("revenue"),
+            (sumExact(col("l_extendedprice") - col("p_retailprice") * col("l_quantity"), 4)
+              / count(lit(1))).as("avg_margin")
+          )
+          .orderBy("p_brand")
+      },
+      Some(s"""SELECT p_brand, count(*) AS n_items,
+              |count(DISTINCT s_suppkey) AS n_suppliers,
+              |${sqlSumExact("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+              |${sqlSumExact("l_extendedprice - p_retailprice * l_quantity", 4)} / count(*) AS avg_margin
+              |FROM lineitem
+              |JOIN part ON l_partkey = p_partkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+    ),
+
+    // ---- the SQL front-end end-to-end: temp views + spark.sql text,
+    //      including a graft-native function (mode_det) in SQL
+    QueryDef(
+      "q48_sql_surface",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("g_orders")
+        t(s, dir, "customer").createOrReplaceTempView("g_customer")
+        s.sql(
+          """SELECT c_mktsegment,
+            |  count(*) AS n,
+            |  mode_det(o_orderpriority) AS top_priority,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+            |FROM g_orders JOIN g_customer ON o_custkey = c_custkey
+            |GROUP BY c_mktsegment
+            |ORDER BY c_mktsegment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |(SELECT o2.o_orderpriority FROM orders o2
+             |  JOIN customer c2 ON o2.o_custkey = c2.c_custkey
+             |  WHERE c2.c_mktsegment = o.c_mktsegment
+             |    AND o2.o_orderpriority IS NOT NULL
+             |  GROUP BY o2.o_orderpriority
+             |  ORDER BY count(*) DESC, o2.o_orderpriority ASC LIMIT 1) AS top_priority,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+             |FROM (SELECT * FROM orders JOIN customer ON o_custkey = c_custkey) o
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    ),
+
     // ---- D1: keep-first dedup via row_number (earliest order per customer)
     QueryDef(
       "q05_dedup_keep_first",
