@@ -45,6 +45,12 @@ object GraftSession {
       // nanosecond-precision parquet timestamps (events fixture) surface as
       // long nanos instead of a read error; Q.t converts them to µs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local tier reads single ~20MB files: the default 128MB split puts a
+      // whole table in ONE task. 8MB splits parallelize those scans (and the
+      // per-partition partial aggregates above them); on a real cluster
+      // raise this back toward 128MB via SPARK_GRAFT_SPLIT_BYTES.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SPLIT_BYTES", (8 * 1024 * 1024).toString))
       .config("spark.ui.enabled", "false")
   }
 
