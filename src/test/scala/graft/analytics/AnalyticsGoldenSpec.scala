@@ -83,9 +83,10 @@ class AnalyticsGoldenSpec extends SparkSpec {
     val mRows = mine.collect().map(r => r.getString(0) -> r).toMap
     assert(mRows.keySet == gRows.keySet, s"${mRows.keySet} vs ${gRows.keySet}")
 
-    // per (variable, factor): |loading| must match within 5% of the column
-    // scale (sign/rotation-tolerant: factor sign is arbitrary, order is
-    // variance-ranked in both implementations)
+    // per (variable, factor): |loading| reproduces sklearn essentially
+    // exactly (measured worst |Δ| < 0.001 at column scales up to ~3700 —
+    // the covariance-space EM lands on the same fixpoint under the same
+    // stopping rule). Sign-tolerant: factor sign is arbitrary.
     (1 to 5).foreach { f =>
       val colName = s"Factor_${f}_loading"
       val scale = math.max(1.0,
@@ -93,7 +94,7 @@ class AnalyticsGoldenSpec extends SparkSpec {
       gRows.foreach { case (v, g) =>
         val gv = math.abs(g.getAs[Double](colName))
         val mv = math.abs(mRows(v).getAs[Double](colName))
-        assert(math.abs(gv - mv) <= 0.05 * scale + 1.0,
+        assert(math.abs(gv - mv) <= 0.05 + 1e-4 * scale,
           s"$v $colName: |mine|=$mv |golden|=$gv (scale $scale)")
       }
     }
