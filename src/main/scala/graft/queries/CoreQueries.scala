@@ -556,6 +556,89 @@ object CoreQueries {
       None
     ),
 
+    // ---- E2 end-to-end: the WHOLE clean pipeline (keep-first dedup →
+    //      multi-format parse/drop → mode fill → IQR clip → median fill)
+    //      over a deterministically-messed orders table, with the oracle
+    //      replicating every stage in SQL. `o_orderkey` doubles as the
+    //      explicit source-order column so dedup is engine-independent.
+    QueryDef(
+      "q49_clean_pipeline",
+      (s, dir) => {
+        import graft.etl.Cleaning
+        val messy = t(s, dir, "orders").select(
+          col("o_orderkey").as(Cleaning.SrcOrder),
+          when(col("o_orderkey") % 97 === 0, lit(null))
+            .when(col("o_orderkey") % 31 === 0, col("o_orderkey") - 1)
+            .otherwise(col("o_orderkey")).as("mk"),
+          when(col("o_orderkey") % 11 === 0, lit("TBD"))
+            .when(col("o_orderkey") % 3 === 0,
+              date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm"))
+            .when(col("o_orderkey") % 3 === 1,
+              date_format(col("o_orderdate"), "dd/MM/yyyy hha"))
+            .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm'Z'"))
+            .as("ts"),
+          when(col("o_orderkey") % 13 === 0, lit(null))
+            .otherwise(col("o_orderpriority")).as("cat"),
+          when(col("o_orderkey") % 17 === 0, lit(null))
+            .when(col("o_orderkey") % 19 === 0, col("o_totalprice") * 100)
+            .otherwise(col("o_totalprice")).as("num")
+        )
+        val cleaned = Cleaning.clean(messy,
+          Cleaning.CleanConfig(keyCol = "mk", timestampCol = "ts",
+            categoricalCols = Seq("cat"), numericCols = Seq("num")))
+        cleaned.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("cat")).as("n_cats"),
+          min(col("ts")).cast("timestamp_ntz").as("min_ts"),
+          max(col("ts")).cast("timestamp_ntz").as("max_ts"),
+          (sumExact(col("num"), 4) / count(lit(1))).as("mean_num"),
+          round(min(col("num")), 4).as("min_num"),
+          round(max(col("num")), 4).as("max_num")
+        )
+      },
+      Some(s"""WITH messy AS (
+              |  SELECT o_orderkey AS ord,
+              |    CASE WHEN o_orderkey % 97 = 0 THEN NULL
+              |         WHEN o_orderkey % 31 = 0 THEN o_orderkey - 1
+              |         ELSE o_orderkey END AS mk,
+              |    CASE WHEN o_orderkey % 11 = 0 THEN 'TBD'
+              |         WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M')
+              |         WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%d/%m/%Y %I%p')
+              |         ELSE strftime(o_orderdate, '%Y-%m-%dT%H:%MZ') END AS ts_str,
+              |    CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderpriority END AS cat,
+              |    CASE WHEN o_orderkey % 17 = 0 THEN NULL
+              |         WHEN o_orderkey % 19 = 0 THEN o_totalprice * 100
+              |         ELSE o_totalprice END AS num
+              |  FROM orders),
+              |dedup AS (SELECT * FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY mk ORDER BY ord) AS rn
+              |    FROM messy) WHERE rn = 1),
+              |dated AS (SELECT mk, cat, num, ts FROM (
+              |    SELECT *, coalesce(
+              |      try_strptime(ts_str, '%Y-%m-%d %H:%M'),
+              |      try_strptime(ts_str, '%d/%m/%Y %I%p'),
+              |      try_strptime(ts_str, '%Y-%m-%dT%H:%MZ')) AS ts
+              |    FROM dedup) WHERE ts IS NOT NULL),
+              |mode_v AS (SELECT cat AS m FROM dated WHERE cat IS NOT NULL
+              |           GROUP BY cat ORDER BY count(*) DESC, cat LIMIT 1),
+              |catf AS (SELECT mk, ts, coalesce(cat, (SELECT m FROM mode_v)) AS cat, num
+              |         FROM dated),
+              |q AS (SELECT quantile_cont(num, 0.25) AS q1, quantile_cont(num, 0.75) AS q3
+              |      FROM catf),
+              |clipped AS (SELECT mk, ts, cat,
+              |    CASE WHEN num IS NULL THEN NULL
+              |         ELSE least(greatest(num, q1 - 1.5*(q3-q1)), q3 + 1.5*(q3-q1)) END AS num
+              |    FROM catf, q),
+              |med AS (SELECT quantile_cont(num, 0.5) AS m FROM clipped),
+              |filled AS (SELECT mk, ts, cat, coalesce(num, (SELECT m FROM med)) AS num
+              |           FROM clipped)
+              |SELECT count(*) AS n_rows, count(DISTINCT cat) AS n_cats,
+              |min(ts) AS min_ts, max(ts) AS max_ts,
+              |${sqlSumExact("num", 4)} / count(*) AS mean_num,
+              |round(min(num), 4) AS min_num, round(max(num), 4) AS max_num
+              |FROM filled""".stripMargin)
+    ),
+
     // ---- P5: low-variance column filter (std > 0.01 keeps the column)
     QueryDef(
       "q21_low_variance_filter",
