@@ -31,7 +31,8 @@ object FactorAnalysisEM {
       components: DenseMatrix[Double], // k×d, sklearn components_
       noiseVariance: DenseVector[Double], // Ψ, length d
       logLikelihood: Seq[Double],
-      nIter: Int
+      nIter: Int,
+      medianFill: Seq[Double] // per-column impute value (median, like fit)
   ) {
     def k: Int = components.rows
     def d: Int = components.cols
@@ -41,18 +42,26 @@ object FactorAnalysisEM {
 
   /** Numeric subset → median-impute → drop near-constant (std ≤ 0.01,
     * sample std like pandas .std()): factor_analysis.py:178-185.
+    * Also returns the per-kept-column median so `transform` imputes the
+    * same way fit did (sklearn scores the median-filled matrix).
     */
-  def prepare(df: DataFrame): (DataFrame, Seq[String]) = {
+  def prepare(df: DataFrame): (DataFrame, Seq[String], Seq[Double]) = {
     val numeric = Cleaning.numericCols(df)
-    if (numeric.isEmpty) return (df.select(), Seq.empty)
-    val filled =
-      Bootstrap.medianFill(df.select(numeric.map(col): _*), numeric)
+    if (numeric.isEmpty) return (df.select(), Seq.empty, Seq.empty)
+    val sub = df.select(numeric.map(col): _*)
+    val medExprs = numeric.map(c => percentile(col(c).cast("double"), lit(0.5)))
+    val medRow = sub.agg(medExprs.head, medExprs.tail: _*).head()
+    val medians = numeric.indices.map(i =>
+      if (medRow.isNullAt(i)) 0.0 else medRow.getDouble(i))
+    val filled = numeric.zipWithIndex.foldLeft(sub) { case (d, (c, i)) =>
+      if (medRow.isNullAt(i)) d else d.na.fill(Map(c -> medians(i)))
+    }
     val stdExprs = numeric.map(c => stddev_samp(col(c)))
     val stds = filled.agg(stdExprs.head, stdExprs.tail: _*).head()
-    val kept = numeric.zipWithIndex.collect {
-      case (c, i) if !stds.isNullAt(i) && stds.getDouble(i) > 0.01 => c
-    }
-    (filled.select(kept.map(col): _*), kept)
+    val keptIdx = numeric.indices.filter(i =>
+      !stds.isNullAt(i) && stds.getDouble(i) > 0.01)
+    val kept = keptIdx.map(numeric)
+    (filled.select(kept.map(col): _*), kept, keptIdx.map(medians))
   }
 
   /** Distributed sufficient statistics: n, mean, MLE covariance (÷n). */
@@ -112,7 +121,7 @@ object FactorAnalysisEM {
       tol: Double = 1e-2,
       maxIter: Int = 1000
   ): FAModel = {
-    val (prepared, cols) = prepare(df)
+    val (prepared, cols, medians) = prepare(df)
     require(cols.nonEmpty, "no usable numeric columns for factor analysis")
     val k = math.min(nComponents, cols.length - 1).max(1)
     val (n, mean, cov) = momentStats(prepared, cols)
@@ -158,7 +167,7 @@ object FactorAnalysisEM {
       }
       iter += 1
     }
-    FAModel(cols, mean, w, psi, lls.toSeq, iter)
+    FAModel(cols, mean, w, psi, lls.toSeq, iter, medians)
   }
 
   /** Per-variable loadings table: `index` + Factor_i_loading, rounded 4
@@ -190,14 +199,16 @@ object FactorAnalysisEM {
   }
 
   /** Append Factor_i_score columns — per-row linear combinations, pure
-    * Column arithmetic (whole-stage codegen), no positional concat.
+    * Column arithmetic (whole-stage codegen), no positional concat. Nulls
+    * are median-imputed exactly as during fit (sklearn scores the
+    * median-filled matrix).
     */
   def transform(df: DataFrame, model: FAModel): DataFrame = {
     val p = projection(model)
     (1 to model.k).foldLeft(df) { (d, i) =>
       val expr = model.cols.zipWithIndex
         .map { case (c, j) =>
-          (coalesce(col(c).cast("double"), lit(model.mean(j))) -
+          (coalesce(col(c).cast("double"), lit(model.medianFill(j))) -
             lit(model.mean(j))) * lit(p(j, i - 1))
         }
         .reduce(_ + _)

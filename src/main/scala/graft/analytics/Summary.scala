@@ -77,11 +77,41 @@ object Summary {
     df.agg(exprs.head, exprs.tail: _*)
   }
 
-  /** A12: full Pearson correlation matrix over the numeric columns in a
-    * single pass (Spark ML Correlation over an assembled vector — the
-    * pandas `.corr()` analog). Output rows keyed by `index`.
+  /** A12: full Pearson correlation matrix over the numeric columns — the
+    * pandas `.corr()` analog, with pandas' PAIRWISE null deletion: each
+    * cell excludes only the rows where that specific pair has a null
+    * (Spark's `corr(a,b)` aggregate does exactly that). All d·(d+1)/2
+    * cells run in ONE aggregate pass. Output rows keyed by `index`.
     */
   def corrMatrix(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cols = Cleaning.numericCols(df)
+    require(cols.nonEmpty, "no numeric columns")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if j >= i
+    } yield (i, j)
+    val exprs = pairs.map { case (i, j) =>
+      corr(col(cols(i)).cast("double"), col(cols(j)).cast("double"))
+    }
+    val r = df.agg(exprs.head, exprs.tail: _*).head()
+    val cell = pairs.zipWithIndex.map { case (p, k) =>
+      p -> (if (r.isNullAt(k)) Double.NaN else r.getDouble(k))
+    }.toMap
+    def at(i: Int, j: Int): Double =
+      if (j >= i) cell((i, j)) else cell((j, i))
+    val schema = StructType(
+      StructField("index", StringType) +:
+        cols.map(c => StructField(c, DoubleType)))
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      Row.fromSeq(c +: cols.indices.map(j => at(i, j)))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Listwise-deletion variant via Spark ML's one-pass vector correlation —
+    * faster for very wide d, but drops any row with a null in ANY column
+    * (not the pandas semantics).
+    */
+  def corrMatrixListwise(spark: SparkSession, df: DataFrame): DataFrame = {
     val cols = Cleaning.numericCols(df)
     require(cols.nonEmpty, "no numeric columns")
     val assembled = new VectorAssembler()
