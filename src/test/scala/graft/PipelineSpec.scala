@@ -1,0 +1,43 @@
+package graft
+
+import graft.io.{LakePaths, Layers}
+import org.apache.spark.sql.functions._
+
+/** End-to-end orchestrator test: generate → bronze → silver → gold on a
+  * scratch lake, assert every artifact exists with the expected shape.
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("full medallion pipeline produces all artifacts with expected shapes") {
+    val root = java.nio.file.Files.createTempDirectory("pipelake").toString
+    Pipeline.run(spark, LakePaths(root), generate = true, nRows = 1500)
+
+    val traffic = Layers.readParquet(spark, s"$root/silver/traffic_clean.parquet")
+    val weather = Layers.readParquet(spark, s"$root/silver/weather_clean.parquet")
+    val merged = Layers.readParquet(spark, s"$root/silver/merged_data.parquet")
+    assert(traffic.count() > 1000 && traffic.count() <= 1500)
+    assert(weather.count() > 1000 && weather.count() <= 1500)
+    assert(merged.count() >= traffic.count(), "left join must preserve traffic rows")
+    assert(merged.columns.length == 19)
+
+    // cleaned tables: no nulls anywhere in filled columns
+    Seq("vehicle_count", "avg_speed_kmh", "city", "area").foreach { c =>
+      assert(traffic.filter(col(c).isNull).count() == 0, s"$c has nulls")
+    }
+
+    val scenarios = Layers.readParquet(spark, s"$root/gold/monte_carlo_scenarios.parquet")
+    assert(scenarios.count() == 4)
+    assert(scenarios.columns.toSeq == Seq("scenario", "description",
+      "mean_traffic", "traffic_std", "congestion_prob_high",
+      "accident_risk_high", "threshold_used", "n_simulations"))
+
+    val results = Layers.readParquet(spark, s"$root/gold/monte_carlo_results.parquet")
+    assert(results.count() == 8) // first 8 numeric columns
+    val loadings = Layers.readParquet(spark, s"$root/gold/factor_loadings.parquet")
+    assert(loadings.count() >= 8 && loadings.columns.length == 6)
+
+    val scored = Layers.readParquet(spark, s"$root/gold/traffic_weather_factors.parquet")
+    assert(scored.count() == merged.count())
+    assert((1 to 5).forall(i => scored.columns.contains(s"Factor_${i}_score")))
+  }
+}
