@@ -96,6 +96,28 @@ object EventQueries {
               |FROM per_session GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // ---- semi-structured props: JSON extraction + bucketed rollup
+    QueryDef(
+      "q50_json_props",
+      (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("k",
+            get_json_object(col("props"), "$.k").cast("long"))
+          .withColumn("k_bucket", expr("k DIV 10") * 10)
+          .groupBy("k_bucket")
+          .agg(count(lit(1)).as("n"),
+            (sumExact(col("value"), 2) / count(lit(1))).as("avg_value"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+          .orderBy("k_bucket"),
+      Some(s"""WITH p AS (SELECT value,
+              |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+              |  FROM events)
+              |SELECT (k // 10) * 10 AS k_bucket, count(*) AS n,
+              |${sqlSumExact("value", 2)} / count(*) AS avg_value,
+              |min(k) AS min_k, max(k) AS max_k
+              |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // ---- late/ordered-data census: event-time vs arrival-order inversions
     //      (the watermark design signal: how out-of-order is the stream?)
     QueryDef(

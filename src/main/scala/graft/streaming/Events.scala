@@ -98,6 +98,16 @@ object Events {
       }
   }
 
+  /** Streaming dedup: drop duplicate event_ids arriving within the
+    * watermark delay — the streaming twin of the exact-dedup operator
+    * (state is bounded by the watermark; late duplicates beyond it are the
+    * documented trade-off, exactly as in any streaming dedup).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Checkpointed gold-layer stream: watermarked tumbling aggregation →
     * parquet sink with exactly-once file-sink semantics. `AvailableNow`
     * drains everything currently in the source then stops — the same query

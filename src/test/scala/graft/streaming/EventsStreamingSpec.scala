@@ -82,6 +82,22 @@ class EventsStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops duplicate event_ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Events.Event]
+    val q = Events.dedupStream(mem.toDF()).writeStream
+      .format("memory").queryName("dedup_stream_test").outputMode("append").start()
+    try {
+      mem.addData(mkEvents: _*)
+      mem.addData(mkEvents.take(3): _*) // duplicate arrivals
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream_test")
+      assert(got.count() == mkEvents.length, "duplicates not dropped")
+      assert(got.select("event_id").distinct().count() == mkEvents.length)
+    } finally q.stop()
+  }
+
   test("goldStream: checkpointed parquet sink with restart recovery") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("goldstream")
