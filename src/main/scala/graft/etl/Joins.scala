@@ -30,6 +30,52 @@ object Joins {
     l.join(r, on, how)
   }
 
+  /** As-of join: for each left row, attach the MOST RECENT right row with
+    * `right.ts <= left.ts` within the same key — the temporal-enrichment
+    * operator Spark's built-ins lack (and a range join would explode).
+    *
+    * Implemented the scale-friendly way: union both sides, one shuffle on
+    * the key, sort by (ts, side) within key, and carry the latest right
+    * values forward with `last_value(ignoreNulls)` — O(n log n) per key,
+    * no pairwise range comparison. Right rows sort before left rows at
+    * equal timestamps, so the match is inclusive. Right value columns come
+    * back suffixed; unmatched left rows keep nulls (left-join semantics).
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      rightValueCols: Seq[String],
+      suffix: String = "_asof"
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_side", lit(1))
+      .select(keyCols.map(col) ++ Seq(col(tsCol).as("_ts"), col("_side")) ++
+        leftCols.filterNot(keyCols.contains).map(col) ++
+        rightValueCols.map(c => lit(null).cast(right.schema(c).dataType)
+          .as(c + suffix)): _*)
+    val r = right
+      .withColumn("_side", lit(0))
+      .select(keyCols.map(col) ++ Seq(col(tsCol).as("_ts"), col("_side")) ++
+        leftCols.filterNot(keyCols.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightValueCols.map(c => col(c).as(c + suffix)): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_ts").asc, col("_side").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val carried = rightValueCols.foldLeft(l.unionByName(r)) { (d, c) =>
+      d.withColumn(c + suffix,
+        last(col(c + suffix), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("_side") === 1)
+      .drop("_side", "_ts") // original left tsCol is still among leftCols
+      .select(leftCols.map(col) ++ rightValueCols.map(c => col(c + suffix)): _*)
+  }
+
   /** Skew-busting salted join: the (skewed) left side gets a random salt in
     * [0, salts); the right side is replicated once per salt value, so a hot
     * key's rows spread over `salts` reducers instead of one. Semantics are

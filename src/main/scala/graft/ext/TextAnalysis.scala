@@ -115,6 +115,46 @@ object TextAnalysis {
       (acc, tok) => acc * lit(1000003L) + xxhash64(tok)
     )
 
+  /** Sequence packing: assign documents to fixed-token-budget packs (the
+    * "pack to N-token training sequences" step of an LLM data pipeline).
+    * Greedy first-fit in deterministic (sortCol asc) order WITHIN each
+    * partition — packs never span partitions, so the operator is
+    * embarrassingly parallel and streaming-friendly; pack ids are globally
+    * unique via (partition_id << 32 | local_pack). A document larger than
+    * the budget gets a pack of its own.
+    *
+    * Output: input columns + pack_id (long) + pack_tokens (running total of
+    * its pack).
+    */
+  def packSequences(
+      df: DataFrame,
+      tokenCol: String,
+      sortCol: String,
+      budget: Long
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+      .add("pack_id", org.apache.spark.sql.types.LongType)
+      .add("pack_tokens", org.apache.spark.sql.types.LongType)
+    val tokenIdx = df.schema.fieldIndex(tokenCol)
+    val packed = df
+      .repartition(spark.sparkContext.defaultParallelism, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var localPack = 0L
+        var used = 0L
+        it.map { row =>
+          val t = row.getLong(tokenIdx)
+          if (used > 0 && used + t > budget) { localPack += 1; used = 0L }
+          used += t
+          org.apache.spark.sql.Row.fromSeq(
+            row.toSeq :+ ((pid.toLong << 32) | localPack) :+ used)
+        }
+      }
+    spark.createDataFrame(packed, schema)
+  }
+
   /** Full per-document metrics table. */
   def metrics(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

@@ -118,6 +118,33 @@ object EventQueries {
               |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // ---- as-of join: each purchase enriched with the user's most recent
+    //      prior-or-simultaneous click (DuckDB verifies with native ASOF)
+    QueryDef(
+      "q51_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        graft.etl.Joins
+          .asOfJoin(purchases, clicks, Seq("user_id"), "ts",
+            rightValueCols = Seq("click_id", "ts"), suffix = "_asof")
+          .select(col("event_id"), col("user_id"),
+            col("click_id_asof").as("click_id"),
+            (unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("ts_asof").cast("timestamp"))).as("gap_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, c.event_id AS click_id,
+             |epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)
+    ),
+
     // ---- late/ordered-data census: event-time vs arrival-order inversions
     //      (the watermark design signal: how out-of-order is the stream?)
     QueryDef(

@@ -90,6 +90,27 @@ class CleaningEdgeSpec extends SparkSpec {
     assert(out.filter(col("x").isNull).count() == 0)
   }
 
+  test("asOfJoin: inclusive at equal ts, latest-prior wins, null when none") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // matches right at same ts (inclusive)
+      (1L, 11L, ts("2024-01-01 12:00:00")), // matches the latest prior (11:00)
+      (2L, 20L, ts("2024-01-01 09:00:00")) // no prior right row → null
+    ).toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")),
+      (1L, 101L, ts("2024-01-01 11:00:00")),
+      (2L, 200L, ts("2024-01-01 09:30:00"))
+    ).toDF("user_id", "rid", "ts")
+    val out = Joins.asOfJoin(left, right, Seq("user_id"), "ts", Seq("rid"))
+      .orderBy("event_id")
+      .collect()
+    assert(out.map(r => Option(r.getAs[java.lang.Long]("rid_asof"))).toSeq ==
+      Seq(Some(100L), Some(101L), None))
+    assert(out.map(_.getAs[Long]("event_id")).toSeq == Seq(10L, 11L, 20L))
+  }
+
   test("suffixedJoin: pandas-style collision suffixes, keys unsuffixed") {
     import spark.implicits._
     val l = Seq((1, "x", 10)).toDF("k", "shared", "lonly")

@@ -26,6 +26,23 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(pairs.count() == 0, "curated corpus still has near-dup pairs")
   }
 
+  test("packSequences: budget respected, all docs packed, deterministic") {
+    val docs = Q.t(spark, sfDir("0.01"), "documents")
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+    val packed = TextAnalysis.packSequences(docs, "n_tokens", "doc_id", 256L)
+    assert(packed.count() == docs.count())
+    val packs = packed.groupBy("pack_id")
+      .agg(sum(col("n_tokens")).as("tot"), count(lit(1)).as("n"))
+    // every multi-doc pack fits the budget (single oversized docs exempt)
+    assert(packs.filter(col("n") > 1 && col("tot") > 256).count() == 0)
+    // packing is deterministic across runs
+    val again = TextAnalysis.packSequences(docs, "n_tokens", "doc_id", 256L)
+      .select("doc_id", "pack_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = packed.select("doc_id", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(first == again)
+  }
+
   test("planted junk and duplicates are removed, clean prose kept") {
     import spark.implicits._
     val prose = "the quick brown fox jumps over the lazy dog and then " +
