@@ -139,8 +139,9 @@ object Cleaning {
         present.tail.map(c => avg(col(c).isNull.cast("double"))): _*
       )
       .head()
-    val nullFrac =
-      present.indices.map(i => present(i) -> fracRow.getDouble(i)).toMap
+    val nullFrac = present.indices.map(i =>
+      present(i) -> (if (fracRow.isNullAt(i)) 0.0 else fracRow.getDouble(i))
+    ).toMap // avg over an empty frame is null → treat as no nulls
     if (present.exists(c => nullFrac(c) > 0.5))
       present.foldLeft(coerced)(cleanOneNumericSequential)
     else cleanNumericsFused(coerced, present)
@@ -169,7 +170,8 @@ object Cleaning {
   }
 
   private def cleanOneNumericSequential(df: DataFrame, c: String): DataFrame = {
-    val frac = df.agg(avg(col(c).isNull.cast("double"))).head().getDouble(0)
+    val fracRow = df.agg(avg(col(c).isNull.cast("double"))).head()
+    val frac = if (fracRow.isNullAt(0)) 0.0 else fracRow.getDouble(0)
     val dropped = if (frac > 0.5) df.na.drop(Seq(c)) else df
     val qRow = dropped
       .agg(percentile(col(c), lit(0.25)), percentile(col(c), lit(0.75)))

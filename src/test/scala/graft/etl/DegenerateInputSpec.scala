@@ -1,0 +1,86 @@
+package graft.etl
+
+import graft.SparkSpec
+import graft.analytics.{Bootstrap, MonteCarlo, Summary}
+import graft.ext.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Degenerate inputs must degrade gracefully, not throw: empty frames,
+  * all-garbage timestamps, all-null columns, single rows.
+  */
+class DegenerateInputSpec extends SparkSpec {
+
+  private def emptyTraffic = {
+    import spark.implicits._
+    Seq.empty[(java.lang.Double, String, String, String, java.lang.Double,
+      java.lang.Double, java.lang.Double, String, String, java.lang.Double)]
+      .toDF(graft.schema.Schemas.trafficRaw.fieldNames: _*)
+  }
+
+  test("clean on an empty frame returns an empty frame with the same columns") {
+    val out = CleanTraffic(emptyTraffic)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == graft.schema.Schemas.trafficRaw.fieldNames.toSeq)
+  }
+
+  test("clean when every timestamp is garbage returns zero rows") {
+    import spark.implicits._
+    val raw = (1 to 20).map(i => (i.toDouble: java.lang.Double, "TBD",
+      "London", "Camden", 5.0: java.lang.Double, 5.0: java.lang.Double,
+      1.0: java.lang.Double, "Low", "Dry", 100.0: java.lang.Double))
+      .toDF(graft.schema.Schemas.trafficRaw.fieldNames: _*)
+    assert(CleanTraffic(raw).count() == 0)
+  }
+
+  test("clean with an all-null numeric column leaves it all-null (no fill value exists)") {
+    import spark.implicits._
+    val raw = (1 to 10).map(i => (i.toDouble: java.lang.Double,
+      "2024-01-01 10:00", "London", "Camden", null: java.lang.Double,
+      50.0: java.lang.Double, 1.0: java.lang.Double, "Low", "Dry",
+      100.0: java.lang.Double))
+      .toDF(graft.schema.Schemas.trafficRaw.fieldNames: _*)
+    val out = CleanTraffic(raw)
+    // >50% null fires the sequential drop path → all rows dropped for that col
+    assert(out.count() == 0 || out.filter(col("vehicle_count").isNotNull).count() == 0)
+  }
+
+  test("merge with an empty weather side keeps all traffic rows (left join)") {
+    import spark.implicits._
+    val t = Seq((1.0, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+      "London", "Camden", 5.0, 5.0, 1.0, "Low", "Dry", 100.0))
+      .toDF(graft.schema.Schemas.trafficRaw.fieldNames: _*)
+    val w = CleanWeather(
+      Seq.empty[(java.lang.Double, String, String, String, java.lang.Double,
+        java.lang.Double, java.lang.Double, java.lang.Double, String, String)]
+        .toDF(graft.schema.Schemas.weatherRaw.fieldNames: _*))
+    val m = MergeTrafficWeather(t, w)
+    assert(m.count() == 1)
+    assert(m.filter(col("weather_id").isNull).count() == 1)
+  }
+
+  test("bootstrap on empty / too-small input yields an empty result frame") {
+    import spark.implicits._
+    assert(Bootstrap(spark, Seq.empty[Double].toDF("x")).count() == 0)
+    assert(Bootstrap(spark, (1 to 10).map(_.toDouble).toDF("x")).count() == 0) // ≤20 rows
+  }
+
+  test("monte carlo on a single-row frame still produces 4 scenarios") {
+    import spark.implicits._
+    val out = MonteCarlo.simulate(spark, Seq(100.0).toDF("volume"), nSimulations = 100)
+    assert(out.count() == 4)
+  }
+
+  test("dedup & text ops on empty documents") {
+    import spark.implicits._
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exact(docs, "doc_id", Seq("text")).count() == 0)
+    assert(Dedup.minHashPairs(docs, "doc_id", "text").count() == 0)
+    assert(docs.select(TextAnalysis.qualityScore(col("text"))).count() == 0)
+  }
+
+  test("describe on a frame with no numeric columns is empty") {
+    import spark.implicits._
+    val d = Seq("a").toDF("s")
+    assert(Summary.describeNumeric(spark, d).isEmpty)
+  }
+}
