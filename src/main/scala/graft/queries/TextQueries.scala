@@ -183,6 +183,23 @@ object TextQueries {
       None
     ),
 
+    // ---- deterministic hash split (train/holdout membership must be
+    //      engine-portable: md5-bucket arithmetic verified against DuckDB)
+    QueryDef(
+      "q52_deterministic_split",
+      (s, dir) =>
+        graft.ext.Sampling
+          .deterministicSplit(t(s, dir, "documents"), "doc_id", trainPct = 80)
+          .groupBy("split")
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).cast("double").as("total_chars"))
+          .orderBy("split"),
+      Some("""SELECT CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100) < 80
+             |  THEN 'train' ELSE 'holdout' END AS split,
+             |count(*) AS n, CAST(sum(n_chars) AS DOUBLE) AS total_chars
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // ---- document fingerprinting (md5 of normalized text)
     QueryDef(
       "q30_fingerprints",

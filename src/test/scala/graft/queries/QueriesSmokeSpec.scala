@@ -11,6 +11,12 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("entry also works in a vanilla ANSI-on session (driver smoke shape)") {
+    val vanilla = spark.newSession()
+    vanilla.conf.set("spark.sql.ansi.enabled", "true")
+    assert(SparkEntry.entry(vanilla).count() > 0)
+  }
+
   test("oracleSql keys are a subset of queries") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
