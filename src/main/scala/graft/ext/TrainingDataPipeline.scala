@@ -44,10 +44,10 @@ object TrainingDataPipeline {
     val filtered = scored
       .filter(col("quality_score") >= config.minQuality)
       .filter(col("n_tokens").between(config.minTokens, config.maxTokens))
-    val langFiltered = config.keepLangs match {
+    val langFiltered = (config.keepLangs match {
       case Some(ls) => filtered.filter(col("pred_lang").isin(ls: _*))
       case None => filtered
-    }
+    }).cache() // regex scoring feeds every later stage; evaluate it once
     val nFiltered = langFiltered.count()
 
     val exactDeduped = Dedup.exact(langFiltered, idCol, Seq(textCol))
@@ -61,6 +61,7 @@ object TrainingDataPipeline {
       sum(col("n_tokens")).cast("long").as("total_tokens"),
       round(avg(col("n_tokens")), 2).as("mean_tokens")).head()
     curated.unpersist(false)
+    langFiltered.unpersist(false)
 
     import spark.implicits._
     val stats = Seq((n0, nFiltered, nExact, nFinal,
