@@ -133,4 +133,16 @@ object MergeTrafficWeather {
       .drop("date_only")
       .select(outputColumns.map(col): _*)
   }
+
+  /** Script-per-stage CLI (merge.py analog): args = lake root. */
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("data")
+    val spark = graft.GraftSession.quiet(
+      graft.GraftSession.local("graft-merge"))
+    val lake = graft.io.LakePaths(root)
+    val t = graft.io.Layers.readParquet(spark, lake.silver("traffic_clean.parquet"))
+    val w = graft.io.Layers.readParquet(spark, lake.silver("weather_clean.parquet"))
+    graft.io.Layers.writeParquet(apply(t, w), lake.silver("merged_data.parquet"))
+    spark.stop()
+  }
 }

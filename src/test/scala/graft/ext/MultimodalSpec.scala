@@ -30,6 +30,25 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(r => r.getInt(0) == 128 && r.getInt(1) == 96))
   }
 
+  test("binary media columns round-trip through the parquet lake") {
+    val dir = java.nio.file.Files.createTempDirectory("medialake").toString
+    val media = Multimodal.synthetic(spark, 20)
+    graft.io.Layers.writeParquet(media.toDF(), s"$dir/media.parquet")
+    val back = graft.io.Layers.readParquet(spark, s"$dir/media.parquet")
+    assert(back.count() == 20)
+    assert(back.schema("bytes").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    // feature extraction over the round-tripped binary matches the original
+    import spark.implicits._
+    val a = Multimodal.extractFeatures(media)
+      .select("media_id", "byte_entropy").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Multimodal.extractFeatures(back.as[Multimodal.MediaRow])
+      .select("media_id", "byte_entropy").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+  }
+
   test("kinds are partition-stable and binary column never shuffles in features") {
     val feats = Multimodal.extractFeatures(Multimodal.synthetic(spark, 30))
     assert(feats.columns.toSet ==
