@@ -66,11 +66,17 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i, lit(n))))))
   }
 
-  /** Exact Jaccard similarity between two DISTINCT-element arrays.
-    * |A∪B| is computed arithmetically (|A|+|B|−|A∩B|) so only one hash-set
-    * build runs per pair instead of two.
+  /** Exact Jaccard similarity between two DISTINCT-element arrays, via
+    * graft's native fused expression (one hash-set build, membership
+    * COUNTED rather than an intersection array materialized — see
+    * graft.functions.JaccardSimilarity). Requires a GraftSession /
+    * registered session; `jaccardComposable` is the pure-builtin fallback
+    * with identical values.
     */
-  def jaccard(a: Column, b: Column): Column = {
+  def jaccard(a: Column, b: Column): Column =
+    call_function("jaccard_similarity", a, b)
+
+  def jaccardComposable(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val uni = (size(a) + size(b)).cast("double") - inter
     when(uni === 0, lit(0.0)).otherwise(inter / uni)

@@ -30,6 +30,14 @@ object GraftFunctions {
       }
     ),
     (
+      "jaccard_similarity",
+      new ExpressionInfo(classOf[JaccardSimilarity].getName, "jaccard_similarity"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "jaccard_similarity takes 2 arguments")
+        JaccardSimilarity(args.head, args(1))
+      }
+    ),
+    (
       "mode_det",
       new ExpressionInfo(classOf[DeterministicMode].getName, "mode_det"),
       (args: Seq[Expression]) => {
