@@ -73,6 +73,19 @@ object SimilarityQueries {
       None
     ),
 
+    // ---- IVF ANN: KMeans coarse quantizer, probe the 3 nearest cells
+    //      (seeded clustering → rows-only; recall asserted in ScalaTest)
+    QueryDef(
+      "q53_ann_ivf_topk",
+      (s, dir) => {
+        val idx = Similarity.ivfIndex(t(s, dir, "embeddings"), "embedding",
+          kClusters = 16)
+        Similarity.ivfTopK(idx, "vec_id", "embedding", queryId = 0L, k = 10,
+          nProbe = 3)
+      },
+      None
+    ),
+
     // ---- embedding near-duplicate pairs (LSH + exact verify → rows-only).
     //      The fixture's vectors are near-orthogonal (max pairwise cosine
     //      ≈0.6), so the "near-dup" bar is set at the top ~0.1% of pairs.
