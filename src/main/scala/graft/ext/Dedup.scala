@@ -212,6 +212,55 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Connected components over a near-dup pair list: every node gets the
+    * MINIMUM id reachable through any chain of pairs as its `cluster_id`
+    * (so a–b, b–c cluster together even without an a–c pair).
+    *
+    * Min-label propagation: each iteration joins labels across edges and
+    * keeps the smaller; converges in O(diameter) rounds (≤ log n for the
+    * hash-blocked pair graphs dedup produces). Lineage is cut with
+    * localCheckpoint each round so 20 iterations don't stack 20 join plans.
+    * This is the standard scale-out formulation — label state is one
+    * (id, long) pair per node, never the documents themselves.
+    */
+  def clusterIds(
+      pairs: DataFrame,
+      maxIterations: Int = 20
+  ): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIterations) {
+      // min label among self and neighbors
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "id_b")
+          .withColumnRenamed("cluster_id", "nb_label"), Seq("id_b"))
+        .groupBy(col("id_a").as("id"))
+        .agg(min(col("nb_label")).as("nb_min"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
+            .as("cluster_id"),
+          (col("nb_min") < col("cluster_id")).cast("long").as("_changed"))
+      val materialized = updated.localCheckpoint()
+      changed = materialized.agg(sum(col("_changed"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+      labels = materialized.drop("_changed")
+      iter += 1
+    }
+    edges.unpersist(false)
+    labels
+  }
+
   /** Keep-lowest-id survivor set after MinHash near-dup clustering (greedy:
     * any row matched to a lower id is dropped — one pass over the pair list).
     */

@@ -78,6 +78,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("clusterIds: chains collapse to one component, disjoint pairs stay apart") {
+    import spark.implicits._
+    // chain 1-2, 2-3, 3-4 plus separate 10-11 plus 20-21-22 star
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L)).toDF("id_a", "id_b")
+    val labels = Dedup.clusterIds(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L), s"chain: $labels")
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(labels(_) == 20L))
+  }
+
+  test("clusterIds composes with minHashPairs for transitive dedup groups") {
+    val clusters = Dedup.clusterIds(
+      Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 0, 1, 2 are one near-dup family
+    assert(clusters(0L) == 0L && clusters(1L) == 0L && clusters(2L) == 0L)
+    assert(!clusters.contains(3L) && !clusters.contains(4L))
+  }
+
   test("wordNgrams: empty text yields empty set; short text one gram") {
     import spark.implicits._
     val d = Seq("", "one two", "a b c d").toDF("t")
