@@ -74,7 +74,7 @@ object Similarity {
     require(nBits <= 63, "bucket must fit a long")
     val planes = hyperplanes(dim, nBits, seed)
     planes.zipWithIndex.map { case (p, i) =>
-      val d = dot(vecCol, array(p.map(lit(_)): _*))
+      val d = dot(vecCol, array(p.toIndexedSeq.map(lit(_)): _*))
       when(d >= 0, lit(1L) * lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
@@ -146,9 +146,9 @@ object Similarity {
       }
       .sortBy(_._2).take(nProbe).map(_._1)
     // float literals so the array element type matches the stored vectors
-    val qLit = array(qVec.map(lit(_)): _*)
+    val qLit = array(qVec.toIndexedSeq.map(lit(_)): _*)
     index.assigned
-      .filter(col("_ivf_cluster").isin(cells: _*) && col(idCol) =!= queryId)
+      .filter(col("_ivf_cluster").isin(cells.toIndexedSeq: _*) && col(idCol) =!= queryId)
       .select(col(idCol), round(cosine(col(vecCol), qLit), 4).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc(idCol))
       .limit(k)

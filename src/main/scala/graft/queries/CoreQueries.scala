@@ -472,7 +472,7 @@ object CoreQueries {
       (s, dir) => {
         val o = t(s, dir, "orders").select(col("o_custkey").as("k"))
         val c = t(s, dir, "customer").select(col("c_custkey").as("k"))
-        val u = o.union(c).distinct.count()
+        val u = o.union(c).distinct().count()
         val i = o.intersect(c).count()
         val e = c.except(o).count()
         import s.implicits._

@@ -14,7 +14,7 @@ class DegenerateInputSpec extends SparkSpec {
     import spark.implicits._
     Seq.empty[(java.lang.Double, String, String, String, java.lang.Double,
       java.lang.Double, java.lang.Double, String, String, java.lang.Double)]
-      .toDF(graft.schema.Schemas.trafficRaw.fieldNames: _*)
+      .toDF(graft.schema.Schemas.trafficRaw.fieldNames.toIndexedSeq: _*)
   }
 
   test("clean on an empty frame returns an empty frame with the same columns") {
@@ -28,7 +28,7 @@ class DegenerateInputSpec extends SparkSpec {
     val raw = (1 to 20).map(i => (i.toDouble: java.lang.Double, "TBD",
       "London", "Camden", 5.0: java.lang.Double, 5.0: java.lang.Double,
       1.0: java.lang.Double, "Low", "Dry", 100.0: java.lang.Double))
-      .toDF(graft.schema.Schemas.trafficRaw.fieldNames: _*)
+      .toDF(graft.schema.Schemas.trafficRaw.fieldNames.toIndexedSeq: _*)
     assert(CleanTraffic(raw).count() == 0)
   }
 
@@ -38,7 +38,7 @@ class DegenerateInputSpec extends SparkSpec {
       "2024-01-01 10:00", "London", "Camden", null: java.lang.Double,
       50.0: java.lang.Double, 1.0: java.lang.Double, "Low", "Dry",
       100.0: java.lang.Double))
-      .toDF(graft.schema.Schemas.trafficRaw.fieldNames: _*)
+      .toDF(graft.schema.Schemas.trafficRaw.fieldNames.toIndexedSeq: _*)
     val out = CleanTraffic(raw)
     // >50% null fires the sequential drop path → all rows dropped for that col
     assert(out.count() == 0 || out.filter(col("vehicle_count").isNotNull).count() == 0)
@@ -48,11 +48,11 @@ class DegenerateInputSpec extends SparkSpec {
     import spark.implicits._
     val t = Seq((1.0, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
       "London", "Camden", 5.0, 5.0, 1.0, "Low", "Dry", 100.0))
-      .toDF(graft.schema.Schemas.trafficRaw.fieldNames: _*)
+      .toDF(graft.schema.Schemas.trafficRaw.fieldNames.toIndexedSeq: _*)
     val w = CleanWeather(
       Seq.empty[(java.lang.Double, String, String, String, java.lang.Double,
         java.lang.Double, java.lang.Double, java.lang.Double, String, String)]
-        .toDF(graft.schema.Schemas.weatherRaw.fieldNames: _*))
+        .toDF(graft.schema.Schemas.weatherRaw.fieldNames.toIndexedSeq: _*))
     val m = MergeTrafficWeather(t, w)
     assert(m.count() == 1)
     assert(m.filter(col("weather_id").isNull).count() == 1)
