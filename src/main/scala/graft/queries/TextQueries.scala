@@ -183,6 +183,32 @@ object TextQueries {
       None
     ),
 
+    // ---- multimodal plumbing through the engine: documents' utf-8 bytes
+    //      stand in for opaque media payloads; batched per-partition
+    //      feature extraction (histogram/entropy) then aggregate.
+    //      Deterministic but byte-level → rows-only check + ScalaTest.
+    QueryDef(
+      "q54_multimodal_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents")
+          .select(col("doc_id").as("media_id"), lit("text").as("kind"),
+            col("text").cast("binary").as("bytes"))
+          .as[(Long, String, Array[Byte])]
+          .map { case (id, kind, bytes) =>
+            graft.ext.Multimodal.MediaRow(id, kind, bytes,
+              graft.ext.Multimodal.MediaMeta(None, None, None, None, None))
+          }
+        graft.ext.Multimodal.extractFeatures(media)
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_bytes")).as("total_bytes"),
+            round(avg(col("byte_entropy")), 4).as("mean_entropy"),
+            sum(col("frames_sampled")).cast("long").as("total_frames"))
+      },
+      None
+    ),
+
     // ---- deterministic hash split (train/holdout membership must be
     //      engine-portable: md5-bucket arithmetic verified against DuckDB)
     QueryDef(
