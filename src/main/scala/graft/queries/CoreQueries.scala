@@ -556,6 +556,47 @@ object CoreQueries {
       None
     ),
 
+    // ---- pivot: order counts by status × priority (explicit value list →
+    //      deterministic column set; oracle pivots via FILTER aggregates)
+    QueryDef(
+      "q55_pivot",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .pivot("o_orderpriority",
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+             |count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+             |count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+             |count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+             |count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    ),
+
+    // ---- semi/anti joins: customer activity census
+    QueryDef(
+      "q56_semi_anti_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        import s.implicits._
+        Seq((withOrders.count(), without.count(), c.count()))
+          .toDF("n_active", "n_inactive", "n_customers")
+      },
+      Some("""SELECT
+             |(SELECT count(*) FROM customer WHERE EXISTS
+             |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_active,
+             |(SELECT count(*) FROM customer WHERE NOT EXISTS
+             |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_inactive,
+             |(SELECT count(*) FROM customer) AS n_customers""".stripMargin)
+    ),
+
     // ---- E2 end-to-end: the WHOLE clean pipeline (keep-first dedup →
     //      multi-format parse/drop → mode fill → IQR clip → median fill)
     //      over a deterministically-messed orders table, with the oracle
