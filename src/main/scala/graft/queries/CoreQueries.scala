@@ -597,6 +597,24 @@ object CoreQueries {
              |(SELECT count(*) FROM customer) AS n_customers""".stripMargin)
     ),
 
+    // ---- rollup: subtotal hierarchy over (status, priority) with grouping
+    //      ids (standard bitmask convention in both engines)
+    QueryDef(
+      "q57_rollup",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+            sumExact(col("o_totalprice"), 2).as("total"))
+          .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
+            asc_nulls_first("o_orderpriority")),
+      Some(s"""SELECT o_orderstatus, o_orderpriority,
+              |CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+              |count(*) AS n, ${sqlSumExact("o_totalprice", 2)} AS total
+              |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+              |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
     // ---- E2 end-to-end: the WHOLE clean pipeline (keep-first dedup →
     //      multi-format parse/drop → mode fill → IQR clip → median fill)
     //      over a deterministically-messed orders table, with the oracle
