@@ -82,6 +82,15 @@ for name in sorted(oracles):
         print(f"FAIL {name}: columns {list(spark_df.columns)} vs {list(duck_df.columns)}")
         fail += 1
         continue
+    # dtype-kind compare (mirrors the driver's schema check)
+    kinds_a = [spark_df[c].dtype.kind for c in spark_df.columns]
+    kinds_b = [duck_df[c].dtype.kind for c in duck_df.columns]
+    if kinds_a != kinds_b:
+        mism = [(c, a, b) for c, a, b in
+                zip(spark_df.columns, kinds_a, kinds_b) if a != b]
+        print(f"FAIL {name}: dtype kinds differ: {mism}")
+        fail += 1
+        continue
     if len(spark_df) != len(duck_df):
         print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")
         fail += 1
