@@ -115,6 +115,40 @@ object TextAnalysis {
       (acc, tok) => acc * lit(1000003L) + xxhash64(tok)
     )
 
+  /** TF-IDF top terms per document: term frequency × smoothed inverse
+    * document frequency (ln((N+1)/(df+1))+1), top `k` terms ranked by
+    * (rounded score desc, term asc) — rounding makes the ranking stable
+    * across engines/libm implementations. Two shuffles: term stats and the
+    * per-doc ranking window.
+    */
+  def tfidfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3
+  ): DataFrame = {
+    val n = df.count()
+    val terms = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = terms
+      .groupBy("term")
+      .agg(countDistinct(col(idCol)).as("df"))
+    val scored = terms
+      .join(docFreq, "term")
+      .withColumn("tfidf",
+        round(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      .orderBy(desc("tfidf"), asc("term"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tfidf"), col("rank"))
+      .orderBy(col(idCol), col("rank"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget packs (the
     * "pack to N-token training sequences" step of an LLM data pipeline).
     * Greedy first-fit in deterministic (sortCol asc) order WITHIN each

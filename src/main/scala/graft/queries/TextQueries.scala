@@ -183,6 +183,32 @@ object TextQueries {
       None
     ),
 
+    // ---- TF-IDF keyword extraction: top-3 terms per document
+    QueryDef(
+      "q58_tfidf_top_terms",
+      (s, dir) =>
+        graft.ext.TextAnalysis.tfidfTopTerms(
+          t(s, dir, "documents"), "doc_id", "text", k = 3),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |    regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |scored AS (
+             |  SELECT doc_id, tf.term,
+             |    round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+             |  FROM tf JOIN idf ON tf.term = idf.term, n),
+             |ranked AS (
+             |  SELECT doc_id, term, tfidf,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY tfidf DESC, term ASC) AS rank
+             |  FROM scored)
+             |SELECT doc_id, term, tfidf, rank FROM ranked
+             |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
+    ),
+
     // ---- multimodal plumbing through the engine: documents' utf-8 bytes
     //      stand in for opaque media payloads; batched per-partition
     //      feature extraction (histogram/entropy) then aggregate.
