@@ -615,6 +615,49 @@ object CoreQueries {
               |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
     ),
 
+    // ---- cube: all grouping-set combinations over (status, priority)
+    QueryDef(
+      "q59_cube",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+          .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
+            asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             |count(*) AS n
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
+    // ---- E3 histograms (notebook cell 13): fixed-width binning over a
+    //      two-phase min/max + bucket plan
+    QueryDef(
+      "q60_histogram",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val mm = broadcast(o.agg(min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi")))
+        o.crossJoin(mm)
+          .withColumn("bin",
+            least(floor((col("o_totalprice") - col("lo")) /
+              ((col("hi") - col("lo")) / 20)), lit(19L)).cast("long"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            round(min(col("o_totalprice")), 2).as("bin_min"),
+            round(max(col("o_totalprice")), 2).as("bin_max"))
+          .orderBy("bin")
+      },
+      Some("""WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+             |           FROM orders)
+             |SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20)), 19) AS BIGINT) AS bin,
+             |count(*) AS n,
+             |round(min(o_totalprice), 2) AS bin_min,
+             |round(max(o_totalprice), 2) AS bin_max
+             |FROM orders, mm GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // ---- E2 end-to-end: the WHOLE clean pipeline (keep-first dedup →
     //      multi-format parse/drop → mode fill → IQR clip → median fill)
     //      over a deterministically-messed orders table, with the oracle
