@@ -231,6 +231,29 @@ object CoreQueries {
              |GROUP BY 1 ORDER BY count(*) DESC, 1 ASC LIMIT 1""".stripMargin)
     ),
 
+    // ---- grouped exact quantiles (per-segment medians — grouped agg ×
+    //      percentile composition the reference never reaches)
+    QueryDef(
+      "q61_grouped_quantiles",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n"),
+            round(percentile(col("o_totalprice"), lit(0.5)), 4).as("median_price"),
+            round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90_price")
+          )
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+             |round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    ),
+
     // ---- A2/A3: exact median + quartiles (linear interpolation, both engines)
     QueryDef(
       "q07_median_quantiles",
