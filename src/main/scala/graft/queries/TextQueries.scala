@@ -183,6 +183,26 @@ object TextQueries {
       None
     ),
 
+    // ---- edit distance (levenshtein) between adjacent documents — the
+    //      string-similarity primitive of fuzzy dedup
+    QueryDef(
+      "q62_edit_distance",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val a = d.select(col("doc_id"), substring(col("text"), 1, 40).as("ta"))
+        val b = d.select((col("doc_id") - 1).as("doc_id"),
+          substring(col("text"), 1, 40).as("tb"))
+        a.join(b, "doc_id")
+          .select(col("doc_id"),
+            levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT a.doc_id,
+             |CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS BIGINT) AS edit_dist
+             |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+             |ORDER BY a.doc_id""".stripMargin)
+    ),
+
     // ---- TF-IDF keyword extraction: top-3 terms per document
     QueryDef(
       "q58_tfidf_top_terms",
