@@ -579,6 +579,32 @@ object CoreQueries {
       None
     ),
 
+    // ---- collection aggregates: sorted distinct sets per group (arrays
+    //      as first-class values through the compare)
+    QueryDef(
+      "q63_collect_sets",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            // joined string: array-valued result cells don't survive every
+            // downstream comparator (pandas hashing), string form does
+            concat_ws(",", sort_array(collect_set(col("o_orderstatus"))))
+              .as("statuses"),
+            size(collect_set(col("o_orderpriority"))).cast("long")
+              .as("n_priorities")
+          )
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+             |list_aggr(list_sort(list(DISTINCT o_orderstatus)), 'string_agg', ',') AS statuses,
+             |CAST(len(list(DISTINCT o_orderpriority)) AS BIGINT) AS n_priorities
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    ),
+
     // ---- pivot: order counts by status × priority (explicit value list →
     //      deterministic column set; oracle pivots via FILTER aggregates)
     QueryDef(
