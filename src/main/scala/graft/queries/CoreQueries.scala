@@ -465,6 +465,33 @@ object CoreQueries {
               |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // ---- date arithmetic: shipping lag (datediff) stats per priority
+    QueryDef(
+      "q64_date_arithmetic",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .withColumn("lag_days",
+            datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            (sumExact(col("lag_days").cast("double"), 1) / count(lit(1)))
+              .as("avg_lag_days"),
+            min(col("lag_days")).as("min_lag"),
+            max(col("lag_days")).as("max_lag")
+          )
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS n,
+              |${sqlSumExact("CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE)", 1)} / count(*) AS avg_lag_days,
+              |CAST(min(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS min_lag,
+              |CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_lag
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
     // ---- C6: season-from-month conditional
     QueryDef(
       "q16_season_case",
