@@ -2,25 +2,24 @@ package graft.tools
 
 import graft.{GraftSession, SparkEntry}
 
-/** Ad-hoc profiling entry (not part of the library surface):
-  * `runMain graft.tools.Scratch <sfDir> [--explain] <queryName>...`
-  * times single queries and optionally prints their formatted plans.
+/** Profiling / spot-check harness: run named SparkEntry queries against a
+  * testdata dir, show the result, optionally the formatted physical plan.
+  *
+  * Usage: runMain graft.tools.Scratch <sfDir> [--explain] <query> [<query>...]
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.quiet(GraftSession.local("scratch"))
-    val dir = args.head
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val explain = args.contains("--explain")
-    args.drop(1).filterNot(_ == "--explain").foreach { name =>
+    val names = args.drop(1).filterNot(_.startsWith("--"))
+    val spark = GraftSession.quiet(GraftSession.local("graft-scratch"))
+    names.foreach { n =>
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, dir)
-      val tBuild = (System.nanoTime() - t0) / 1e9
-      if (explain) df.explain("formatted")
-      (1 to 2).foreach { i =>
-        val t1 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
-        println(f"[scratch] $name build=$tBuild%.2f run$i: ${(System.nanoTime() - t1) / 1e9}%.2f s")
-      }
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.show(50, truncate = false)
+      if (explain) println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      println(f"== $n: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     spark.stop()
   }

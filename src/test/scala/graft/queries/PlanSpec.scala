@@ -74,6 +74,16 @@ class PlanSpec extends SparkSpec {
       s"cheap predicates missing from join condition:\n$joinCond")
   }
 
+  test("q38: no partition-less window (global single-task sort) anywhere") {
+    val df = q("q38_out_of_order_census")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the bucket-local lag window")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"partition-less window would sort the whole table in one task:\n$w"))
+  }
+
   test("q31: native cosine expression is used (no zip_with in the plan)") {
     val p = plan(q("q31_cosine_topk"))
     assert(p.contains("cosinesimilarity") || p.contains("CosineSimilarity") ||
