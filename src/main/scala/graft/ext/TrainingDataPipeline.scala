@@ -24,7 +24,16 @@ object TrainingDataPipeline {
       nearDupThreshold: Double = 0.7
   )
 
-  final case class Result(curated: DataFrame, stats: DataFrame)
+  /** `release()` drops the pipeline's internal cache once the caller has
+    * consumed `curated`/`stats`.
+    */
+  final case class Result(
+      curated: DataFrame,
+      stats: DataFrame,
+      private val cached: Option[DataFrame] = None
+  ) {
+    def release(): Unit = cached.foreach(_.unpersist(false))
+  }
 
   def apply(
       docs: DataFrame,
@@ -32,9 +41,6 @@ object TrainingDataPipeline {
       textCol: String = "text",
       config: Config = Config()
   ): Result = {
-    val spark = docs.sparkSession
-    val n0 = docs.count()
-
     // scan-side scoring: all pure column expressions, no shuffle
     val scored = docs
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
@@ -44,30 +50,34 @@ object TrainingDataPipeline {
     val filtered = scored
       .filter(col("quality_score") >= config.minQuality)
       .filter(col("n_tokens").between(config.minTokens, config.maxTokens))
+    // regex scoring feeds every later stage; evaluate it once. (At lake
+    // scale swap for persist(DISK_ONLY) or drop the cache — every consumer
+    // is a single linear pass.)
     val langFiltered = (config.keepLangs match {
       case Some(ls) => filtered.filter(col("pred_lang").isin(ls: _*))
       case None => filtered
-    }).cache() // regex scoring feeds every later stage; evaluate it once
-    val nFiltered = langFiltered.count()
+    }).cache()
 
     val exactDeduped = Dedup.exact(langFiltered, idCol, Seq(textCol))
-    val nExact = exactDeduped.count()
+    val curated =
+      Dedup.minHashDedup(exactDeduped, idCol, textCol, config.nearDupThreshold)
 
-    val curated = Dedup
-      .minHashDedup(exactDeduped, idCol, textCol, config.nearDupThreshold)
-      .cache() // serves the two stat actions below; released after
-    val nFinal = curated.count()
-    val tokenStats = curated.agg(
-      sum(col("n_tokens")).cast("long").as("total_tokens"),
-      round(avg(col("n_tokens")), 2).as("mean_tokens")).head()
-    curated.unpersist(false)
-    langFiltered.unpersist(false)
-
-    import spark.implicits._
-    val stats = Seq((n0, nFiltered, nExact, nFinal,
-      tokenStats.getLong(0), tokenStats.getDouble(1)))
-      .toDF("n_input", "n_after_filters", "n_after_exact_dedup",
-        "n_curated", "total_tokens", "mean_tokens")
-    Result(curated, stats)
+    // Funnel accounting as ONE lazy plan: each stage contributes a 1-row
+    // aggregate, composed with broadcast-of-one-row joins — materializing
+    // `stats` is a single job (round 1 ran four eager count() actions plus
+    // a head(), a full extra input scan and 5 job launches). The n_input
+    // scan reads no columns (parquet row-group counts); the cached filter
+    // stage materializes once inside the same job. coalesce() keeps the
+    // empty-corpus stats row well-defined instead of null/NPE.
+    val stats = docs.agg(count(lit(1)).as("n_input"))
+      .crossJoin(langFiltered.agg(count(lit(1)).as("n_after_filters")))
+      .crossJoin(exactDeduped.agg(count(lit(1)).as("n_after_exact_dedup")))
+      .crossJoin(curated.agg(
+        count(lit(1)).as("n_curated"),
+        coalesce(sum(col("n_tokens")), lit(0L)).cast("long")
+          .as("total_tokens"),
+        coalesce(round(avg(col("n_tokens")), 2), lit(0.0))
+          .as("mean_tokens")))
+    Result(curated, stats, Some(langFiltered))
   }
 }

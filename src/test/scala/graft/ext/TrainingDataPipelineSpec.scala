@@ -26,6 +26,26 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(pairs.count() == 0, "curated corpus still has near-dup pairs")
   }
 
+  test("empty corpus yields a zero-count stats row, not a crash") {
+    import spark.implicits._
+    val r = TrainingDataPipeline(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    val s = r.stats.head()
+    assert((0 until 5).map(s.getLong) == Seq(0L, 0L, 0L, 0L, 0L), s.toString)
+    assert(s.getDouble(5) == 0.0)
+    assert(r.curated.count() == 0)
+    r.release()
+  }
+
+  test("every doc filtered away still yields a well-defined stats row") {
+    import spark.implicits._
+    val r = TrainingDataPipeline(Seq((1L, "x"), (2L, "yy")).toDF("doc_id", "text"))
+    val s = r.stats.head()
+    assert(s.getLong(0) == 2L && s.getLong(3) == 0L && s.getLong(4) == 0L)
+    assert(s.getDouble(5) == 0.0)
+    r.release()
+  }
+
   test("packSequences: budget respected, all docs packed, deterministic") {
     val docs = Q.t(spark, sfDir("0.01"), "documents")
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
