@@ -52,7 +52,11 @@ object Bootstrap {
     if (cols.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], resultSchema)
-    val filled = medianFill(df.select(cols.map(col): _*), cols)
+    // cast once up front: driverSide reads with getDouble (a BIGINT column
+    // would ClassCastException) and na.fill would silently truncate a
+    // double median into an integer column
+    val filled = medianFill(
+      df.select(cols.map(c => col(c).cast("double")): _*), cols)
     val target = cols.take(maxColumns)
     val n = filled.count()
     if (n <= driverRowLimit) driverSide(spark, filled, target, nSim, seed)
@@ -126,6 +130,46 @@ object Bootstrap {
       }
     }
     val rows = Await.result(Future.sequence(futures), Duration.Inf).flatten
+    toDF(spark, rows)
+  }
+
+  /** Unit-weight (deterministic) twin: every row gets weight 1 in every
+    * replicate, so each replicate mean IS the (median-filled) column mean —
+    * std collapses to 0 and both CI bounds to the mean. The replicate
+    * array still flows through the real stats path (`statsRow` /
+    * `percentileLinear`), and the mean is DECIMAL-routed, so a SQL oracle
+    * in another engine hash-matches this end of the bootstrap contract;
+    * the stochastic paths are pinned by CI-overlap tests against it.
+    */
+  def fixedWeight(
+      spark: SparkSession,
+      df: DataFrame,
+      nSim: Int = 5000,
+      maxColumns: Int = 8
+  ): DataFrame = {
+    val cols = Cleaning.numericCols(df)
+    if (cols.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], resultSchema)
+    val filled = medianFill(
+      df.select(cols.map(c => col(c).cast("double")): _*), cols)
+    val target = cols.take(maxColumns)
+    val aggs = target.flatMap(c => Seq(
+      graft.queries.Q.sumExact(col(c), 6).as(s"_sum_$c"),
+      count(col(c)).as(s"_n_$c")))
+    val row = filled.agg(aggs.head, aggs.tail: _*).head()
+    val rows = target.zipWithIndex.flatMap { case (c, i) =>
+      val n = row.getLong(2 * i + 1)
+      if (n <= 20) None // monte_carlo.py:271
+      else {
+        // the replicate distribution is degenerate (every replicate = the
+        // column mean), so a single-element array through statsRow is
+        // mathematically identical to nSim copies — and float-exact, where
+        // summing nSim equal doubles would drift the mean by an ulp and
+        // could flip the 4-decimal rounding at a .00005 boundary
+        Some(statsRow(c, Array(row.getDouble(2 * i) / n), nSim))
+      }
+    }
     toDF(spark, rows)
   }
 

@@ -47,6 +47,40 @@ object MonteCarlo {
       .find(df.columns.contains)
       .getOrElse(Cleaning.numericCols(df).head)
 
+  /** Deterministic twin of `simulate`: the closed-form per-scenario
+    * expectation E[sim] = base·mult plus the non-stochastic output columns
+    * (threshold_used, n_simulations), with the base mean DECIMAL-routed so
+    * a SQL oracle in another engine reproduces it bit-for-bit. This is the
+    * hash-checkable half of the Monte Carlo contract; the sampled half is
+    * pinned by tolerance tests against these same expectations.
+    */
+  def scenarioExpectations(
+      spark: SparkSession,
+      df: DataFrame,
+      nSimulations: Int = 10000,
+      trafficCol: Option[String] = None
+  ): DataFrame = {
+    import graft.queries.Q
+    val tc = trafficCol.getOrElse(trafficColumn(df))
+    val stats = df.agg(
+      (Q.sumExact(col(tc), 6) / count(col(tc))).as("base"),
+      percentile(col(tc), lit(0.75)).as("thr"))
+    import spark.implicits._
+    val dim = scenarios.zipWithIndex
+      .map { case (s, i) =>
+        (i, s.scenario, s.description, s.scenarioMult * s.trafficMult)
+      }
+      .toDF("ord", "scenario", "description", "mult")
+    dim
+      .crossJoin(broadcast(stats))
+      .select(col("ord"), col("scenario"), col("description"),
+        round(col("base") * col("mult"), 2).as("expected_mean_traffic"),
+        round(col("thr"), 2).as("threshold_used"),
+        lit(nSimulations.toLong).as("n_simulations"))
+      .orderBy("ord")
+      .drop("ord")
+  }
+
   /** 4-row result: scenario, description, mean_traffic, traffic_std,
     * congestion_prob_high, accident_risk_high, threshold_used, n_simulations.
     */

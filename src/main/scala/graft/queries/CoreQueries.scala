@@ -584,26 +584,33 @@ object CoreQueries {
     QueryDef(
       "q39_csv_roundtrip",
       (s, dir) => {
+        // write orders (longs, strings with spaces, doubles, a date) to CSV,
+        // read it back, and return the FULL content — the DuckDB oracle
+        // reads the original parquet, so the hash compare proves the CSV
+        // sink+source preserve every value exactly
         val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_" +
           java.util.UUID.randomUUID().toString.take(8)
         val src = t(s, dir, "orders")
-          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .filter(col("o_orderkey") <= 4000)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"),
+            col("o_orderdate").cast("date").as("o_orderdate"),
+            col("o_orderpriority"))
         graft.io.Layers.writeCsv(src, out)
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("o_orderkey",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("o_custkey",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("o_orderstatus",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("o_totalprice",
-            org.apache.spark.sql.types.DoubleType)))
-        graft.io.Layers.readCsv(s, out, schema)
-          .agg(count(lit(1)).as("n_rows"),
-            sumExact(col("o_totalprice"), 2).as("total"),
-            countDistinct(col("o_orderstatus")).as("n_status"))
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType),
+          StructField("o_orderdate", DateType),
+          StructField("o_orderpriority", StringType)))
+        graft.io.Layers.readCsv(s, out, schema).orderBy("o_orderkey")
       },
-      None
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey <= 4000
+             |ORDER BY o_orderkey""".stripMargin)
     ),
 
     // ---- collection aggregates: sorted distinct sets per group (arrays

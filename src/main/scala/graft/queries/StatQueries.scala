@@ -21,6 +21,54 @@ object StatQueries {
       None
     ),
 
+    // ---- F1 hardened: the deterministic half of the Monte Carlo contract
+    //      (closed-form E[sim] = base·mult, threshold, n_sims) — DECIMAL-
+    //      routed base mean so the DuckDB oracle hash-matches exactly
+    QueryDef(
+      "q65_monte_carlo_expectations",
+      (s, dir) =>
+        MonteCarlo.scenarioExpectations(s, t(s, dir, "orders"),
+          trafficCol = Some("o_totalprice")),
+      Some {
+        val values = MonteCarlo.scenarios.zipWithIndex.map { case (sc, i) =>
+          s"($i, '${sc.scenario}', '${sc.description}', " +
+            s"CAST(${sc.scenarioMult} AS DOUBLE)*CAST(${sc.trafficMult} AS DOUBLE))"
+        }.mkString(",\n")
+        s"""WITH s AS (SELECT ${sqlSumExact("o_totalprice", 6)}/count(o_totalprice) AS base,
+           |quantile_cont(o_totalprice, 0.75) AS thr FROM orders),
+           |d(ord, scenario, description, mult) AS (VALUES
+           |$values)
+           |SELECT scenario, description,
+           |round(base*mult, 2) AS expected_mean_traffic,
+           |round(thr, 2) AS threshold_used,
+           |CAST(10000 AS BIGINT) AS n_simulations
+           |FROM d, s ORDER BY ord""".stripMargin
+      }
+    ),
+
+    // ---- F3 hardened: unit-weight bootstrap — every replicate mean IS the
+    //      column mean, flowing through the real statsRow/percentile path;
+    //      fully deterministic, so oracled (the stochastic q41 rides on the
+    //      same machinery)
+    QueryDef(
+      "q66_bootstrap_unit_weight",
+      (s, dir) =>
+        Bootstrap.fixedWeight(s, t(s, dir, "lineitem")
+          .select("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          nSim = 1000),
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        // lineitem numerics are null-free in the fixture, so no median-fill
+        // term is needed in the oracle's mean
+        cols.map { c =>
+          val m = s"round(${sqlSumExact(c, 6)}/count($c), 4)"
+          s"SELECT '$c' AS index, $m AS mean_estimate, 0.0 AS std_estimate, " +
+            s"$m AS ci_lower_95, $m AS ci_upper_95, 1000.0 AS simulations " +
+            "FROM lineitem"
+        }.mkString(" UNION ALL ")
+      }
+    ),
+
     // ---- F3: bootstrap CIs over lineitem numerics
     QueryDef(
       "q41_bootstrap_ci",

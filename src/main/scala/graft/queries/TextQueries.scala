@@ -183,6 +183,47 @@ object TextQueries {
       None
     ),
 
+    // ---- deterministic prefix of the curation funnel (input → quality/
+    //      length filters → exact dedup): every count here is hash-function-
+    //      free, so the same funnel q46 reports rows-only gets a DuckDB
+    //      oracle through its exact stages (quality score mirrored in SQL)
+    QueryDef(
+      "q67_curation_funnel_exact",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val scored = d
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+          .withColumn("quality_score", TextAnalysis.qualityScore(col("text")))
+        val f = scored.filter(col("quality_score") >= 0.3 &&
+          col("n_tokens").between(5L, 100000L))
+        d.agg(count(lit(1)).as("n_input"))
+          .crossJoin(f.agg(
+            count(lit(1)).as("n_after_filters"),
+            countDistinct(coalesce(col("text"), lit("")))
+              .as("n_after_exact_dedup"),
+            sum(col("n_tokens")).cast("long").as("total_tokens")))
+      },
+      Some("""WITH m AS (SELECT text,
+             |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS ntok,
+             |  CASE WHEN length(text) = 0 THEN 0.0
+             |       ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) END AS alpha,
+             |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS ens,
+             |  length(regexp_replace(text, '\s+', '', 'g')) AS nws,
+             |  length(text) AS len FROM documents),
+             |q AS (SELECT text, ntok,
+             |  round(
+             |    least(len / 500.0, 1.0) * 0.25 + alpha * 0.35 +
+             |    least((CASE WHEN ntok = 0 THEN 0.0 ELSE ens::DOUBLE / ntok END) * 5.0, 1.0) * 0.2 +
+             |    (CASE WHEN (CASE WHEN ntok = 0 THEN 0.0 ELSE nws::DOUBLE / ntok END)
+             |          BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2, 4) AS score
+             |  FROM m)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input,
+             |CAST(count(*) AS BIGINT) AS n_after_filters,
+             |CAST(count(DISTINCT coalesce(text, '')) AS BIGINT) AS n_after_exact_dedup,
+             |CAST(sum(ntok) AS BIGINT) AS total_tokens
+             |FROM q WHERE score >= 0.3 AND ntok BETWEEN 5 AND 100000""".stripMargin)
+    ),
+
     // ---- edit distance (levenshtein) between adjacent documents — the
     //      string-similarity primitive of fuzzy dedup
     QueryDef(
