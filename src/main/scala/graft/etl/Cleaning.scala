@@ -23,8 +23,14 @@ object Cleaning {
   val SrcOrder = "_src_order"
 
   /** pandas keeps implicit row order; Spark needs it materialized.
-    * `monotonically_increasing_id` is increasing within and across partitions
-    * in file order for a file-based scan.
+    *
+    * SINGLE-FILE ASSUMPTION: `monotonically_increasing_id` follows file
+    * order only for a single-file scan (splits of one file stay in offset
+    * order). A multi-file source is bin-packed by size, so partition order
+    * is NOT concatenated-file order — for multi-file inputs carry an
+    * explicit order column instead (`dedupKeepFirstBy`; the clean-pipeline
+    * query q49 does exactly that). The reference's bronze inputs are one
+    * CSV per table, where the assumption holds exactly.
     */
   def withSrcOrder(df: DataFrame): DataFrame =
     if (df.columns.contains(SrcOrder)) df
@@ -33,19 +39,24 @@ object Cleaning {
   /** D1/D2: `drop_duplicates(subset=key)` with pandas semantics — keep the
     * FIRST row in file order; null keys compare equal (one survivor).
     * Spark's `dropDuplicates` keeps an arbitrary row, so we use an explicit
-    * keep-first window over the source order.
+    * keep-first window over the source order. See `withSrcOrder` for the
+    * single-file ordering assumption; use `dedupKeepFirstBy` when an
+    * explicit order column exists.
     * (reference: clean_traffic.py:66-72, clean_weather.py:43-46)
     */
   def dedupKeepFirst(df: DataFrame, key: String): DataFrame =
     if (!df.columns.contains(key)) df.dropDuplicates() // D3 fallback, clean_traffic.py:70-71
-    else {
-      val ordered = withSrcOrder(df)
-      val w = Window.partitionBy(col(key)).orderBy(col(SrcOrder))
-      ordered
-        .withColumn("_graft_rn", row_number().over(w))
-        .filter(col("_graft_rn") === 1)
-        .drop("_graft_rn")
-    }
+    else dedupKeepFirstBy(withSrcOrder(df), key, SrcOrder)
+
+  /** Keep-first dedup with an EXPLICIT order column — the multi-file-safe
+    * variant (ingest-time sequence numbers, timestamps, …).
+    */
+  def dedupKeepFirstBy(df: DataFrame, key: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(orderCol))
+    df.withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1)
+      .drop("_graft_rn")
+  }
 
   /** The three timestamp formats the bronze generators emit
     * (generate_traffic_data.py:17-24, generate_weather_data.py:7-24).

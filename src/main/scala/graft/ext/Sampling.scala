@@ -32,16 +32,29 @@ object Sampling {
   /** Stratified sampling: per-stratum fractions via Spark's stratified
     * sampler (one pass, no shuffle). Strata not in `fractions` default to
     * `defaultFraction`.
+    *
+    * The distinct strata are collected to the driver to complete the
+    * fraction map — correct for categorical strata, a footgun on a
+    * high-cardinality key — so the collect is capped at `maxStrata`
+    * (fetching maxStrata+1 keys, never the full set) and fails fast with
+    * a clear error instead of silently materializing millions of keys.
+    * For genuinely high-cardinality strata use `hashBucket` + a bucket
+    * predicate instead (pure expressions, nothing on the driver).
     */
   def stratifiedSample(
       df: DataFrame,
       strataCol: String,
       fractions: Map[String, Double],
       defaultFraction: Double = 0.0,
-      seed: Long = 42L
+      seed: Long = 42L,
+      maxStrata: Int = 10000
   ): DataFrame = {
     val keys = df.select(strataCol).distinct()
-      .collect().map(_.get(0)).toSeq
+      .limit(maxStrata + 1).collect().map(_.get(0)).toSeq
+    require(keys.length <= maxStrata,
+      s"stratifiedSample: column '$strataCol' has more than $maxStrata " +
+        "distinct strata; use Sampling.hashBucket for high-cardinality keys " +
+        "or raise maxStrata explicitly")
     val full = keys.map(k =>
       k -> fractions.getOrElse(String.valueOf(k), defaultFraction)).toMap
     df.stat.sampleBy(strataCol, full, seed)

@@ -69,14 +69,25 @@ object Similarity {
     Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Sign-random-projection LSH bucket id (a long of `nBits` sign bits). */
+  /** Sign-random-projection LSH bucket id (a long of `nBits` sign bits).
+    *
+    * The hyperplane matrix enters the plan as ONE `array<array<double>>`
+    * literal (a data payload) folded with higher-order functions — not as
+    * nBits separate `array(lit, lit, …)` expressions, which at dim=1024 /
+    * nBits=32 would put 32k Literal nodes in the expression tree (plan
+    * bloat in every Catalyst transform and explain). Bucket values are
+    * bit-identical to the per-plane formulation: bit i is set iff
+    * dot(vec, plane_i) ≥ 0, with the same seeded planes and the same
+    * sequential-sum dot product.
+    */
   def lshBucket(vecCol: Column, dim: Int, nBits: Int = 16, seed: Long = 42L): Column = {
     require(nBits <= 63, "bucket must fit a long")
-    val planes = hyperplanes(dim, nBits, seed)
-    planes.zipWithIndex.map { case (p, i) =>
-      val d = dot(vecCol, array(p.toIndexedSeq.map(lit(_)): _*))
-      when(d >= 0, lit(1L) * lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val m = typedLit(hyperplanes(dim, nBits, seed).map(_.toSeq).toSeq)
+    aggregate(
+      sequence(lit(0), lit(nBits - 1)),
+      lit(0L),
+      (acc, i) => acc + when(dot(vecCol, element_at(m, i + 1)) >= 0,
+        call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
   }
 
   /** ANN top-k via LSH: restrict the scan to the query's bucket, then exact

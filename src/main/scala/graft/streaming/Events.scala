@@ -63,38 +63,59 @@ object Events {
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
 
-  /** Custom sessionization with explicit state + processing-time timeout —
-    * the mapGroupsWithState surface for session logic the built-in
+  /** Custom sessionization with explicit state + EVENT-TIME timeout — the
+    * mapGroupsWithState surface for session logic the built-in
     * session_window can't express (e.g. value-dependent gap).
+    *
+    * The timeout is what closes a user's FINAL (or idle) session: once the
+    * watermark passes lastTs+gap the state times out, the session is
+    * emitted and the state removed — without it, an idle session would be
+    * held (and leak) forever waiting for an event that never comes.
     */
   def sessionize(
       events: Dataset[Event],
-      gapMs: Long = 30 * 60 * 1000L
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "30 minutes"
   ): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId, it, state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          var cur = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.lastTs <= gapMs =>
-                cur = Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + e.value))
-              case Some(s) =>
-                out += SessionOut(userId, new java.sql.Timestamp(s.start),
-                  new java.sql.Timestamp(s.lastTs), s.n, s.total)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
+          if (state.hasTimedOut) {
+            // watermark passed lastTs+gap with no new events: flush + drop
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.lastTs), s.n, s.total))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  out += SessionOut(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.lastTs), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // never set a timeout behind the watermark (illegal): a
+              // session already past its gap flushes on the next batch
+              state.setTimeoutTimestamp(
+                math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
       }
   }
 

@@ -40,4 +40,17 @@ class SamplingSpec extends SparkSpec {
     val enFrac = counts.getOrElse("en", 0L).toDouble / totals("en")
     assert(enFrac > 0.3 && enFrac < 0.7, s"en fraction $enFrac")
   }
+
+  test("stratifiedSample: high-cardinality strata fail fast, never collected") {
+    val docs = Q.t(spark, sfDir("0.01"), "documents")
+    val e = intercept[IllegalArgumentException] {
+      // doc_id: 500 distinct values > maxStrata=100
+      Sampling.stratifiedSample(docs, "doc_id", Map.empty, maxStrata = 100)
+    }
+    assert(e.getMessage.contains("distinct strata"), e.getMessage)
+    // raising the cap makes the same call legal
+    val ok = Sampling.stratifiedSample(docs, "doc_id",
+      Map("1" -> 1.0), maxStrata = 1000)
+    assert(ok.count() >= 1)
+  }
 }

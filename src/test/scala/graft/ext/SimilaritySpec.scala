@@ -47,6 +47,45 @@ class SimilaritySpec extends SparkSpec {
     assert(top.collect().map(_.getLong(0)).contains(10L))
   }
 
+  test("lshBucket: matrix-literal form is bit-identical to per-plane literals") {
+    // the round-1 formulation, kept here as the compat reference: one
+    // array(lit…) + dot per bit
+    def literalReference(vec: org.apache.spark.sql.Column, dim: Int,
+        nBits: Int, seed: Long): org.apache.spark.sql.Column = {
+      val rng = new scala.util.Random(seed)
+      val planes = Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
+      planes.zipWithIndex.map { case (p, i) =>
+        val d = Similarity.dot(vec, array(p.toIndexedSeq.map(lit(_)): _*))
+        when(d >= 0, lit(1L) * lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val df = (0L until 64L).map(i => i -> Array.fill(64)(rng.nextGaussian().toFloat))
+      .toDF("id", "v")
+    val both = df.select(
+      Similarity.lshBucket(col("v"), 64, nBits = 16, seed = 42L).as("nu"),
+      literalReference(col("v"), 64, nBits = 16, seed = 42L).as("old"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    assert(both.map(_.getLong(0)).distinct.length > 1) // not all one bucket
+  }
+
+  test("lshBucket: dim=1024 doesn't bloat the expression tree") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val df = (0L until 8L).map(i => i -> Array.fill(1024)(rng.nextGaussian().toFloat))
+      .toDF("id", "v")
+    val out = df.select(col("id"),
+      Similarity.lshBucket(col("v"), 1024, nBits = 32).as("b"))
+    // literal payloads don't count toward expression-tree size: the single
+    // projection expression stays tiny even at 32×1024 plane weights
+    val exprNodes = out.queryExecution.analyzed.expressions
+      .map(_.collect { case _ => 1 }.sum).sum
+    assert(exprNodes < 2000, s"expression tree has $exprNodes nodes")
+    assert(out.collect().length == 8) // and it executes
+  }
+
   test("nearDupPairs: finds only the planted pair at high threshold") {
     val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding",
       dim = 8, threshold = 0.99, nBits = 2)

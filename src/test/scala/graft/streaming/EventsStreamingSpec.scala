@@ -82,6 +82,34 @@ class EventsStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer flushes idle sessions once the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Events.Event]
+    val sessions = Events.sessionize(mem.toDS(),
+      gapMs = 10 * 60 * 1000L, watermark = "5 minutes")
+    val q = sessions.writeStream
+      .format("memory").queryName("fmgws_timeout_test").outputMode("append").start()
+    try {
+      mem.addData(mkEvents: _*)
+      q.processAllAvailable()
+      // a much later event (different user) advances the watermark far past
+      // every open session's gap — the idle sessions must flush via timeout,
+      // not wait for more per-user events that never come
+      mem.addData(Events.Event(99, Timestamp.valueOf("2024-01-01 12:00:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      mem.addData(Events.Event(100, Timestamp.valueOf("2024-01-01 14:00:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("fmgws_timeout_test")
+        .select("user_id", "n_events", "total_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // every session from mkEvents is now closed: user 1 {:00,:01} and
+      // {:12}, user 2 {:11} and {:25} — plus user 9's flushed first session
+      assert(got == Set((1L, 2L, 3.0), (1L, 1L, 4.0),
+        (2L, 1L, 3.0), (2L, 1L, 5.0), (9L, 1L, 0.0)), s"got $got")
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate event_ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
