@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * metadata (graft.schema.Schemas.media).
   *
   * The Spark-side plumbing — schema, partitioning, batched per-partition
-  * processing, feature schema — is real and tested; the actual media DECODE
-  * is STUBBED (no image/audio codecs in this environment) behind
-  * `decodeStub`, which produces a deterministic fake "decoded" payload from
-  * the bytes. Swapping in a real decoder changes only that one function.
+  * processing, feature schema — is real and tested. IMAGE decode is real
+  * (javax.imageio ships with the JDK: PNG/BMP/GIF/JPEG → luminance plane,
+  * see `decodeImage`); AUDIO/VIDEO decode is STUBBED (no such codecs in
+  * this environment) behind `decodeStub`, which produces a deterministic
+  * fake "decoded" payload from the bytes. Swapping in further codecs
+  * changes only the `decode` seam.
   *
   * Scale notes: feature extraction is `mapPartitions` over batches of
   * `batchSize` rows — the same batch shape a vectorized (Arrow/pandas-style)
@@ -27,12 +29,57 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
       byte_entropy: Double, histogram: Array[Long], frames_sampled: Int)
 
-  /** STUB decode ??? — deterministic fake: a real implementation would hand
-    * `bytes` to an image/audio codec here. The fake "decoded frame" is the
-    * byte stream itself, so downstream feature math is still exercised
+  /** STUB decode ??? — deterministic fake for AUDIO/VIDEO (no codecs in this
+    * environment) and for undecodable image payloads: the "decoded frame" is
+    * the byte stream itself, so downstream feature math is still exercised
     * end-to-end with stable results.
     */
   private def decodeStub(bytes: Array[Byte], kind: String): Array[Byte] = bytes
+
+  /** Decode seam: images go through the REAL JDK codec path (javax.imageio —
+    * PNG/BMP/GIF/JPEG ship with the JDK); anything the codec can't parse,
+    * plus audio/video, falls back to the stub. Swapping in further codecs
+    * changes only this function.
+    */
+  private[ext] def decode(bytes: Array[Byte], kind: String): Array[Byte] =
+    if (kind == "image") decodeImage(bytes).getOrElse(decodeStub(bytes, kind))
+    else decodeStub(bytes, kind)
+
+  /** Real image decode: the luminance plane (BT.601 integer weights) of the
+    * decoded raster, row-major — so the generic histogram/entropy features
+    * downstream operate on PIXELS for real images. Returns None for payloads
+    * javax.imageio has no codec for.
+    */
+  private[ext] def decodeImage(bytes: Array[Byte]): Option[Array[Byte]] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false) // no tmp-file cache in executors
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val out = new Array[Byte](w * h)
+          var y = 0
+          var i = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              out(i) = ((((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000).toByte
+              i += 1; x += 1
+            }
+            y += 1
+          }
+          out
+        }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decoded pixel dimensions, when the payload is a decodable image. */
+  def imageDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map(i => (i.getWidth, i.getHeight))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Frame sampling stub for video: every `stride`-th 256-byte block stands
     * in for a frame.
@@ -53,7 +100,7 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // batch boundary = where a real codec would init once per batch
         batch.iterator.map { row =>
-          val decoded = decodeStub(row.bytes, row.kind)
+          val decoded = decode(row.bytes, row.kind)
           val hist = new Array[Long](16)
           var i = 0
           while (i < decoded.length) {

@@ -138,6 +138,38 @@ object Similarity {
     IvfIndex(assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** Persist an IVF index PARTITIONED BY `_ivf_cluster` — the billion-row
+    * layout where a probe's `_ivf_cluster IN (cells)` filter prunes whole
+    * partitions at the source (the scan lists and reads only the nProbe
+    * cell directories; PlanSpec asserts the pruned partition count).
+    * Centroids go to a sibling `<path>_centroids` parquet.
+    */
+  def writeIvfIndex(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite")
+      .partitionBy("_ivf_cluster").parquet(path)
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("_ivf_cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(centroidsPath(path))
+  }
+
+  /** Read a persisted IVF index; `assigned` is the partitioned table, so
+    * downstream `ivfTopK` probes prune at the source.
+    */
+  def readIvfIndex(spark: SparkSession, path: String): IvfIndex = {
+    val assigned = spark.read.parquet(path)
+    val centroids = spark.read.parquet(centroidsPath(path))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    IvfIndex(assigned, centroids)
+  }
+
+  private def centroidsPath(path: String): String =
+    path.stripSuffix("/") + "_centroids"
+
   /** IVF probe: search only the `nProbe` centroid cells nearest the query. */
   def ivfTopK(
       index: IvfIndex,

@@ -23,6 +23,38 @@ class MultimodalSpec extends SparkSpec {
       b.map(f => (f.media_id, f.byte_entropy)).toSet)
   }
 
+  test("real PNG payloads decode through javax.imageio to pixel features") {
+    import spark.implicits._
+    // render a real 8x6 PNG: left half black, right half white
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+
+    assert(Multimodal.imageDims(png).contains((8, 6)))
+    val media = Seq(Multimodal.MediaRow(0L, "image", png,
+      Multimodal.MediaMeta(Some(8), Some(6), None, None, Some("png")))).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    // features computed over the 48 decoded PIXELS, not the ~100 PNG bytes
+    assert(f.n_bytes == 48L, s"decoded ${f.n_bytes} values")
+    assert(f.histogram(0) == 24L, "24 black pixels in bin 0")
+    assert(f.histogram(15) == 24L, "24 white pixels in bin 15")
+    assert(math.abs(f.byte_entropy - 1.0) < 1e-9) // two equal-mass bins
+  }
+
+  test("undecodable image payloads fall back to the deterministic stub") {
+    import spark.implicits._
+    val junk = Array.tabulate(100)(_.toByte)
+    val media = Seq(Multimodal.MediaRow(1L, "image", junk,
+      Multimodal.MediaMeta(None, None, None, None, None))).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.n_bytes == 100L) // raw bytes, stub path
+    assert(Multimodal.imageDims(junk).isEmpty)
+  }
+
   test("resize rewrites meta dims only") {
     val df = Multimodal.synthetic(spark, 6).toDF()
     val out = Multimodal.resize(df, 128, 96)

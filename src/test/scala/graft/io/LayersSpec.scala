@@ -48,6 +48,38 @@ class LayersSpec extends SparkSpec {
       .count() == df.count())
   }
 
+  test("layers work over a non-file Hadoop filesystem (viewfs mount)") {
+    // No s3a/hdfs jars ship in this environment (hadoop-aws / MiniDFSCluster
+    // absent from /opt/spark/jars), so the closest real exercise of the
+    // URI-agnostic claim is ViewFileSystem: a second registered scheme whose
+    // paths resolve through the Hadoop FS layer exactly like s3a://hdfs://
+    // would — mount table lookup, scheme-specific FileSystem instance,
+    // cross-scheme FileUtil.copy.
+    val dir = tmp()
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.viewfs.mounttable.graftlake.link./data", s"file://$dir/data")
+    conf.set("fs.viewfs.mounttable.graftlake.link./mirror", s"file://$dir/mirror")
+    new java.io.File(s"$dir/data").mkdirs()
+    new java.io.File(s"$dir/mirror").mkdirs()
+    val lake = "viewfs://graftlake"
+
+    val df = Q.t(spark, sfDir(), "region")
+    // distributed write + read through the viewfs scheme
+    Layers.writeParquet(df, s"$lake/data/region.parquet")
+    val back = Layers.readParquet(spark, s"$lake/data/region.parquet")
+    assert(back.count() == df.count())
+    assert(Layers.listParquet(spark, s"$lake/data").nonEmpty)
+    // cross-scheme copies: viewfs→file and file→viewfs
+    assert(Layers.copy(spark, s"$lake/data/region.parquet",
+      s"file://$dir/plain_copy.parquet"))
+    assert(Layers.readParquet(spark, s"$dir/plain_copy.parquet")
+      .count() == df.count())
+    assert(Layers.copy(spark, s"file://$dir/plain_copy.parquet",
+      s"$lake/mirror/region.parquet"))
+    assert(Layers.readParquet(spark, s"$lake/mirror/region.parquet")
+      .count() == df.count())
+  }
+
   test("csv round-trip with declared schema") {
     val dir = tmp()
     val df = Q.t(spark, sfDir(), "nation")

@@ -91,6 +91,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("zip_with"), s"composable fallback in hot path:\n$p")
   }
 
+  test("IVF: persisted-index probe prunes to nProbe partitions at the source") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import graft.ext.Similarity
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
+    val emb = Q.t(spark, sfDir("0.001"), "embeddings")
+    val idx = Similarity.ivfIndex(emb, "embedding", kClusters = 8)
+    Similarity.writeIvfIndex(idx, tmp)
+    val loaded = Similarity.readIvfIndex(spark, tmp)
+    val probe = Similarity.ivfTopK(loaded, "vec_id", "embedding",
+      queryId = 0L, k = 5, nProbe = 3)
+    assert(probe.collect().length == 5)
+    val partScans = scans(probe.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.nonEmpty)
+    assert(partScans.nonEmpty, "no partitioned scan in the probe plan")
+    val read = partScans.map(_.metrics("numPartitions").value)
+    assert(read.forall(_ <= 3), s"probe read partitions: $read (expected <=3)")
+  }
+
   test("entry: flagship plan is fully columnar parquet + codegen") {
     val df = SparkEntry.entry(spark)
     df.collect()
