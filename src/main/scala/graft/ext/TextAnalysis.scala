@@ -127,7 +127,9 @@ object TextAnalysis {
       textCol: String,
       k: Int = 3
   ): DataFrame = {
-    val n = df.count()
+    // N rides the plan as a broadcast 1-row aggregate instead of an eager
+    // count() action (one fewer job + input scan per call)
+    val n = broadcast(df.agg(count(lit(1)).as("_n_docs")))
     val terms = df
       .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy(col(idCol), col("term"))
@@ -137,8 +139,10 @@ object TextAnalysis {
       .agg(countDistinct(col(idCol)).as("df"))
     val scored = terms
       .join(docFreq, "term")
+      .crossJoin(n)
       .withColumn("tfidf",
-        round(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 4))
+        round(col("tf") * (log((col("_n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 4))
+      .drop("_n_docs")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol)
       .orderBy(desc("tfidf"), asc("term"))

@@ -10,7 +10,9 @@ import graft.{GraftSession, SparkEntry}
   * scale sub-linearly in wall-clock on local[32] (fixed overheads amortize,
   * no blow-ups) — the evidence behind PERF.md's 100-TB claims.
   *
-  * Usage: runMain graft.tools.ScaleCheck [factor] [outDir]
+  * Usage: runMain graft.tools.ScaleCheck [factor] [outDir] [query...]
+  * (explicit query names override the default headline set — used for the
+  * 100× run on the riskiest plans)
   */
 object ScaleCheck {
 
@@ -52,12 +54,15 @@ object ScaleCheck {
     val spark = GraftSession.quiet(GraftSession.local("scale-check"))
     replicate(spark, "/root/testdata/sf0.1", out, factor)
 
-    val headline = Seq(
-      "q01_pricing_summary", "q04_regional_revenue", "q05_dedup_keep_first",
-      "q13_window_funcs", "q15_monthly_revenue", "q22_exact_dup_census",
-      "q24_jaccard_pairs", "q25_minhash_near_dups", "q27_token_counts",
-      "q31_cosine_topk", "q35_tumbling_window", "q37_sessionization",
-      "q41_bootstrap_ci", "q44_corr_matrix")
+    val headline =
+      if (args.length > 2) args.drop(2).toSeq
+      else Seq(
+        "q01_pricing_summary", "q04_regional_revenue", "q05_dedup_keep_first",
+        "q13_window_funcs", "q15_monthly_revenue", "q22_exact_dup_census",
+        "q24_jaccard_pairs", "q25_minhash_near_dups", "q27_token_counts",
+        "q31_cosine_topk", "q35_tumbling_window", "q37_sessionization",
+        "q38_out_of_order_census", "q41_bootstrap_ci", "q44_corr_matrix",
+        "q46_curation_pipeline")
     // warm-up at sf0.1, then timed at the scaled dir
     headline.foreach(n =>
       SparkEntry.queries(n)(spark, "/root/testdata/sf0.1")
