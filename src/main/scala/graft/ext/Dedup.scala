@@ -143,10 +143,17 @@ object Dedup {
     *
     * Perf notes: each shingle is hashed ONCE (xxhash64); the `nHashes`
     * functions are derived affinely (a_i·h + b_i over the 64-bit ring) — long
-    * arithmetic in codegen instead of n string hashes per shingle. Word
-    * shingles (not char shingles) keep baseline similarity between unrelated
-    * docs low, which is what keeps LSH candidate counts linear-ish. Single
-    * shuffle of (id, long) pairs; text never shuffles.
+    * arithmetic in codegen instead of n string hashes per shingle. The
+    * whole signature is computed PER ROW with higher-order functions
+    * (min over the gram-hash array per function), so signature generation
+    * is a pure scan-side map: ZERO shuffle, nothing exploded. (Round 1
+    * exploded (id, gramhash) pairs through a 64-aggregate groupBy — same
+    * values, one full shuffle of every gram hash.) Word shingles (not char
+    * shingles) keep baseline similarity between unrelated docs low, which
+    * is what keeps LSH candidate counts linear-ish.
+    *
+    * Documents with no grams (empty text) produce no signature row, as
+    * before (explode dropped them; here they're filtered).
     */
   def minHashSignatures(
       df: DataFrame,
@@ -155,19 +162,18 @@ object Dedup {
       nHashes: Int = 64,
       shingleWords: Int = 3
   ): DataFrame = {
-    val exploded = df
-      .select(col(idCol),
-        explode(wordNgrams(col(textCol), shingleWords)).as("_sh"))
-      .select(col(idCol), xxhash64(col("_sh")).as("_h"))
     val consts = affineConsts(nHashes)
-    val minExprs = consts.zipWithIndex.map { case ((a, b), i) =>
-      min(col("_h") * lit(a) + lit(b)).as(s"_h$i")
-    }
-    exploded
-      .groupBy(col(idCol))
-      .agg(minExprs.head, minExprs.tail: _*)
+    val aLit = typedLit(consts.map(_._1))
+    val bLit = typedLit(consts.map(_._2))
+    df.select(col(idCol),
+        transform(wordNgrams(col(textCol), shingleWords), g => xxhash64(g))
+          .as("_hs"))
+      .filter(size(col("_hs")) > 0)
       .select(col(idCol),
-        array((0 until nHashes).map(i => col(s"_h$i")): _*).as("signature"))
+        transform(sequence(lit(0), lit(nHashes - 1)), i =>
+          array_min(transform(col("_hs"),
+            h => h * element_at(aLit, i + 1) + element_at(bLit, i + 1))))
+          .as("signature"))
   }
 
   /** Candidate pairs from LSH banding (any shared band-hash), verified with

@@ -116,6 +116,22 @@ class PlanSpec extends SparkSpec {
     assert(read.forall(_ <= 3), s"probe read partitions: $read (expected <=3)")
   }
 
+  test("minhash signatures: pure scan-side map, zero shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import graft.ext.Dedup
+    val docs = Q.t(spark, sfDir("0.001"), "documents")
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text")
+    def shuffles(p: SparkPlan): Int = (p match {
+      case _: ShuffleExchangeExec => 1
+      case _ => 0
+    }) + p.children.map(shuffles).sum
+    val n = shuffles(sigs.queryExecution.executedPlan)
+    assert(n == 0,
+      s"signature generation should not shuffle (found $n exchanges):\n" +
+        sigs.queryExecution.explainString(FormattedMode))
+  }
+
   test("entry: flagship plan is fully columnar parquet + codegen") {
     val df = SparkEntry.entry(spark)
     df.collect()
