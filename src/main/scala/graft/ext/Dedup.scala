@@ -35,6 +35,15 @@ object Dedup {
     md5(concat_ws("", contentCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
       .cast("binary"))
 
+  /** 60-bit md5-derived hash with an exact cross-engine twin: DuckDB computes
+    * the identical value as `('0x' || substr(md5(x), 1, 15))::BIGINT`. Used by
+    * the portable minhash/simhash variants so the REAL operator machinery can
+    * be oracle-checked end-to-end (xxhash64 — the default, faster family —
+    * has no DuckDB counterpart).
+    */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /** Duplicate-group summary: one row per content hash with >1 occurrence. */
   def dupGroups(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame =
     df.select(col(idCol), contentHash(contentCols).as("content_hash"))
@@ -124,57 +133,71 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** Deterministic odd multipliers/offsets for the affine minhash family
-    * (SplitMix64 of the function index).
+  /** Affine minhash constants — see [[graft.functions.MinHashSignature.affineConsts]]
+    * (the native expression owns the family; the oracle SQL builder reads the
+    * same values to inline them into the DuckDB twin).
     */
-  private def affineConsts(n: Int): IndexedSeq[(Long, Long)] =
-    (0 until n).map { i =>
-      def mix(x0: Long): Long = {
-        var z = x0 + 0x9E3779B97F4A7C15L
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        z ^ (z >>> 31)
-      }
-      (mix(i.toLong * 2 + 1) | 1L, mix(i.toLong * 2 + 2))
-    }
+  private[graft] def affineConsts(n: Int, bits: Int = 64): IndexedSeq[(Long, Long)] =
+    graft.functions.MinHashSignature.affineConsts(n, bits)
 
   /** MinHash signatures over word `shingleWords`-grams: one row per id with
     * an `nHashes`-wide array of minhash values.
     *
     * Perf notes: each shingle is hashed ONCE (xxhash64); the `nHashes`
     * functions are derived affinely (a_i·h + b_i over the 64-bit ring) — long
-    * arithmetic in codegen instead of n string hashes per shingle. The
-    * whole signature is computed PER ROW with higher-order functions
-    * (min over the gram-hash array per function), so signature generation
-    * is a pure scan-side map: ZERO shuffle, nothing exploded. (Round 1
+    * arithmetic instead of n string hashes per shingle. The whole signature
+    * is computed PER ROW by the native `minhash_signature` expression (one
+    * fused long[nHashes] accumulator loop in whole-stage codegen — see
+    * graft.functions.MinHashSignature), so signature generation is a pure
+    * scan-side map: gram hashes are NEVER shuffled or exploded. (Round 1
     * exploded (id, gramhash) pairs through a 64-aggregate groupBy — same
-    * values, one full shuffle of every gram hash.) Word shingles (not char
-    * shingles) keep baseline similarity between unrelated docs low, which
-    * is what keeps LSH candidate counts linear-ish.
+    * values, one full shuffle of every gram hash.) The only exchange is a
+    * narrow repartition of the raw (id, text) rows, needed because
+    * single-file local inputs arrive as ONE partition and the per-row work
+    * is O(nHashes × grams); on a real multi-split lake scan it is a plain
+    * round-robin rebalance. Word shingles (not char shingles) keep baseline
+    * similarity between unrelated docs low, which is what keeps LSH
+    * candidate counts linear-ish.
     *
     * Documents with no grams (empty text) produce no signature row, as
-    * before (explode dropped them; here they're filtered).
+    * before (explode dropped them; here the null signature is filtered).
     */
   def minHashSignatures(
       df: DataFrame,
       idCol: String,
       textCol: String,
       nHashes: Int = 64,
-      shingleWords: Int = 3
-  ): DataFrame = {
-    val consts = affineConsts(nHashes)
-    val aLit = typedLit(consts.map(_._1))
-    val bLit = typedLit(consts.map(_._2))
-    df.select(col(idCol),
-        transform(wordNgrams(col(textCol), shingleWords), g => xxhash64(g))
-          .as("_hs"))
-      .filter(size(col("_hs")) > 0)
+      shingleWords: Int = 3,
+      gramHash: Column => Column = xxhash64(_),
+      constBits: Int = 64
+  ): DataFrame =
+    df.select(col(idCol), col(textCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol),
-        transform(sequence(lit(0), lit(nHashes - 1)), i =>
-          array_min(transform(col("_hs"),
-            h => h * element_at(aLit, i + 1) + element_at(bLit, i + 1))))
-          .as("signature"))
-  }
+        call_function("minhash_signature",
+          transform(wordNgrams(col(textCol), shingleWords), g => gramHash(g)),
+          lit(nHashes), lit(constBits)).as("signature"))
+      .filter(col("signature").isNotNull)
+
+  /** Engine-portable minhash: the SAME signature machinery as
+    * [[minHashSignatures]] (word shingles → per-gram hash → per-function
+    * affine min, scan-side, zero shuffle) with the hash family swapped for
+    * the md5-derived [[portableHash60]] and both hashes and constants
+    * confined to 30 bits so `a·h + b` stays exact in engines that error on
+    * 64-bit overflow. Exists so the oracle can hash-check the real operator
+    * end-to-end; production callers use the xxhash64 default (faster, full
+    * 64-bit spread).
+    */
+  def minHashSignaturesPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nHashes: Int = 16,
+      shingleWords: Int = 3
+  ): DataFrame =
+    minHashSignatures(df, idCol, textCol, nHashes, shingleWords,
+      gramHash = g => portableHash60(g).bitwiseAND(lit((1L << 30) - 1)),
+      constBits = 30)
 
   /** Candidate pairs from LSH banding (any shared band-hash), verified with
     * exact shingle-set Jaccard ≥ threshold. With b bands of r rows the
@@ -283,18 +306,26 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over tokens: per bit, sum ±1 weighted by token presence;
-    * bit set iff the sum is positive. Computed with 64 aggregate expressions
-    * in one pass (no UDF).
+  /** SimHash over tokens: per bit, sum ±1 weighted by token presence;
+    * bit set iff the sum is positive. Computed with `nBits` aggregate
+    * expressions in one pass (no UDF). Defaults give the production 64-bit
+    * xxhash64 fingerprint; `tokenHash`/`nBits` let the portable-oracle
+    * variant run the same machinery on the md5-derived hash.
     */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokenHash: Column => Column = xxhash64(_),
+      nBits: Int = 64
+  ): DataFrame = {
     val toks = df.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("_tok"))
-      .withColumn("_th", xxhash64(col("_tok")))
-    val bitSums = (0 until 64).map(k =>
+      .withColumn("_th", tokenHash(col("_tok")))
+    val bitSums = (0 until nBits).map(k =>
       sum(shiftright(col("_th"), k).bitwiseAND(1) * 2 - 1).as(s"_b$k"))
     val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val hashExpr = (0 until 64).map(k =>
+    val hashExpr = (0 until nBits).map(k =>
       shiftleft(when(col(s"_b$k") > 0, 1L).otherwise(0L), k)).reduce(_.bitwiseOR(_))
     agg.select(col(idCol), hashExpr.as("simhash"))
   }

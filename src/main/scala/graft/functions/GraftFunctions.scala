@@ -38,6 +38,20 @@ object GraftFunctions {
       }
     ),
     (
+      "minhash_signature",
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "minhash_signature takes 3 arguments")
+        def litInt(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_signature $what must be an integer literal, got $other")
+        }
+        MinHashSignature(args.head,
+          litInt(args(1), "nHashes"), litInt(args(2), "constBits"))
+      }
+    ),
+    (
       "mode_det",
       new ExpressionInfo(classOf[DeterministicMode].getName, "mode_det"),
       (args: Seq[Expression]) => {

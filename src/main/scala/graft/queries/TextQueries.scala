@@ -91,6 +91,71 @@ object TextQueries {
       None
     ),
 
+    // ---- the SAME simhash machinery as q26, hash family swapped for the
+    //      md5-derived portable hash → the bit-vote aggregation is fully
+    //      DuckDB-oracled (q26's xxhash64 fingerprints stay rows-only)
+    QueryDef(
+      "q68_simhash_portable",
+      (s, dir) =>
+        Dedup.simHash(t(s, dir, "documents"), "doc_id", "text",
+            tokenHash = Dedup.portableHash60, nBits = 16)
+          .orderBy("doc_id"),
+      Some {
+        val bitSums = (0 until 16).map(k =>
+          s"sum(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS b$k")
+          .mkString(",\n  ")
+        val hashExpr = (0 until 16).map(k =>
+          s"(CASE WHEN b$k > 0 THEN 1 ELSE 0 END << $k)").mkString(" | ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(
+           |    regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS tok
+           |  FROM documents),
+           |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+           |       FROM toks),
+           |bits AS (SELECT doc_id,
+           |  $bitSums
+           |  FROM th GROUP BY doc_id)
+           |SELECT doc_id, CAST($hashExpr AS BIGINT) AS simhash
+           |FROM bits ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    // ---- the SAME minhash signature machinery as q25 (word 3-shingles →
+    //      per-gram hash → affine mins, scan-side), portable hash family +
+    //      30-bit constants → every signature value is DuckDB-oracled
+    QueryDef(
+      "q69_minhash_portable",
+      (s, dir) => {
+        val sigs = Dedup.minHashSignaturesPortable(
+          t(s, dir, "documents"), "doc_id", "text", nHashes = 16)
+        sigs.select(col("doc_id") +: (0 until 16).map(i =>
+            element_at(col("signature"), i + 1).as(s"h$i")): _*)
+          .orderBy("doc_id")
+      },
+      Some {
+        val mins = graft.ext.Dedup.affineConsts(16, 30).zipWithIndex.map {
+          case ((a, b), i) =>
+            s"list_min(list_transform(h, x -> x * $a + $b)) AS h$i"
+        }.mkString(",\n  ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(
+           |    regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS tk
+           |  FROM documents),
+           |grams AS (SELECT doc_id, list_distinct(
+           |  CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+           |       WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+           |       ELSE list_transform(generate_series(1, len(tk) - 2),
+           |              j -> tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2]) END) AS g
+           |  FROM toks),
+           |hs AS (SELECT doc_id, list_transform(g,
+           |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT & 1073741823) AS h
+           |  FROM grams WHERE len(g) > 0)
+           |SELECT doc_id,
+           |  $mins
+           |FROM hs ORDER BY doc_id""".stripMargin
+      }
+    ),
+
     // ---- token counting (whitespace + BPE-ish piece estimate)
     QueryDef(
       "q27_token_counts",

@@ -116,20 +116,32 @@ class PlanSpec extends SparkSpec {
     assert(read.forall(_ <= 3), s"probe read partitions: $read (expected <=3)")
   }
 
-  test("minhash signatures: pure scan-side map, zero shuffle") {
+  test("minhash signatures: gram hashes never shuffle; native fused expression") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.types.ArrayType
     import graft.ext.Dedup
     val docs = Q.t(spark, sfDir("0.001"), "documents")
     val sigs = Dedup.minHashSignatures(docs, "doc_id", "text")
-    def shuffles(p: SparkPlan): Int = (p match {
-      case _: ShuffleExchangeExec => 1
-      case _ => 0
-    }) + p.children.map(shuffles).sum
-    val n = shuffles(sigs.queryExecution.executedPlan)
-    assert(n == 0,
-      s"signature generation should not shuffle (found $n exchanges):\n" +
-        sigs.queryExecution.explainString(FormattedMode))
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case q: QueryStageExec => shuffles(q.plan)
+      case s: ShuffleExchangeExec => Seq(s) ++ s.children.flatMap(shuffles)
+      case o => o.children.flatMap(shuffles)
+    }
+    val ex = shuffles(sigs.queryExecution.executedPlan)
+    // exactly one narrow rebalance of the raw (id, text) rows — the
+    // parallelism guard for single-file inputs; the exploded/hashed grams
+    // themselves must never cross an exchange (that was the round-1 plan)
+    assert(ex.length == 1, s"expected 1 narrow rebalance, got ${ex.length}:\n" +
+      sigs.queryExecution.explainString(FormattedMode))
+    ex.foreach(e => assert(
+      !e.child.schema.exists(_.dataType.isInstanceOf[ArrayType]),
+      s"gram arrays crossing the exchange: ${e.child.schema.catalogString}"))
+    val p = plan(sigs)
+    assert(p.contains("minhashsignature") || p.contains("minhash_signature"),
+      s"native fused signature expression missing from plan:\n$p")
   }
 
   test("entry: flagship plan is fully columnar parquet + codegen") {
