@@ -52,6 +52,11 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_SPLIT_BYTES", (8 * 1024 * 1024).toString))
       .config("spark.ui.enabled", "false")
+      // managed tables (the bucketed-layout path) land in tmp, not the
+      // project dir; on a cluster point this at the lake root instead
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE",
+          s"${sys.props("java.io.tmpdir")}/graft-warehouse"))
   }
 
   def quiet(spark: SparkSession): SparkSession = {

@@ -90,6 +90,42 @@ object Similarity {
         call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
   }
 
+  /** SplitMix64-derived integer hyperplane components in [-1000, 1000] —
+    * the engine-portable quantized plane family. Deterministic pure data:
+    * computed once on the driver and inlined as literals into BOTH engines'
+    * plans (Spark typedLit / DuckDB list literals in the oracle SQL).
+    */
+  private[graft] def quantPlanes(dim: Int, nBits: Int): Array[Array[Long]] =
+    Array.tabulate(nBits, dim) { (i, j) =>
+      var z = i.toLong * 100003L + j.toLong + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      java.lang.Math.floorMod(z, 2001L) - 1000L
+    }
+
+  /** Engine-portable quantized sign-random-projection bucket id: the
+    * embedding is quantized to `round(v·1000)` longs and projected onto
+    * integer hyperplanes ([[quantPlanes]]), so every dot product is EXACT
+    * integer arithmetic with an identical DuckDB twin — unlike
+    * [[lshBucket]], whose seeded-Gaussian double planes no other engine can
+    * reproduce. Same SRP structure (bit i = sign of projection i); exists
+    * so the ANN bucketing machinery is oracle-checkable end-to-end
+    * (production ANN keeps lshBucket's full-precision planes).
+    */
+  def lshBucketQuantized(vecCol: Column, dim: Int, nBits: Int = 8): Column = {
+    require(nBits <= 63, "bucket must fit a long")
+    val m = typedLit(quantPlanes(dim, nBits).map(_.toSeq).toSeq)
+    val vq = transform(vecCol, x => round(x.cast("double") * 1000).cast("long"))
+    aggregate(
+      sequence(lit(0), lit(nBits - 1)),
+      lit(0L),
+      (acc, i) => acc + when(
+        aggregate(zip_with(vq, element_at(m, i + 1), (x, w) => x * w),
+          lit(0L), (a, x) => a + x) > 0,
+        call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+  }
+
   /** ANN top-k via LSH: restrict the scan to the query's bucket, then exact
     * cosine. Recall < 1 by construction; raise nBits↓/probe more buckets for
     * higher recall. Returns the same schema as bruteForceTopK.

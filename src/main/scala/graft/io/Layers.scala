@@ -62,6 +62,35 @@ object Layers {
         org.apache.spark.sql.functions.col(tsCol)).cast("string"))
       .write.mode("overwrite").partitionBy("_p_date").parquet(path)
 
+  /** Bucketed + sorted table layout — the co-located-join knob at 100 TB.
+    * Rows are hash-distributed by `keys` into `nBuckets` bucket files, each
+    * sorted by `sortCols` (default: the keys). Aggregations, joins, and
+    * windows keyed on the bucket columns then run WITHOUT an exchange (and,
+    * when `sortCols` covers the required ordering, without a sort): the
+    * shuffle is paid ONCE at write time and amortized over every downstream
+    * query — e.g. bucket a document lake by content hash and keep-first
+    * dedup becomes a scan-local window (PlanSpec asserts the zero-exchange
+    * plans). Bucket metadata lives in the catalog, not the directory, hence
+    * `saveAsTable`; set `spark.sql.warehouse.dir` (SPARK_GRAFT_WAREHOUSE)
+    * to place the files.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      keys: Seq[String],
+      nBuckets: Int,
+      sortCols: Seq[String] = Nil
+  ): Unit = {
+    require(keys.nonEmpty, "bucketing needs at least one key column")
+    val sort = if (sortCols.isEmpty) keys else sortCols
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(sort.head, sort.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** CSV sink (S3). `header=true, no index` matches `to_csv(index=False)`
     * (generate_traffic_data.py:131).
     */

@@ -86,6 +86,34 @@ object SimilarityQueries {
       None
     ),
 
+    // ---- the SAME sign-random-projection bucketing structure as q33/q34,
+    //      quantized to exact integer math (integer planes × round(v·1000))
+    //      → every bucket id is DuckDB-oracled. Production ANN keeps the
+    //      full-precision seeded-Gaussian planes (which have no cross-engine
+    //      twin); this pins the bucketing machinery itself.
+    QueryDef(
+      "q70_ann_bucket_portable",
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Similarity.lshBucketQuantized(col("embedding"), dim = 64, nBits = 8)
+              .as("bucket"))
+          .orderBy("vec_id"),
+      Some {
+        val bits = Similarity.quantPlanes(64, 8).zipWithIndex.map {
+          case (p, i) =>
+            val lst = p.mkString("[", ",", "]")
+            s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), " +
+              s"j -> ($lst)[j] * vq[j])) > 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" +\n  ")
+        s"""WITH q AS (SELECT vec_id,
+           |  list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS vq
+           |  FROM embeddings)
+           |SELECT vec_id, CAST($bits AS BIGINT) AS bucket
+           |FROM q ORDER BY vec_id""".stripMargin
+      }
+    ),
+
     // ---- embedding near-duplicate pairs (LSH + exact verify → rows-only).
     //      The fixture's vectors are near-orthogonal (max pairwise cosine
     //      ≈0.6), so the "near-dup" bar is set at the top ~0.1% of pairs.

@@ -144,6 +144,50 @@ class PlanSpec extends SparkSpec {
       s"native fused signature expression missing from plan:\n$p")
   }
 
+  test("bucketed lake layout: dedup window and key join run with ZERO exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    import graft.ext.Dedup
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case q: QueryStageExec => shuffles(q.plan)
+      case s: ShuffleExchangeExec => Seq(s) ++ s.children.flatMap(shuffles)
+      case o => o.children.flatMap(shuffles)
+    }
+    val docs = Q.t(spark, sfDir("0.001"), "documents")
+      .withColumn("content_hash", Dedup.contentHash(Seq("text")))
+    Layers.writeBucketed(docs, "graft_docs_by_hash", Seq("content_hash"),
+      nBuckets = 8, sortCols = Seq("content_hash", "doc_id"))
+    try {
+      val t = spark.table("graft_docs_by_hash")
+      // keep-first dedup: the window's clustering requirement is satisfied
+      // by the bucketed layout — no exchange anywhere in the plan
+      val w = Window.partitionBy("content_hash").orderBy("doc_id")
+      val dedup = t.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+      assert(dedup.count() > 0)
+      assert(shuffles(dedup.queryExecution.executedPlan).isEmpty,
+        "bucketed dedup window should not shuffle:\n" +
+          dedup.queryExecution.explainString(FormattedMode))
+      // co-located join on the bucket key (broadcast disabled so the only
+      // shuffle-free plan is the bucket-aligned sort-merge join)
+      val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = t.select(col("content_hash"), col("doc_id"))
+          .join(spark.table("graft_docs_by_hash")
+            .select(col("content_hash"), col("n_chars")), "content_hash")
+        assert(joined.count() > 0)
+        assert(shuffles(joined.queryExecution.executedPlan).isEmpty,
+          "bucket-key join should be co-located (no exchange):\n" +
+            joined.queryExecution.explainString(FormattedMode))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_docs_by_hash")
+  }
+
   test("entry: flagship plan is fully columnar parquet + codegen") {
     val df = SparkEntry.entry(spark)
     df.collect()
