@@ -76,7 +76,7 @@ object Joins {
       .select(leftCols.map(col) ++ rightValueCols.map(c => col(c + suffix)): _*)
   }
 
-  /** Skew-busting salted join: the (skewed) left side gets a random salt in
+  /** Skew-busting salted join: the (skewed) left side gets a salt in
     * [0, salts); the right side is replicated once per salt value, so a hot
     * key's rows spread over `salts` reducers instead of one. Semantics are
     * identical to `left.join(right, on, how)` for how ∈ {inner, left} as
@@ -84,6 +84,11 @@ object Joins {
     * right row exactly once). AQE's skew-join split handles moderate skew
     * at runtime; salting is the static fallback for the pathological keys
     * (e.g. the merge stage's constant `city` at lake scale).
+    *
+    * The salt is DETERMINISTIC — xxhash64 of the full left row, mod salts —
+    * not `rand(seed)`: rand's stream depends on the input partitioning, so
+    * retries, speculative tasks, or an upstream repartition could re-deal
+    * the salts mid-job; the hash salt is a pure function of the data.
     */
   def saltedJoin(
       left: DataFrame,
@@ -93,10 +98,11 @@ object Joins {
       salts: Int = 16
   ): DataFrame = {
     require(how == "inner" || how == "left", s"saltedJoin: unsupported $how")
+    require(salts > 1, "salts must spread over at least 2 sub-keys")
     val l = left.withColumn("_graft_salt",
-      (rand(42) * salts).cast("int"))
+      pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong)))
     val r = right.withColumn("_graft_salt",
-      explode(sequence(lit(0), lit(salts - 1))))
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
     l.join(r, on :+ "_graft_salt", how).drop("_graft_salt")
   }
 }

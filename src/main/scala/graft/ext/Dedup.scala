@@ -230,8 +230,12 @@ object Dedup {
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
+    // verify sets carry gram HASHES, not gram strings: the O(pairs·|set|)
+    // jaccard math runs on fixed-width longs (same trick, and the same
+    // ~1e-15 per-pair collision odds, as ngramJaccardPairs above)
     val sets = df.select(col(idCol),
-      wordNgrams(col(textCol), shingleWords).as("_set"))
+      array_distinct(transform(wordNgrams(col(textCol), shingleWords),
+        g => xxhash64(g))).as("_set"))
     candidates
       .join(sets.select(col(idCol).as("id_a"), col("_set").as("_set_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("_set").as("_set_b")), "id_b")
