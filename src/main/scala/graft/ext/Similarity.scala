@@ -83,11 +83,15 @@ object Similarity {
   def lshBucket(vecCol: Column, dim: Int, nBits: Int = 16, seed: Long = 42L): Column = {
     require(nBits <= 63, "bucket must fit a long")
     val m = typedLit(hyperplanes(dim, nBits, seed).map(_.toSeq).toSeq)
-    aggregate(
-      sequence(lit(0), lit(nBits - 1)),
-      lit(0L),
-      (acc, i) => acc + when(dot(vecCol, element_at(m, i + 1)) >= 0,
-        call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+    // null vector → null bucket. Without the guard, every per-plane null dot
+    // falls through `when`'s otherwise(0) and ALL null embeddings silently
+    // pile into bucket 0 — a hot bucket whose self-join explodes at scale.
+    when(vecCol.isNotNull,
+      aggregate(
+        sequence(lit(0), lit(nBits - 1)),
+        lit(0L),
+        (acc, i) => acc + when(dot(vecCol, element_at(m, i + 1)) >= 0,
+          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))))
   }
 
   /** SplitMix64-derived integer hyperplane components in [-1000, 1000] —
@@ -117,13 +121,15 @@ object Similarity {
     require(nBits <= 63, "bucket must fit a long")
     val m = typedLit(quantPlanes(dim, nBits).map(_.toSeq).toSeq)
     val vq = transform(vecCol, x => round(x.cast("double") * 1000).cast("long"))
-    aggregate(
-      sequence(lit(0), lit(nBits - 1)),
-      lit(0L),
-      (acc, i) => acc + when(
-        aggregate(zip_with(vq, element_at(m, i + 1), (x, w) => x * w),
-          lit(0L), (a, x) => a + x) > 0,
-        call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+    // null vector → null bucket (same hot-bucket-0 hazard as lshBucket)
+    when(vecCol.isNotNull,
+      aggregate(
+        sequence(lit(0), lit(nBits - 1)),
+        lit(0L),
+        (acc, i) => acc + when(
+          aggregate(zip_with(vq, element_at(m, i + 1), (x, w) => x * w),
+            lit(0L), (a, x) => a + x) > 0,
+          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))))
   }
 
   /** ANN top-k via LSH: restrict the scan to the query's bucket, then exact

@@ -91,6 +91,39 @@ object StatQueries {
       None
     ),
 
+    // ---- the DISTRIBUTED half of F2, oracled: factor analysis = one pass
+    //      of sufficient statistics (n, mean, MLE covariance) + driver-side
+    //      EM on the tiny d×d matrix. q42's loadings can't have a DuckDB
+    //      twin (EM isn't SQL), but the moments — the part that actually
+    //      touches 100 TB — hash-match covar_pop exactly. Small-range
+    //      columns keep the naive-vs-stable summation difference far below
+    //      the rounding grain.
+    QueryDef(
+      "q71_fa_moments",
+      (s, dir) => {
+        val cols = Seq("l_quantity", "l_discount", "l_tax")
+        val df = t(s, dir, "lineitem").select(cols.map(col): _*)
+        val (prepared, kept, _) = FactorAnalysisEM.prepare(df)
+        val (n, mean, cov) = FactorAnalysisEM.momentStats(prepared, kept)
+        def r6(x: Double): Double =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        import s.implicits._
+        kept.zipWithIndex.map { case (c, i) =>
+          (c, n, r6(mean(i)), r6(cov(i, 0)), r6(cov(i, 1)), r6(cov(i, 2)))
+        }.toDF("index", "n", "mean_val", kept(0), kept(1), kept(2))
+          .orderBy("index")
+      },
+      Some {
+        val cols = Seq("l_quantity", "l_discount", "l_tax")
+        cols.map { r =>
+          s"SELECT '$r' AS index, count(*) AS n, " +
+            s"round(avg($r), 6) AS mean_val, " +
+            cols.map(c => s"round(covar_pop($r, $c), 6) AS $c").mkString(", ") +
+            " FROM lineitem"
+        }.mkString("", " UNION ALL ", " ORDER BY index")
+      }
+    ),
+
     // ---- A11: one-pass describe (count/mean/std/min/quartiles/max per col)
     QueryDef(
       "q43_describe",

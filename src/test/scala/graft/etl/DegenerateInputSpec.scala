@@ -83,4 +83,55 @@ class DegenerateInputSpec extends SparkSpec {
     val d = Seq("a").toDF("s")
     assert(Summary.describeNumeric(spark, d).isEmpty)
   }
+
+  test("portable minhash/simhash on empty and empty-text documents") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minHashSignaturesPortable(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.simHash(empty, "doc_id", "text",
+      tokenHash = Dedup.portableHash60, nBits = 16).count() == 0)
+    // whitespace-only text: no grams → no signature row; no tokens → no
+    // simhash row (matching the explode-based round-1 behavior)
+    val blank = Seq((1L, "   "), (2L, "real words here")).toDF("doc_id", "text")
+    assert(Dedup.minHashSignaturesPortable(blank, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(Dedup.simHash(blank, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("quantized SRP bucket on empty frame and null embedding") {
+    import graft.ext.Similarity
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(empty.select(
+      Similarity.lshBucketQuantized(col("embedding"), dim = 4, nBits = 4))
+      .count() == 0)
+    val withNull = Seq((1L, Array(1f, 0f, 0f, 0f)), (2L, null))
+      .toDF("vec_id", "embedding")
+    val buckets = withNull.select(col("vec_id"),
+      Similarity.lshBucketQuantized(col("embedding"), dim = 4, nBits = 4)
+        .as("bucket")).collect()
+    assert(buckets.length == 2)
+    assert(buckets.find(_.getLong(0) == 2L).exists(_.isNullAt(1)),
+      "null embedding should yield null bucket, not throw")
+  }
+
+  test("saltedJoin with empty sides") {
+    import spark.implicits._
+    val facts = Seq((1L, "a")).toDF("k", "v")
+    val emptyDim = Seq.empty[(Long, String)].toDF("k", "kind")
+    assert(Joins.saltedJoin(facts, emptyDim, Seq("k"), "left").count() == 1)
+    assert(Joins.saltedJoin(facts, emptyDim, Seq("k"), "inner").count() == 0)
+    val emptyFacts = Seq.empty[(Long, String)].toDF("k", "v")
+    val dim = Seq((1L, "x")).toDF("k", "kind")
+    assert(Joins.saltedJoin(emptyFacts, dim, Seq("k"), "left").count() == 0)
+  }
+
+  test("writeBucketed on an empty frame produces a readable empty table") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    graft.io.Layers.writeBucketed(empty, "graft_empty_bucketed", Seq("id"), 4)
+    try assert(spark.table("graft_empty_bucketed").count() == 0)
+    finally spark.sql("DROP TABLE IF EXISTS graft_empty_bucketed")
+  }
 }
