@@ -159,6 +159,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Nearest-centroid assignment against a FIXED quantized centroid set —
+    * the ingest-time half of IVF: at 100 TB steady state, new rows are
+    * routed into an EXISTING coarse quantizer's cells (then appended to the
+    * matching `_ivf_cluster` partitions) without retraining; only
+    * [[ivfIndex]]'s KMeans ever trains. Vectors and centroids are quantized
+    * to `round(v·1000)` longs, so every squared-L2 distance is exact integer
+    * arithmetic with an identical DuckDB twin (the oracle hash-checks the
+    * full assignment). Ties break to the LOWEST centroid index; null vector
+    * → null cell.
+    */
+  def ivfAssignQuantized(vecCol: Column, centroids: Seq[Seq[Long]]): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val m = typedLit(centroids)
+    val vq = transform(vecCol, x => round(x.cast("double") * 1000).cast("long"))
+    when(vecCol.isNotNull,
+      aggregate(
+        sequence(lit(0), lit(centroids.length - 1)),
+        struct(lit(Long.MaxValue).as("d"), lit(-1L).as("i")),
+        (acc, i) => {
+          val d = aggregate(
+            zip_with(vq, element_at(m, i + 1), (x, c) => (x - c) * (x - c)),
+            lit(0L), (a, x) => a + x)
+          when(d < acc.getField("d"),
+            struct(d.as("d"), i.cast("long").as("i"))).otherwise(acc)
+        },
+        acc => acc.getField("i")))
+  }
+
   /** IVF index: KMeans coarse quantizer; rows tagged with their centroid id.
     * At lake scale, write the table partitioned by `_ivf_cluster` so a probe
     * prunes partitions at the source.

@@ -114,6 +114,39 @@ object SimilarityQueries {
       }
     ),
 
+    // ---- the DISTRIBUTED half of q53's IVF, oracled: assignment of every
+    //      vector to its nearest centroid in an existing quantizer (the
+    //      ingest-time routing step at lake scale; only KMeans training —
+    //      driver-side ML — has no SQL twin). Centroids = the 8 lowest-id
+    //      embeddings, quantized; all distances exact integer math.
+    QueryDef(
+      "q72_ivf_assign_portable",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+          .select(transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long")).as("cq"))
+          .collect().map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+        emb.select(col("vec_id"),
+            Similarity.ivfAssignQuantized(col("embedding"), centroids)
+              .as("cell"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH q AS (SELECT vec_id,
+             |  list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS vq
+             |  FROM embeddings),
+             |c AS (SELECT vec_id AS cid, vq AS cq FROM q WHERE vec_id < 8),
+             |d AS (SELECT q.vec_id, c.cid,
+             |  list_sum(list_transform(generate_series(1, 64),
+             |    j -> (q.vq[j] - c.cq[j]) * (q.vq[j] - c.cq[j]))) AS dist
+             |  FROM q, c),
+             |r AS (SELECT vec_id, cid,
+             |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             |  FROM d)
+             |SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM r
+             |WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+    ),
+
     // ---- embedding near-duplicate pairs (LSH + exact verify → rows-only).
     //      The fixture's vectors are near-orthogonal (max pairwise cosine
     //      ≈0.6), so the "near-dup" bar is set at the top ~0.1% of pairs.
