@@ -64,46 +64,36 @@ object FactorAnalysisEM {
     (filled.select(kept.map(col): _*), kept, keptIdx.map(medians))
   }
 
-  /** Distributed sufficient statistics: n, mean, MLE covariance (÷n). */
+  /** Distributed sufficient statistics: n, mean, MLE covariance (÷n).
+    *
+    * One declarative aggregate pass: count + d column sums + d(d+1)/2
+    * product sums, all inside whole-stage codegen over the columnar scan
+    * with map-side partial aggregation. (The earlier formulation dropped to
+    * an RDD mapPartitions/treeReduce — correct, but it forces
+    * InternalRow→Row conversion and abandons codegen and vectorized
+    * reading. Same values, same null→0.0 coercion.)
+    */
   def momentStats(df: DataFrame, cols: Seq[String])
       : (Long, DenseVector[Double], DenseMatrix[Double]) = {
     val d = cols.length
-    val rdd = df
-      .select(cols.map(c => col(c).cast("double")): _*)
-      .rdd
-      .map(r => Array.tabulate(d)(i => if (r.isNullAt(i)) 0.0 else r.getDouble(i)))
-    val (n, sum, sumSq) = rdd
-      .mapPartitions { it =>
-        var cnt = 0L
-        val s = new Array[Double](d)
-        val ss = new Array[Double](d * d)
-        it.foreach { x =>
-          cnt += 1
-          var i = 0
-          while (i < d) {
-            s(i) += x(i)
-            var j = 0
-            while (j <= i) { ss(i * d + j) += x(i) * x(j); j += 1 }
-            i += 1
-          }
-        }
-        Iterator.single((cnt, s, ss))
-      }
-      .treeReduce { (a, b) =>
-        var i = 0
-        while (i < d) { a._2(i) += b._2(i); i += 1 }
-        i = 0
-        while (i < d * d) { a._3(i) += b._3(i); i += 1 }
-        (a._1 + b._1, a._2, a._3)
-      }
-    val mean = DenseVector(sum.map(_ / n))
+    val x = cols.map(c => coalesce(col(c).cast("double"), lit(0.0)))
+    val sumExprs = (0 until d).map(i => sum(x(i)))
+    val prodExprs = for { i <- 0 until d; j <- 0 to i } yield sum(x(i) * x(j))
+    val aggs = count(lit(1)) +: (sumExprs ++ prodExprs)
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    require(n > 0, "momentStats on empty input")
+    def at(k: Int): Double = if (row.isNullAt(k)) 0.0 else row.getDouble(k)
+    val mean = DenseVector(Array.tabulate(d)(i => at(1 + i) / n))
     val cov = DenseMatrix.zeros[Double](d, d)
+    var idx = 1 + d
     var i = 0
     while (i < d) {
       var j = 0
       while (j <= i) {
-        val v = sumSq(i * d + j) / n - mean(i) * mean(j)
+        val v = at(idx) / n - mean(i) * mean(j)
         cov(i, j) = v; cov(j, i) = v
+        idx += 1
         j += 1
       }
       i += 1
