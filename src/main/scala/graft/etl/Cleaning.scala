@@ -88,7 +88,11 @@ object Cleaning {
   /** A1: per-column mode with the pandas tie-break (lexicographically
     * smallest among the most frequent; nulls excluded). All requested columns
     * are computed in ONE shuffled pass via melt → count → per-column top-1,
-    * instead of a scan per column.
+    * instead of a scan per column. The melt multiplies rows × |cols| before
+    * the map-side partial count collapses them — the right trade for the
+    * handful of categorical columns this serves; for wide frames (hundreds
+    * of columns) run per-column `mode_det` aggregates instead
+    * (graft.functions.DeterministicMode — one pass, no row multiplication).
     * (reference: clean_traffic.py:89-95, clean_weather.py:56-64)
     */
   def modes(df: DataFrame, cols: Seq[String]): Map[String, String] = {

@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing — schema, partitioning, batched per-partition
   * processing, feature schema — is real and tested. IMAGE decode is real
   * (javax.imageio ships with the JDK: PNG/BMP/GIF/JPEG → luminance plane,
-  * see `decodeImage`); AUDIO/VIDEO decode is STUBBED (no such codecs in
-  * this environment) behind `decodeStub`, which produces a deterministic
-  * fake "decoded" payload from the bytes. Swapping in further codecs
-  * changes only the `decode` seam.
+  * see `decodeImage`) and AUDIO decode is real for the JDK-native formats
+  * (javax.sound.sampled: RIFF/WAV, AU, AIFF → waveform bytes, see
+  * `decodeAudio`); VIDEO (and compressed audio like mp3) is STUBBED — no
+  * such codecs in this environment — behind `decodeStub`, which produces a
+  * deterministic fake "decoded" payload from the bytes. Swapping in further
+  * codecs changes only the `decode` seam.
   *
   * Scale notes: feature extraction is `mapPartitions` over batches of
   * `batchSize` rows — the same batch shape a vectorized (Arrow/pandas-style)
@@ -37,13 +39,17 @@ object Multimodal {
   private def decodeStub(bytes: Array[Byte], kind: String): Array[Byte] = bytes
 
   /** Decode seam: images go through the REAL JDK codec path (javax.imageio —
-    * PNG/BMP/GIF/JPEG ship with the JDK); anything the codec can't parse,
-    * plus audio/video, falls back to the stub. Swapping in further codecs
-    * changes only this function.
+    * PNG/BMP/GIF/JPEG ship with the JDK) and audio through the REAL
+    * javax.sound.sampled path (RIFF/WAV/AU/AIFF PCM); anything those codecs
+    * can't parse, plus video, falls back to the stub. Swapping in further
+    * codecs changes only this function.
     */
   private[ext] def decode(bytes: Array[Byte], kind: String): Array[Byte] =
-    if (kind == "image") decodeImage(bytes).getOrElse(decodeStub(bytes, kind))
-    else decodeStub(bytes, kind)
+    kind match {
+      case "image" => decodeImage(bytes).getOrElse(decodeStub(bytes, kind))
+      case "audio" => decodeAudio(bytes).getOrElse(decodeStub(bytes, kind))
+      case _ => decodeStub(bytes, kind)
+    }
 
   /** Real image decode: the luminance plane (BT.601 integer weights) of the
     * decoded raster, row-major — so the generic histogram/entropy features
@@ -71,6 +77,43 @@ object Multimodal {
           }
           out
         }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Real audio decode: the waveform of a RIFF/WAV (or AU/AIFF) payload via
+    * javax.sound.sampled (ships with the JDK). First channel only, one byte
+    * per sample (the most-significant byte of each PCM sample), so the
+    * generic histogram/entropy features downstream operate on the WAVEFORM
+    * for real audio. Returns None for payloads the JDK has no codec for
+    * (mp3/ogg/etc. → stub).
+    */
+  private[ext] def decodeAudio(bytes: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val data = in.readAllBytes()
+        val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+        val frame = math.max(bytesPerSample, fmt.getFrameSize)
+        val n = data.length / frame
+        val out = new Array[Byte](n)
+        var i = 0
+        while (i < n) {
+          val off = i * frame + (if (fmt.isBigEndian) 0 else bytesPerSample - 1)
+          out(i) = data(off)
+          i += 1
+        }
+        Some(out)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Sample rate and frame count, when the payload is decodable audio. */
+  def audioMeta(bytes: Array[Byte]): Option[(Int, Long)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try Some((in.getFormat.getSampleRate.toInt, in.getFrameLength))
+      finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Decoded pixel dimensions, when the payload is a decodable image. */

@@ -361,6 +361,31 @@ object TextQueries {
       None
     ),
 
+    // ---- the deterministic slice of q54's multimodal path, oracled: the
+    //      SAME Dataset[MediaRow] → mapPartitions batch pipeline, checked on
+    //      its size feature (decoded text payload bytes == DuckDB strlen's
+    //      UTF-8 octet count). Entropy/histogram stay spec-checked (byte
+    //      math has no tractable SQL twin); this pins the batching plumbing.
+    QueryDef(
+      "q73_multimodal_sizes",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents")
+          .select(col("doc_id").as("media_id"), lit("text").as("kind"),
+            col("text").cast("binary").as("bytes"))
+          .as[(Long, String, Array[Byte])]
+          .map { case (id, kind, bytes) =>
+            graft.ext.Multimodal.MediaRow(id, kind, bytes,
+              graft.ext.Multimodal.MediaMeta(None, None, None, None, None))
+          }
+        graft.ext.Multimodal.extractFeatures(media)
+          .select(col("media_id"), col("n_bytes"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes
+             |FROM documents ORDER BY media_id""".stripMargin)
+    ),
+
     // ---- deterministic hash split (train/holdout membership must be
     //      engine-portable: md5-bucket arithmetic verified against DuckDB)
     QueryDef(

@@ -45,6 +45,47 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f.byte_entropy - 1.0) < 1e-9) // two equal-mass bins
   }
 
+  test("real WAV payloads decode through javax.sound to waveform features") {
+    import spark.implicits._
+    // build a real 16-bit mono PCM WAV: 200 samples of a square wave
+    // alternating +16384 / -16384 every 10 samples
+    val samples = Array.tabulate(200)(i =>
+      if ((i / 10) % 2 == 0) 16384.toShort else (-16384).toShort)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) => // little-endian
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    assert(Multimodal.audioMeta(wav).contains((8000, 200L)))
+    val media = Seq(Multimodal.MediaRow(0L, "audio", wav,
+      Multimodal.MediaMeta(None, None, Some(8000), None, Some("wav")))).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    // features computed over the 200 decoded SAMPLES, not the ~244 WAV bytes
+    assert(f.n_bytes == 200L, s"decoded ${f.n_bytes} samples")
+    // high bytes are 0x40 (bin 4) and 0xC0 (bin 12), 100 each
+    assert(f.histogram(4) == 100L, s"histogram: ${f.histogram.toSeq}")
+    assert(f.histogram(12) == 100L)
+    assert(math.abs(f.byte_entropy - 1.0) < 1e-9) // two equal-mass bins
+  }
+
+  test("non-WAV audio payloads fall back to the deterministic stub") {
+    import spark.implicits._
+    val junk = Array.tabulate(80)(_.toByte)
+    val media = Seq(Multimodal.MediaRow(2L, "audio", junk,
+      Multimodal.MediaMeta(None, None, None, None, None))).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.n_bytes == 80L) // raw bytes, stub path
+    assert(Multimodal.audioMeta(junk).isEmpty)
+  }
+
   test("undecodable image payloads fall back to the deterministic stub") {
     import spark.implicits._
     val junk = Array.tabulate(100)(_.toByte)
