@@ -199,6 +199,73 @@ object Dedup {
       gramHash = g => portableHash60(g).bitwiseAND(lit((1L << 30) - 1)),
       constBits = 30)
 
+  /** Explode an (id, signature) frame into (id, band, bandhash) — one row
+    * per LSH band; the join key for candidate generation.
+    */
+  private def banded(
+      sigs: DataFrame, idCol: String, bands: Int, r: Int): DataFrame =
+    sigs.select(
+      col(idCol),
+      posexplode(
+        array((0 until bands).map(j =>
+          xxhash64(lit(j), concat_ws(",",
+            (0 until r).map(i => element_at(col("signature"), j * r + i + 1)): _*))): _*))
+        .as(Seq("_band", "_bandhash")))
+
+  /** Minhash estimate of Jaccard from two aligned signatures: matching
+    * components / nHashes (the unbiased single-permutation estimator).
+    */
+  def signatureJaccardEstimate(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x === y).cast("int")),
+      lit(0), (acc, m) => acc + m).cast("double") / size(a)
+
+  /** Incremental near-dup detection of a NEW batch against an EXISTING
+    * corpus represented ONLY by its stored signature index — the
+    * steady-state ingest shape at lake scale: the historical corpus is one
+    * compact (id, nHashes-long) row per document (persist
+    * [[minHashSignatures]]' output as parquet, bucketed by id if desired);
+    * each arriving batch computes its own signatures scan-side, joins the
+    * index on shared LSH bands, and scores candidates with the
+    * signature-agreement estimator — corpus TEXT is never re-read and
+    * never shuffles. With b bands of r rows the candidate-recall curve is
+    * the usual 1-(1-s^r)^b; the estimator's σ is √(s(1-s)/nHashes) ≈ 0.06
+    * at s=0.7, nHashes=64, so `threshold` is an estimate cut, not an exact
+    * one — tighten it (or re-verify survivors against text) when exactness
+    * matters more than index-only operation.
+    *
+    * Returns (id_new, id_corpus, est_jaccard) pairs with est ≥ threshold.
+    */
+  def minHashPairsAgainstIndex(
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusSigs: DataFrame,
+      threshold: Double = 0.7,
+      nHashes: Int = 64,
+      bands: Int = 16,
+      shingleWords: Int = 3
+  ): DataFrame = {
+    require(nHashes % bands == 0, "bands must divide nHashes")
+    val r = nHashes / bands
+    val newSigs = minHashSignatures(newDf, idCol, textCol, nHashes, shingleWords)
+    val candidates = banded(newSigs, idCol, bands, r).as("x")
+      .join(banded(corpusSigs, idCol, bands, r).as("y"),
+        col("x._band") === col("y._band") &&
+          col("x._bandhash") === col("y._bandhash"))
+      .select(col(s"x.$idCol").as("id_new"), col(s"y.$idCol").as("id_corpus"))
+      .distinct()
+    candidates
+      .join(newSigs.select(col(idCol).as("id_new"), col("signature").as("_sig_n")),
+        "id_new")
+      .join(corpusSigs.select(col(idCol).as("id_corpus"),
+        col("signature").as("_sig_c")), "id_corpus")
+      .withColumn("est_jaccard",
+        round(signatureJaccardEstimate(col("_sig_n"), col("_sig_c")), 4))
+      .filter(graft.util.PlanHints.noPushdown(col("est_jaccard") >= threshold))
+      .select("id_new", "id_corpus", "est_jaccard")
+      .orderBy("id_new", "id_corpus")
+  }
+
   /** Candidate pairs from LSH banding (any shared band-hash), verified with
     * exact shingle-set Jaccard ≥ threshold. With b bands of r rows the
     * match-probability curve is 1-(1-s^r)^b — defaults (16×4) catch ~every
@@ -216,15 +283,9 @@ object Dedup {
     require(nHashes % bands == 0, "bands must divide nHashes")
     val r = nHashes / bands
     val sigs = minHashSignatures(df, idCol, textCol, nHashes, shingleWords)
-    val banded = sigs.select(
-      col(idCol),
-      posexplode(
-        array((0 until bands).map(j =>
-          xxhash64(lit(j), concat_ws(",",
-            (0 until r).map(i => element_at(col("signature"), j * r + i + 1)): _*))): _*))
-        .as(Seq("_band", "_bandhash")))
-    val candidates = banded.as("x")
-      .join(banded.as("y"),
+    val bandRows = banded(sigs, idCol, bands, r)
+    val candidates = bandRows.as("x")
+      .join(bandRows.as("y"),
         col("x._band") === col("y._band") &&
           col("x._bandhash") === col("y._bandhash") &&
           col(s"x.$idCol") < col(s"y.$idCol"))

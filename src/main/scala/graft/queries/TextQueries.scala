@@ -156,6 +156,25 @@ object TextQueries {
       }
     ),
 
+    // ---- incremental ingest dedup: the last 20% of documents arrive as a
+    //      "new batch" and are near-dup-checked against ONLY the stored
+    //      signature index of the first 80% (corpus text untouched) — the
+    //      steady-state lake shape. xxhash64 banding → rows-only check;
+    //      exact semantics + estimator accuracy pinned in DedupSpec.
+    QueryDef(
+      "q74_incremental_index_dedup",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        // scale-proportional split: every 5th doc is the arriving batch
+        val corpus = d.filter(col("doc_id") % 5 =!= 4)
+        val batch = d.filter(col("doc_id") % 5 === 4)
+        val index = Dedup.minHashSignatures(corpus, "doc_id", "text")
+        Dedup.minHashPairsAgainstIndex(batch, "doc_id", "text", index,
+          threshold = 0.5)
+      },
+      None
+    ),
+
     // ---- token counting (whitespace + BPE-ish piece estimate)
     QueryDef(
       "q27_token_counts",

@@ -99,6 +99,50 @@ class DedupSpec extends SparkSpec {
     assert(!clusters.contains(3L) && !clusters.contains(4L))
   }
 
+  test("incremental dedup against a persisted signature index") {
+    import spark.implicits._
+    // corpus indexed once: only signatures persisted, text discarded
+    val dir = java.nio.file.Files.createTempDirectory("sigidx").toString
+    val corpusSigs = Dedup.minHashSignatures(docs, "doc_id", "text")
+    corpusSigs.write.mode("overwrite").parquet(s"$dir/sigs")
+    val index = spark.read.parquet(s"$dir/sigs")
+
+    // new batch: 10 = exact dup of corpus 0, 11 = near dup, 12 = fresh
+    val batch = Seq(
+      (10L, baseText),
+      (11L, baseText.replace("quiet", "silent")),
+      (12L, "entirely novel text about adaptive query execution runtime")
+    ).toDF("doc_id", "text")
+
+    val pairs = Dedup.minHashPairsAgainstIndex(
+      batch, "doc_id", "text", index, threshold = 0.5)
+    val byNew = pairs.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    // exact dup: matches both copies (0, 1) at estimate 1.0, and may also
+    // catch 2 (itself a ~0.95-jaccard near dup of 0) — correct behavior
+    assert(Set(0L, 1L).subsetOf(byNew(10L)) && byNew(10L).subsetOf(Set(0L, 1L, 2L)))
+    assert(pairs.filter(col("id_new") === 10L && col("id_corpus").isin(0L, 1L))
+      .select(min(col("est_jaccard"))).head().getDouble(0) == 1.0)
+    // near dup caught via the index alone
+    assert(byNew.contains(11L) && byNew(11L).subsetOf(Set(0L, 1L, 2L)))
+    // fresh doc: no pairs
+    assert(!byNew.contains(12L))
+
+    // estimator accuracy: est within 0.2 of the true shingle jaccard
+    val est = pairs.filter(col("id_new") === 11L && col("id_corpus") === 0L)
+      .select("est_jaccard").head().getDouble(0)
+    val truth = docs.filter(col("doc_id") === 0L)
+      .select(wordNgramsCol)
+      .crossJoin(batch.filter(col("doc_id") === 11L).select(
+        Dedup.wordNgrams(col("text")).as("_b")))
+      .select(Dedup.jaccardComposable(col("_a"), col("_b"))).head().getDouble(0)
+    assert(math.abs(est - truth) < 0.2, s"est $est vs true $truth")
+  }
+
+  private def wordNgramsCol =
+    Dedup.wordNgrams(col("text")).as("_a")
+
   test("wordNgrams: empty text yields empty set; short text one gram") {
     import spark.implicits._
     val d = Seq("", "one two", "a b c d").toDF("t")
