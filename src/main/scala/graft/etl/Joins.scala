@@ -85,22 +85,35 @@ object Joins {
     * at runtime; salting is the static fallback for the pathological keys
     * (e.g. the merge stage's constant `city` at lake scale).
     *
-    * The salt is DETERMINISTIC — xxhash64 of the full left row, mod salts —
+    * The salt is DETERMINISTIC — xxhash64 of the left row, mod salts —
     * not `rand(seed)`: rand's stream depends on the input partitioning, so
     * retries, speculative tasks, or an upstream repartition could re-deal
     * the salts mid-job; the hash salt is a pure function of the data.
+    *
+    * Pass `uniqueCol` (a row-unique left column, e.g. the table's id) when
+    * one exists: it disambiguates BYTE-IDENTICAL duplicate rows — the
+    * classic hot-key shape, e.g. many identical events for one user — which
+    * otherwise all hash to the same sub-key and defeat the spread. It also
+    * sidesteps column types hash functions reject (e.g. map). Without it,
+    * identical-duplicate rows do not spread; AQE's skew-join split (enabled
+    * in GraftSession) remains the runtime mitigation for that shape.
     */
   def saltedJoin(
       left: DataFrame,
       right: DataFrame,
       on: Seq[String],
       how: String = "inner",
-      salts: Int = 16
+      salts: Int = 16,
+      uniqueCol: Option[String] = None
   ): DataFrame = {
     require(how == "inner" || how == "left", s"saltedJoin: unsupported $how")
     require(salts > 1, "salts must spread over at least 2 sub-keys")
+    val saltSrc: Seq[org.apache.spark.sql.Column] = uniqueCol match {
+      case Some(c) => Seq(col(c))
+      case None => left.columns.map(col).toSeq
+    }
     val l = left.withColumn("_graft_salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong)))
+      pmod(xxhash64(saltSrc: _*), lit(salts.toLong)))
     val r = right.withColumn("_graft_salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     l.join(r, on :+ "_graft_salt", how).drop("_graft_salt")

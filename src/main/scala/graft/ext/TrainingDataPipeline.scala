@@ -24,22 +24,28 @@ object TrainingDataPipeline {
       nearDupThreshold: Double = 0.7
   )
 
-  /** `release()` drops the pipeline's internal cache once the caller has
-    * consumed `curated`/`stats`.
+  /** `release()` drops the pipeline's internal caches once the caller has
+    * consumed `curated`/`stats`. Callers MUST release — the caches otherwise
+    * live for the session (round-2 advice: q46 leaked one per invocation).
     */
   final case class Result(
       curated: DataFrame,
       stats: DataFrame,
-      private val cached: Option[DataFrame] = None
+      private val caches: Seq[DataFrame] = Nil
   ) {
-    def release(): Unit = cached.foreach(_.unpersist(false))
+    def release(): Unit = caches.foreach(_.unpersist(false))
   }
 
+  /** @param cacheCurated also cache the post-minhash corpus — set this when
+    *   consuming BOTH `curated` and `stats`, otherwise minHashDedup (the
+    *   most expensive stage) runs once per consumer.
+    */
   def apply(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      config: Config = Config()
+      config: Config = Config(),
+      cacheCurated: Boolean = false
   ): Result = {
     // scan-side scoring: all pure column expressions, no shuffle
     val scored = docs
@@ -59,8 +65,9 @@ object TrainingDataPipeline {
     }).cache()
 
     val exactDeduped = Dedup.exact(langFiltered, idCol, Seq(textCol))
-    val curated =
+    val curated0 =
       Dedup.minHashDedup(exactDeduped, idCol, textCol, config.nearDupThreshold)
+    val curated = if (cacheCurated) curated0.cache() else curated0
 
     // Funnel accounting as ONE lazy plan: each stage contributes a 1-row
     // aggregate, composed with broadcast-of-one-row joins — materializing
@@ -78,6 +85,7 @@ object TrainingDataPipeline {
           .as("total_tokens"),
         coalesce(round(avg(col("n_tokens")), 2), lit(0.0))
           .as("mean_tokens")))
-    Result(curated, stats, Some(langFiltered))
+    Result(curated, stats,
+      if (cacheCurated) Seq(langFiltered, curated) else Seq(langFiltered))
   }
 }

@@ -588,8 +588,10 @@ object CoreQueries {
         // read it back, and return the FULL content — the DuckDB oracle
         // reads the original parquet, so the hash compare proves the CSV
         // sink+source preserve every value exactly
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_" +
-          java.util.UUID.randomUUID().toString.take(8)
+        // fixed scratch path + overwrite mode: a UUID-suffixed dir leaked
+        // one orphan per invocation (Bench alone runs this 4x per run)
+        val out =
+          s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
         val src = t(s, dir, "orders")
           .filter(col("o_orderkey") <= 4000)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),

@@ -262,8 +262,16 @@ object TextQueries {
     //      minhash stage is hash-seeded → rows-only check
     QueryDef(
       "q46_curation_pipeline",
-      (s, dir) =>
-        graft.ext.TrainingDataPipeline(t(s, dir, "documents")).stats,
+      (s, dir) => {
+        // materialize the 1-row funnel eagerly so the pipeline's internal
+        // cache can be released here — returning the lazy frame leaked one
+        // cached DataFrame per invocation (session lifetime)
+        val r = graft.ext.TrainingDataPipeline(t(s, dir, "documents"))
+        val rows = r.stats.collect().toSeq
+        val schema = r.stats.schema
+        r.release()
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      },
       None
     ),
 

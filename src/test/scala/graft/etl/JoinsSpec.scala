@@ -64,4 +64,46 @@ class JoinsSpec extends SparkSpec {
       .head().getLong(0)
     assert(spread > 4, s"hot key concentrated on $spread/8 sub-keys")
   }
+
+  test("uniqueCol spreads BYTE-IDENTICAL duplicate rows (the degenerate " +
+    "hot-key shape hash-of-row cannot spread)") {
+    import spark.implicits._
+    // 800 byte-identical events for one user — hash-of-all-columns puts all
+    // of them on ONE salt sub-key; salting on the unique id must spread them
+    val facts = (1 to 800).map(i => (i.toLong, 1L, "click"))
+      .toDF("event_id", "user_id", "action")
+    val dim = Seq((1L, "bot")).toDF("user_id", "kind")
+
+    val identical = facts.drop("event_id") // byte-identical duplicates
+    val noSpread = identical
+      .withColumn("_salt",
+        pmod(xxhash64(identical.columns.map(col): _*), lit(8L)))
+      .select(countDistinct(col("_salt"))).head().getLong(0)
+    assert(noSpread == 1L, "identical rows should collapse to one sub-key")
+
+    val withId = facts
+      .withColumn("_salt", pmod(xxhash64(col("event_id")), lit(8L)))
+      .select(countDistinct(col("_salt"))).head().getLong(0)
+    assert(withId == 8L, s"unique-id salt used $withId/8 sub-keys")
+
+    // and the operator stays result-equivalent with uniqueCol set
+    val plain = facts.join(dim, Seq("user_id"), "inner")
+    val salted = Joins.saltedJoin(facts, dim, Seq("user_id"), "inner",
+      salts = 8, uniqueCol = Some("event_id"))
+    assert(canon(salted) == canon(plain))
+  }
+
+  test("uniqueCol sidesteps hash-rejected column types (map)") {
+    import spark.implicits._
+    val facts = Seq((1L, 7L, Map("a" -> 1)), (2L, 7L, Map("b" -> 2)))
+      .toDF("id", "k", "attrs")
+    val dim = Seq((7L, "x")).toDF("k", "v")
+    // hash-of-all-columns fails analysis on MapType; uniqueCol works
+    intercept[Exception] {
+      Joins.saltedJoin(facts, dim, Seq("k"), "inner").collect()
+    }
+    val ok = Joins.saltedJoin(facts, dim, Seq("k"), "inner",
+      uniqueCol = Some("id"))
+    assert(ok.count() == 2)
+  }
 }
