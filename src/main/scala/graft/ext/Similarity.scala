@@ -63,8 +63,11 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic random hyperplanes (seeded), as literal arrays. */
-  private def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
+  /** Deterministic random hyperplanes (seeded), as literal arrays. Pure
+    * data (a seeded Gaussian stream), so an oracle can inline the SAME
+    * values as SQL literals — q75 pins lshTopK's recall that way.
+    */
+  private[graft] def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
     val rng = new scala.util.Random(seed)
     Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
   }
@@ -132,9 +135,15 @@ object Similarity {
           call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))))
   }
 
-  /** ANN top-k via LSH: restrict the scan to the query's bucket, then exact
-    * cosine. Recall < 1 by construction; raise nBits↓/probe more buckets for
-    * higher recall. Returns the same schema as bruteForceTopK.
+  /** ANN top-k via LSH: restrict the scan to the query's bucket (plus, with
+    * `probeHamming` > 0, every bucket within that Hamming distance — standard
+    * multi-probe LSH: an SRP bit flips most easily on the planes the query
+    * sits closest to, so neighboring buckets hold most of the missed true
+    * neighbors), then exact cosine on the candidates. Recall < 1 by
+    * construction; raise probeHamming / lower nBits for higher recall at
+    * more scan. The probe set is a pure bit-count predicate on the bucket
+    * id, so the candidate filter stays a scan-side codegen'd comparison —
+    * no bucket-list explosion. Returns the same schema as bruteForceTopK.
     */
   def lshTopK(
       df: DataFrame,
@@ -144,7 +153,8 @@ object Similarity {
       k: Int,
       dim: Int,
       nBits: Int = 12,
-      seed: Long = 42L
+      seed: Long = 42L,
+      probeHamming: Int = 0
   ): DataFrame = {
     val withBucket = df.withColumn("_bucket", lshBucket(col(vecCol), dim, nBits, seed))
     val q = broadcast(
@@ -152,7 +162,10 @@ object Similarity {
         .select(col(vecCol).as("_q_vec"), col("_bucket").as("_q_bucket")))
     withBucket
       .crossJoin(q)
-      .filter(col("_bucket") === col("_q_bucket") && col(idCol) =!= queryId)
+      .filter(
+        call_function("bit_count",
+          col("_bucket").bitwiseXOR(col("_q_bucket"))) <= probeHamming &&
+          col(idCol) =!= queryId)
       .select(col(idCol),
         round(cosine(col(vecCol), col("_q_vec")), 4).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc(idCol))

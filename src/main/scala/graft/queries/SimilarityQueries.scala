@@ -11,6 +11,17 @@ import graft.queries.Q._
   */
 object SimilarityQueries {
 
+  /** Operating point shared by q33 and the q75 recall pin: 4-bit SRP with
+    * Hamming<=1 multi-probe — on this corpus (weak structure: top-10 sims
+    * 0.28-0.37 vs mean 0.014) a single probe at any nBits draws recall@10
+    * in [0, 0.4] depending on the plane draw; probing the 5 Hamming<=1
+    * buckets (~1/3 of rows scanned) lifts the expected recall to ~0.45.
+    * Declared BEFORE `defs`: `recallOracleSql` is evaluated eagerly while
+    * `defs` is constructed, so a later declaration would still read 0.
+    */
+  private val RecallBits = 4
+  private val RecallProbe = 1
+
   val defs: Seq[QueryDef] = Seq(
     // ---- brute-force cosine top-k for a fixed query vector (vec_id 0)
     QueryDef(
@@ -69,7 +80,8 @@ object SimilarityQueries {
       "q33_ann_lsh_topk",
       (s, dir) =>
         Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-          queryId = 0L, k = 10, dim = 64, nBits = 4),
+          queryId = 0L, k = 10, dim = 64, nBits = RecallBits,
+          probeHamming = RecallProbe),
       None
     ),
 
@@ -156,6 +168,109 @@ object SimilarityQueries {
         Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
           dim = 64, threshold = 0.35, nBits = 4),
       None
+    ),
+
+    // ---- the ANN QUALITY contract, oracled: recall@10 of (a) the
+    //      production lshTopK path — its seeded-Gaussian planes are pure
+    //      data, inlined verbatim into the oracle SQL — and (b) an IVF
+    //      probe against the fixed q72 quantizer (3 nearest cells), both
+    //      against brute-force cosine top-10, all computed independently
+    //      in BOTH engines. A recall change from ANY cause (plane drift,
+    //      bucket math, probe selection, top-k ordering) breaks the hash.
+    QueryDef(
+      "q75_ann_recall",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val k = 10
+        val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding", 0L, k)
+        val lsh = Similarity.lshTopK(e, "vec_id", "embedding", 0L, k,
+          dim = 64, nBits = RecallBits, probeHamming = RecallProbe)
+        // IVF probe against the FIXED quantizer of q72 (8 lowest-id
+        // vectors, quantized): cell selection is exact integer math on the
+        // driver, mirrored 1:1 in the oracle SQL
+        val centroids = e.filter(col("vec_id") < 8).orderBy("vec_id")
+          .select(transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long")).as("cq"))
+          .collect().map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+        val qq = e.filter(col("vec_id") === 0)
+          .select(transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long")))
+          .head().getSeq[Long](0)
+        val cells = centroids.zipWithIndex
+          .map { case (c, i) =>
+            (i, c.zip(qq).map { case (a, b) => (a - b) * (a - b) }.sum)
+          }
+          .sortBy { case (i, d) => (d, i) }.take(3).map(_._1.toLong)
+        val qv = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("_q_vec")))
+        val ivfTop = e
+          .withColumn("_cell",
+            Similarity.ivfAssignQuantized(col("embedding"), centroids))
+          .filter(col("_cell").isin(cells: _*) && col("vec_id") =!= 0)
+          .crossJoin(qv)
+          .select(col("vec_id"),
+            round(Similarity.cosine(col("embedding"), col("_q_vec")), 4)
+              .as("cos_sim"))
+          .orderBy(desc("cos_sim"), asc("vec_id"))
+          .limit(k)
+        val bruteIds = brute.select("vec_id")
+        lsh.select("vec_id").join(bruteIds, "vec_id")
+          .agg((count(lit(1)) / 10.0).as("recall_lsh"))
+          .crossJoin(ivfTop.select("vec_id").join(bruteIds, "vec_id")
+            .agg((count(lit(1)) / 10.0).as("recall_ivf")))
+      },
+      Some(recallOracleSql)
     )
   )
+
+  /** The q75 oracle: the full recall computation in DuckDB, with lshTopK's
+    * seeded-Gaussian hyperplanes inlined as literal doubles (shortest
+    * round-trip decimal strings parse back to the identical IEEE double).
+    */
+  private def recallOracleSql: String = {
+    val cosExpr =
+      """round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |    i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)) /
+        |  (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |   sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))), 4)""".stripMargin
+    val bits = Similarity.hyperplanes(64, RecallBits, 42L).zipWithIndex.map {
+      case (p, i) =>
+        val lst = p.mkString("[", ",", "]")
+        s"(CASE WHEN list_sum(list_transform(range(1, 65), " +
+          s"j -> embedding[j]::DOUBLE * ($lst)[j])) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" +\n  ")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cos AS (SELECT e.vec_id, $cosExpr AS cos_sim
+       |  FROM embeddings e, q WHERE e.vec_id <> 0),
+       |brute AS (SELECT vec_id FROM cos ORDER BY cos_sim DESC, vec_id LIMIT 10),
+       |b AS (SELECT vec_id, $bits AS bucket FROM embeddings),
+       |qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0),
+       |lshtop AS (SELECT x.vec_id FROM (
+       |  SELECT b.vec_id, cos.cos_sim FROM b, qb, cos
+       |  WHERE bit_count(xor(b.bucket, qb.qbucket)) <= $RecallProbe
+       |    AND cos.vec_id = b.vec_id
+       |  ORDER BY cos.cos_sim DESC, b.vec_id LIMIT 10) x),
+       |vq AS (SELECT vec_id,
+       |  list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS vq
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, vq AS cq FROM vq WHERE vec_id < 8),
+       |qcell AS (SELECT cid FROM (
+       |  SELECT c.cid, list_sum(list_transform(generate_series(1, 64),
+       |    j -> (q.vq[j] - c.cq[j]) * (q.vq[j] - c.cq[j]))) AS dist
+       |  FROM vq q, c WHERE q.vec_id = 0 ORDER BY dist, cid LIMIT 3) y),
+       |assign AS (SELECT vec_id, cell FROM (
+       |  SELECT v.vec_id, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      list_sum(list_transform(generate_series(1, 64),
+       |        j -> (v.vq[j] - c.cq[j]) * (v.vq[j] - c.cq[j]))), c.cid) AS rn
+       |  FROM vq v, c) z WHERE rn = 1),
+       |ivftop AS (SELECT x.vec_id FROM (
+       |  SELECT a.vec_id, cos.cos_sim FROM assign a
+       |  JOIN cos ON cos.vec_id = a.vec_id
+       |  WHERE a.cell IN (SELECT cid FROM qcell)
+       |  ORDER BY cos.cos_sim DESC, a.vec_id LIMIT 10) x)
+       |SELECT
+       |  (SELECT count(*) / 10.0 FROM lshtop JOIN brute USING (vec_id)) AS recall_lsh,
+       |  (SELECT count(*) / 10.0 FROM ivftop JOIN brute USING (vec_id)) AS recall_ivf""".stripMargin
+  }
 }
