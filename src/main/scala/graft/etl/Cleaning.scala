@@ -24,17 +24,34 @@ object Cleaning {
 
   /** pandas keeps implicit row order; Spark needs it materialized.
     *
-    * SINGLE-FILE ASSUMPTION: `monotonically_increasing_id` follows file
-    * order only for a single-file scan (splits of one file stay in offset
-    * order). A multi-file source is bin-packed by size, so partition order
-    * is NOT concatenated-file order — for multi-file inputs carry an
-    * explicit order column instead (`dedupKeepFirstBy`; the clean-pipeline
-    * query q49 does exactly that). The reference's bronze inputs are one
-    * CSV per table, where the assumption holds exactly.
+    * For a file-backed frame the order key is the struct
+    * `(_metadata.file_path, _metadata.file_block_start, mid)`, compared
+    * lexicographically:
+    *  - `file_path` orders files the way `pd.concat(sorted(glob))` does —
+    *    Spark's scan bin-packs files by SIZE, so partition order is not
+    *    file order and bare `monotonically_increasing_id` is wrong on any
+    *    multi-file bronze;
+    *  - `file_block_start` orders the splits of one large file by byte
+    *    offset;
+    *  - `monotonically_increasing_id` breaks ties WITHIN a block: one
+    *    block is read by exactly one task in one sequential pass, so ids
+    *    are monotone in row order there (their cross-partition values
+    *    never matter — the file/block prefix dominates).
+    * Works for every file format (CSV has no `_metadata.row_index`, but
+    * path/block_start are universal). Frames with no file lineage (joins,
+    * aggregates, in-memory test data) fall back to bare
+    * `monotonically_increasing_id`, which follows scan order only for a
+    * single input partition — carry an explicit order column
+    * (`dedupKeepFirstBy`, as q49 does) when that's not enough.
     */
   def withSrcOrder(df: DataFrame): DataFrame =
     if (df.columns.contains(SrcOrder)) df
-    else df.withColumn(SrcOrder, monotonically_increasing_id())
+    else scala.util.Try {
+      df.withColumn(SrcOrder, struct(
+        col("_metadata.file_path"),
+        col("_metadata.file_block_start"),
+        monotonically_increasing_id()))
+    }.getOrElse(df.withColumn(SrcOrder, monotonically_increasing_id()))
 
   /** D1/D2: `drop_duplicates(subset=key)` with pandas semantics — keep the
     * FIRST row in file order; null keys compare equal (one survivor).
