@@ -144,8 +144,15 @@ object MergeTrafficWeather {
   )
 
   def apply(traffic: DataFrame, weather: DataFrame): DataFrame = {
-    val t = traffic.withColumn("date_only", to_date(col("date_time")))
-    val w = weather.withColumn("date_only", to_date(col("date_time")))
+    // reuse a MATERIALIZED date_only when the caller provides one (the
+    // bucketed silver layout stores it so the join key matches the bucket
+    // spec exactly — a derived to_date() expression would not, and the
+    // exchange-free plan would be lost)
+    def withDay(df: DataFrame): DataFrame =
+      if (df.columns.contains("date_only")) df
+      else df.withColumn("date_only", to_date(col("date_time")))
+    val t = withDay(traffic)
+    val w = withDay(weather)
     Joins
       .suffixedJoin(t, w, on = Seq("city", "date_only"), how = "left",
         suffixes = ("_traffic", "_weather"))

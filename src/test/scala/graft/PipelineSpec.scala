@@ -40,4 +40,38 @@ class PipelineSpec extends SparkSpec {
     assert(scored.count() == merged.count())
     assert((1 to 5).forall(i => scored.columns.contains(s"Factor_${i}_score")))
   }
+
+  test("bucketed silver layout: merge join runs with ZERO shuffle exchanges") {
+    val root = java.nio.file.Files.createTempDirectory("pipelake_bkt").toString
+    val b = Pipeline.BucketedSilver(tablePrefix = "graft_test_silver", nBuckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force a sort-merge join: a broadcast would hide whether bucketing
+    // removed the shuffle (at 100 TB neither side broadcasts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Pipeline.run(spark, LakePaths(root), generate = true, nRows = 1500,
+        bucketed = Some(b))
+
+      val t = spark.table(s"${b.tablePrefix}_traffic_clean")
+      val w = spark.table(s"${b.tablePrefix}_weather_clean")
+      val mergePlan = etl.MergeTrafficWeather(t, w)
+      mergePlan.collect() // AQE: final plan only fixed after execution
+      val p = mergePlan.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(!p.contains("Exchange"),
+        s"bucketed merge should be exchange-free:\n$p")
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(p.contains("SelectedBucketsCount"),
+        s"scan should be bucket-aware:\n$p")
+
+      // and the bucketed path writes the same silver the plain path does
+      val merged = Layers.readParquet(spark, s"$root/silver/merged_data.parquet")
+      assert(merged.columns.length == 19)
+      assert(merged.count() >= t.count(), "left join must preserve traffic rows")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      Seq("traffic", "weather").foreach(n =>
+        spark.sql(s"DROP TABLE IF EXISTS ${b.tablePrefix}_${n}_clean"))
+    }
+  }
 }
