@@ -163,6 +163,62 @@ object EventQueries {
               |FROM per_session GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // ---- VALUE-DEPENDENT-GAP sessionization, the batch twin of
+    //      streaming sessionizeVariableGap (Events.valueGapMs: a
+    //      high-value event SHRINKS the allowed idle gap after it to
+    //      max(5, 30 - floor(value/10)) minutes — logic session_window
+    //      cannot express). Same gaps-and-islands shape as q37 but the
+    //      lag-gap threshold depends on the PREVIOUS event's value.
+    QueryDef(
+      "q76_variable_gap_sessions",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val gapUs = greatest(lit(5L), lit(30L) - floor(col("prev_value") / 10))
+          .cast("long") * lit(60000000L)
+        val sessions = t(s, dir, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("prev_value", lag(col("value"), 1).over(w))
+          .withColumn("new_session",
+            (col("prev_ts").isNull ||
+              unix_micros(col("ts").cast("timestamp")) -
+                unix_micros(col("prev_ts").cast("timestamp")) > gapUs)
+              .cast("long"))
+          .withColumn("session_id",
+            sum(col("new_session")).over(
+              w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            sumExact(col("value"), 2).as("session_value"))
+        sessions
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            max(col("n_events")).as("max_session_events"),
+            sumExact(col("session_value"), 2).as("total_value"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH flagged AS (
+              |  SELECT user_id, value, ts, event_id,
+              |    CASE WHEN lag(ts) OVER w IS NULL
+              |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >
+              |            greatest(5, 30 - CAST(floor(lag(value) OVER w / 10) AS BIGINT)) * 60000000
+              |         THEN 1 ELSE 0 END AS new_session
+              |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              |sess AS (
+              |  SELECT user_id, value,
+              |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              |  FROM flagged),
+              |per_session AS (
+              |  SELECT user_id, session_id, count(*) AS n_events,
+              |    ${sqlSumExact("value", 2)} AS session_value
+              |  FROM sess GROUP BY 1, 2)
+              |SELECT user_id, count(*) AS n_sessions,
+              |max(n_events) AS max_session_events,
+              |${sqlSumExact("session_value", 2)} AS total_value
+              |FROM per_session GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // ---- semi-structured props: JSON extraction + bucketed rollup
     QueryDef(
       "q50_json_props",

@@ -59,22 +59,51 @@ object Events {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
-  final case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+
+  /** `gapMs` is the allowed gap AFTER the last event seen — with a
+    * value-dependent rule it changes as the session grows, which is
+    * exactly what `session_window` cannot express.
+    */
+  final case class SessionState(
+      start: Long, lastTs: Long, n: Long, total: Double, gapMs: Long)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
 
+  /** The demo value-dependent gap rule (shared by the streaming sessionizer,
+    * the q76 batch twin, and its DuckDB oracle): a high-value event signals
+    * an engaged burst, so the allowed idle gap after it SHRINKS —
+    * `max(5, 30 - floor(value/10))` minutes. Pure integer arithmetic after
+    * the floor, so every engine computes it identically.
+    */
+  def valueGapMs(value: Double): Long =
+    math.max(5L, 30L - math.floor(value / 10.0).toLong) * 60L * 1000L
+
   /** Custom sessionization with explicit state + EVENT-TIME timeout — the
-    * mapGroupsWithState surface for session logic the built-in
-    * session_window can't express (e.g. value-dependent gap).
-    *
-    * The timeout is what closes a user's FINAL (or idle) session: once the
-    * watermark passes lastTs+gap the state times out, the session is
-    * emitted and the state removed — without it, an idle session would be
-    * held (and leak) forever waiting for an event that never comes.
+    * constant-gap surface; delegates to [[sessionizeVariableGap]].
     */
   def sessionize(
       events: Dataset[Event],
       gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "30 minutes"
+  ): Dataset[SessionOut] =
+    sessionizeVariableGap(events, _ => gapMs, watermark)
+
+  /** Sessionization where the allowed gap is a FUNCTION OF THE LAST EVENT —
+    * the session logic `session_window` can't express (its gap is fixed per
+    * query, or at most a static column expression evaluated per event with
+    * no access to session state). `gapMsOf` decides, per event, how long
+    * the session stays open after it; the state carries that gap so both
+    * the merge decision for the next event and the idle-timeout use it.
+    *
+    * The event-time timeout is what closes a user's FINAL (or idle)
+    * session: once the watermark passes lastTs+gap the state times out,
+    * the session is emitted and the state removed — without it, an idle
+    * session would be held (and leak) forever waiting for an event that
+    * never comes.
+    */
+  def sessionizeVariableGap(
+      events: Dataset[Event],
+      gapMsOf: Event => Long,
       watermark: String = "30 minutes"
   ): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -97,14 +126,15 @@ object Events {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.lastTs <= gapMs =>
-                  cur = Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) if t - s.lastTs <= s.gapMs =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1,
+                    total = s.total + e.value, gapMs = gapMsOf(e)))
                 case Some(s) =>
                   out += SessionOut(userId, new java.sql.Timestamp(s.start),
                     new java.sql.Timestamp(s.lastTs), s.n, s.total)
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(SessionState(t, t, 1, e.value, gapMsOf(e)))
                 case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(SessionState(t, t, 1, e.value, gapMsOf(e)))
               }
             }
             cur.foreach { s =>
@@ -112,7 +142,7 @@ object Events {
               // never set a timeout behind the watermark (illegal): a
               // session already past its gap flushes on the next batch
               state.setTimeoutTimestamp(
-                math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+                math.max(s.lastTs + s.gapMs, state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }

@@ -110,6 +110,46 @@ class EventsStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("variable-gap sessionizer: a high-value event SHRINKS its gap " +
+    "(splits where the constant gap would not — q76's streaming half)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 5: value-250 event at :00 → allowed gap after it is
+    // max(5, 30-25) = 5 min (Events.valueGapMs); next event at :07 is PAST
+    // it → two sessions. A constant 10-min gap would merge them.
+    val evs = Seq(
+      Events.Event(50, ts(0), 5, "buy", 250.0),
+      Events.Event(51, ts(7), 5, "click", 1.0))
+    val flush = Seq( // watermark advancers (different user, much later)
+      Events.Event(98, Timestamp.valueOf("2024-01-01 12:00:00"), 9, "x", 0.0),
+      Events.Event(99, Timestamp.valueOf("2024-01-01 14:00:00"), 9, "x", 0.0))
+
+    val memV = MemoryStream[Events.Event]
+    val qv = Events.sessionizeVariableGap(memV.toDS(),
+        e => Events.valueGapMs(e.value), watermark = "5 minutes")
+      .writeStream.format("memory").queryName("vargap_test")
+      .outputMode("append").start()
+    val memC = MemoryStream[Events.Event]
+    val qc = Events.sessionize(memC.toDS(),
+        gapMs = 10 * 60 * 1000L, watermark = "5 minutes")
+      .writeStream.format("memory").queryName("constgap_test")
+      .outputMode("append").start()
+    try {
+      Seq(memV, memC).foreach { m =>
+        m.addData(evs: _*); m.addData(flush.head); m.addData(flush.last)
+      }
+      qv.processAllAvailable(); qc.processAllAvailable()
+      def sessionsOf(table: String): Set[(Long, Long, Double)] =
+        spark.table(table).filter(col("user_id") === 5)
+          .select("user_id", "n_events", "total_value")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(sessionsOf("vargap_test") == Set((5L, 1L, 250.0), (5L, 1L, 1.0)),
+        "value-dependent gap must split at the 7-min gap")
+      assert(sessionsOf("constgap_test") == Set((5L, 2L, 251.0)),
+        "constant 10-min gap must keep one session — the rules diverge here")
+    } finally { qv.stop(); qc.stop() }
+  }
+
   test("dedupStream drops duplicate event_ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
