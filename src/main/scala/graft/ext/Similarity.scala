@@ -72,18 +72,25 @@ object Similarity {
     Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Sign-random-projection LSH bucket id (a long of `nBits` sign bits).
-    *
-    * The hyperplane matrix enters the plan as ONE `array<array<double>>`
-    * literal (a data payload) folded with higher-order functions — not as
-    * nBits separate `array(lit, lit, …)` expressions, which at dim=1024 /
-    * nBits=32 would put 32k Literal nodes in the expression tree (plan
-    * bloat in every Catalyst transform and explain). Bucket values are
-    * bit-identical to the per-plane formulation: bit i is set iff
-    * dot(vec, plane_i) ≥ 0, with the same seeded planes and the same
-    * sequential-sum dot product.
+  /** Sign-random-projection LSH bucket id (a long of `nBits` sign bits):
+    * bit i is set iff dot(vec, plane_i) ≥ 0 with seeded-Gaussian planes.
+    * Runs as the native fused `srp_bucket` expression — one codegen'd loop
+    * over all planes, zero per-row allocation (the composable
+    * aggregate-in-when form evaluates interpreted and measured 136 µs/row
+    * at dim=1024/nBits=16; native is the q70/q75-pinned same math). Null
+    * vector → null bucket (the hot-bucket-0 hazard guard).
     */
-  def lshBucket(vecCol: Column, dim: Int, nBits: Int = 16, seed: Long = 42L): Column = {
+  def lshBucket(vecCol: Column, dim: Int, nBits: Int = 16, seed: Long = 42L): Column =
+    call_function("srp_bucket", vecCol,
+      typedLit(hyperplanes(dim, nBits, seed).map(_.toSeq).toSeq))
+
+  /** The pure-builtin formulation of [[lshBucket]] (one matrix literal
+    * folded with higher-order functions). Kept as the bit-identity
+    * cross-check for the native expression — SimilaritySpec asserts
+    * equality value-for-value.
+    */
+  private[graft] def lshBucketComposable(
+      vecCol: Column, dim: Int, nBits: Int = 16, seed: Long = 42L): Column = {
     require(nBits <= 63, "bucket must fit a long")
     val m = typedLit(hyperplanes(dim, nBits, seed).map(_.toSeq).toSeq)
     // null vector → null bucket. Without the guard, every per-plane null dot
@@ -183,6 +190,20 @@ object Similarity {
     * → null cell.
     */
   def ivfAssignQuantized(vecCol: Column, centroids: Seq[Seq[Long]]): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    // builtin round keeps Spark's exact HALF_UP double semantics; the native
+    // ivf_argmin then does all k distances in one codegen'd integer loop
+    // (the nested-HOF form re-evaluated the quantization per centroid and
+    // measured 225 µs/row at dim=1024/k=8)
+    val vq = transform(vecCol, x => round(x.cast("double") * 1000).cast("long"))
+    call_function("ivf_argmin", vq, typedLit(centroids))
+  }
+
+  /** Nested-HOF formulation of [[ivfAssignQuantized]] — bit-identity
+    * cross-check for the native expression (SimilaritySpec).
+    */
+  private[graft] def ivfAssignQuantizedComposable(
+      vecCol: Column, centroids: Seq[Seq[Long]]): Column = {
     require(centroids.nonEmpty, "need at least one centroid")
     val m = typedLit(centroids)
     val vq = transform(vecCol, x => round(x.cast("double") * 1000).cast("long"))

@@ -52,6 +52,22 @@ object GraftFunctions {
       }
     ),
     (
+      "srp_bucket",
+      new ExpressionInfo(classOf[SrpBucket].getName, "srp_bucket"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "srp_bucket takes (vec, planes)")
+        SrpBucket(args.head, VectorOps.foldableMatrix(args(1)))
+      }
+    ),
+    (
+      "ivf_argmin",
+      new ExpressionInfo(classOf[IvfArgMin].getName, "ivf_argmin"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "ivf_argmin takes (quantized_vec, centroids)")
+        IvfArgMin(args.head, VectorOps.foldableLongMatrix(args(1)))
+      }
+    ),
+    (
       "mode_det",
       new ExpressionInfo(classOf[DeterministicMode].getName, "mode_det"),
       (args: Seq[Expression]) => {

@@ -86,6 +86,50 @@ class SimilaritySpec extends SparkSpec {
     assert(out.collect().length == 8) // and it executes
   }
 
+  test("native srp_bucket is bit-identical to the composable HOF form " +
+    "(incl. null vector)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val df = ((0L until 200L).map(i =>
+        i -> Array.fill(64)(rng.nextGaussian().toFloat)) :+
+        (999L -> null.asInstanceOf[Array[Float]]))
+      .toDF("id", "v")
+    val both = df.select(
+      Similarity.lshBucket(col("v"), 64, nBits = 16).as("nat"),
+      Similarity.lshBucketComposable(col("v"), 64, nBits = 16).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1), r.toString)
+    }
+    assert(both.count(_.isNullAt(0)) == 1) // null vector → null bucket
+  }
+
+  test("native ivf_argmin is bit-identical to the composable HOF form " +
+    "(incl. null vector + ties to lowest index)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    val centroids = (0 until 6).map(c =>
+      (0 until 16).map(j => ((c * 37 + j * 11) % 500).toLong))
+    val df = ((0L until 200L).map(i =>
+        i -> Array.fill(16)(rng.nextGaussian().toFloat)) ++
+        // exact copies of centroid 2 twice over → distance ties among rows,
+        // and a vector equidistant-by-construction is covered by random draws
+        Seq(500L -> centroids(2).map(_.toFloat / 1000f).toArray,
+          999L -> null.asInstanceOf[Array[Float]]))
+      .toDF("id", "v")
+    val both = df.select(col("id"),
+      Similarity.ivfAssignQuantized(col("v"), centroids).as("nat"),
+      Similarity.ivfAssignQuantizedComposable(col("v"), centroids).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), r.toString)
+      if (!r.isNullAt(1)) assert(r.getLong(1) == r.getLong(2), r.toString)
+    }
+    val self = both.find(_.getLong(0) == 500L).get
+    assert(self.getLong(1) == 2L, s"centroid copy must self-assign: $self")
+  }
+
   test("nearDupPairs: finds only the planted pair at high threshold") {
     val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding",
       dim = 8, threshold = 0.99, nBits = 2)

@@ -41,19 +41,21 @@ class WideVectorSpec extends SparkSpec {
     assert(b(0).getLong(0) == b(1).getLong(0),
       "near-identical vectors must share the 16-bit bucket")
 
-    // plan-bloat guard: the matrix rides as ONE array literal whose data
-    // payload renders ONCE in the plan (~20 chars × 16k doubles ≈ 320k);
-    // the per-plane-literal formulation would render it once PER PLANE
-    // REFERENCE plus put 16k Literal nodes in the tree. Assert the payload
-    // appears exactly once and the plan is bounded by payload + slack.
+    // plan-bloat guard: the native srp_bucket expression carries the 16×1024
+    // plane matrix as a reference object and renders only its SHAPE in
+    // plans — the payload must not appear at all, and the whole formatted
+    // plan stays small. (The composable typedLit form rendered the ~320k-
+    // char payload once; the per-plane-literal form would render it per
+    // plane reference plus 16k Literal nodes.)
     val formatted = withBucket.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
     val sentinel = Similarity.hyperplanes(Dim, 16, 42L)(0)(1).toString
-    val occurrences = sentinel.r.findAllIn(formatted).length
-    assert(occurrences == 1,
-      s"hyperplane payload rendered $occurrences times — literal duplication")
-    assert(formatted.length < 500 * 1024,
-      s"formatted plan is ${formatted.length} chars — beyond payload + slack")
+    assert(!formatted.contains(sentinel),
+      "hyperplane payload leaked into the plan rendering")
+    assert(formatted.contains("16x1024 planes"),
+      s"expected the shape tag in the plan:\n$formatted")
+    assert(formatted.length < 50 * 1024,
+      s"formatted plan is ${formatted.length} chars")
   }
 
   test("cosine top-k at dim=1024 finds the planted near-duplicate") {
