@@ -179,6 +179,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-level near-duplicate DEDUP: bucket (SRP LSH) → verify
+    * (rounded cosine ≥ threshold) → connect (min-label components over the
+    * verified pairs) → keep the LOWEST id of each cluster. The transitive
+    * closure matters: A≈B and B≈C keep only A even when A,C never share a
+    * bucket pair — per-pair dedup would emit both A and C's survivors.
+    *
+    * `portable = true` swaps the seeded-Gaussian planes for the quantized
+    * integer family ([[lshBucketQuantized]]), making the ENTIRE pipeline —
+    * bucketing, cosine verification, connected components, survivor set —
+    * reproducible in DuckDB (q77 hash-checks it end-to-end via a recursive
+    * CTE for the closure). Production keeps full-precision planes.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      nBits: Int = 8,
+      seed: Long = 42L,
+      portable: Boolean = false
+  ): DataFrame = {
+    val bucket =
+      if (portable) lshBucketQuantized(col(vecCol), dim, nBits)
+      else lshBucket(col(vecCol), dim, nBits, seed)
+    val b = df.select(col(idCol), col(vecCol)).withColumn("_bucket", bucket)
+    val a = b.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("_bucket"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val c = b.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("_bucket"))
+    val pairs = a.join(c, Seq("_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosine(col("vec_a"), col("vec_b")), 4))
+      .filter(graft.util.PlanHints.noPushdown(col("cos_sim") >= threshold))
+      .select("id_a", "id_b")
+    val removed = Dedup.clusterIds(pairs)
+      .filter(col("cluster_id") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(removed, Seq(idCol), "left_anti")
+  }
+
   /** Nearest-centroid assignment against a FIXED quantized centroid set —
     * the ingest-time half of IVF: at 100 TB steady state, new rows are
     * routed into an EXISTING coarse quantizer's cells (then appended to the

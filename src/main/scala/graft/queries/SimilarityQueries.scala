@@ -22,6 +22,14 @@ object SimilarityQueries {
   private val RecallBits = 4
   private val RecallProbe = 1
 
+  /** q77 operating point: 4-bit quantized buckets (candidate recall over
+    * selectivity — dedup must FIND the dups) and a threshold low enough
+    * that this corpus's moderate-similarity pairs (top sims 0.28-0.37)
+    * actually cluster.
+    */
+  private val SemBits = 4
+  private val SemThreshold = 0.3
+
   val defs: Seq[QueryDef] = Seq(
     // ---- brute-force cosine top-k for a fixed query vector (vec_id 0)
     QueryDef(
@@ -220,8 +228,67 @@ object SimilarityQueries {
             .agg((count(lit(1)) / 10.0).as("recall_ivf")))
       },
       Some(recallOracleSql)
+    ),
+
+    // ---- embedding-level near-dup DEDUP, oracled END-TO-END: quantized
+    //      SRP buckets (q70's portable family) → rounded-cosine verify →
+    //      CONNECTED COMPONENTS (min-label fixpoint; the DuckDB twin
+    //      computes the same closure with a recursive CTE) → keep lowest
+    //      id per cluster. The one extension operator whose hardest part
+    //      (transitive clustering) was previously only spec-tested.
+    QueryDef(
+      "q77_semantic_dedup",
+      (s, dir) =>
+        Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id",
+            "embedding", dim = 64, threshold = SemThreshold,
+            nBits = SemBits, portable = true)
+          .select("vec_id").orderBy("vec_id"),
+      Some(semanticDedupOracleSql)
     )
   )
+
+  /** The q77 oracle: the full semantic-dedup pipeline in DuckDB — quantized
+    * SRP buckets (same integer plane family as q70), bucket-local candidate
+    * pairs, rounded-cosine verification, and the min-label connected
+    * components as a RECURSIVE CTE (`reach` enumerates every label that can
+    * reach a node; min per node = the component minimum — the same fixpoint
+    * Spark's iterative propagation converges to). Survivors = ids that are
+    * their own component minimum (or in no pair at all).
+    */
+  private def semanticDedupOracleSql: String = {
+    val bits = Similarity.quantPlanes(64, SemBits).zipWithIndex.map {
+      case (p, i) =>
+        val lst = p.mkString("[", ",", "]")
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), " +
+          s"j -> ($lst)[j] * vq[j])) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" +\n  ")
+    def cos(a: String, b: String): String =
+      s"""round(list_sum(list_transform(range(1, len($a) + 1),
+         |    i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
+         |  (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) *
+         |   sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))), 4)""".stripMargin
+    s"""WITH RECURSIVE vq AS (SELECT vec_id,
+       |  list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS vq
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, CAST($bits AS BIGINT) AS bucket FROM vq),
+       |pairs AS (
+       |  SELECT a.vec_id AS ida, c.vec_id AS idb
+       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = c.vec_id
+       |  WHERE ${cos("ea.embedding", "eb.embedding")} >= $SemThreshold),
+       |edges AS (SELECT ida AS src, idb AS dst FROM pairs
+       |  UNION SELECT idb, ida FROM pairs),
+       |reach(node, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+       |labels AS (SELECT node, min(label) AS cl FROM reach GROUP BY node)
+       |SELECT e.vec_id FROM embeddings e
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM labels l WHERE l.node = e.vec_id AND l.cl <> e.vec_id)
+       |ORDER BY vec_id""".stripMargin
+  }
 
   /** The q75 oracle: the full recall computation in DuckDB, with lshTopK's
     * seeded-Gaussian hyperplanes inlined as literal doubles (shortest

@@ -130,6 +130,15 @@ class SimilaritySpec extends SparkSpec {
     assert(self.getLong(1) == 2L, s"centroid copy must self-assign: $self")
   }
 
+  test("semanticDedup: planted near-dup collapses to the LOWEST id") {
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        dim = 8, threshold = 0.99, nBits = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!out.contains(10L), "the higher-id duplicate must be removed")
+    assert(out.contains(0L), "the lowest id of the cluster survives")
+    assert(out.size == vecs.count() - 1, "exactly one row removed")
+  }
+
   test("nearDupPairs: finds only the planted pair at high threshold") {
     val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding",
       dim = 8, threshold = 0.99, nBits = 2)
