@@ -319,7 +319,7 @@ object Dedup {
     */
   def clusterIds(
       pairs: DataFrame,
-      maxIterations: Int = 20
+      maxIterations: Int = 25
   ): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -331,27 +331,47 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIterations) {
-      // min label among self and neighbors
+      // step 1: min label among self and neighbors (one hop per round)
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "id_b")
           .withColumnRenamed("cluster_id", "nb_label"), Seq("id_b"))
         .groupBy(col("id_a").as("id"))
         .agg(min(col("nb_label")).as("nb_min"))
-      val updated = labels
+      val hopped = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
-            .as("cluster_id"),
-          (col("nb_min") < col("cluster_id")).cast("long").as("_changed"))
-      val materialized = updated.localCheckpoint()
-      changed = materialized.agg(sum(col("_changed"))).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
-      labels = materialized.drop("_changed")
+            .as("cluster_id"))
+      // step 2: pointer jump — adopt my LABEL's label. Neighbor-min alone
+      // moves the component minimum ONE HOP per round, so a duplicate
+      // chain of diameter > maxIterations would stop early with silently
+      // wrong labels; the label-of-label shortcut halves remaining path
+      // length every round, making convergence O(log n) on any graph.
+      val jumped = hopped.as("x")
+        .join(hopped.select(col("id").as("_lid"),
+          col("cluster_id").as("_llabel")).as("y"),
+          col("x.cluster_id") === col("y._lid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.cluster_id"), coalesce(col("_llabel"),
+            col("x.cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      changed = jumped.as("n")
+        .join(labels.select(col("id"), col("cluster_id").as("_old")).as("o"),
+          Seq("id"))
+        .agg(sum((col("cluster_id") < col("_old")).cast("long")))
+        .head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+      labels = jumped
       iter += 1
     }
     edges.unpersist(false)
+    // a wrong cluster assignment silently corrupts every consumer (dedup
+    // would KEEP documents it should drop) — refuse instead. log2(n) rounds
+    // suffice with pointer jumping, so 25 covers any realistic graph.
+    require(changed == 0,
+      s"clusterIds did not converge within $maxIterations iterations")
     labels
   }
 

@@ -90,6 +90,20 @@ class DedupSpec extends SparkSpec {
     assert(Seq(20L, 21L, 22L).forall(labels(_) == 20L))
   }
 
+  test("clusterIds: a 60-hop chain converges (pointer jumping, not " +
+    "one-hop-per-round propagation)") {
+    import spark.implicits._
+    // diameter 60 >> maxIterations: per-round neighbor-min alone would
+    // stop early with silently wrong labels — the label-of-label shortcut
+    // must close it in O(log n) rounds
+    val pairs = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.clusterIds(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 61)
+    assert(labels.values.forall(_ == 0L),
+      s"every chain node must label 0: ${labels.filter(_._2 != 0L)}")
+  }
+
   test("clusterIds composes with minHashPairs for transitive dedup groups") {
     val clusters = Dedup.clusterIds(
       Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.5))
