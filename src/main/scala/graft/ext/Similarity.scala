@@ -179,6 +179,60 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch k-NN similarity JOIN: for EVERY query row, its top-k corpus
+    * neighbors by cosine — the retrieval/labeling shape of a training-data
+    * pipeline (one-query lookups are [[lshTopK]]).
+    *
+    * Scale shape: the QUERY side explodes into its multi-probe bucket set
+    * (own bucket + the `nBits` Hamming-1 neighbors) and equi-joins the
+    * bucketed corpus — the corpus is never replicated and never filtered
+    * with a quadratic cross-join predicate; ranking is a per-query window
+    * (parallel across queries). Each (query, candidate) pair arises from
+    * at most one probe bucket (XOR masks are distinct), so no distinct
+    * pass is needed.
+    *
+    * `portable = true` uses the quantized integer plane family so the
+    * whole join has a DuckDB twin (q78); production uses the seeded
+    * Gaussian planes via the native `srp_bucket`.
+    */
+  def knnJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      nBits: Int = 12,
+      probeHamming: Int = 1,
+      seed: Long = 42L,
+      portable: Boolean = false
+  ): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 1,
+      "probe masks are enumerated; Hamming 0 or 1 supported")
+    def bucketOf(c: Column): Column =
+      if (portable) lshBucketQuantized(c, dim, nBits)
+      else lshBucket(c, dim, nBits, seed)
+    val masks: Seq[Long] =
+      0L +: (if (probeHamming >= 1) (0 until nBits).map(i => 1L << i) else Nil)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("_qbucket", bucketOf(col("q_vec")))
+      .withColumn("_bucket",
+        explode(array(masks.map(m => col("_qbucket").bitwiseXOR(lit(m))): _*)))
+      .drop("_qbucket")
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .withColumn("_bucket", bucketOf(col("c_vec")))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cos_sim"), asc("c_id"))
+    q.join(c, Seq("_bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("q_id", "rank")
+  }
+
   /** Embedding-level near-duplicate DEDUP: bucket (SRP LSH) → verify
     * (rounded cosine ≥ threshold) → connect (min-label components over the
     * verified pairs) → keep the LOWEST id of each cluster. The transitive

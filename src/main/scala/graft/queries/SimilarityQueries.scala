@@ -244,6 +244,23 @@ object SimilarityQueries {
             nBits = SemBits, portable = true)
           .select("vec_id").orderBy("vec_id"),
       Some(semanticDedupOracleSql)
+    ),
+
+    // ---- batch k-NN JOIN (top-k neighbors for EVERY query vector), the
+    //      retrieval/labeling shape: query side explodes its multi-probe
+    //      bucket set and equi-joins the bucketed corpus (never replicated,
+    //      no quadratic predicate); per-query window ranks. Quantized
+    //      plane family → full DuckDB twin.
+    QueryDef(
+      "q78_knn_join",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.knnJoin(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding",
+          k = 3, dim = 64, nBits = SemBits, probeHamming = 1,
+          portable = true)
+      },
+      Some(knnJoinOracleSql)
     )
   )
 
@@ -288,6 +305,47 @@ object SimilarityQueries {
        |WHERE NOT EXISTS (
        |  SELECT 1 FROM labels l WHERE l.node = e.vec_id AND l.cl <> e.vec_id)
        |ORDER BY vec_id""".stripMargin
+  }
+
+  /** The q78 oracle: the batch k-NN join in DuckDB — same quantized SRP
+    * buckets (q70 family, [[SemBits]] bits), the query side unnested into
+    * its XOR probe masks (own bucket + each single-bit flip), bucket
+    * equi-join, rounded cosine, row_number per query.
+    */
+  private def knnJoinOracleSql: String = {
+    val bits = Similarity.quantPlanes(64, SemBits).zipWithIndex.map {
+      case (p, i) =>
+        val lst = p.mkString("[", ",", "]")
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), " +
+          s"j -> ($lst)[j] * vq[j])) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" +\n  ")
+    val masks = (0L +: (0 until SemBits).map(i => 1L << i).toSeq)
+      .mkString("[", ",", "]")
+    s"""WITH vq AS (SELECT vec_id,
+       |  list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS vq
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, CAST($bits AS BIGINT) AS bucket FROM vq),
+       |probes AS (SELECT q.vec_id AS q_id, xor(q.bucket, m.m) AS bucket
+       |  FROM b q, (SELECT unnest($masks::BIGINT[]) AS m) m
+       |  WHERE q.vec_id < 20),
+       |cand AS (SELECT p.q_id, c.vec_id AS c_id
+       |  FROM probes p JOIN b c ON c.bucket = p.bucket
+       |  WHERE c.vec_id <> p.q_id),
+       |sims AS (SELECT q_id, c_id,
+       |  round(list_sum(list_transform(range(1, len(eq.embedding) + 1),
+       |      i -> eq.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE)) /
+       |    (sqrt(list_sum(list_transform(eq.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+       |     sqrt(list_sum(list_transform(ec.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4)
+       |    AS cos_sim
+       |  FROM cand
+       |  JOIN embeddings eq ON eq.vec_id = cand.q_id
+       |  JOIN embeddings ec ON ec.vec_id = cand.c_id)
+       |SELECT q_id, c_id, cos_sim, rank FROM (
+       |  SELECT q_id, c_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id)
+       |      AS rank
+       |  FROM sims) r
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
   /** The q75 oracle: the full recall computation in DuckDB, with lshTopK's

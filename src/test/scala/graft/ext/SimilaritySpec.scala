@@ -130,6 +130,20 @@ class SimilaritySpec extends SparkSpec {
     assert(self.getLong(1) == 2L, s"centroid copy must self-assign: $self")
   }
 
+  test("knnJoin: per-query ranked neighbors; planted dup ranks first") {
+    val out = Similarity.knnJoin(vecs, vecs, "vec_id", "embedding",
+        k = 2, dim = 8, nBits = 2, probeHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val q0 = out.filter(_._1 == 0L)
+    assert(q0.nonEmpty && q0.head == ((0L, 10L, 1L)),
+      s"query 0's rank-1 neighbor must be the planted dup: ${q0.toSeq}")
+    // ranks are 1..k and dense per query
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length),
+        s"query $q ranks: ${rows.toSeq}")
+    }
+  }
+
   test("semanticDedup: planted near-dup collapses to the LOWEST id") {
     val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
         dim = 8, threshold = 0.99, nBits = 2)
