@@ -193,6 +193,42 @@ object TextAnalysis {
     spark.createDataFrame(packed, schema)
   }
 
+  /** Benchmark DECONTAMINATION: find corpus documents sharing ≥ `minOverlap`
+    * distinct word n-grams with an evaluation set — the standard guard
+    * against test-set leakage into training data (13-gram overlap in
+    * published pipelines; parameterized here).
+    *
+    * Scale shape: the EVAL side (small by nature) collapses to a distinct
+    * gram-hash set and broadcasts; the corpus streams scan-side through
+    * gram explode → hash → broadcast-join → per-doc count. Corpus text
+    * never shuffles — only matched 8-byte hashes reach the aggregation.
+    * Set `broadcastBench = false` for an eval set too big to broadcast
+    * (falls back to a shuffle join on the gram hash). The overlap COUNT is
+    * hash-function-independent (any collision needs ~1e-15 odds), which is
+    * why q79 can oracle these counts against a string-gram DuckDB twin.
+    */
+  def contamination(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngramWords: Int = 8,
+      minOverlap: Int = 1,
+      broadcastBench: Boolean = true
+  ): DataFrame = {
+    val benchGrams = bench
+      .select(explode(Dedup.wordNgrams(col(textCol), ngramWords)).as("_g"))
+      .select(xxhash64(col("_g")).as("_gram")).distinct()
+    val bg = if (broadcastBench) broadcast(benchGrams) else benchGrams
+    corpus
+      .select(col(idCol), explode(Dedup.wordNgrams(col(textCol), ngramWords)).as("_g"))
+      .select(col(idCol), xxhash64(col("_g")).as("_gram"))
+      .join(bg, Seq("_gram"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** Full per-document metrics table. */
   def metrics(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

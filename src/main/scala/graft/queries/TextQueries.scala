@@ -430,6 +430,34 @@ object TextQueries {
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // ---- benchmark DECONTAMINATION: corpus docs sharing >=2 distinct
+    //      word 3-grams with the "eval set" (stand-in: the 10 lowest ids).
+    //      The overlap count is hash-independent, so Spark's xxhash64-gram
+    //      join oracles directly against DuckDB's string-gram join.
+    QueryDef(
+      "q79_decontamination",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.ext.TextAnalysis.contamination(
+            d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
+            "doc_id", "text", ngramWords = 3, minOverlap = 2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS tk
+             |  FROM documents),
+             |g AS (SELECT doc_id, unnest(list_distinct(
+             |  CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+             |       WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+             |       ELSE list_transform(range(1, len(tk) - 1),
+             |         i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END))
+             |  AS gram FROM t),
+             |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+             |FROM g JOIN bg USING (gram) WHERE g.doc_id >= 10
+             |GROUP BY doc_id HAVING count(*) >= 2 ORDER BY doc_id""".stripMargin)
+    ),
+
     // ---- document fingerprinting (md5 of normalized text)
     QueryDef(
       "q30_fingerprints",
