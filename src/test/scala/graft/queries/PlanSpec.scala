@@ -188,6 +188,48 @@ class PlanSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_docs_by_hash")
   }
 
+  test("q78 knn join: bucket EQUI-join — no cartesian/nested-loop, and " +
+    "the corpus side is scanned once (probe masks explode the QUERY side)") {
+    val df = q("q78_knn_join")
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"knn join must stay an equi-join:\n$p")
+    // the probe-mask Generate sits on the (tiny) query side; the corpus
+    // relation appears once — multi-probe must not replicate the corpus.
+    // (Walk the FINAL adaptive plan: FormattedMode's footer + initial-plan
+    // sections render every scan node more than once.)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case o => o.children.flatMap(scans)
+    }
+    val n = scans(df.queryExecution.executedPlan).length
+    assert(n <= 2, s"expected <=2 parquet scans (query + corpus), got $n:\n$p")
+    assert(p.contains("Generate") && p.contains("explode"),
+      s"probe-mask explode missing:\n$p")
+  }
+
+  test("q77 semantic dedup: candidate generation is bucket-local (equi-join " +
+    "on _bucket), cosine verify not pushed into the join") {
+    import graft.ext.Similarity
+    val e = Q.t(spark, sfDir("0.001"), "embeddings")
+    val pairs = Similarity.nearDupPairs(e, "vec_id", "embedding",
+      dim = 64, threshold = 0.35, nBits = 4)
+    val p = pairs.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"), s"bucketed pairs, not all-pairs:\n$p")
+    // the expensive cosine must evaluate as a post-join Filter, not inside
+    // the join condition where it would run per candidate-probe comparison
+    val joinLines = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq ++
+      p.linesIterator.filter(_.contains("ShuffledHashJoin")).toSeq
+    assert(joinLines.forall(!_.contains("cosine_similarity")),
+      s"cosine leaked into the join condition:\n$p")
+  }
+
   test("entry: flagship plan is fully columnar parquet + codegen") {
     val df = SparkEntry.entry(spark)
     df.collect()
