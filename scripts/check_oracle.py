@@ -50,7 +50,26 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.astype(float)
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("int64")
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    # Sort on scalar columns first; list/array columns (dtype kind 'O'
+    # holding ndarrays/lists) are unhashable for pandas' lexsort, so they
+    # participate via a stable stringified key appended LAST. Both sides
+    # stringify through the same list() normalization, so the total order
+    # is identical for identical data (the only thing compare needs).
+    scalar = [c for c in df.columns if df[c].dtype.kind != "O"
+              or df[c].map(lambda v: not isinstance(
+                  v, (list, tuple)) and not hasattr(v, "__len__")
+                  or isinstance(v, str)).all()]
+    by = list(scalar)
+    extra = []
+    for c in df.columns:
+        if c not in scalar:
+            key = f"_sortkey_{c}"
+            df[key] = df[c].map(
+                lambda v: str(list(v)) if v is not None and not isinstance(
+                    v, str) and hasattr(v, "__iter__") else str(v))
+            extra.append(key)
+    out = df.sort_values(by=by + extra).reset_index(drop=True)
+    return out.drop(columns=extra)
 
 
 def values_equal(a, b):

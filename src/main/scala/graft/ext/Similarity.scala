@@ -315,6 +315,105 @@ object Similarity {
         acc => acc.getField("i")))
   }
 
+  // ---- Product Quantization (PQ): the byte-budget ANN layout -------------
+
+  /** PQ codebooks from a FIXED rule — codeword j of subspace s is the
+    * quantized subvector of row j (the k lowest ids): the same
+    * fixed-quantizer trick as q72, making encode/ADC exact integer math
+    * with a DuckDB twin. Production codebooks come from [[pqTrain]].
+    */
+  def pqCodebooksFixed(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      kCodes: Int
+  ): IndexedSeq[IndexedSeq[IndexedSeq[Long]]] = {
+    require(dim % m == 0, "m must divide dim")
+    val d = dim / m
+    val rows = df.filter(col(idCol) < kCodes).orderBy(idCol)
+      .select(transform(col(vecCol),
+        x => round(x.cast("double") * 1000).cast("long")).as("vq"))
+      .collect().map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+    require(rows.length == kCodes, s"need $kCodes codeword source rows")
+    IndexedSeq.tabulate(m)(s => rows.map(v => v.slice(s * d, s * d + d)))
+  }
+
+  /** PQ codebooks by per-subspace KMeans (driver-side ML, like
+    * [[ivfIndex]]'s coarse quantizer) — centers quantized to the same
+    * `round(x·1000)` grid the encoder uses.
+    */
+  def pqTrain(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      kCodes: Int = 16,
+      seed: Long = 42L
+  ): IndexedSeq[IndexedSeq[IndexedSeq[Long]]] = {
+    require(dim % m == 0, "m must divide dim")
+    val d = dim / m
+    IndexedSeq.tabulate(m) { s =>
+      val sub = df.select(array_to_vector(
+        slice(transform(col(vecCol), _.cast("double")), s * d + 1, d))
+        .as("_f"))
+      val model = new KMeans().setK(kCodes).setSeed(seed + s)
+        .setFeaturesCol("_f").fit(sub)
+      model.clusterCenters.map(_.toArray.map(x =>
+        java.math.BigDecimal.valueOf(x * 1000)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+        .toIndexedSeq).toIndexedSeq
+    }
+  }
+
+  /** PQ encode: the vector quantized to `round(x·1000)` longs, each of the
+    * `m` subvectors replaced by the index of its nearest codeword (exact
+    * integer L2, ties to the lowest index — one native `ivf_argmin` per
+    * subspace). 64-dim float → m bytes-worth of codes: the layout that
+    * keeps billion-row tables in memory for ANN.
+    */
+  def pqEncode(
+      vecCol: Column,
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]
+  ): Column = {
+    val m = codebooks.length
+    val d = codebooks.head.head.length
+    val vq = transform(vecCol, x => round(x.cast("double") * 1000).cast("long"))
+    array((0 until m).map { s =>
+      call_function("ivf_argmin",
+        slice(vq, s * d + 1, d), typedLit(codebooks(s)))
+    }: _*)
+  }
+
+  /** Asymmetric-distance (ADC) lookup tables for one query vector: entry
+    * (s, j) = exact integer L2² between the query's subvector s and
+    * codeword j. Computed once on the driver, rides the plan as one
+    * literal; scoring a row is `m` array lookups.
+    */
+  def pqAdcTables(
+      queryQuantized: IndexedSeq[Long],
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]
+  ): IndexedSeq[IndexedSeq[Long]] = {
+    val d = codebooks.head.head.length
+    codebooks.zipWithIndex.map { case (cb, s) =>
+      val qs = queryQuantized.slice(s * d, s * d + d)
+      cb.map(cw => qs.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }
+  }
+
+  /** ADC score of a PQ code array against one query's lookup tables —
+    * the approximate distance used for candidate ranking at scale.
+    */
+  def pqAdcScore(codesCol: Column, tables: IndexedSeq[IndexedSeq[Long]]): Column = {
+    val t = typedLit(tables)
+    aggregate(
+      sequence(lit(0), lit(tables.length - 1)),
+      lit(0L),
+      (acc, s) => acc + element_at(element_at(t, s + 1),
+        (element_at(codesCol, s + 1) + 1).cast("int")))
+  }
+
   /** IVF index: KMeans coarse quantizer; rows tagged with their centroid id.
     * At lake scale, write the table partitioned by `_ivf_cluster` so a probe
     * prunes partitions at the source.

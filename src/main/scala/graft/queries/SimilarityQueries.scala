@@ -30,6 +30,12 @@ object SimilarityQueries {
   private val SemBits = 4
   private val SemThreshold = 0.3
 
+  /** PQ operating point: 8 subspaces of 8 dims, 16 codewords each.
+    * (Also ABOVE `defs` — see RecallBits.)
+    */
+  private val PqM = 8
+  private val PqK = 16
+
   val defs: Seq[QueryDef] = Seq(
     // ---- brute-force cosine top-k for a fixed query vector (vec_id 0)
     QueryDef(
@@ -261,6 +267,54 @@ object SimilarityQueries {
           portable = true)
       },
       Some(knnJoinOracleSql)
+    ),
+
+    // ---- PRODUCT QUANTIZATION encode, oracled: each 64-dim vector →
+    //      8 codes (nearest codeword per 8-dim subspace, exact integer L2,
+    //      ties to lowest index; one native ivf_argmin per subspace).
+    //      Codebooks = the 16 lowest-id rows' quantized subvectors (the
+    //      q72 fixed-quantizer trick); production trains via pqTrain.
+    QueryDef(
+      "q80_pq_codes",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cbs = Similarity.pqCodebooksFixed(e, "vec_id", "embedding",
+          dim = 64, m = PqM, kCodes = PqK)
+        // one scalar column per code (q69's precedent: the driver compare
+        // sorts rows by the alphabetically-first column, which must never
+        // be an array)
+        val codes = Similarity.pqEncode(col("embedding"), cbs)
+        e.select(col("vec_id") +:
+            (0 until PqM).map(s => element_at(codes, s + 1).as(s"c$s")): _*)
+          .orderBy("vec_id")
+      },
+      Some(pqCodesOracleSql)
+    ),
+
+    // ---- PQ asymmetric-distance top-k: rank ALL vectors by ADC score
+    //      against query 0 using only their 8 codes + the query's lookup
+    //      tables (m integer lookups per row — the billion-row ranking
+    //      path). Exact integer math end-to-end → hash-matched.
+    QueryDef(
+      "q81_pq_adc_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cbs = Similarity.pqCodebooksFixed(e, "vec_id", "embedding",
+          dim = 64, m = PqM, kCodes = PqK)
+        val qq = e.filter(col("vec_id") === 0)
+          .select(transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long")))
+          .head().getSeq[Long](0).toIndexedSeq
+        val tables = Similarity.pqAdcTables(qq, cbs)
+        e.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            Similarity.pqEncode(col("embedding"), cbs).as("_codes"))
+          .select(col("vec_id"),
+            Similarity.pqAdcScore(col("_codes"), tables).as("adc"))
+          .orderBy(asc("adc"), asc("vec_id"))
+          .limit(10)
+      },
+      Some(pqAdcOracleSql)
     )
   )
 
@@ -305,6 +359,51 @@ object SimilarityQueries {
        |WHERE NOT EXISTS (
        |  SELECT 1 FROM labels l WHERE l.node = e.vec_id AND l.cl <> e.vec_id)
        |ORDER BY vec_id""".stripMargin
+  }
+
+  /** Shared CTE prefix for the PQ oracles: quantized vectors, the fixed
+    * codebook rows, and the per-(vector, subspace) nearest-codeword choice
+    * (row_number ordered by exact integer subspace L2, ties to lowest
+    * codeword id — the same tie rule as ivf_argmin).
+    */
+  private def pqChosenCtes: String = {
+    val d = 64 / PqM
+    s"""vq AS (SELECT vec_id,
+       |  list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS vq
+       |  FROM embeddings),
+       |cb AS (SELECT vec_id AS c, vq FROM vq WHERE vec_id < $PqK),
+       |per_sub AS (
+       |  SELECT v.vec_id, sub.s_idx, c.c,
+       |    row_number() OVER (PARTITION BY v.vec_id, sub.s_idx ORDER BY
+       |      list_sum(list_transform(range(1, ${d + 1}),
+       |        j -> (v.vq[sub.s_idx * $d + j] - c.vq[sub.s_idx * $d + j]) *
+       |             (v.vq[sub.s_idx * $d + j] - c.vq[sub.s_idx * $d + j]))),
+       |      c.c) AS rn
+       |  FROM vq v, (SELECT unnest(range(0, $PqM)) AS s_idx) sub, cb c),
+       |chosen AS (SELECT vec_id, s_idx, c FROM per_sub WHERE rn = 1)""".stripMargin
+  }
+
+  private def pqCodesOracleSql: String = {
+    val cols = (0 until PqM)
+      .map(s => s"codes[${s + 1}] AS c$s").mkString(", ")
+    s"""WITH ${pqChosenCtes},
+       |codes AS (SELECT vec_id, list(c ORDER BY s_idx) AS codes
+       |  FROM chosen GROUP BY vec_id)
+       |SELECT vec_id, $cols FROM codes ORDER BY vec_id""".stripMargin
+  }
+
+  private def pqAdcOracleSql: String = {
+    val d = 64 / PqM
+    s"""WITH ${pqChosenCtes},
+       |q AS (SELECT vq FROM vq WHERE vec_id = 0)
+       |SELECT ch.vec_id, CAST(sum(
+       |    list_sum(list_transform(range(1, ${d + 1}),
+       |      j -> (q.vq[ch.s_idx * $d + j] - c.vq[ch.s_idx * $d + j]) *
+       |           (q.vq[ch.s_idx * $d + j] - c.vq[ch.s_idx * $d + j])))
+       |  ) AS BIGINT) AS adc
+       |FROM chosen ch JOIN cb c ON c.c = ch.c, q
+       |WHERE ch.vec_id <> 0
+       |GROUP BY ch.vec_id ORDER BY adc, ch.vec_id LIMIT 10""".stripMargin
   }
 
   /** The q78 oracle: the batch k-NN join in DuckDB — same quantized SRP

@@ -144,6 +144,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ: codeword-source rows self-encode; own reconstruction has ADC 0; " +
+    "pqTrain yields well-shaped codebooks") {
+    val cbs = Similarity.pqCodebooksFixed(vecs, "vec_id", "embedding",
+      dim = 8, m = 2, kCodes = 4)
+    assert(cbs.length == 2 && cbs.forall(_.length == 4) &&
+      cbs.forall(_.forall(_.length == 4)))
+    val encoded = vecs.select(col("vec_id"),
+      Similarity.pqEncode(col("embedding"), cbs).as("codes"))
+    val codesOf = encoded.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // each codebook-source row's subvectors ARE codewords → distance 0 →
+    // self-assignment in every subspace
+    (0L until 4L).foreach(j =>
+      assert(codesOf(j) == Seq(j, j), s"row $j codes: ${codesOf(j)}"))
+    // ADC of a source row against its own query tables is exactly 0
+    val qq = vecs.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long")))
+      .head().getSeq[Long](0).toIndexedSeq
+    val tables = Similarity.pqAdcTables(qq, cbs)
+    val adc0 = encoded.filter(col("vec_id") === 0)
+      .select(Similarity.pqAdcScore(col("codes"), tables))
+      .head().getLong(0)
+    assert(adc0 == 0L, s"self ADC must be 0, got $adc0")
+    // production trainer: shape + self-consistent encode domain
+    val trained = Similarity.pqTrain(vecs, "embedding", dim = 8, m = 2,
+      kCodes = 3)
+    assert(trained.length == 2 && trained.forall(_.length == 3))
+    val codes = vecs.select(
+      Similarity.pqEncode(col("embedding"), trained).as("c"))
+      .collect().flatMap(_.getSeq[Long](0))
+    assert(codes.forall(c => c >= 0 && c < 3))
+  }
+
   test("semanticDedup: planted near-dup collapses to the LOWEST id") {
     val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
         dim = 8, threshold = 0.99, nBits = 2)
