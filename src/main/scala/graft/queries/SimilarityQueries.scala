@@ -315,6 +315,43 @@ object SimilarityQueries {
           .limit(10)
       },
       Some(pqAdcOracleSql)
+    ),
+
+    // ---- IVF-PQ, the canonical billion-scale ANN layout, composed and
+    //      oracled end-to-end: coarse-quantizer cell routing (q72's fixed
+    //      8-cell quantizer) prunes the scan to the 3 cells nearest the
+    //      query, then PQ ADC (q81's fixed codebooks) ranks the survivors
+    //      — every step exact integer math with a DuckDB twin.
+    QueryDef(
+      "q82_ivfpq_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val centroids = e.filter(col("vec_id") < 8).orderBy("vec_id")
+          .select(transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long")).as("cq"))
+          .collect().map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+        val cbs = Similarity.pqCodebooksFixed(e, "vec_id", "embedding",
+          dim = 64, m = PqM, kCodes = PqK)
+        val qq = e.filter(col("vec_id") === 0)
+          .select(transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long")))
+          .head().getSeq[Long](0).toIndexedSeq
+        val cells = centroids.zipWithIndex
+          .map { case (c, i) =>
+            (i, c.zip(qq).map { case (a, b) => (a - b) * (a - b) }.sum)
+          }
+          .sortBy { case (i, d) => (d, i) }.take(3).map(_._1.toLong)
+        val tables = Similarity.pqAdcTables(qq, cbs)
+        e.withColumn("_cell",
+            Similarity.ivfAssignQuantized(col("embedding"), centroids))
+          .filter(col("_cell").isin(cells: _*) && col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            Similarity.pqAdcScore(
+              Similarity.pqEncode(col("embedding"), cbs), tables).as("adc"))
+          .orderBy(asc("adc"), asc("vec_id"))
+          .limit(10)
+      },
+      Some(ivfPqOracleSql)
     )
   )
 
@@ -403,6 +440,36 @@ object SimilarityQueries {
        |  ) AS BIGINT) AS adc
        |FROM chosen ch JOIN cb c ON c.c = ch.c, q
        |WHERE ch.vec_id <> 0
+       |GROUP BY ch.vec_id ORDER BY adc, ch.vec_id LIMIT 10""".stripMargin
+  }
+
+  /** The q82 oracle: IVF cell routing (q72's assign/qcell CTEs) composed
+    * with PQ ADC ranking (q81's chosen/adc CTEs) — all exact integer math.
+    */
+  private def ivfPqOracleSql: String = {
+    val d = 64 / PqM
+    s"""WITH ${pqChosenCtes},
+       |c8 AS (SELECT vec_id AS cid, vq AS cq FROM vq WHERE vec_id < 8),
+       |qcell AS (SELECT cid FROM (
+       |  SELECT c.cid, list_sum(list_transform(generate_series(1, 64),
+       |    j -> (q.vq[j] - c.cq[j]) * (q.vq[j] - c.cq[j]))) AS dist
+       |  FROM vq q, c8 c WHERE q.vec_id = 0 ORDER BY dist, cid LIMIT 3) y),
+       |assign AS (SELECT vec_id, cell FROM (
+       |  SELECT v.vec_id, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      list_sum(list_transform(generate_series(1, 64),
+       |        j -> (v.vq[j] - c.cq[j]) * (v.vq[j] - c.cq[j]))), c.cid) AS rn
+       |  FROM vq v, c8 c) z WHERE rn = 1),
+       |q AS (SELECT vq FROM vq WHERE vec_id = 0)
+       |SELECT ch.vec_id, CAST(sum(
+       |    list_sum(list_transform(range(1, ${d + 1}),
+       |      j -> (q.vq[ch.s_idx * $d + j] - c.vq[ch.s_idx * $d + j]) *
+       |           (q.vq[ch.s_idx * $d + j] - c.vq[ch.s_idx * $d + j])))
+       |  ) AS BIGINT) AS adc
+       |FROM chosen ch JOIN cb c ON c.c = ch.c, q
+       |WHERE ch.vec_id <> 0
+       |  AND ch.vec_id IN (SELECT a.vec_id FROM assign a
+       |    WHERE a.cell IN (SELECT cid FROM qcell))
        |GROUP BY ch.vec_id ORDER BY adc, ch.vec_id LIMIT 10""".stripMargin
   }
 
