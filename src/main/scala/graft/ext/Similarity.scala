@@ -494,6 +494,73 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist an IVF-PQ index: rows partitioned by coarse cell with their PQ
+    * codes MATERIALIZED and the raw vectors DROPPED — the serving layout
+    * where a probe reads only the nProbe cell directories and ranks rows by
+    * ADC without ever touching an embedding (codes are m longs vs dim
+    * floats: the byte budget that keeps billion-row indexes scan-cheap).
+    * Codebooks and centroids go to sidecar parquets.
+    */
+  def writeIvfPqIndex(
+      index: IvfIndex,
+      vecCol: String,
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Long]]],
+      path: String
+  ): Unit = {
+    index.assigned
+      .withColumn("_pq_codes", pqEncode(col(vecCol), codebooks))
+      .drop(vecCol)
+      .write.mode("overwrite").partitionBy("_ivf_cluster").parquet(path)
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("_ivf_cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(centroidsPath(path))
+    codebooks.zipWithIndex
+      .flatMap { case (cb, s) => cb.zipWithIndex.map { case (cw, c) => (s, c, cw) } }
+      .toDF("s_idx", "c_idx", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(s"${path}_codebooks")
+  }
+
+  /** ADC top-k against a PERSISTED IVF-PQ index: route the query to its
+    * nProbe nearest cells (centroid sidecar, driver math), then rank only
+    * those cells' rows by ADC lookups on the stored codes — the scan reads
+    * nProbe partition directories and never a vector column
+    * (PlanSpec-asserted).
+    */
+  def ivfPqTopK(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      queryVec: IndexedSeq[Float],
+      k: Int,
+      nProbe: Int = 3
+  ): DataFrame = {
+    val centroids = spark.read.parquet(centroidsPath(path))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val codebooks = spark.read.parquet(s"${path}_codebooks")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toIndexedSeq))
+      .groupBy(_._1).toIndexedSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toIndexedSeq)
+    val q = queryVec.map(_.toDouble).toArray
+    val cells = centroids.zipWithIndex
+      .map { case (c, i) =>
+        (i, c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      .sortBy { case (i, d) => (d, i) }.take(nProbe).map(_._1)
+    val qq = q.map(x => java.math.BigDecimal.valueOf(x * 1000)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()).toIndexedSeq
+    val tables = pqAdcTables(qq, codebooks)
+    spark.read.parquet(path)
+      .filter(col("_ivf_cluster").isin(cells.toIndexedSeq: _*))
+      .select(col(idCol), pqAdcScore(col("_pq_codes"), tables).as("adc"))
+      .orderBy(asc("adc"), asc(idCol))
+      .limit(k)
+  }
+
   /** All near-duplicate embedding pairs with cosine ≥ threshold, LSH-bucketed
     * (same-bucket self-join instead of all-pairs), exact-verified.
     */

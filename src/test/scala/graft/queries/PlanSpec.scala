@@ -116,6 +116,40 @@ class PlanSpec extends SparkSpec {
     assert(read.forall(_ <= 3), s"probe read partitions: $read (expected <=3)")
   }
 
+  test("IVF-PQ: persisted-index probe prunes to nProbe partitions AND " +
+    "serves from codes only (no vector column in the scan)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import graft.ext.Similarity
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/idx"
+    val emb = Q.t(spark, sfDir("0.001"), "embeddings")
+    val idx = Similarity.ivfIndex(emb, "embedding", kClusters = 8)
+    val cbs = Similarity.pqCodebooksFixed(emb, "vec_id", "embedding",
+      dim = 64, m = 8, kCodes = 16)
+    Similarity.writeIvfPqIndex(idx, "embedding", cbs, tmp)
+    val qv = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toIndexedSeq
+    val probe = Similarity.ivfPqTopK(spark, tmp, "vec_id", qv, k = 5, nProbe = 3)
+    assert(probe.collect().length == 5)
+    val partScans = scans(probe.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.nonEmpty)
+    assert(partScans.nonEmpty, "no partitioned scan in the probe plan")
+    val read = partScans.map(_.metrics("numPartitions").value)
+    assert(read.forall(_ <= 3), s"probe read partitions: $read (expected <=3)")
+    partScans.foreach { f =>
+      val fields = f.requiredSchema.fieldNames.toSet
+      assert(fields.contains("_pq_codes"), s"codes missing from scan: $fields")
+      assert(!fields.contains("embedding"),
+        s"probe must never read raw vectors: $fields")
+    }
+  }
+
   test("minhash signatures: gram hashes never shuffle; native fused expression") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.SparkPlan
