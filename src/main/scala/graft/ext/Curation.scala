@@ -1,0 +1,230 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.queries.Q
+
+/** Corpus-curation operators for LLM training-data pipelines: PII scrubbing,
+  * repetition/quality heuristics (Gopher-style rules), domain-mixture
+  * weighting, linear quality-classifier inference and BM25 retrieval.
+  *
+  * Everything is pure Column expressions or a single reduced aggregation —
+  * no UDFs, no driver-side loops — so the operators stay inside whole-stage
+  * codegen and scale linearly with the corpus. Regexes are restricted to the
+  * syntax subset Java regex and RE2 (DuckDB) share, which is what makes the
+  * oracle twins possible.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------- PII ----
+
+  /** PII patterns (category → regex). Deliberately RE2-compatible: character
+    * classes, bounded repetition, non-capturing groups and ASCII `\b` only.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,6}",
+    "ipv4" -> "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  )
+
+  /** Occurrence count of one PII category in `c` (long). */
+  def piiCount(c: Column, category: String): Column =
+    regexp_count(c, lit(piiPatterns.toMap.apply(category))).cast("long")
+
+  /** Redact every PII occurrence with `[CATEGORY]` placeholders. Email runs
+    * first (its local part may contain digits/dots that the other patterns
+    * could partially claim), then phone, then ipv4.
+    */
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (cat, re)) =>
+      regexp_replace(acc, re, s"[${cat.toUpperCase}]")
+    }
+
+  // ------------------------------------------- repetition (Gopher rules) ---
+
+  /** Non-distinct word bigrams ("w1 w2" strings); empty/1-token texts give
+    * an empty array. Unlike [[Dedup.wordNgrams]] this keeps duplicates —
+    * repetition scoring is exactly about the duplicates.
+    */
+  def wordBigrams(c: Column): Column = {
+    val toks = TextAnalysis.tokens(c)
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+  }
+
+  /** Per-document repetition metrics (the Gopher/Falcon quality-rule family)
+    * over `textCol`:
+    *  - `n_words`, `n_distinct_words`, `mean_word_len`
+    *  - `top_word_frac`: occurrences of the most frequent word / n_words
+    *  - `dup_bigram_frac`: 1 − distinct bigrams / total bigrams
+    *  - `keep`: the composite filter decision
+    *
+    * Scale shape: everything except `top_word_frac` is computed SCAN-SIDE
+    * with array expressions (zero shuffle); only (id, word) counts shuffle
+    * for the top-word statistic, and those rows are words, never documents.
+    * All ratios are single exact-operand double divisions, so the DuckDB
+    * twin reproduces them bit-exactly.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val bigrams = wordBigrams(col(textCol))
+    val scan = df.select(
+      col(idCol),
+      size(toks).cast("long").as("n_words"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_words"),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("_chars"),
+      size(bigrams).cast("long").as("_n_bigrams"),
+      size(array_distinct(bigrams)).cast("long").as("_n_distinct_bigrams")
+    )
+    val topWord = df
+      .select(col(idCol), explode(toks).as("_w"))
+      .groupBy(col(idCol), col("_w"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol))
+      .agg(max(col("_c")).cast("long").as("_top_cnt"))
+    val m = scan
+      .join(topWord, Seq(idCol), "left")
+      .withColumn("mean_word_len",
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise(round(col("_chars").cast("double") / col("n_words"), 6)))
+      .withColumn("top_word_frac",
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise(round(
+            coalesce(col("_top_cnt"), lit(0L)).cast("double") / col("n_words"), 6)))
+      .withColumn("dup_bigram_frac",
+        when(col("_n_bigrams") === 0, lit(0.0))
+          .otherwise(round(
+            lit(1.0) - col("_n_distinct_bigrams").cast("double") / col("_n_bigrams"), 6)))
+    m.withColumn("keep",
+        col("n_words") >= 5 && col("mean_word_len").between(2.0, 12.0) &&
+          col("top_word_frac") <= 0.2 && col("dup_bigram_frac") <= 0.4)
+      .select(col(idCol), col("n_words"), col("n_distinct_words"),
+        col("mean_word_len"), col("top_word_frac"), col("dup_bigram_frac"),
+        col("keep"))
+  }
+
+  // ----------------------------------------------------- domain mixture ---
+
+  /** Temperature-weighted domain-mixture table: one row per `groupCol` value
+    * with `weight ∝ count^0.5` normalized to 1 — the "α-sampling" step that
+    * rebalances source domains before training (α = 0.5, i.e. sqrt, chosen
+    * because IEEE sqrt is correctly rounded in every engine; ln/pow are not).
+    *
+    * The raw weights are rounded to 6 dp and summed as DECIMAL so the
+    * normalizing total is exact and order-independent — groupBy reduces the
+    * corpus to |domains| rows first, so the crossJoin is a broadcast of one
+    * tiny aggregate row, never a corpus-sized shuffle.
+    */
+  def mixtureWeights(df: DataFrame, groupCol: String): DataFrame = {
+    val raw = df
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .withColumn("_w",
+        round(sqrt(col("n_docs").cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+    val total = broadcast(raw.agg(sum(col("_w")).as("_total")))
+    raw
+      .crossJoin(total)
+      .withColumn("weight",
+        round(col("_w").cast("double") / col("_total").cast("double"), 6))
+      .select(col(groupCol), col("n_docs"), col("weight"))
+  }
+
+  // ------------------------------------------- quality classifier (LR) ----
+
+  /** Deterministic text features for the linear quality model, each in [0,1].
+    * All four are exact-arithmetic (integer counts + one double division), so
+    * the classifier's input — and with rounding, its output — is
+    * engine-portable.
+    */
+  def qualityFeatures(c: Column): Seq[Column] = {
+    val nTok = TextAnalysis.tokenCount(c)
+    val f1 = least(length(c).cast("double") / 500.0, lit(1.0))
+    val f2 = TextAnalysis.alphaRatio(c)
+    val f3 = least(TextAnalysis.stopwordRatio(c) * 5.0, lit(1.0))
+    val meanTok =
+      when(nTok === 0, lit(0.0))
+        .otherwise(length(regexp_replace(c, "\\s+", "")).cast("double") / nTok)
+    val f4 = least(meanTok / 10.0, lit(1.0))
+    Seq(f1, f2, f3, f4)
+  }
+
+  /** Fixed weights/bias of the quality model — stand-ins for a trained
+    * fastText/LR quality classifier; inference shape is identical.
+    */
+  val qualityWeights: Seq[Double] = Seq(0.8, 1.5, 2.0, -0.7)
+  val qualityBias: Double = -1.2
+
+  /** Logistic-regression inference: sigmoid(w·x + b), z rounded to 6 dp
+    * before the exp so both engines exponentiate the identical argument.
+    */
+  def logisticScore(features: Seq[Column], weights: Seq[Double], bias: Double): Column = {
+    require(features.length == weights.length, "feature/weight arity mismatch")
+    val z = round(
+      features.zip(weights).foldLeft(lit(bias): Column) {
+        case (acc, (f, w)) => acc + f * lit(w)
+      }, 6)
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
+  }
+
+  // ----------------------------------------------------------- BM25 -------
+
+  /** BM25 top-k retrieval of `terms` over the corpus (Okapi BM25, k1/b as
+    * published). The per-(doc,term) partial scores are rounded to 6 dp and
+    * summed as DECIMAL so the per-document total is order-independent —
+    * double `sum()` would depend on partitioning.
+    *
+    * Scale shape: term frequencies are SCAN-SIDE (`size(filter(tokens))` per
+    * query term — the corpus is never exploded into its full token stream);
+    * only docs matching ≥1 query term reach the aggregation, and N/avgdl/df
+    * ride the plan as broadcast one-row aggregates.
+    */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    val base = df.select(
+      col(idCol),
+      size(toks).cast("long").as("_dl"),
+      array(terms.map(t =>
+        size(filter(toks, x => x === lit(t))).cast("long")): _*).as("_tfs"))
+    // melt to (id, dl, term, tf>0) rows — one row per matched (doc, term)
+    val pairs = base
+      .select(col(idCol), col("_dl"),
+        posexplode(col("_tfs")).as(Seq("_ti", "tf")))
+      .filter(col("tf") > 0)
+      .withColumn("term",
+        element_at(typedLit(terms), col("_ti").cast("int") + 1))
+    val stats = broadcast(base.agg(
+      count(lit(1)).cast("long").as("_n"),
+      (sum(col("_dl")).cast("double") / count(lit(1))).as("_avgdl")))
+    val docFreq = pairs.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("_df"))
+    val partial = pairs
+      .join(broadcast(docFreq), "term")
+      .crossJoin(stats)
+      .withColumn("_idf",
+        log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5)))
+      .withColumn("_ts", round(
+        col("_idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("_dl") / col("_avgdl"))),
+        6).cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+    val scored = partial
+      .groupBy(col(idCol))
+      .agg(
+        round(sum(col("_ts")).cast("double"), 4).as("bm25"),
+        count(lit(1)).cast("long").as("n_terms_hit"))
+      .orderBy(desc("bm25"), col(idCol))
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(desc("bm25"), col(idCol))).cast("long"))
+  }
+}

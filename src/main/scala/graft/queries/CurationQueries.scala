@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.Curation
+import graft.queries.Q._
+
+/** Corpus-curation operators (graft.ext.Curation) over `documents`, every one
+  * oracle-backed: the regex subset is Java/RE2-shared, all ratios are exact
+  * single divisions, order-dependent double sums route through DECIMAL, and
+  * float constants are either written literal-identically in both engines or
+  * chosen binary-exact (0.5/0.75/1.5) — see Curation's scaladoc.
+  */
+object CurationQueries {
+
+  /** The synthetic-PII augmentation used by q83: the test corpus contains no
+    * PII by construction, so both engines deterministically append
+    * email/phone/IPv4 strings to a doc_id-keyed subset. The OPERATOR under
+    * test (piiCount/redactPii) sees a realistic mixed corpus.
+    */
+  private def augmentedText = concat(
+    col("text"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com now"))).otherwise(lit("")),
+    when(col("doc_id") % 5 === 0,
+      concat(lit(" call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+    when(col("doc_id") % 7 === 0,
+      concat(lit(" host 10."), (col("doc_id") % 200).cast("string"),
+        lit(".0."), ((col("doc_id") * 3) % 250).cast("string")))
+      .otherwise(lit("")))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- PII scan + redaction census over the augmented corpus
+    QueryDef(
+      "q83_pii_scan",
+      (s, dir) => {
+        val perDoc = t(s, dir, "documents")
+          .select(augmentedText.as("t"))
+          .select(
+            Curation.piiCount(col("t"), "email").as("e"),
+            Curation.piiCount(col("t"), "phone").as("p"),
+            Curation.piiCount(col("t"), "ipv4").as("i"),
+            md5(Curation.redactPii(col("t")).cast("binary")).as("r"))
+        perDoc.agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("e")).as("total_emails"),
+          sum(col("p")).as("total_phones"),
+          sum(col("i")).as("total_ipv4"),
+          sum(when(col("e") + col("p") + col("i") > 0, 1L).otherwise(0L))
+            .as("docs_with_pii"),
+          countDistinct(col("r")).as("n_distinct_redacted"))
+      },
+      Some("""WITH aug AS (
+             |  SELECT text
+             |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+             |    || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+             |    || CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || (doc_id % 200) || '.0.' || ((doc_id * 3) % 250) ELSE '' END AS t
+             |  FROM documents),
+             |c AS (SELECT
+             |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+             |  len(regexp_extract_all(t, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,6}')) AS p,
+             |  len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS i,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,6}', '[PHONE]', 'g'),
+             |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IPV4]', 'g')) AS r
+             |  FROM aug)
+             |SELECT count(*) AS n_docs,
+             |  CAST(sum(e) AS BIGINT) AS total_emails,
+             |  CAST(sum(p) AS BIGINT) AS total_phones,
+             |  CAST(sum(i) AS BIGINT) AS total_ipv4,
+             |  CAST(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+             |  count(DISTINCT r) AS n_distinct_redacted
+             |FROM c""".stripMargin)
+    ),
+
+    // ---- Gopher-style repetition/quality rules, per document
+    QueryDef(
+      "q84_repetition_rules",
+      (s, dir) =>
+        Curation.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |                             x -> x <> '') AS t
+             |  FROM documents),
+             |scan AS (
+             |  SELECT doc_id, len(t) AS n_words, len(list_distinct(t)) AS n_distinct,
+             |    coalesce(list_sum(list_transform(t, x -> len(x))), 0) AS chars,
+             |    CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+             |         ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             |    END AS bg
+             |  FROM toks),
+             |uni AS (SELECT doc_id, w, count(*) AS c
+             |        FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2),
+             |top AS (SELECT doc_id, max(c) AS top_cnt FROM uni GROUP BY 1),
+             |m AS (
+             |  SELECT s.doc_id,
+             |    CAST(s.n_words AS BIGINT) AS n_words,
+             |    CAST(s.n_distinct AS BIGINT) AS n_distinct_words,
+             |    CASE WHEN s.n_words = 0 THEN 0.0
+             |         ELSE round(CAST(s.chars AS DOUBLE) / s.n_words, 6) END AS mean_word_len,
+             |    CASE WHEN s.n_words = 0 THEN 0.0
+             |         ELSE round(CAST(coalesce(top.top_cnt, 0) AS DOUBLE) / s.n_words, 6) END AS top_word_frac,
+             |    CASE WHEN len(s.bg) = 0 THEN 0.0
+             |         ELSE round(1.0 - CAST(len(list_distinct(s.bg)) AS DOUBLE) / len(s.bg), 6) END AS dup_bigram_frac
+             |  FROM scan s LEFT JOIN top ON s.doc_id = top.doc_id)
+             |SELECT doc_id, n_words, n_distinct_words, mean_word_len,
+             |  top_word_frac, dup_bigram_frac,
+             |  (n_words >= 5 AND mean_word_len BETWEEN 2.0 AND 12.0
+             |   AND top_word_frac <= 0.2 AND dup_bigram_frac <= 0.4) AS keep
+             |FROM m ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ---- temperature-weighted domain mixture (alpha = 0.5 resampling)
+    QueryDef(
+      "q85_domain_mixture",
+      (s, dir) =>
+        Curation.mixtureWeights(t(s, dir, "documents"), "source")
+          .orderBy(col("source")),
+      Some("""WITH g AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    CAST(round(sqrt(CAST(count(*) AS DOUBLE)), 6) AS DECIMAL(20,6)) AS w
+             |  FROM documents GROUP BY 1),
+             |tot AS (SELECT sum(w) AS total FROM g)
+             |SELECT source, n_docs,
+             |  round(CAST(w AS DOUBLE) / CAST(total AS DOUBLE), 6) AS weight
+             |FROM g CROSS JOIN tot ORDER BY source""".stripMargin)
+    ),
+
+    // ---- fixed-weight logistic quality-classifier inference
+    QueryDef(
+      "q86_quality_classifier",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val score = Curation.logisticScore(
+          Curation.qualityFeatures(col("text")),
+          Curation.qualityWeights, Curation.qualityBias)
+        docs
+          .select(col("doc_id"), score.as("score"))
+          .withColumn("keep", col("score") >= 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) AS f1,
+             |    CASE WHEN len(text) = 0 THEN 0.0
+             |         ELSE CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / len(text) END AS f2,
+             |    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS ntok,
+             |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS hits,
+             |    len(regexp_replace(text, '\s+', '', 'g')) AS nchars
+             |  FROM documents),
+             |z AS (
+             |  SELECT doc_id,
+             |    round(-1.2
+             |      + f1 * 0.8
+             |      + f2 * 1.5
+             |      + least((CASE WHEN ntok = 0 THEN 0.0 ELSE CAST(hits AS DOUBLE) / ntok END) * 5.0, 1.0) * 2.0
+             |      + least((CASE WHEN ntok = 0 THEN 0.0 ELSE CAST(nchars AS DOUBLE) / ntok END) / 10.0, 1.0) * (-0.7), 6) AS zv
+             |  FROM f)
+             |SELECT doc_id, round(1.0 / (1.0 + exp(-zv)), 4) AS score,
+             |  round(1.0 / (1.0 + exp(-zv)), 4) >= 0.5 AS keep
+             |FROM z ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ---- BM25 top-k retrieval over the corpus
+    QueryDef(
+      "q87_bm25_topk",
+      (s, dir) =>
+        Curation.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("spark", "join", "window", "hash"),
+          k = 10, k1 = 1.5, b = 0.75),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |                             x -> x <> '') AS t
+             |  FROM documents),
+             |base AS (
+             |  SELECT doc_id, len(t) AS dl,
+             |    [len(list_filter(t, x -> x = 'spark')),
+             |     len(list_filter(t, x -> x = 'join')),
+             |     len(list_filter(t, x -> x = 'window')),
+             |     len(list_filter(t, x -> x = 'hash'))] AS tfs
+             |  FROM toks),
+             |pairs AS (
+             |  SELECT doc_id, dl,
+             |    (['spark','join','window','hash'])[i] AS term, tfs[i] AS tf
+             |  FROM base CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i) u
+             |  WHERE tfs[i] > 0),
+             |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM base),
+             |dfreq AS (SELECT term, count(*) AS dfc FROM pairs GROUP BY 1),
+             |partial AS (
+             |  SELECT p.doc_id,
+             |    CAST(round(
+             |      ln(1.0 + (n - dfc + 0.5) / (dfc + 0.5))
+             |        * (tf * 2.5)
+             |        / (tf + 1.5 * (0.25 + 0.75 * dl / avgdl)),
+             |      6) AS DECIMAL(20,6)) AS ts
+             |  FROM pairs p JOIN dfreq USING (term) CROSS JOIN stats),
+             |scored AS (
+             |  SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 4) AS bm25,
+             |    count(*) AS n_terms_hit
+             |  FROM partial GROUP BY 1)
+             |SELECT doc_id, bm25, n_terms_hit,
+             |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+             |FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,130 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed semantics for the curation operators (oracle value parity
+  * at corpus scale is covered by q83–q87 / check_oracle.py).
+  */
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("piiCount + redactPii: counts and placeholders on a crafted string") {
+    val s = "mail a.b+c@x-mail.co.uk or bob@ex.io, call +1-555-0099, " +
+      "host 192.168.0.1 end"
+    val df = Seq(s).toDF("t").select(
+      Curation.piiCount(col("t"), "email").as("e"),
+      Curation.piiCount(col("t"), "phone").as("p"),
+      Curation.piiCount(col("t"), "ipv4").as("i"),
+      Curation.redactPii(col("t")).as("r"))
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 2)
+    assert(r.getLong(1) == 1)
+    assert(r.getLong(2) == 1)
+    assert(r.getString(3) ==
+      "mail [EMAIL] or [EMAIL], call [PHONE], host [IPV4] end")
+  }
+
+  test("piiCount: clean text counts zero in every category") {
+    val df = Seq("no pii here at all").toDF("t")
+    val r = df.select(
+      Curation.piiCount(col("t"), "email") +
+        Curation.piiCount(col("t"), "phone") +
+        Curation.piiCount(col("t"), "ipv4")).collect()(0)
+    assert(r.getLong(0) == 0)
+  }
+
+  test("wordBigrams: ordered, duplicate-preserving; degenerate inputs empty") {
+    val bg = Seq("a b a b", "solo", "", "  ").toDF("t")
+      .select(Curation.wordBigrams(col("t")).as("bg"))
+      .collect().map(_.getSeq[String](0))
+    assert(bg(0) == Seq("a b", "b a", "a b"))
+    assert(bg(1).isEmpty && bg(2).isEmpty && bg(3).isEmpty)
+  }
+
+  test("repetitionMetrics: hand-computed fractions and the keep rule") {
+    val docs = Seq(
+      (1L, "spam spam spam spam ham"),            // top_word 4/5, dup bigram
+      (2L, "the quick brown fox jumps over dog"), // clean 7-word prose
+      (3L, "hi")                                  // too short
+    ).toDF("doc_id", "text")
+    val m = Curation.repetitionMetrics(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: 5 words, 2 distinct, top 4/5, bigrams: 4 total 2 distinct
+    assert(m(0).getLong(1) == 5 && m(0).getLong(2) == 2)
+    assert(m(0).getDouble(4) == 0.8)
+    assert(m(0).getDouble(5) == 0.5)
+    assert(!m(0).getBoolean(6)) // repetitive → filtered
+    // doc 2: 7 distinct words, no repetition → kept
+    assert(m(1).getLong(1) == 7 && m(1).getLong(2) == 7)
+    assert(m(1).getDouble(4) == math.rint(1.0 / 7.0 * 1e6) / 1e6)
+    assert(m(1).getBoolean(6))
+    // doc 3: below the 5-word floor → filtered
+    assert(!m(2).getBoolean(6))
+  }
+
+  test("mixtureWeights: sqrt-temperature weights, normalized, count-derived") {
+    val df = (Seq.fill(9)("a") ++ Seq.fill(4)("b") ++ Seq("c")).toDF("src")
+    val w = Curation.mixtureWeights(df, "src").orderBy("src").collect()
+    // raw weights 3, 2, 1 → normalized 0.5, 1/3, 1/6
+    assert(w.map(_.getLong(1)).toSeq == Seq(9L, 4L, 1L))
+    assert(w(0).getDouble(2) == 0.5)
+    assert(w(1).getDouble(2) == 0.333333)
+    assert(w(2).getDouble(2) == 0.166667)
+    assert(math.abs(w.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+  }
+
+  test("logisticScore: sigmoid of the weighted features, rounded") {
+    // single feature, weight 1, bias 0 → sigmoid(f)
+    val df = Seq(0.0, 1.0).toDF("f")
+    val s = df.select(
+      Curation.logisticScore(Seq(col("f")), Seq(1.0), 0.0).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(s(0) == 0.5)
+    assert(s(1) == math.rint(1.0 / (1.0 + math.exp(-1.0)) * 1e4) / 1e4)
+  }
+
+  test("bm25TopK: rarer term outranks common term at equal tf") {
+    val docs = Seq(
+      (1L, "alpha beta beta beta"),   // common term only
+      (2L, "gamma beta beta beta"),   // rare + common
+      (3L, "beta beta beta beta"),
+      (4L, "beta delta delta delta")
+    ).toDF("doc_id", "text")
+    val top = Curation.bm25TopK(docs, "doc_id", "text",
+      terms = Seq("alpha", "gamma", "beta"), k = 4)
+    val rows = top.collect()
+    // doc 2 and doc 1 both have one rare term + 3×beta; gamma and alpha have
+    // identical df → identical score; tie broken by doc_id
+    assert(rows.map(_.getLong(0)).take(2).toSeq == Seq(1L, 2L))
+    assert(rows(0).getDouble(1) == rows(1).getDouble(1))
+    // every returned doc matched at least one term; ranks are 1..n
+    assert(rows.map(_.getLong(3)).toSeq == (1L to rows.length).toSeq)
+  }
+
+  test("bm25TopK: no query term in corpus → empty result") {
+    val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
+    assert(Curation.bm25TopK(docs, "doc_id", "text", Seq("missing")).isEmpty)
+  }
+
+  test("mixtureWeights plan: normalizing total is broadcast, not shuffled") {
+    val df = Seq.fill(8)("a").toDF("src")
+    val plan = Curation.mixtureWeights(df, "src")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"))
+  }
+
+  test("repetitionMetrics on empty and whitespace-only docs") {
+    val docs = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val m = Curation.repetitionMetrics(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    m.foreach { r =>
+      assert(r.getLong(1) == 0)
+      assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0 &&
+        r.getDouble(5) == 0.0)
+      assert(!r.getBoolean(6))
+    }
+  }
+}
