@@ -45,13 +45,23 @@ object Curation {
   /** Non-distinct word bigrams ("w1 w2" strings); empty/1-token texts give
     * an empty array. Unlike [[Dedup.wordNgrams]] this keeps duplicates —
     * repetition scoring is exactly about the duplicates.
+    *
+    * IMPORTANT: pass a MATERIALIZED token-array column (a plain attribute),
+    * not an inline `tokens(text)` subtree — the lambda slices `toks` per
+    * element, so an inline tokenization would be re-evaluated for every
+    * bigram (O(n²) per document; the round-2 nested-HOF trap).
     */
-  def wordBigrams(c: Column): Column = {
-    val toks = TextAnalysis.tokens(c)
+  def bigramsFromTokens(toks: Column): Column =
     when(size(toks) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - 1),
         i => concat_ws(" ", slice(toks, i, lit(2)))))
-  }
+
+  /** Convenience form over raw text. O(tokens²) per row — the inline
+    * tokenization re-runs inside the per-element slice — so this is for
+    * ad-hoc/small inputs only; corpus paths project the tokens first.
+    */
+  def wordBigrams(c: Column): Column =
+    bigramsFromTokens(TextAnalysis.tokens(c))
 
   /** Per-document repetition metrics (the Gopher/Falcon quality-rule family)
     * over `textCol`:
@@ -67,9 +77,16 @@ object Curation {
     * twin reproduces them bit-exactly.
     */
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    val bigrams = wordBigrams(col(textCol))
-    val scan = df.select(
+    // materialize the token and bigram arrays ONCE per row: every metric
+    // below references the attribute, so the split/filter/transform work is
+    // not re-inlined into each consumer (CollapseProject keeps non-cheap
+    // aliases used here; inlining them made the op O(tokens²) per doc)
+    val withArrays = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .withColumn("_bg", bigramsFromTokens(col("_t")))
+    val toks = col("_t")
+    val bigrams = col("_bg")
+    val scan = withArrays.select(
       col(idCol),
       size(toks).cast("long").as("n_words"),
       size(array_distinct(toks)).cast("long").as("n_distinct_words"),
@@ -77,7 +94,7 @@ object Curation {
       size(bigrams).cast("long").as("_n_bigrams"),
       size(array_distinct(bigrams)).cast("long").as("_n_distinct_bigrams")
     )
-    val topWord = df
+    val topWord = withArrays
       .select(col(idCol), explode(toks).as("_w"))
       .groupBy(col(idCol), col("_w"))
       .agg(count(lit(1)).as("_c"))
@@ -189,12 +206,16 @@ object Curation {
       k1: Double = 1.2,
       b: Double = 0.75
   ): DataFrame = {
-    val toks = TextAnalysis.tokens(lower(col(textCol)))
-    val base = df.select(
-      col(idCol),
-      size(toks).cast("long").as("_dl"),
-      array(terms.map(t =>
-        size(filter(toks, x => x === lit(t))).cast("long")): _*).as("_tfs"))
+    // tokens materialized once; the per-term tf filters then scan the array
+    // attribute instead of re-tokenizing the text per query term
+    val base = df
+      .select(col(idCol),
+        TextAnalysis.tokens(lower(col(textCol))).as("_t"))
+      .select(
+        col(idCol),
+        size(col("_t")).cast("long").as("_dl"),
+        array(terms.map(t =>
+          size(filter(col("_t"), x => x === lit(t))).cast("long")): _*).as("_tfs"))
     // melt to (id, dl, term, tf>0) rows — one row per matched (doc, term)
     val pairs = base
       .select(col(idCol), col("_dl"),
