@@ -185,6 +185,89 @@ object Curation {
     round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
   }
 
+  // ------------------------------------------- corpus n-gram statistics ---
+
+  /** Corpus-level top-k word n-grams (n=2): the "heavy hitters" statistic
+    * used for boilerplate detection and contamination screens. Exact counts
+    * via explode → two-phase hash aggregate (partial map-side combine means
+    * only the distinct-gram table shuffles, never the corpus); the global
+    * top-k then sorts the AGGREGATED gram table, which is ≤ |vocabulary|²
+    * rows regardless of corpus size. For lakes where even that table is too
+    * wide, cut it first with a `HAVING count > floor` predicate (`minCount`).
+    */
+  def topBigrams(
+      df: DataFrame,
+      textCol: String,
+      k: Int = 20,
+      minCount: Long = 1L
+  ): DataFrame = {
+    val grams = df
+      .select(TextAnalysis.tokens(lower(col(textCol))).as("_t"))
+      .select(explode(bigramsFromTokens(col("_t"))).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(desc("cnt"), col("ngram"))
+      .limit(k)
+    grams.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(desc("cnt"), col("ngram"))).cast("long"))
+  }
+
+  // ------------------------------------------------ blocklist filtering ---
+
+  /** Remove corpus rows whose `keyCol` appears in a blocklist (URL/content
+    * fingerprint takedowns, opt-outs, known-bad sources). EXACT result with
+    * a Bloom-filter fast path:
+    *
+    *  1. a Bloom filter over the blocklist keys is built with
+    *     `bloom_filter_agg` and broadcast (one small binary blob);
+    *  2. rows the filter rejects are DEFINITELY clean — they pass through
+    *     scan-side, no join, no shuffle (at lake scale this is ~all rows);
+    *  3. only Bloom-positive rows (true hits + the filter's false positives)
+    *     reach the exact anti-join that removes the real hits.
+    *
+    * Exactness does not depend on the Bloom filter's error rate — false
+    * positives just take the slow path — which is why q89 can oracle this
+    * against a plain `NOT IN` DuckDB twin.
+    */
+  def blocklistFilter(
+      corpus: DataFrame,
+      blocklist: DataFrame,
+      keyCol: String,
+      expectedItems: Long = 1000000L
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val keys = blocklist.select(col(keyCol)).distinct()
+    // BloomFilterMightContain requires its bloom arg to be a constant or a
+    // scalar subquery — the same shape Spark's own InjectRuntimeFilter
+    // emits: the one-row bloom aggregate runs once and feeds the corpus-side
+    // filter with NO join. The subquery is only expressible in SQL text, so
+    // the two sides go through short-lived temp views (dropped right after
+    // analysis; the resolved plans keep their relations). coalesce(_, false)
+    // covers the empty-blocklist bloom (NULL → nothing may match).
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val cv = s"graft_blf_corpus_$tag"
+    val kv = s"graft_blf_keys_$tag"
+    corpus.createOrReplaceTempView(cv)
+    keys.createOrReplaceTempView(kv)
+    try {
+      val probe =
+        s"""coalesce(bloom_might_contain(
+           |  (SELECT bloom_filter_agg(xxhash64($keyCol), ${expectedItems}L,
+           |          ${expectedItems * 8}L) FROM $kv),
+           |  xxhash64($keyCol)), false)""".stripMargin
+      val clean = spark.sql(s"SELECT * FROM $cv WHERE NOT $probe")
+      val candidates = spark.sql(s"SELECT * FROM $cv WHERE $probe")
+        .join(broadcast(keys), Seq(keyCol), "left_anti")
+      clean.unionByName(candidates)
+    } finally {
+      spark.catalog.dropTempView(cv)
+      spark.catalog.dropTempView(kv)
+      ()
+    }
+  }
+
   // ----------------------------------------------------------- BM25 -------
 
   /** BM25 top-k retrieval of `terms` over the corpus (Okapi BM25, k1/b as

@@ -74,6 +74,40 @@ object GraftFunctions {
         require(args.length == 1, "mode_det takes 1 argument")
         DeterministicMode(args.head).toAggregateExpression()
       }
+    ),
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its own
+    // runtime row-level filtering but does not expose them in the SQL
+    // registry; graft surfaces them for the blocklist-filter fast path
+    // (Curation.blocklistFilter). Args: (xxhash64 long, est. items, bits).
+    (
+      "bloom_filter_agg",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 1 && args.length <= 3,
+          "bloom_filter_agg takes (value[, estimatedItems[, numBits]])")
+        val agg = args.length match {
+          case 1 => new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(args.head)
+          case 2 => new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(args.head, args(1))
+          case _ => new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(args.head, args(1), args(2))
+        }
+        agg.toAggregateExpression()
+      }
+    ),
+    (
+      "bloom_might_contain",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "bloom_might_contain takes (bloom, value)")
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(args.head, args(1))
+      }
     )
   )
 

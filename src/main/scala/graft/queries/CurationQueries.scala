@@ -205,6 +205,51 @@ object CurationQueries {
              |SELECT doc_id, bm25, n_terms_hit,
              |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
              |FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin)
+    ),
+
+    // ---- corpus-level top-k bigrams (heavy hitters)
+    QueryDef(
+      "q88_top_bigrams",
+      (s, dir) =>
+        Curation.topBigrams(t(s, dir, "documents"), "text", k = 20),
+      Some("""WITH toks AS (
+             |  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |                     x -> x <> '') AS t
+             |  FROM documents),
+             |grams AS (
+             |  SELECT unnest(list_transform(range(1, len(t)),
+             |                               i -> t[i] || ' ' || t[i+1])) AS ngram
+             |  FROM toks WHERE len(t) >= 2),
+             |counted AS (
+             |  SELECT ngram, count(*) AS cnt FROM grams GROUP BY 1)
+             |SELECT ngram, cnt,
+             |  CAST(row_number() OVER (ORDER BY cnt DESC, ngram) AS BIGINT) AS rank
+             |FROM counted ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin)
+    ),
+
+    // ---- blocklist decontamination: Bloom fast path + exact anti-join
+    QueryDef(
+      "q89_blocklist_filter",
+      (s, dir) => {
+        val withFp = t(s, dir, "documents")
+          .withColumn("fp", graft.ext.TextAnalysis.fingerprintMd5(col("text")))
+        val block = withFp.filter(col("doc_id") % 10 === 0).select(col("fp"))
+        Curation.blocklistFilter(withFp, block, "fp", expectedItems = 100000L)
+          .agg(
+            count(lit(1)).cast("long").as("n_survivors"),
+            sum(col("n_chars")).as("total_chars"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+      },
+      Some("""WITH fp AS (
+             |  SELECT doc_id, n_chars,
+             |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+             |  FROM documents),
+             |bl AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 = 0)
+             |SELECT count(*) AS n_survivors,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM fp WHERE f NOT IN (SELECT f FROM bl)""".stripMargin)
     )
   )
 }

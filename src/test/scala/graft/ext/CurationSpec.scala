@@ -116,6 +116,53 @@ class CurationSpec extends SparkSpec {
       plan.contains("BroadcastExchange"))
   }
 
+  test("topBigrams: exact corpus counts, deterministic rank order") {
+    val docs = Seq("a b a b", "a b c", "c a b").toDF("text")
+    // "a b" appears 2+1+1 = 4 times; "b a" 1; "b c" 1; "c a" 1
+    val top = Curation.topBigrams(docs, "text", k = 3).collect()
+    assert(top(0).getString(0) == "a b" && top(0).getLong(1) == 4)
+    assert(top.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L))
+    // ties broken alphabetically: "b a" < "b c" < "c a"
+    assert(top(1).getString(0) == "b a" && top(2).getString(0) == "b c")
+  }
+
+  test("topBigrams: lowercases and honors minCount") {
+    val docs = Seq("X y x Y", "x y").toDF("text")
+    val top = Curation.topBigrams(docs, "text", k = 10, minCount = 2L)
+    val rows = top.collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("x y", 3L)))
+  }
+
+  test("blocklistFilter: exact survivors regardless of bloom false positives") {
+    val corpus = (1L to 200L).map(i => (i, s"k$i")).toDF("id", "key")
+    val block = Seq("k3", "k50", "k199", "k999").toDF("key")
+    // tiny bloom (high FP rate) to force candidates through the anti-join
+    val out = Curation.blocklistFilter(corpus, block, "key",
+      expectedItems = 2L)
+    assert(out.count() == 197)
+    assert(out.filter(col("key").isin("k3", "k50", "k199")).isEmpty)
+    // untouched schema and values
+    assert(out.columns.toSeq == Seq("id", "key"))
+  }
+
+  test("blocklistFilter: empty blocklist keeps everything") {
+    val corpus = Seq((1L, "a"), (2L, "b")).toDF("id", "key")
+    val block = corpus.filter(lit(false)).select(col("key"))
+    assert(Curation.blocklistFilter(corpus, block, "key").count() == 2)
+  }
+
+  test("blocklistFilter plan: bloom probe is scan-side, blocklist broadcast") {
+    val corpus = (1L to 100L).map(i => (i, s"k$i")).toDF("id", "key")
+    val block = Seq("k1").toDF("key")
+    val plan = Curation.blocklistFilter(corpus, block, "key")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"))
+    assert(plan.contains("Subquery") || plan.contains("subquery"))
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("repetitionMetrics on empty and whitespace-only docs") {
     val docs = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
     val m = Curation.repetitionMetrics(docs, "doc_id", "text")
