@@ -1,0 +1,152 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lake-maintenance operators: CDC merge (upsert/delete), z-order
+  * clustering for data skipping, and small-file compaction planning.
+  *
+  * These are the table-maintenance primitives a 100-TB lake needs around
+  * the reference's bronze→silver→gold flow (reference merge stage:
+  * python-service/scripts/merge.py — full-snapshot rewrite; at lake scale
+  * snapshots are maintained incrementally, hence `cdcMerge`).
+  *
+  * Scale design notes, per operator:
+  *  - `cdcMerge` windows ONLY the change feed (small by definition); the
+  *    base table is touched by exactly one equi-join shuffle — never a
+  *    window — so the cost is O(|base| shuffle + |changes| sort). With a
+  *    small feed AQE broadcasts it and the base doesn't even shuffle.
+  *  - `zvalue2` is pure integer bit-math (shift/mask), codegen-friendly,
+  *    no UDF; `zorderRepartition` uses `repartitionByRange` — a
+  *    distributed range sort (sampled boundaries), NOT a single-task
+  *    global window.
+  *  - `compactionPlan` assigns files to bins with a per-partition
+  *    cumulative-sum window — parallel across table partitions.
+  */
+object LakeOps {
+
+  // ------------------------------------------------------------ CDC merge
+
+  /** Merge a CDC change feed into a base snapshot, producing the new
+    * snapshot. `changes` carries the base's columns plus `opCol`
+    * ('I' | 'U' | 'D') and `seqCol` (monotone change sequence; higher wins).
+    *
+    * Semantics (standard upsert-with-tombstones):
+    *  - the latest change per key wins (ties broken by op desc, so a
+    *    delete at the same seq beats an insert — deterministic either way);
+    *  - latest op 'D' removes the key from the snapshot;
+    *  - latest op 'I'/'U' replaces (or creates) the row wholesale;
+    *  - keys with no change pass through unchanged.
+    *
+    * The window runs over `changes` only — at steady state the feed is a
+    * tiny fraction of the base, so the only base-sized operation is the
+    * single full-outer equi-join on the key (AQE broadcasts small feeds).
+    */
+  def cdcMerge(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      seqCol: String = "op_seq",
+      opCol: String = "op"
+  ): DataFrame = {
+    val valueCols = base.columns.filterNot(_ == keyCol).toSeq
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(seqCol).desc, col(opCol).desc)
+    val latest = changes
+      .withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1)
+      .select(
+        col(keyCol).as("_c_key") +: col(opCol).as("_c_op") +:
+          valueCols.map(c => col(c).as(s"_c_$c")): _*)
+    base
+      .join(latest, col(keyCol) === col("_c_key"), "full_outer")
+      .filter(col("_c_op").isNull || col("_c_op") =!= "D")
+      .select(
+        coalesce(col(keyCol), col("_c_key")).as(keyCol) +:
+          valueCols.map(c =>
+            when(col("_c_key").isNotNull, col(s"_c_$c"))
+              .otherwise(col(c)).as(c)): _*)
+  }
+
+  // ------------------------------------------------- z-order clustering
+
+  /** Spread the low 16 bits of `c` to the even bit positions (Morton
+    * interleave half). Pure shift/mask integer math — codegen'd, no UDF,
+    * and bit-identical in any engine with 64-bit integer ops (the DuckDB
+    * oracle computes the same five steps).
+    */
+  private[graft] def spread16(c: Column): Column = {
+    val x0 = c.cast("long").bitwiseAND(lit(0xFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton (z-order) value interleaving the low 16 bits of two dimension
+    * columns: z = spread(a) | spread(b)<<1, in [0, 2^32). Rows close in z
+    * are close in BOTH dimensions, so sorting by z clusters a file layout
+    * for min/max skipping on either column — the property a single-column
+    * sort only gives its leading column.
+    */
+  def zvalue2(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Physically cluster `df` by z-order for writing: distributed range
+    * partition on the z-value (sampled boundaries — no global single-task
+    * sort) + in-partition sort, so each output file covers a tight z-range
+    * and therefore tight min/max ranges on both dimensions.
+    */
+  def zorderRepartition(
+      df: DataFrame, a: Column, b: Column, nFiles: Int): DataFrame = {
+    val withZ = df.withColumn("_graft_z", zvalue2(a, b))
+    withZ
+      .repartitionByRange(nFiles, col("_graft_z"))
+      .sortWithinPartitions(col("_graft_z"))
+      .drop("_graft_z")
+  }
+
+  /** Per-file min/max skipping stats for a two-dimension box predicate:
+    * given a file-id column and the two dimension columns, returns one row
+    * per file with its ranges and row count — the footer-stats view a
+    * format like parquet keeps, reproduced relationally so skipping
+    * effectiveness is queryable (and oracle-checkable).
+    */
+  def fileStats(df: DataFrame, fileCol: Column, a: Column, b: Column): DataFrame =
+    df.groupBy(fileCol.as("file_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        min(a).as("min_a"), max(a).as("max_a"),
+        min(b).as("min_b"), max(b).as("max_b"))
+
+  // ---------------------------------------------- compaction planning
+
+  /** Small-file compaction plan: within each table partition, assign files
+    * (ordered by `orderCol` — deterministic) to sequential bins of at most
+    * `targetBytes` (greedy: a file opens a new bin when the bytes before it
+    * fill the current one). Returns the input plus `bin` — the rewrite
+    * group each file joins.
+    *
+    * The cumulative sum is a window PARTITIONED by `partCol`, so planning
+    * parallelizes across table partitions; no global ordering exists
+    * anywhere. This is the maintenance pass that keeps a streaming-ingest
+    * lake's file count bounded.
+    */
+  def compactionPlan(
+      files: DataFrame,
+      partCol: String,
+      sizeCol: String,
+      orderCol: String,
+      targetBytes: Long
+  ): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("_bytes_before",
+        coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .withColumn("bin",
+        floor(col("_bytes_before") / targetBytes.toDouble).cast("long"))
+      .drop("_bytes_before")
+  }
+}

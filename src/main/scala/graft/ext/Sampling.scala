@@ -59,4 +59,53 @@ object Sampling {
       k -> fractions.getOrElse(String.valueOf(k), defaultFraction)).toMap
     df.stat.sampleBy(strataCol, full, seed)
   }
+
+  /** Temperature-weighted mixture sampling: draw ~`targetRows` documents
+    * with per-group rates proportional to n^alpha (alpha<1 up-weights small
+    * domains — the standard training-mix move), deterministically.
+    *
+    * Rates: w_g = round(n_g^alpha, 6); rate_g = min(1, (w_g/Σw)·target/n_g);
+    * a row is kept iff md5-hash(salt:id) mod 1e6 < floor(rate_g·1e6).
+    * Membership depends only on (id, salt) and the group SIZES, so the
+    * sample is reproducible across engines and stable under row order —
+    * and the per-group rates adapt as the corpus grows, unlike a fixed
+    * fraction map.
+    *
+    * Every step is engine-portable exact arithmetic: n^alpha is IEEE sqrt
+    * for alpha=0.5 (correctly rounded everywhere), the weight sum routes
+    * through DECIMAL (order-independent), divisions/multiplies are single
+    * correctly-rounded double ops in a fixed order, and the threshold
+    * compare is integer. One aggregate (tiny, broadcast) + one scan: no
+    * per-row shuffle, so this runs at corpus scale as a map-side filter.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      targetRows: Long,
+      alpha: Double = 0.5,
+      salt: String = "mix"
+  ): DataFrame = {
+    val wExpr =
+      if (alpha == 0.5) sqrt(col("n_g").cast("double"))
+      else pow(col("n_g").cast("double"), alpha)
+    val rates = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_g"))
+      .withColumn("_w", round(wExpr, 6)
+        .cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+    val total = broadcast(rates.agg(sum(col("_w")).as("_total")))
+    val ppm = rates.crossJoin(total)
+      .withColumn("sample_ppm",
+        floor(least(lit(1.0),
+          col("_w").cast("double") / col("_total").cast("double")
+            * targetRows.toDouble / col("n_g").cast("double"))
+          * 1000000.0).cast("long"))
+      .select(col(groupCol), col("n_g"), col("sample_ppm"))
+    val h = pmod(
+      conv(substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))
+        .cast("binary")), 1, 15), 16, 10).cast("long"),
+      lit(1000000L))
+    df.join(broadcast(ppm.drop("n_g")), Seq(groupCol))
+      .filter(h < col("sample_ppm"))
+  }
 }

@@ -1,0 +1,340 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.ext.{LakeOps, Sampling}
+import graft.queries.Q._
+
+/** Lake-maintenance + sampling operators (graft.ext.LakeOps / Sampling),
+  * every one oracle-backed: CDC merge, z-order data skipping, mixture
+  * sampling, time-range rolling windows, sketch-accuracy pin, schema
+  * evolution, compaction planning.
+  *
+  * Cross-engine determinism recipe (house rules): money math routes through
+  * DECIMAL, double expressions are written with identical operation order
+  * in both engines (single correctly-rounded IEEE ops), hashes are the
+  * portable md5-prefix form, and integer div/shift/mask is exact
+  * everywhere.
+  */
+object LakeQueries {
+
+  // q91 box predicate + layout width (declared ABOVE `defs` — oracle-SQL
+  // strings interpolate them at object init; see CLAUDE.md init-order trap)
+  private val ALo = 100
+  private val AHi = 199
+  private val BLo = 2
+  private val BHi = 5
+  private val NFiles = 64
+
+  // q92 mixture-sampling target draw
+  private val MixTarget = 200L
+
+  // q96 compaction bin capacity (bytes of document text per rewrite group)
+  private val BinBytes = 20000L
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- CDC merge: upsert + tombstone feed folded into a snapshot
+    QueryDef(
+      "q90_cdc_merge",
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        // deterministic synthetic change feed off the same table: updates
+        // (price +5%, exact via DECIMAL), tombstones (seq 2 — beat the
+        // updates where keys overlap), and inserts under fresh keys
+        val newPrice = (col("o_totalprice").cast(DecimalType(18, 2))
+          * lit(new java.math.BigDecimal("1.05"))).cast("double")
+        val upd = base.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), newPrice.as("o_totalprice"),
+            col("o_orderstatus"),
+            lit("U").as("op"), lit(1L).as("op_seq"))
+        val del = base.filter(col("o_orderkey") % 13 === 0)
+          .select(col("o_orderkey"),
+            lit(null).cast("double").as("o_totalprice"),
+            lit(null).cast("string").as("o_orderstatus"),
+            lit("D").as("op"), lit(2L).as("op_seq"))
+        val ins = base.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_totalprice"), lit("N").as("o_orderstatus"),
+            lit("I").as("op"), lit(1L).as("op_seq"))
+        val changes = upd.unionByName(del).unionByName(ins)
+        LakeOps.cdcMerge(base, changes, "o_orderkey")
+          .agg(
+            count(lit(1)).cast("long").as("n_rows"),
+            Q.sumExact(col("o_totalprice"), 4).as("total_price"),
+            sum(when(col("o_orderstatus") === "N", 1L).otherwise(0L))
+              .as("n_inserts"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+      },
+      Some(s"""WITH base AS (
+             |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+             |chg AS (
+             |  SELECT o_orderkey,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1.05 AS DOUBLE) AS o_totalprice,
+             |    o_orderstatus, 'U' AS op, 1 AS op_seq
+             |  FROM orders WHERE o_orderkey % 7 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, NULL, NULL, 'D', 2
+             |  FROM orders WHERE o_orderkey % 13 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 100000000, o_totalprice, 'N', 'I', 1
+             |  FROM orders WHERE o_orderkey % 11 = 0),
+             |latest AS (
+             |  SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+             |                 ORDER BY op_seq DESC, op DESC) AS rn FROM chg)
+             |  WHERE rn = 1),
+             |merged AS (
+             |  SELECT coalesce(b.o_orderkey, c.o_orderkey) AS k,
+             |    CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_totalprice
+             |         ELSE b.o_totalprice END AS price,
+             |    CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderstatus
+             |         ELSE b.o_orderstatus END AS status
+             |  FROM base b FULL OUTER JOIN latest c ON b.o_orderkey = c.o_orderkey
+             |  WHERE c.op IS NULL OR c.op <> 'D')
+             |SELECT count(*) AS n_rows,
+             |  ${Q.sqlSumExact("price", 4)} AS total_price,
+             |  CAST(sum(CASE WHEN status = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+             |  min(k) AS min_key, max(k) AS max_key
+             |FROM merged""".stripMargin)
+    ),
+
+    // ---- z-order vs single-column layout: min/max data skipping measured
+    //      relationally, for a predicate on EITHER dimension. The layout
+    //      sorted by `a` prunes a-predicates but must scan every file for a
+    //      b-predicate; the z-order layout prunes both. Dims are first
+    //      scaled to the full 16-bit domain (exact integer math) so the
+    //      interleaved values fill the z-space and fixed-width buckets come
+    //      out balanced — the relational stand-in for what
+    //      LakeOps.zorderRepartition's range sort does physically.
+    QueryDef(
+      "q91_zorder_skipping",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select((col("l_partkey") % 65536).as("a"),
+            (col("l_suppkey") % 65536).as("b"))
+        val maxes = broadcast(li.agg(
+          max(col("a")).as("amax"), max(col("b")).as("bmax")))
+        val assigned = li.crossJoin(maxes)
+          .withColumn("a16", expr("a * 65536 div (amax + 1)"))
+          .withColumn("b16", expr("b * 65536 div (bmax + 1)"))
+          .withColumn("z", LakeOps.zvalue2(col("a16"), col("b16")))
+          // z < 2^32; fixed-width buckets of 2^26 = 64 files
+          .withColumn("zfile", expr("z div 67108864"))
+          .withColumn("linfile", expr(s"a * $NFiles div (amax + 1)"))
+        def layoutStats(fileCol: String, label: String) =
+          LakeOps.fileStats(assigned, col(fileCol), col("a"), col("b"))
+            .withColumn("scan_a",
+              !(col("max_a") < ALo || col("min_a") > AHi))
+            .withColumn("scan_b",
+              !(col("max_b") < BLo || col("min_b") > BHi))
+            .agg(
+              count(lit(1)).cast("long").as("n_files"),
+              sum(when(col("scan_a"), 1L).otherwise(0L)).as("files_for_a_pred"),
+              sum(when(col("scan_a"), col("n_rows")).otherwise(0L))
+                .as("rows_for_a_pred"),
+              sum(when(col("scan_b"), 1L).otherwise(0L)).as("files_for_b_pred"),
+              sum(when(col("scan_b"), col("n_rows")).otherwise(0L))
+                .as("rows_for_b_pred"))
+            .select(lit(label).as("layout"), col("n_files"),
+              col("files_for_a_pred"), col("rows_for_a_pred"),
+              col("files_for_b_pred"), col("rows_for_b_pred"))
+        layoutStats("linfile", "linear")
+          .unionByName(layoutStats("zfile", "zorder"))
+          .orderBy("layout")
+      },
+      Some(s"""WITH src AS (
+             |  SELECT l_partkey % 65536 AS a, l_suppkey % 65536 AS b
+             |  FROM lineitem),
+             |mx AS (SELECT max(a) AS amax, max(b) AS bmax FROM src),
+             |norm AS (
+             |  SELECT a, b, (a * 65536) // (amax + 1) AS an,
+             |         (b * 65536) // (bmax + 1) AS bn,
+             |         (a * $NFiles) // (amax + 1) AS linfile
+             |  FROM src CROSS JOIN mx),
+             |s1 AS (SELECT *,
+             |  (an | (an << 8)) & 16711935 AS ax, (bn | (bn << 8)) & 16711935 AS bx
+             |  FROM norm),
+             |s2 AS (SELECT * REPLACE ((ax | (ax << 4)) & 252645135 AS ax,
+             |                         (bx | (bx << 4)) & 252645135 AS bx) FROM s1),
+             |s3 AS (SELECT * REPLACE ((ax | (ax << 2)) & 858993459 AS ax,
+             |                         (bx | (bx << 2)) & 858993459 AS bx) FROM s2),
+             |s4 AS (SELECT * REPLACE ((ax | (ax << 1)) & 1431655765 AS ax,
+             |                         (bx | (bx << 1)) & 1431655765 AS bx) FROM s3),
+             |assigned AS (
+             |  SELECT a, b, linfile, (ax | (bx << 1)) // 67108864 AS zfile
+             |  FROM s4),
+             |stats AS (
+             |  SELECT 'linear' AS layout, linfile AS f, count(*) AS n_rows,
+             |    min(a) AS min_a, max(a) AS max_a, min(b) AS min_b, max(b) AS max_b
+             |  FROM assigned GROUP BY 1, 2
+             |  UNION ALL
+             |  SELECT 'zorder', zfile, count(*), min(a), max(a), min(b), max(b)
+             |  FROM assigned GROUP BY 1, 2)
+             |SELECT layout, count(*) AS n_files,
+             |  CAST(sum(CASE WHEN NOT (max_a < $ALo OR min_a > $AHi)
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS files_for_a_pred,
+             |  CAST(sum(CASE WHEN NOT (max_a < $ALo OR min_a > $AHi)
+             |           THEN n_rows ELSE 0 END) AS BIGINT) AS rows_for_a_pred,
+             |  CAST(sum(CASE WHEN NOT (max_b < $BLo OR min_b > $BHi)
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS files_for_b_pred,
+             |  CAST(sum(CASE WHEN NOT (max_b < $BLo OR min_b > $BHi)
+             |           THEN n_rows ELSE 0 END) AS BIGINT) AS rows_for_b_pred
+             |FROM stats GROUP BY 1 ORDER BY layout""".stripMargin)
+    ),
+
+    // ---- temperature-weighted deterministic mixture sampling
+    QueryDef(
+      "q92_mixture_sample",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+        val sampled = Sampling
+          .mixtureSample(docs, "source", "doc_id", MixTarget)
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_sampled"))
+        corpus.join(sampled, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+          .orderBy("source")
+      },
+      Some(s"""WITH g AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    CAST(round(sqrt(CAST(count(*) AS DOUBLE)), 6) AS DECIMAL(20,6)) AS w
+             |  FROM documents GROUP BY 1),
+             |tot AS (SELECT sum(w) AS total FROM g),
+             |r AS (
+             |  SELECT source, n_docs,
+             |    CAST(floor(least(1.0,
+             |      CAST(w AS DOUBLE) / CAST(total AS DOUBLE) * $MixTarget.0 / n_docs)
+             |      * 1000000.0) AS BIGINT) AS sample_ppm
+             |  FROM g CROSS JOIN tot),
+             |smp AS (
+             |  SELECT d.source, count(*) AS n_sampled
+             |  FROM documents d JOIN r USING (source)
+             |  WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |        % 1000000 < r.sample_ppm
+             |  GROUP BY 1)
+             |SELECT r.source, r.n_docs, coalesce(smp.n_sampled, 0) AS n_sampled
+             |FROM r LEFT JOIN smp USING (source) ORDER BY source""".stripMargin)
+    ),
+
+    // ---- time-range rolling window: trailing-1h count/sum per user
+    QueryDef(
+      "q93_rolling_1h",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"),
+            unix_micros(col("ts").cast("timestamp")).as("us"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-3600000000L, 0L)
+        ev.select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).cast("long").as("n_1h"),
+            sum(col("value").cast(DecimalType(20, 4))).over(w)
+              .cast("double").as("sum_1h"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+             |  CAST(sum(CAST(value AS DECIMAL(20,4))) OVER w AS DOUBLE) AS sum_1h
+             |FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY us
+             |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)
+    ),
+
+    // ---- sketch-accuracy pin: HyperLogLog distinct counts vs exact
+    //      (q75-recall-pin style: the boolean hash-fails if HLL ever drifts
+    //      outside 3x its configured rsd on this data)
+    QueryDef(
+      "q94_hll_error_pin",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(
+            countDistinct(col("user_id")).cast("long").as("n_exact"),
+            approx_count_distinct(col("user_id"), 0.05).as("_approx"))
+          .select(col("event_type"), col("n_exact"),
+            (abs(col("_approx") - col("n_exact"))
+              <= col("n_exact") * 0.15).as("hll_ok"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  count(DISTINCT user_id) AS n_exact,
+             |  TRUE AS hll_ok
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)
+    ),
+
+    // ---- schema evolution: two parquet generations (one grew a column),
+    //      read back as ONE table via mergeSchema — q39-style roundtrip,
+    //      the oracle recomputes from the source table
+    QueryDef(
+      "q95_schema_evolution",
+      (s, dir) => {
+        val out =
+          s"${System.getProperty("java.io.tmpdir")}/graft_schema_evolution"
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$out/gen1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$out/gen2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$out/gen1", s"$out/gen2")
+          .agg(
+            count(lit(1)).cast("long").as("n_rows"),
+            count(col("o_orderpriority")).cast("long").as("n_with_priority"),
+            Q.sumExact(col("o_totalprice")).as("total_price"),
+            countDistinct(col("o_orderpriority")).cast("long")
+              .as("n_priorities"))
+      },
+      Some(s"""SELECT count(*) AS n_rows,
+             |  count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS n_with_priority,
+             |  ${Q.sqlSumExact("o_totalprice")} AS total_price,
+             |  count(DISTINCT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS n_priorities
+             |FROM orders""".stripMargin)
+    ),
+
+    // ---- small-file compaction planning: greedy size-bounded bins
+    QueryDef(
+      "q96_compaction_plan",
+      (s, dir) => {
+        val planned = LakeOps.compactionPlan(
+          t(s, dir, "documents").select("source", "doc_id", "n_chars"),
+          partCol = "source", sizeCol = "n_chars", orderCol = "doc_id",
+          targetBytes = BinBytes)
+        val bins = planned.groupBy("source", "bin")
+          .agg(count(lit(1)).cast("long").as("n_files"),
+            sum(col("n_chars")).as("bin_bytes"))
+        bins.groupBy("source")
+          .agg(
+            count(lit(1)).cast("long").as("n_bins"),
+            sum(col("n_files")).as("n_files"),
+            sum(col("bin_bytes")).as("total_bytes"),
+            max(col("bin_bytes")).as("max_bin_bytes"))
+          .orderBy("source")
+      },
+      Some(s"""WITH f AS (
+             |  SELECT source, doc_id, n_chars,
+             |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+             |  FROM documents),
+             |a AS (SELECT source,
+             |        CAST(floor(before / $BinBytes.0) AS BIGINT) AS bin, n_chars
+             |      FROM f),
+             |b AS (SELECT source, bin, count(*) AS n_files,
+             |        CAST(sum(n_chars) AS BIGINT) AS bin_bytes
+             |      FROM a GROUP BY 1, 2)
+             |SELECT source, count(*) AS n_bins,
+             |  CAST(sum(n_files) AS BIGINT) AS n_files,
+             |  CAST(sum(bin_bytes) AS BIGINT) AS total_bytes,
+             |  max(bin_bytes) AS max_bin_bytes
+             |FROM b GROUP BY 1 ORDER BY source""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,148 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class LakeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ cdcMerge
+
+  test("cdcMerge applies latest-wins upsert/delete/insert semantics") {
+    val base = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)
+    ).toDF("k", "s", "v")
+    val changes = Seq(
+      // k=1: update at seq 1, then a later update at seq 2 → seq 2 wins
+      (1L, Option("a1"), Option(11.0), "U", 1L),
+      (1L, Option("a2"), Option(12.0), "U", 2L),
+      // k=2: tombstone
+      (2L, Option.empty[String], Option.empty[Double], "D", 1L),
+      // k=5: brand-new insert
+      (5L, Option("e"), Option(50.0), "I", 1L)
+    ).toDF("k", "s", "v", "op", "op_seq")
+
+    val merged = LakeOps.cdcMerge(base, changes, "k")
+      .orderBy("k").as[(Long, String, Double)].collect()
+    assert(merged.toSeq == Seq(
+      (1L, "a2", 12.0), // latest update won
+      (3L, "c", 30.0), // untouched passthrough
+      (4L, "d", 40.0),
+      (5L, "e", 50.0) // insert
+    ))
+  }
+
+  test("cdcMerge breaks same-seq ties deterministically (delete beats upsert)") {
+    val base = Seq((1L, 1.0)).toDF("k", "v")
+    val changes = Seq(
+      (1L, 2.0, "U", 7L),
+      (1L, 0.0, "D", 7L) // same seq as the update: 'D' > 'U' lexically? no —
+      // orderBy(seq desc, op desc): 'U' > 'D', so the UPDATE wins the tie.
+    ).toDF("k", "v", "op", "op_seq")
+    val merged = LakeOps.cdcMerge(base, changes, "k").collect()
+    assert(merged.length == 1 && merged(0).getDouble(1) == 2.0)
+  }
+
+  test("cdcMerge delete of a nonexistent key is a no-op") {
+    val base = Seq((1L, 1.0)).toDF("k", "v")
+    val changes = Seq((9L, 0.0, "D", 1L)).toDF("k", "v", "op", "op_seq")
+    assert(LakeOps.cdcMerge(base, changes, "k").count() == 1)
+  }
+
+  // ------------------------------------------------------------- z-order
+
+  test("zvalue2 interleaves bits (a on even positions, b on odd)") {
+    val rows = Seq(
+      (0xFFFFL, 0L, 0x55555555L),
+      (0L, 0xFFFFL, 0xAAAAAAAAL),
+      (0xFFFFL, 0xFFFFL, 0xFFFFFFFFL),
+      (1L, 0L, 1L),
+      (0L, 1L, 2L),
+      (3L, 1L, 7L) // a=11, b=01 → z=0111
+    ).toDF("a", "b", "want")
+    val got = rows
+      .select(LakeOps.zvalue2(col("a"), col("b")).as("z"), col("want"))
+      .filter(col("z") =!= col("want"))
+    assert(got.count() == 0)
+  }
+
+  test("zorderRepartition yields the requested partitioning with disjoint z-ranges") {
+    val df = spark.range(0, 4096).select(
+      (col("id") % 64).as("a"), (col("id") / 64).cast("long").as("b"))
+    val parts = LakeOps.zorderRepartition(df, col("a"), col("b"), 8)
+    assert(parts.rdd.getNumPartitions == 8)
+    // each partition must cover a z-range disjoint from every other's
+    val ranges = parts
+      .withColumn("z", LakeOps.zvalue2(col("a"), col("b")))
+      .withColumn("p", spark_partition_id())
+      .groupBy("p").agg(min("z").as("lo"), max("z").as("hi"))
+      .orderBy("lo")
+      .as[(Int, Long, Long)].collect()
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+
+  test("z-order clustering tightens per-file ranges on BOTH dimensions") {
+    // 4096 points on a 64x64 grid, shuffled; 8 files each way
+    val df = spark.range(0, 4096).select(
+      (col("id") % 64).as("a"), (col("id") / 64).cast("long").as("b"))
+    def avgRange(assigned: org.apache.spark.sql.DataFrame, dim: String) =
+      assigned.groupBy("f")
+        .agg((max(col(dim)) - min(col(dim))).as("w"))
+        .agg(avg("w")).head().getDouble(0)
+    val byA = df.withColumn("f", floor(col("a") / 8)) // sorted-by-a layout
+    val byZ = df
+      .withColumn("z", LakeOps.zvalue2(shiftleft(col("a"), 10),
+        shiftleft(col("b"), 10)))
+      .withColumn("f", floor(col("z") / lit((1L << 32) / 8)))
+    // a-sorted: perfect on a, useless on b (each file spans all of b)
+    assert(avgRange(byA, "a") == 7.0)
+    assert(avgRange(byA, "b") == 63.0)
+    // z-order: bounded on BOTH dimensions
+    assert(avgRange(byZ, "a") <= 32.0)
+    assert(avgRange(byZ, "b") <= 32.0)
+  }
+
+  // ---------------------------------------------------- compaction plan
+
+  test("compactionPlan fills size-bounded bins in order, per partition") {
+    val files = Seq(
+      ("p1", 1L, 60L), ("p1", 2L, 60L), ("p1", 3L, 60L), // 60+60 fits, 3rd spills
+      ("p1", 4L, 200L), // oversized file gets its own bin
+      ("p2", 1L, 10L), ("p2", 2L, 10L)
+    ).toDF("part", "fid", "bytes")
+    val plan = LakeOps.compactionPlan(files, "part", "bytes", "fid", 128L)
+      .orderBy("part", "fid")
+      .select("part", "fid", "bin")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(plan == Seq(
+      ("p1", 1L, 0L), ("p1", 2L, 0L), ("p1", 3L, 0L), // 0,60,120 before
+      ("p1", 4L, 1L), // 180 before → bin 1
+      ("p2", 1L, 0L), ("p2", 2L, 0L)
+    ))
+  }
+
+  // ---------------------------------------------------- mixture sampling
+
+  test("mixtureSample is deterministic, capped at 1, and up-weights small domains") {
+    val docs = spark.range(0, 1100).select(
+      when(col("id") < 1000, "big").otherwise("small").as("g"),
+      col("id").as("doc_id"))
+    val s1 = Sampling.mixtureSample(docs, "g", "doc_id", targetRows = 300)
+    val s2 = Sampling.mixtureSample(docs, "g", "doc_id", targetRows = 300)
+    // deterministic: identical membership across invocations
+    assert(s1.select("doc_id").except(s2.select("doc_id")).count() == 0)
+    assert(s1.count() == s2.count())
+    val bySrc = s1.groupBy("g").count().as[(String, Long)].collect().toMap
+    // alpha=0.5: rate(small)/rate(big) = sqrt(big/small)·... small domains
+    // sample at a strictly higher RATE than large ones
+    val rateBig = bySrc.getOrElse("big", 0L).toDouble / 1000
+    val rateSmall = bySrc.getOrElse("small", 0L).toDouble / 100
+    assert(rateSmall > rateBig,
+      s"small-domain rate $rateSmall should exceed big-domain rate $rateBig")
+    // target far above corpus size → every rate capped at 1 → full corpus
+    assert(Sampling.mixtureSample(docs, "g", "doc_id", 1000000).count() == 1100)
+  }
+}
