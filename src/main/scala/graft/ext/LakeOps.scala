@@ -40,8 +40,14 @@ object LakeOps {
     *  - keys with no change pass through unchanged.
     *
     * The window runs over `changes` only — at steady state the feed is a
-    * tiny fraction of the base, so the only base-sized operation is the
-    * single full-outer equi-join on the key (AQE broadcasts small feeds).
+    * tiny fraction of the base. The base's FULL WIDTH is never shuffled:
+    * a naive full-outer join would force a sort-merge shuffle of the whole
+    * base (Spark cannot broadcast either side of a full outer join), so
+    * the merge is decomposed into
+    *  - upserts/deletes: base LEFT JOIN feed — broadcastable feed, the
+    *    base streams through map-side;
+    *  - inserts: feed ANTI JOIN base's KEY COLUMN — only the 8-byte key
+    *    of the base ever enters an exchange (column-pruned scan).
     */
   def cdcMerge(
       base: DataFrame,
@@ -53,20 +59,28 @@ object LakeOps {
     val valueCols = base.columns.filterNot(_ == keyCol).toSeq
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(seqCol).desc, col(opCol).desc)
-    val latest = changes
+    val feed = changes
       .withColumn("_graft_rn", row_number().over(w))
       .filter(col("_graft_rn") === 1)
       .select(
         col(keyCol).as("_c_key") +: col(opCol).as("_c_op") +:
           valueCols.map(c => col(c).as(s"_c_$c")): _*)
-    base
-      .join(latest, col(keyCol) === col("_c_key"), "full_outer")
+    val upserted = base
+      .join(feed, col(keyCol) === col("_c_key"), "left")
       .filter(col("_c_op").isNull || col("_c_op") =!= "D")
       .select(
-        coalesce(col(keyCol), col("_c_key")).as(keyCol) +:
+        col(keyCol) +:
           valueCols.map(c =>
             when(col("_c_key").isNotNull, col(s"_c_$c"))
               .otherwise(col(c)).as(c)): _*)
+    val inserts = feed
+      .filter(col("_c_op") =!= "D")
+      .join(base.select(col(keyCol)), col("_c_key") === col(keyCol),
+        "left_anti")
+      .select(
+        col("_c_key").as(keyCol) +:
+          valueCols.map(c => col(s"_c_$c").as(c)): _*)
+    upserted.unionByName(inserts)
   }
 
   // ------------------------------------------------- z-order clustering

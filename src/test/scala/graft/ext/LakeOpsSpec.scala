@@ -49,6 +49,36 @@ class LakeOpsSpec extends SparkSpec {
     assert(LakeOps.cdcMerge(base, changes, "k").count() == 1)
   }
 
+  test("cdcMerge never shuffles the base's full width (feed broadcast, " +
+    "anti join sees only the key column)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case q: QueryStageExec => shuffles(q.plan)
+      case s: ShuffleExchangeExec => Seq(s) ++ s.children.flatMap(shuffles)
+      case o => o.children.flatMap(shuffles)
+    }
+    val base = spark.range(0, 200000)
+      .select(col("id").as("k"), concat(lit("payload_"), col("id")).as("v"))
+    val changes = spark.range(0, 50)
+      .select((col("id") * 4000).as("k"), lit("updated").as("v"),
+        lit("U").as("op"), lit(1L).as("op_seq"))
+    val merged = LakeOps.cdcMerge(base, changes, "k")
+    assert(merged.count() == 200000)
+    // exchanges carrying a payload column are fine only on the FEED side
+    // (the tiny change-feed window, recognizable by its op/seq columns)
+    val wide = shuffles(merged.queryExecution.executedPlan)
+      .filter(s => s.output.exists(_.name == "v") &&
+        !s.output.exists(a => a.name == "op" || a.name == "op_seq"))
+    assert(wide.isEmpty,
+      "the base's payload column crossed an exchange — at lake scale that " +
+        "is a full-table shuffle per merge:\n" +
+        merged.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+  }
+
   // ------------------------------------------------------------- z-order
 
   test("zvalue2 interleaves bits (a on even positions, b on odd)") {
@@ -144,5 +174,30 @@ class LakeOpsSpec extends SparkSpec {
       s"small-domain rate $rateSmall should exceed big-domain rate $rateBig")
     // target far above corpus size → every rate capped at 1 → full corpus
     assert(Sampling.mixtureSample(docs, "g", "doc_id", 1000000).count() == 1100)
+  }
+
+  test("mixtureSample is a map-side filter over the corpus (rates broadcast)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case q: QueryStageExec => shuffles(q.plan)
+      case s: ShuffleExchangeExec => Seq(s) ++ s.children.flatMap(shuffles)
+      case o => o.children.flatMap(shuffles)
+    }
+    val docs = spark.range(0, 10000).select(
+      (col("id") % 7).cast("string").as("g"), col("id").as("doc_id"),
+      concat(lit("body_"), col("id")).as("text"))
+    val sampled = Sampling.mixtureSample(docs, "g", "doc_id", 1000)
+    assert(sampled.count() > 0)
+    // the only shuffles allowed are the tiny per-group aggregates (group +
+    // count columns); the corpus' payload must never enter an exchange
+    val wide = shuffles(sampled.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name == "text"))
+    assert(wide.isEmpty,
+      "corpus payload crossed an exchange — mixtureSample must stay " +
+        "map-side at lake scale:\n" + sampled.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
   }
 }

@@ -271,4 +271,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Scan parquet"))
     assert(p.contains("codegen id"), p)
   }
+
+  test("q93 rolling window is partitioned by user (no global single-task sort)") {
+    val df = q("q93_rolling_1h")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the trailing-1h range window")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"partition-less window would sort all events in one task:\n$w"))
+  }
+
+  test("q90 cdc merge: the only Window is over the change feed, partitioned") {
+    val df = q("q90_cdc_merge")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    // one latest-change window per merge branch (upserts + inserts reuse
+    // the same feed subplan; Catalyst may or may not dedupe it)
+    assert(windows.nonEmpty && windows.size <= 2, s"windows: ${windows.size}")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"partition-less window in the merge:\n$w"))
+  }
 }
