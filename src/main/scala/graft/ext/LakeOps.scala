@@ -134,6 +134,42 @@ object LakeOps {
         min(a).as("min_a"), max(a).as("max_a"),
         min(b).as("min_b"), max(b).as("max_b"))
 
+  // ------------------------------------- incremental aggregate maintenance
+
+  /** Merge a delta's aggregate state into a stored aggregate state —
+    * incremental view maintenance for the distributive aggregates
+    * (sum/count via "sum", "min", "max"). Both frames carry `keys` plus
+    * identically-named state columns; the merged state equals a full
+    * recompute over base ∪ delta (q97's oracle proves exactly that), but
+    * the base DATA is never re-read — only its (small) aggregate state.
+    *
+    * This is the steady-state shape for late-arriving data at lake scale:
+    * the stored state is keyed and tiny relative to the fact table, the
+    * delta aggregates map-side before the merge, and the union-groupBy
+    * shuffles state rows only. AVG-style aggregates must be carried as
+    * (sum, count) pairs and derived after merging.
+    */
+  def mergeAggState(
+      state: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      how: Map[String, String] = Map.empty
+  ): DataFrame = {
+    val stateCols = state.columns.filterNot(keys.contains).toSeq
+    val aggs = stateCols.map { c =>
+      how.getOrElse(c, "sum") match {
+        case "sum" => sum(col(c)).as(c)
+        case "min" => min(col(c)).as(c)
+        case "max" => max(col(c)).as(c)
+        case other => throw new IllegalArgumentException(
+          s"mergeAggState: '$other' is not a distributive merge (use sum/min/max)")
+      }
+    }
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   // ---------------------------------------------- compaction planning
 
   /** Small-file compaction plan: within each table partition, assign files

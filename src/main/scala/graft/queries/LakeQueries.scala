@@ -300,6 +300,112 @@ object LakeQueries {
              |FROM orders""".stripMargin)
     ),
 
+    // ---- incremental aggregate maintenance: stored monthly state + late
+    //      delta merged WITHOUT re-reading the base; the oracle is a full
+    //      recompute — hash equality IS the incremental-equals-full proof
+    QueryDef(
+      "q97_incremental_agg",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        def monthly(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(30, 2))).as("rev_dec"))
+        val cut = to_timestamp(lit("1999-01-01"))
+        val state = monthly(o.filter(col("o_orderdate") < cut))
+        val delta = monthly(o.filter(col("o_orderdate") >= cut))
+        LakeOps.mergeAggState(state, delta, Seq("ym"))
+          .select(col("ym"), col("n_orders"),
+            col("rev_dec").cast("double").as("revenue"))
+          .orderBy("ym")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+             |  count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+             |FROM orders GROUP BY 1 ORDER BY ym""".stripMargin)
+    ),
+
+    // ---- approx-percentile accuracy pin (the documented scale alternative
+    //      to the exact buffering percentile — q94-style: the boolean
+    //      hash-fails if the sketch ever drifts past 1% relative error)
+    QueryDef(
+      "q98_approx_quantile_pin",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            percentile(col("l_quantity"), lit(0.5)).as("_e50"),
+            percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+              .as("_a50"),
+            percentile(col("l_extendedprice"), lit(0.95)).as("_e95"),
+            percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+              .as("_a95"))
+          .select(col("l_returnflag"),
+            round(col("_e50"), 6).as("p50_qty"),
+            round(col("_e95"), 4).as("p95_price"),
+            (abs(col("_a50") - col("_e50")) <= greatest(
+              col("_e50") * 0.01, lit(0.5))).as("p50_ok"),
+            (abs(col("_a95") - col("_e95")) <= greatest(
+              col("_e95") * 0.01, lit(0.5))).as("p95_ok"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+             |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+             |  TRUE AS p50_ok, TRUE AS p95_ok
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // ---- PageRank (3 damped iterations) over the part↔supplier bipartite
+    //      graph; contributions DECIMAL-routed so the oracle's unrolled
+    //      iterations land on bit-identical doubles
+    QueryDef(
+      "q99_pagerank",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey").as("p"),
+            (col("l_suppkey") + 1000000L).as("sn"))
+        val edges = li.select(col("p").as("src"), col("sn").as("dst"))
+          .unionByName(li.select(col("sn").as("src"), col("p").as("dst")))
+        graft.ext.Graph.pageRank(edges, "src", "dst", iterations = 3)
+          .select(col("node"), round(col("r"), 10).as("rank"))
+          .orderBy(col("rank").desc, col("node"))
+          .limit(20)
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT l_partkey AS p, l_suppkey + 1000000 AS sn
+             |  FROM lineitem),
+             |ed AS (SELECT p AS src, sn AS dst FROM e
+             |       UNION ALL SELECT sn, p FROM e),
+             |deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+             |nodes AS (SELECT DISTINCT src AS node FROM ed),
+             |nn AS (SELECT count(*) AS n FROM nodes),
+             |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS r
+             |       FROM nodes CROSS JOIN nn),
+             |c1 AS (SELECT ed.dst, sum(CAST(r0.r / deg.deg AS DECIMAL(28,12))) AS s
+             |       FROM ed JOIN deg USING (src) JOIN r0 ON r0.node = ed.src
+             |       GROUP BY 1),
+             |r1 AS (SELECT node,
+             |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+             |           + CAST(0.85 AS DOUBLE) * coalesce(CAST(s AS DOUBLE), 0.0) AS r
+             |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.dst = node),
+             |c2 AS (SELECT ed.dst, sum(CAST(r1.r / deg.deg AS DECIMAL(28,12))) AS s
+             |       FROM ed JOIN deg USING (src) JOIN r1 ON r1.node = ed.src
+             |       GROUP BY 1),
+             |r2 AS (SELECT node,
+             |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+             |           + CAST(0.85 AS DOUBLE) * coalesce(CAST(s AS DOUBLE), 0.0) AS r
+             |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.dst = node),
+             |c3 AS (SELECT ed.dst, sum(CAST(r2.r / deg.deg AS DECIMAL(28,12))) AS s
+             |       FROM ed JOIN deg USING (src) JOIN r2 ON r2.node = ed.src
+             |       GROUP BY 1),
+             |r3 AS (SELECT node,
+             |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+             |           + CAST(0.85 AS DOUBLE) * coalesce(CAST(s AS DOUBLE), 0.0) AS r
+             |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.dst = node)
+             |SELECT node, round(r, 10) AS rank
+             |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin)
+    ),
+
     // ---- small-file compaction planning: greedy size-bounded bins
     QueryDef(
       "q96_compaction_plan",

@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank on a symmetric cycle is uniform and mass-conserving") {
+    // 4-cycle, both directions: every node has degree 2 and identical
+    // structure → rank stays exactly 1/N every iteration
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val edges = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, "src", "dst", iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(r.size == 4)
+    r.values.foreach(v => assert(math.abs(v - 0.25) < 1e-9, r))
+  }
+
+  test("pageRank concentrates rank on high-in-degree hubs") {
+    // star: all leaves point at the hub; hub points at one leaf
+    val edges = ((1L to 10L).map(i => (i, 0L)) :+ (0L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, "src", "dst", iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    val hub = r(0L)
+    ((2L to 10L)).foreach(i => assert(hub > r(i) * 5,
+      s"hub ${hub} should dominate leaf ${r(i)}"))
+    // node 1 (the hub's only out-target) outranks the other leaves
+    assert(r(1L) > r(2L))
+  }
+
+  test("pageRank handles dangling nodes without diverging") {
+    // 0 -> 1 -> 2, node 2 dangles (no out-edges): its mass leaks, ranks
+    // stay finite and ordered by depth
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, "src", "dst", iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(r.size == 3)
+    r.values.foreach(v => assert(v > 0 && v < 1))
+    assert(r(2L) > r(1L) && r(1L) > r(0L))
+  }
+
+  test("mergeAggState equals a full recompute (sum/min/max)") {
+    val a = spark.range(0, 500).select(
+      (col("id") % 7).as("k"), col("id").as("v"))
+    val b = spark.range(500, 900).select(
+      (col("id") % 7).as("k"), col("id").as("v"))
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(
+        count(lit(1)).cast("long").as("n"),
+        sum("v").as("s"), min("v").as("lo"), max("v").as("hi"))
+    val merged = LakeOps.mergeAggState(state(a), state(b), Seq("k"),
+      how = Map("lo" -> "min", "hi" -> "max"))
+    val full = state(a.unionByName(b))
+    assert(merged.unionByName(full).distinct().count() == full.count(),
+      "incremental state merge must equal the full recompute")
+  }
+
+  test("mergeAggState rejects non-distributive merges") {
+    val st = spark.range(1).select(col("id").as("k"), col("id").as("avg_v"))
+    intercept[IllegalArgumentException] {
+      LakeOps.mergeAggState(st, st, Seq("k"), how = Map("avg_v" -> "avg"))
+    }
+  }
+}
