@@ -35,19 +35,23 @@ object Graph {
       srcCol: String,
       dstCol: String,
       iterations: Int = 3,
-      damping: Double = 0.85
+      damping: Double = 0.85,
+      assumeDistinct: Boolean = false
   ): DataFrame = {
-    val e = edges
+    val e0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct()
-      .localCheckpoint(true)
+    // pass assumeDistinct=true when the caller already deduplicated (e.g.
+    // mirrored a distinct pair list) — skips a full-edge-list shuffle
+    val e = if (assumeDistinct) e0 else e0.distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
     val nN = broadcast(nodes.agg(count(lit(1)).cast("long").as("n")))
     val deg = e.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
+    // the only full-edge-list materialization: (src, dst, deg) reused by
+    // every iteration's contribution join
     val eDeg = e.join(deg, "src").localCheckpoint(true)
 
     var ranks = nodes.crossJoin(nN)

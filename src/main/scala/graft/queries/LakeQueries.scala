@@ -361,12 +361,18 @@ object LakeQueries {
     QueryDef(
       "q99_pagerank",
       (s, dir) => {
-        val li = t(s, dir, "lineitem")
+        // dedup the pair list ONCE (6M rows -> ~500k), then mirror: the
+        // mirrored list is distinct by construction, so pageRank skips its
+        // own full-edge-list dedup shuffle
+        val pairs = t(s, dir, "lineitem")
           .select(col("l_partkey").as("p"),
             (col("l_suppkey") + 1000000L).as("sn"))
-        val edges = li.select(col("p").as("src"), col("sn").as("dst"))
-          .unionByName(li.select(col("sn").as("src"), col("p").as("dst")))
-        graft.ext.Graph.pageRank(edges, "src", "dst", iterations = 3)
+          .distinct()
+          .localCheckpoint(true) // consumed by nodes/deg/eDeg — scan once
+        val edges = pairs.select(col("p").as("src"), col("sn").as("dst"))
+          .unionByName(pairs.select(col("sn").as("src"), col("p").as("dst")))
+        graft.ext.Graph.pageRank(edges, "src", "dst", iterations = 3,
+          assumeDistinct = true)
           .select(col("node"), round(col("r"), 10).as("rank"))
           .orderBy(col("rank").desc, col("node"))
           .limit(20)
