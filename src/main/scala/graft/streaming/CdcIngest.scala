@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ext.LakeOps
+
+/** Streaming CDC ingest: a change feed (op/seq-stamped rows) is folded into
+  * a maintained snapshot, one micro-batch at a time, with
+  * [[LakeOps.cdcMerge]] doing the merge inside `foreachBatch`.
+  *
+  * Snapshot layout — versioned, Delta-style in miniature: each batch writes
+  * a full new version directory `v<epochId>` and then atomically swaps the
+  * `_latest` pointer file. Readers resolve the pointer and never see a
+  * half-written version; a crashed batch leaves a dangling directory, not
+  * a corrupt snapshot, and the replayed batch is IDEMPOTENT (merging the
+  * same latest-wins changes into the already-merged base reproduces the
+  * same rows).
+  *
+  * Scale notes: cdcMerge keeps the snapshot's full width out of every
+  * exchange (feed broadcast + key-only anti join), so per-batch cost is
+  * one map-side pass over the snapshot + the tiny feed window. The
+  * full-rewrite-per-batch of the version directory is the textbook
+  * copy-on-write table format; for partial rewrites partition the
+  * snapshot and rewrite only partitions containing changed keys.
+  */
+object CdcIngest {
+
+  private def pointerPath(snapshotDir: String) = s"$snapshotDir/_latest"
+
+  /** Resolve the current snapshot version directory, if any. */
+  def latestVersion(snapshotDir: String): Option[String] = {
+    val p = Paths.get(pointerPath(snapshotDir))
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
+    else None
+  }
+
+  /** Read the current snapshot (None before the first batch commits). */
+  def readSnapshot(spark: SparkSession, snapshotDir: String): Option[DataFrame] =
+    latestVersion(snapshotDir).map(v => spark.read.parquet(s"$snapshotDir/$v"))
+
+  /** Atomic pointer swap: write aside, then rename over `_latest`. */
+  private def commit(snapshotDir: String, version: String): Unit = {
+    val tmp = Paths.get(s"${pointerPath(snapshotDir)}.tmp")
+    Files.createDirectories(Paths.get(snapshotDir))
+    Files.write(tmp, version.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(pointerPath(snapshotDir)),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Start the ingest: drains the available change feed (AvailableNow),
+    * merging each micro-batch into the snapshot. Restarting with the same
+    * checkpoint resumes from the recorded offsets — already-applied
+    * batches are not re-read, and a replayed partial batch re-merges
+    * idempotently.
+    */
+  def cdcSnapshotStream(
+      changes: DataFrame,
+      snapshotDir: String,
+      checkpointDir: String,
+      keyCol: String,
+      seqCol: String = "op_seq",
+      opCol: String = "op"
+  ): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val spark = batch.sparkSession
+        val base = readSnapshot(spark, snapshotDir)
+          .getOrElse(batch.drop(seqCol, opCol).limit(0))
+        val merged = LakeOps.cdcMerge(base, batch, keyCol, seqCol, opCol)
+        merged.write.mode("overwrite").parquet(s"$snapshotDir/v$epochId")
+        commit(snapshotDir, s"v$epochId")
+      }
+      .start()
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+/** Streaming CDC ingest: file-source change feed folded into the versioned
+  * snapshot across restarts (exactly-once via the stream checkpoint).
+  */
+class CdcIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val changeSchema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("v", StringType),
+    StructField("op", StringType),
+    StructField("op_seq", LongType)))
+
+  test("cdcSnapshotStream maintains the snapshot across two drains + restart") {
+    val base = java.nio.file.Files.createTempDirectory("cdcingest")
+    val (src, snap, ckpt) = (s"$base/src", s"$base/snap", s"$base/ckpt")
+    new java.io.File(src).mkdirs()
+
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(changeSchema).parquet(s"$src/*")
+      CdcIngest.cdcSnapshotStream(stream, snap, ckpt, "k")
+        .awaitTermination()
+    }
+
+    // batch 1: initial inserts
+    Seq((1L, "a", "I", 1L), (2L, "b", "I", 1L), (3L, "c", "I", 1L))
+      .toDF("k", "v", "op", "op_seq").write.parquet(s"$src/b1")
+    drain()
+    val s1 = CdcIngest.readSnapshot(spark, snap).get
+      .as[(Long, String)].collect().toMap
+    assert(s1 == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+
+    // batch 2 (restart, same checkpoint): update k=1, delete k=2, insert
+    // k=4 — and a superseded earlier update of k=1 that must lose
+    Seq((1L, "a_old", "U", 2L), (1L, "a_new", "U", 3L),
+      (2L, "b", "D", 2L), (4L, "d", "I", 2L))
+      .toDF("k", "v", "op", "op_seq").write.parquet(s"$src/b2")
+    drain()
+    val s2 = CdcIngest.readSnapshot(spark, snap).get
+      .as[(Long, String)].collect().toMap
+    assert(s2 == Map(1L -> "a_new", 3L -> "c", 4L -> "d"))
+
+    // restart with nothing new: checkpoint prevents re-application and the
+    // snapshot pointer still resolves
+    drain()
+    val s3 = CdcIngest.readSnapshot(spark, snap).get
+      .as[(Long, String)].collect().toMap
+    assert(s3 == s2)
+  }
+}
