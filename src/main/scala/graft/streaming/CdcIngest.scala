@@ -43,6 +43,43 @@ object CdcIngest {
   def readSnapshot(spark: SparkSession, snapshotDir: String): Option[DataFrame] =
     latestVersion(snapshotDir).map(v => spark.read.parquet(s"$snapshotDir/$v"))
 
+  /** All retained version names, oldest first (v3 sorts after v10 never
+    * matters: epoch ids are monotone, compare numerically).
+    */
+  def versions(snapshotDir: String): Seq[String] = {
+    val d = new java.io.File(snapshotDir)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName)
+      .sortBy(_.drop(1).toLong)
+  }
+
+  /** Time travel: read a specific retained version (AS OF semantics). */
+  def readVersion(spark: SparkSession, snapshotDir: String, version: String): DataFrame = {
+    require(versions(snapshotDir).contains(version),
+      s"version $version not retained in $snapshotDir (have: ${versions(snapshotDir)})")
+    spark.read.parquet(s"$snapshotDir/$version")
+  }
+
+  /** Retention: drop all but the newest `keep` versions. The `_latest`
+    * pointer's version is always retained (a vacuum can never unlink the
+    * live snapshot, even if `keep` is smaller than the history).
+    */
+  def vacuum(snapshotDir: String, keep: Int = 2): Seq[String] = {
+    require(keep >= 1, "must retain at least the live version")
+    val live = latestVersion(snapshotDir).toSet
+    val victims = versions(snapshotDir).dropRight(keep).filterNot(live)
+    victims.foreach { v =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(s"$snapshotDir/$v"))
+    }
+    victims
+  }
+
   /** Atomic pointer swap: write aside, then rename over `_latest`. */
   private def commit(snapshotDir: String, version: String): Unit = {
     val tmp = Paths.get(s"${pointerPath(snapshotDir)}.tmp")

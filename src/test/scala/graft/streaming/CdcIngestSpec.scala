@@ -50,5 +50,22 @@ class CdcIngestSpec extends SparkSpec {
     val s3 = CdcIngest.readSnapshot(spark, snap).get
       .as[(Long, String)].collect().toMap
     assert(s3 == s2)
+
+    // time travel: the pre-update version is still readable AS OF v0
+    val vs = CdcIngest.versions(snap)
+    assert(vs.size == 2, s"expected v0+v1, got $vs")
+    val asOf = CdcIngest.readVersion(spark, snap, vs.head)
+      .as[(Long, String)].collect().toMap
+    assert(asOf == s1, "time travel must reproduce the first snapshot")
+
+    // vacuum keep=1 drops the old version but never the live one
+    val dropped = CdcIngest.vacuum(snap, keep = 1)
+    assert(dropped == Seq(vs.head))
+    assert(CdcIngest.versions(snap) == Seq(vs.last))
+    assert(CdcIngest.readSnapshot(spark, snap).get
+      .as[(Long, String)].collect().toMap == s2)
+    intercept[IllegalArgumentException] {
+      CdcIngest.readVersion(spark, snap, vs.head)
+    }
   }
 }
