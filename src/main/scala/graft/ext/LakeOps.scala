@@ -134,6 +134,55 @@ object LakeOps {
         min(a).as("min_a"), max(a).as("max_a"),
         min(b).as("min_b"), max(b).as("max_b"))
 
+  // ------------------------------------------------------ snapshot diff
+
+  /** Derive the change feed between two snapshot versions — the inverse of
+    * [[cdcMerge]]: `cdcMerge(oldSnap, snapshotDiff(oldSnap, newSnap) + seq)`
+    * reproduces `newSnap` exactly (LakeOpsSpec pins the round trip). This
+    * is how a copy-on-write table surfaces a change-data feed after the
+    * fact.
+    *
+    * Output: key, `op` ('I' new-only | 'U' values differ | 'D' old-only),
+    * and the NEW values ('D' rows carry nulls). Unchanged keys are absent.
+    *
+    * Scale design — the snapshots' full width never enters an exchange:
+    *  - each side reduces scan-side to (key, xxhash64(values)) — 16 bytes
+    *    per row — and only THAT is full-outer-joined to classify keys
+    *    (hash equality stands in for value equality; a cross-engine
+    *    oracle compares values directly, so a hash collision would fail
+    *    the gate loudly);
+    *  - the changed-key set (small at steady state) then broadcast-joins
+    *    back against the new snapshot to fetch values map-side.
+    */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      keyCol: String
+  ): DataFrame = {
+    val valueCols = newSnap.columns.filterNot(_ == keyCol).toSeq
+    require(oldSnap.columns.sorted.sameElements(newSnap.columns.sorted),
+      "snapshotDiff: snapshots must share a schema")
+    def keyed(df: DataFrame, k: String, h: String) =
+      df.select(col(keyCol).as(k), xxhash64(valueCols.map(col): _*).as(h))
+    val classified = keyed(oldSnap, "_ok", "_oh")
+      .join(keyed(newSnap, "_nk", "_nh"), col("_ok") === col("_nk"),
+        "full_outer")
+      .select(
+        coalesce(col("_nk"), col("_ok")).as(keyCol),
+        when(col("_ok").isNull, "I")
+          .when(col("_nk").isNull, "D")
+          .when(col("_oh") =!= col("_nh"), "U")
+          .as("op"))
+      .filter(col("op").isNotNull)
+    val upserts = newSnap
+      .join(broadcast(classified.filter(col("op") =!= "D")), Seq(keyCol))
+      .select(col(keyCol) +: col("op") +: valueCols.map(col): _*)
+    val deletes = classified.filter(col("op") === "D")
+      .select(col(keyCol) +: col("op") +:
+        valueCols.map(c => lit(null).cast(newSnap.schema(c).dataType).as(c)): _*)
+    upserts.unionByName(deletes)
+  }
+
   // ------------------------------------- incremental aggregate maintenance
 
   /** Merge a delta's aggregate state into a stored aggregate state —

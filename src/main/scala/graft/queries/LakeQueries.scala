@@ -412,6 +412,74 @@ object LakeQueries {
              |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin)
     ),
 
+    // ---- snapshot diff: derive the CDC feed between two table versions
+    //      (inverse of q90's merge; the spec pins cdcMerge∘snapshotDiff
+    //      = identity). Output = the full recovered change feed.
+    QueryDef(
+      "q100_snapshot_diff",
+      (s, dir) => {
+        val oldS = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val newPrice = (col("o_totalprice").cast(DecimalType(18, 2))
+          * lit(new java.math.BigDecimal("1.05"))).cast("double")
+        val newS = oldS.filter(col("o_orderkey") % 13 =!= 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 7 === 0, newPrice)
+              .otherwise(col("o_totalprice")).as("o_totalprice"),
+            col("o_orderstatus"))
+          .unionByName(oldS.filter(col("o_orderkey") % 11 === 0)
+            .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+              col("o_totalprice"), lit("N").as("o_orderstatus")))
+        LakeOps.snapshotDiff(oldS, newS, "o_orderkey")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st
+             |  FROM orders),
+             |n AS (
+             |  SELECT k,
+             |    CASE WHEN k % 7 = 0
+             |         THEN CAST(CAST(p AS DECIMAL(18,2)) * 1.05 AS DOUBLE)
+             |         ELSE p END AS p,
+             |    st
+             |  FROM o WHERE k % 13 <> 0
+             |  UNION ALL
+             |  SELECT k + 100000000, p, 'N' FROM o WHERE k % 11 = 0),
+             |d AS (
+             |  SELECT coalesce(n.k, o.k) AS o_orderkey,
+             |    CASE WHEN o.k IS NULL THEN 'I'
+             |         WHEN n.k IS NULL THEN 'D'
+             |         WHEN (n.p IS DISTINCT FROM o.p)
+             |           OR (n.st IS DISTINCT FROM o.st) THEN 'U' END AS op,
+             |    n.p AS o_totalprice, n.st AS o_orderstatus
+             |  FROM o FULL OUTER JOIN n ON o.k = n.k)
+             |SELECT o_orderkey, op, o_totalprice, o_orderstatus
+             |FROM d WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    // ---- grouping sets (beyond rollup/cube): per-status, per-priority,
+    //      and grand-total aggregates in ONE pass with grouping_id
+    QueryDef(
+      "q101_grouping_sets",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            count(lit(1)).cast("long").as("n_orders"),
+            Q.sumExact(col("o_totalprice")).as("revenue"),
+            grouping_id().cast("long").as("gid"))
+          .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue,
+             |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
+    ),
+
     // ---- small-file compaction planning: greedy size-bounded bins
     QueryDef(
       "q96_compaction_plan",

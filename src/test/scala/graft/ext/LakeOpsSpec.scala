@@ -79,6 +79,30 @@ class LakeOpsSpec extends SparkSpec {
           org.apache.spark.sql.execution.FormattedMode))
   }
 
+  test("snapshotDiff ∘ cdcMerge is the identity: merging the derived feed " +
+    "into the old snapshot reproduces the new one") {
+    val oldS = spark.range(0, 5000)
+      .select(col("id").as("k"), (col("id") % 100).cast("double").as("v"),
+        concat(lit("s"), col("id") % 5).as("tag"))
+    // new version: drop %17, rewrite v for %7, add 300 fresh keys
+    val newS = oldS.filter(col("k") % 17 =!= 0)
+      .select(col("k"),
+        when(col("k") % 7 === 0, col("v") * 2).otherwise(col("v")).as("v"),
+        col("tag"))
+      .unionByName(spark.range(10000, 10300)
+        .select(col("id").as("k"), lit(1.5).as("v"), lit("new").as("tag")))
+    val feed = LakeOps.snapshotDiff(oldS, newS, "k")
+    // sanity on the op census
+    val ops = feed.groupBy("op").count().as[(String, Long)].collect().toMap
+    assert(ops("I") == 300)
+    assert(ops("D") == math.ceil(5000.0 / 17).toLong)
+    val merged = LakeOps.cdcMerge(oldS,
+      feed.withColumn("op_seq", lit(1L)), "k")
+    assert(merged.unionByName(newS).distinct().count() == newS.count(),
+      "cdcMerge(old, diff(old,new)) must equal new")
+    assert(merged.count() == newS.count())
+  }
+
   // ------------------------------------------------------------- z-order
 
   test("zvalue2 interleaves bits (a on even positions, b on odd)") {
