@@ -193,6 +193,42 @@ object TextAnalysis {
     spark.createDataFrame(packed, schema)
   }
 
+  /** Split documents into fixed-size token windows with overlap — the
+    * context-window chunking step ahead of embedding/training. Chunk `i`
+    * covers tokens `[i·stride, i·stride + maxTokens)` with
+    * `stride = maxTokens - overlap`; every document yields ≥ 1 chunk (an
+    * empty text yields one empty chunk rather than vanishing).
+    *
+    * Pure scan-side expressions (tokenize → chunk-count → explode →
+    * slice): no shuffle, linear in corpus size. The token array is
+    * projected to an attribute BEFORE the per-chunk slice consumes it —
+    * an inline tokens() subtree inside the lambda re-tokenizes per chunk
+    * (the q84 HOF trap, CLAUDE.md).
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int,
+      overlap: Int
+  ): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap $overlap must be in [0, maxTokens=$maxTokens)")
+    val stride = maxTokens - overlap
+    df
+      .select(col(idCol), tokens(col(textCol)).as("_t"))
+      .withColumn("_nc",
+        greatest(lit(1L),
+          expr(s"(size(_t) - $overlap + $stride - 1) div $stride")))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("_nc") - 1)))
+      .withColumn("_chunk",
+        slice(col("_t"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(maxTokens)))
+      .select(col(idCol), col("chunk_id"),
+        size(col("_chunk")).cast("long").as("n_tokens"),
+        array_join(col("_chunk"), " ").as("chunk_text"))
+  }
+
   /** Benchmark DECONTAMINATION: find corpus documents sharing ≥ `minOverlap`
     * distinct word n-grams with an evaluation set — the standard guard
     * against test-set leakage into training data (13-gram overlap in

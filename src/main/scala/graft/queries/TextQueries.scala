@@ -469,6 +469,37 @@ object TextQueries {
       Some("""SELECT doc_id,
              |md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ---- context-window chunking: 64-token windows, 16-token overlap
+    //      (chunk text fingerprinted so the compare stays compact)
+    QueryDef(
+      "q102_chunk_documents",
+      (s, dir) =>
+        TextAnalysis.chunkDocuments(t(s, dir, "documents"),
+            "doc_id", "text", maxTokens = 64, overlap = 16)
+          .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+            md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |                x -> x <> '') AS t
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, t,
+             |    greatest(1, (len(t) - 16 + 47) // 48) AS nc
+             |  FROM toks),
+             |x AS (
+             |  SELECT doc_id, t, unnest(range(0, nc)) AS chunk_id FROM p),
+             |c AS (
+             |  SELECT doc_id, chunk_id,
+             |    t[chunk_id * 48 + 1 : chunk_id * 48 + 64] AS ch
+             |  FROM x)
+             |SELECT doc_id, chunk_id,
+             |  CAST(len(ch) AS BIGINT) AS n_tokens,
+             |  md5(array_to_string(ch, ' ')) AS chunk_md5
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
     )
   )
 }

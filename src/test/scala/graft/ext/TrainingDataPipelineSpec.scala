@@ -46,6 +46,35 @@ class TrainingDataPipelineSpec extends SparkSpec {
     r.release()
   }
 
+  test("chunkDocuments: coverage, overlap, and degenerate docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 200).map(i => s"w$i").mkString(" ")), // 200 tokens → 4+ chunks
+      (2L, (1 to 64).map(i => s"x$i").mkString(" ")), // exactly one window
+      (3L, "solo"), // single token
+      (4L, "") // empty text → one empty chunk, doc not dropped
+    ).toDF("doc_id", "text")
+    val chunks = TextAnalysis
+      .chunkDocuments(docs, "doc_id", "text", maxTokens = 64, overlap = 16)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+
+    // doc 1: stride 48 → chunks at 0,48,96,144 → 4 chunks; last = 200-144=56
+    assert(chunks(1L).map(_._3).toSeq == Seq(64L, 64L, 64L, 56L))
+    // consecutive chunks overlap by exactly 16 tokens
+    val c0 = chunks(1L)(0)._4.split(" ")
+    val c1 = chunks(1L)(1)._4.split(" ")
+    assert(c0.takeRight(16).sameElements(c1.take(16)))
+    // every token covered, in order, no loss: stitching chunks (dropping
+    // each successor's overlap) reproduces the document
+    val stitched = chunks(1L).map(_._4.split(" ").toSeq)
+      .reduceLeft((acc, next) => acc ++ next.drop(16))
+    assert(stitched == (1 to 200).map(i => s"w$i"))
+    assert(chunks(2L).map(_._3).toSeq == Seq(64L))
+    assert(chunks(3L).map(_._3).toSeq == Seq(1L))
+    assert(chunks(4L).map(_._3).toSeq == Seq(0L))
+  }
+
   test("packSequences: budget respected, all docs packed, deterministic") {
     val docs = Q.t(spark, sfDir("0.01"), "documents")
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
