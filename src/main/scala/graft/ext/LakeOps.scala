@@ -174,6 +174,9 @@ object LakeOps {
           .when(col("_oh") =!= col("_nh"), "U")
           .as("op"))
       .filter(col("op").isNotNull)
+      // consumed by BOTH the upsert fetch and the delete branch: checkpoint
+      // the (small) changed-key set so the narrow classify join runs once
+      .localCheckpoint(true)
     val upserts = newSnap
       .join(broadcast(classified.filter(col("op") =!= "D")), Seq(keyCol))
       .select(col(keyCol) +: col("op") +: valueCols.map(col): _*)
