@@ -118,6 +118,43 @@ object Joins {
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     l.join(r, on :+ "_graft_salt", how).drop("_graft_salt")
   }
+
+  /** Point-in-interval join (`lo <= point <= hi`) WITHOUT a cartesian:
+    * Spark has no native range-join optimization, and a plain non-equi
+    * condition plans as BroadcastNestedLoop / cartesian — O(|points|·|intervals|)
+    * comparisons. Bucket expansion turns it into an EQUI-join: each
+    * interval explodes to the `bucketWidth`-sized buckets it covers, each
+    * point hashes to its single bucket, and the exact containment filter
+    * runs only on bucket-colocated candidates. A matching pair meets in
+    * exactly ONE bucket (the point's), so no dedup pass is needed.
+    *
+    * Pick `bucketWidth` near the typical interval length: explosion factor
+    * is `len/width + 1` per interval, and candidate density per bucket is
+    * what the filter pays for. Point/interval columns must be integral
+    * (cast timestamps to epoch units first); the two frames' column names
+    * must be disjoint.
+    */
+  def intervalJoin(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Long
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(points.columns.toSet.intersect(intervals.columns.toSet).isEmpty,
+      "intervalJoin: point/interval column names must be disjoint")
+    val p = points.withColumn("_graft_bucket",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    val iv = intervals.withColumn("_graft_bucket",
+      explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    p.join(iv, Seq("_graft_bucket"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_graft_bucket")
+  }
 }
 
 /** Silver stage: traffic ⋈ weather on (city, calendar day).

@@ -480,6 +480,39 @@ object LakeQueries {
              |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
     ),
 
+    // ---- point-in-interval join via bucket expansion (no cartesian):
+    //      orders falling inside 4-day "maintenance windows"; the oracle
+    //      runs the same semantics as a naive non-equi join
+    QueryDef(
+      "q103_interval_join",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val days = datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1970-01-01")))
+        val points = o.select(col("o_orderkey").as("point_key"),
+          col("o_totalprice").as("price"), days.cast("long").as("d"))
+        val windows = o.filter(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey").as("window_id"),
+            days.cast("long").as("lo"), (days + 3).cast("long").as("hi"))
+        graft.etl.Joins
+          .intervalJoin(points, "d", windows, "lo", "hi", bucketWidth = 4L)
+          .groupBy("window_id")
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            Q.sumExact(col("price")).as("revenue"))
+          .orderBy("window_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT o_orderkey AS k, o_totalprice AS price,
+             |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d
+             |  FROM orders),
+             |w AS (SELECT k AS window_id, d AS lo, d + 3 AS hi
+             |      FROM p WHERE k % 97 = 0)
+             |SELECT window_id, count(*) AS n_orders,
+             |  CAST(sum(CAST(price AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+             |FROM w JOIN p ON p.d BETWEEN w.lo AND w.hi
+             |GROUP BY 1 ORDER BY window_id""".stripMargin)
+    ),
+
     // ---- small-file compaction planning: greedy size-bounded bins
     QueryDef(
       "q96_compaction_plan",

@@ -106,4 +106,32 @@ class JoinsSpec extends SparkSpec {
       uniqueCol = Some("id"))
     assert(ok.count() == 2)
   }
+
+  test("intervalJoin equals the naive non-equi join, with no duplicate pairs") {
+    import spark.implicits._
+    // intervals of varied length (1 to 40) across bucket boundaries,
+    // including touching endpoints and nested/overlapping windows
+    val intervals = (0L until 50L)
+      .map(i => (i, i * 7 % 100, i * 7 % 100 + (i % 5) * 10))
+      .toDF("window_id", "lo", "hi")
+    val points = (0L until 300L).map(p => (p, p % 120)).toDF("point_id", "d")
+    val bucketized = Joins
+      .intervalJoin(points, "d", intervals, "lo", "hi", bucketWidth = 8)
+      .select("point_id", "window_id")
+    val naive = points.join(intervals,
+        col("d") >= col("lo") && col("d") <= col("hi"))
+      .select("point_id", "window_id")
+    assert(bucketized.count() == naive.count(),
+      "bucket expansion must not duplicate or drop pairs")
+    assert(bucketized.except(naive).isEmpty && naive.except(bucketized).isEmpty)
+  }
+
+  test("intervalJoin refuses colliding column names") {
+    import spark.implicits._
+    val a = Seq((1L, 2L)).toDF("d", "x")
+    val b = Seq((1L, 2L, 3L)).toDF("lo", "hi", "x")
+    intercept[IllegalArgumentException] {
+      Joins.intervalJoin(a, "d", b, "lo", "hi", 4)
+    }
+  }
 }

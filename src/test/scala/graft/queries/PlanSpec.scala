@@ -272,6 +272,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("codegen id"), p)
   }
 
+  test("q103 interval join plans as an equi-join (no cartesian/nested-loop)") {
+    val df = q("q103_interval_join")
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"range condition fell into an O(n*m) join:\n$p")
+  }
+
   test("q93 rolling window is partitioned by user (no global single-task sort)") {
     val df = q("q93_rolling_1h")
     val windows = df.queryExecution.optimizedPlan.collect {
