@@ -222,6 +222,40 @@ object LakeOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  // ------------------------------------------------- training export
+
+  /** Deterministic shard assignment for a training export: shard =
+    * portable-hash(id) mod nShards. Membership depends only on the id, so
+    * re-exports are stable, any engine can recompute the mapping, and the
+    * shards are size-balanced in expectation regardless of id clustering.
+    */
+  def shardAssign(idCol: Column, nShards: Int): Column =
+    pmod(conv(substring(md5(idCol.cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long"), lit(nShards.toLong))
+
+  /** Per-shard integrity manifest: row count plus an ORDER-INDEPENDENT
+    * content checksum: the sum of per-row md5-derived hashes REDUCED
+    * MOD 1e9, so the int64 sum cannot overflow below ~9e9 rows per shard
+    * (engines disagree on overflow: Spark wraps, DuckDB's HUGEINT sum
+    * errors on the down-cast — staying exact sidesteps both). Fields are
+    * joined with \\u0001 before hashing so adjacent fields cannot alias.
+    * Computing the manifest from the exported files and from the source
+    * table must agree — that equality is the export's end-to-end
+    * integrity check (q104). The shard column is cast to long so a
+    * partition-discovered (int-inferred) column and a computed one
+    * compare identically.
+    */
+  def shardManifest(df: DataFrame, shardCol: String, contentCols: Seq[String]): DataFrame = {
+    val rowHash = pmod(
+      conv(substring(md5(
+        concat_ws("\u0001", contentCols.map(c => col(c).cast("string")): _*)
+          .cast("binary")), 1, 15), 16, 10).cast("long"),
+      lit(1000000000L))
+    df.groupBy(col(shardCol).cast("long").as(shardCol))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(rowHash).as("content_sum"))
+  }
+
   // ---------------------------------------------- compaction planning
 
   /** Small-file compaction plan: within each table partition, assign files

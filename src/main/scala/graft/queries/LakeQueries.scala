@@ -513,6 +513,34 @@ object LakeQueries {
              |GROUP BY 1 ORDER BY window_id""".stripMargin)
     ),
 
+    // ---- training export: physically shard the corpus (partitioned
+    //      write), read the FILES back, and emit the integrity manifest —
+    //      the oracle recomputes it from the source table, so the hash
+    //      compare certifies the whole export roundtrip (q39 pattern)
+    QueryDef(
+      "q104_export_manifest",
+      (s, dir) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_export"
+        val docs = t(s, dir, "documents")
+          .withColumn("shard", LakeOps.shardAssign(col("doc_id"), 8))
+        docs.write.mode("overwrite").partitionBy("shard").parquet(out)
+        LakeOps.shardManifest(s.read.parquet(out), "shard",
+            Seq("doc_id", "text", "lang", "source", "n_chars"))
+          .orderBy("shard")
+      },
+      Some("""WITH sharded AS (
+             |  SELECT *,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(1) || text
+             |                        || chr(1) || lang || chr(1) || source
+             |                        || chr(1) || CAST(n_chars AS VARCHAR)),
+             |                    1, 15))::BIGINT % 1000000000 AS rh
+             |  FROM documents)
+             |SELECT shard, count(*) AS n_rows,
+             |  CAST(sum(rh) AS BIGINT) AS content_sum
+             |FROM sharded GROUP BY 1 ORDER BY shard""".stripMargin)
+    ),
+
     // ---- small-file compaction planning: greedy size-bounded bins
     QueryDef(
       "q96_compaction_plan",
