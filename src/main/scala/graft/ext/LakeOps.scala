@@ -222,6 +222,34 @@ object LakeOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  // ------------------------------------------------- skew diagnostics
+
+  /** Key-distribution profile: the diagnostic run BEFORE picking a join
+    * strategy for a key (broadcast? salt? AQE skew split?). Returns the
+    * `topK` heaviest keys with their share, plus the global skew ratio
+    * max_freq / mean_freq (1.0 = perfectly uniform; the salting threshold
+    * in practice sits around tens).
+    *
+    * One partial-aggregated groupBy on the key (counts shuffle, rows do
+    * not) + a 1-row global aggregate broadcast back — profiling cost is
+    * O(distinct keys), not O(rows).
+    */
+  def keyProfile(df: DataFrame, keyCol: String, topK: Int = 15): DataFrame = {
+    val counts = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+    val stats = broadcast(counts.agg(
+      sum(col("n_rows")).as("_total"),
+      count(lit(1)).cast("long").as("_nkeys"),
+      max(col("n_rows")).as("_max")))
+    counts.crossJoin(stats)
+      .select(col(keyCol), col("n_rows"),
+        round(col("n_rows") * 100.0 / col("_total"), 6).as("pct"),
+        round(col("_max") * 1.0 * col("_nkeys") / col("_total"), 6)
+          .as("skew_ratio"))
+      .orderBy(col("n_rows").desc, col(keyCol))
+      .limit(topK)
+  }
+
   // ------------------------------------------------- training export
 
   /** Deterministic shard assignment for a training export: shard =

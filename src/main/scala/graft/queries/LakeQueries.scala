@@ -541,6 +541,22 @@ object LakeQueries {
              |FROM sharded GROUP BY 1 ORDER BY shard""".stripMargin)
     ),
 
+    // ---- key-distribution / skew profile: heavy hitters + skew ratio
+    QueryDef(
+      "q105_key_profile",
+      (s, dir) =>
+        LakeOps.keyProfile(t(s, dir, "orders"), "o_custkey", topK = 15),
+      Some("""WITH counts AS (
+             |  SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY 1),
+             |g AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+             |             count(*) AS nkeys, max(n_rows) AS mx FROM counts)
+             |SELECT o_custkey, n_rows,
+             |  round(n_rows * CAST(100.0 AS DOUBLE) / total, 6) AS pct,
+             |  round(mx * CAST(1.0 AS DOUBLE) * nkeys / total, 6) AS skew_ratio
+             |FROM counts CROSS JOIN g
+             |ORDER BY n_rows DESC, o_custkey LIMIT 15""".stripMargin)
+    ),
+
     // ---- small-file compaction planning: greedy size-bounded bins
     QueryDef(
       "q96_compaction_plan",

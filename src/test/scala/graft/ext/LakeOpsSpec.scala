@@ -159,6 +159,27 @@ class LakeOpsSpec extends SparkSpec {
     assert(avgRange(byZ, "b") <= 32.0)
   }
 
+  test("degenerate inputs: empty feed, identical snapshots, empty sides") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val emptyChanges = Seq.empty[(Long, String, String, Long)]
+      .toDF("k", "v", "op", "op_seq")
+    // empty feed → snapshot unchanged
+    assert(LakeOps.cdcMerge(base, emptyChanges, "k").count() == 2)
+    // diff of identical snapshots → empty feed
+    assert(LakeOps.snapshotDiff(base, base, "k").count() == 0)
+    // empty base: every non-D change is an insert
+    val emptyBase = base.limit(0)
+    val changes = Seq((5L, "e", "I", 1L), (6L, "x", "D", 1L))
+      .toDF("k", "v", "op", "op_seq")
+    val fromEmpty = LakeOps.cdcMerge(emptyBase, changes, "k")
+      .as[(Long, String)].collect().toSeq
+    assert(fromEmpty == Seq((5L, "e")))
+    // diff against an empty old snapshot → all-inserts feed
+    val allIns = LakeOps.snapshotDiff(emptyBase, base, "k")
+    assert(allIns.count() == 2 &&
+      allIns.filter(col("op") =!= "I").count() == 0)
+  }
+
   // ---------------------------------------------------- compaction plan
 
   test("compactionPlan fills size-bounded bins in order, per partition") {
