@@ -557,6 +557,84 @@ object LakeQueries {
              |ORDER BY n_rows DESC, o_custkey LIMIT 15""".stripMargin)
     ),
 
+    // ---- curriculum tiers: quality-quartile binning PER SOURCE (the
+    //      window partitions by source, so no global single-task sort; the
+    //      training-order curriculum reads tiers in sequence)
+    QueryDef(
+      "q106_curriculum_tiers",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val scored = docs.select(col("source"), col("doc_id"),
+          graft.ext.TextAnalysis.qualityScore(col("text")).as("q"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("q").desc, col("doc_id"))
+        scored
+          .withColumn("tier", ntile(4).over(w).cast("long"))
+          .groupBy("source", "tier")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            round(min(col("q")), 6).as("min_q"),
+            round(max(col("q")), 6).as("max_q"))
+          .orderBy("source", "tier")
+      },
+      Some("""WITH m AS (SELECT source, doc_id, text,
+             |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS ntok,
+             |  CASE WHEN length(text) = 0 THEN 0.0
+             |       ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) END AS alpha,
+             |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS ens,
+             |  length(regexp_replace(text, '\s+', '', 'g')) AS nws,
+             |  length(text) AS len FROM documents),
+             |scored AS (SELECT source, doc_id,
+             |  round(
+             |    least(len / 500.0, 1.0) * 0.25 + alpha * 0.35 +
+             |    least((CASE WHEN ntok = 0 THEN 0.0 ELSE ens::DOUBLE / ntok END) * 5.0, 1.0) * 0.2 +
+             |    (CASE WHEN (CASE WHEN ntok = 0 THEN 0.0 ELSE nws::DOUBLE / ntok END)
+             |          BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2, 4) AS q
+             |  FROM m),
+             |tiers AS (
+             |  SELECT source, q,
+             |    ntile(4) OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS tier
+             |  FROM scored)
+             |SELECT source, CAST(tier AS BIGINT) AS tier,
+             |  count(*) AS n_docs,
+             |  round(min(q), 6) AS min_q, round(max(q), 6) AS max_q
+             |FROM tiers GROUP BY 1, 2 ORDER BY source, tier""".stripMargin)
+    ),
+
+    // ---- referential-integrity audit: orphan foreign keys across the
+    //      star schema (key-only anti joins; a data-quality gate)
+    QueryDef(
+      "q107_integrity_audit",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val c = t(s, dir, "customer").select(col("c_custkey"))
+        val p = t(s, dir, "part").select(col("p_partkey"))
+        val orphanLi = li.join(o, col("l_orderkey") === col("o_orderkey"),
+          "left_anti").agg(count(lit(1)).cast("long").as("n")).select(
+          lit("lineitem_without_order").as("check_name"), col("n"))
+        val orphanPart = li.join(p, col("l_partkey") === col("p_partkey"),
+          "left_anti").agg(count(lit(1)).cast("long").as("n")).select(
+          lit("lineitem_without_part").as("check_name"), col("n"))
+        val orphanOrd = o.join(c, col("o_custkey") === col("c_custkey"),
+          "left_anti").agg(count(lit(1)).cast("long").as("n")).select(
+          lit("order_without_customer").as("check_name"), col("n"))
+        orphanLi.unionByName(orphanPart).unionByName(orphanOrd)
+          .orderBy("check_name")
+      },
+      Some("""SELECT 'lineitem_without_order' AS check_name,
+             |  (SELECT count(*) FROM lineitem l
+             |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n
+             |UNION ALL
+             |SELECT 'lineitem_without_part',
+             |  (SELECT count(*) FROM lineitem l
+             |   WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+             |UNION ALL
+             |SELECT 'order_without_customer',
+             |  (SELECT count(*) FROM orders o
+             |   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+             |ORDER BY check_name""".stripMargin)
+    ),
+
     // ---- small-file compaction planning: greedy size-bounded bins
     QueryDef(
       "q96_compaction_plan",
