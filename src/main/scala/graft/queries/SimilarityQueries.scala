@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.ext.Similarity
 import graft.queries.Q._
 
@@ -352,6 +353,50 @@ object SimilarityQueries {
           .limit(10)
       },
       Some(ivfPqOracleSql)
+    ),
+
+    // ---- per-label centroid census (embedding drift / cluster-quality
+    //      monitoring): quantized components posexploded, integer sums per
+    //      (label, position), norms DECIMAL-routed — fully engine-exact
+    QueryDef(
+      "q108_centroid_census",
+      (s, dir) => {
+        val comps = t(s, dir, "embeddings")
+          .select(col("label").cast("long").as("label"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("label"), col("pos"),
+            round(col("v").cast("double") * 1000).cast("long").as("q"))
+        val perPos = comps.groupBy("label", "pos")
+          .agg(sum(col("q")).as("sq"), count(lit(1)).cast("long").as("n"))
+        val cq = col("sq").cast("double") / col("n")
+        perPos
+          .select(col("label"), col("n"),
+            round(cq * cq, 6).cast(DecimalType(30, 6)).as("c2"))
+          .groupBy("label")
+          .agg(max(col("n")).as("n_vecs"),
+            round(sqrt(sum(col("c2")).cast("double")) / lit(1000.0), 6)
+              .as("centroid_norm"))
+          .orderBy("label")
+      },
+      Some("""WITH q AS (
+             |  SELECT CAST(label AS BIGINT) AS label,
+             |    unnest(list_transform(embedding,
+             |           x -> round(x::DOUBLE * 1000)::BIGINT)) AS qv,
+             |    generate_subscripts(embedding, 1) AS pos
+             |  FROM embeddings),
+             |g AS (
+             |  SELECT label, pos, CAST(sum(qv) AS BIGINT) AS sq,
+             |    count(*) AS n
+             |  FROM q GROUP BY 1, 2),
+             |c AS (
+             |  SELECT label, n,
+             |    CAST(round((CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n), 6)
+             |         AS DECIMAL(30,6)) AS c2
+             |  FROM g)
+             |SELECT label, max(n) AS n_vecs,
+             |  round(sqrt(CAST(sum(c2) AS DOUBLE)) / CAST(1000.0 AS DOUBLE), 6)
+             |    AS centroid_norm
+             |FROM c GROUP BY 1 ORDER BY label""".stripMargin)
     )
   )
 
