@@ -290,6 +290,45 @@ object EventQueries {
              |SELECT count(*) FILTER (WHERE ts < prev_ts) AS n_inversions,
              |max(epoch_us(prev_ts) - epoch_us(ts)) AS max_backstep_us,
              |count(*) AS n_events FROM o""".stripMargin)
+    ),
+
+    // ---- batch twin of the STREAM-STREAM attribution join
+    //      (Events.attributionJoin): clicks attributed to purchases within
+    //      the trailing hour per user. Equi-join on user + time-range
+    //      filter — never a cartesian; the left join keeps click-less
+    //      purchases (the streaming inner join is the state-bounded subset)
+    QueryDef(
+      "q109_attribution_batch",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts").cast("timestamp")).as("us"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("us").as("pus"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("us").as("cus"))
+        p.join(c,
+            col("p_user") === col("c_user") &&
+              col("cus") <= col("pus") &&
+              col("cus") >= col("pus") - 3600000000L,
+            "left")
+          .groupBy("purchase_id")
+          .agg(count(col("cus")).cast("long").as("n_clicks_1h"),
+            min(col("pus") - col("cus")).as("min_gap_us"))
+          .orderBy("purchase_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+             |                  epoch_us(ts) AS us FROM events),
+             |p AS (SELECT event_id AS purchase_id, user_id, us AS pus
+             |      FROM e WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, us AS cus FROM e WHERE event_type = 'click')
+             |SELECT purchase_id,
+             |  count(cus) AS n_clicks_1h,
+             |  min(pus - cus) AS min_gap_us
+             |FROM p LEFT JOIN c ON p.user_id = c.user_id
+             |  AND cus <= pus AND cus >= pus - 3600000000
+             |GROUP BY 1 ORDER BY purchase_id""".stripMargin)
     )
   )
 }

@@ -159,6 +159,37 @@ object Events {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** STREAM-STREAM join (attribution shape): each purchase joins every
+    * click by the same user in the preceding `window_`. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can expire join state — without the time bound the state
+    * grows forever. Inner-join semantics; purchases with no attributable
+    * click simply produce no row (the oracled batch twin q109 keeps them
+    * via a left join — the streaming inner join is the state-bounded
+    * subset Structured Streaming supports robustly across triggers).
+    */
+  def attributionJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      window_ : String = "1 hour",
+      watermark: String = "2 hours"
+  ): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("ts").as("purchase_ts"), col("event_id").as("purchase_id"),
+      col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p, expr(
+      s"""c_user = p_user AND
+         |click_ts <= purchase_ts AND
+         |click_ts >= purchase_ts - INTERVAL $window_""".stripMargin))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"), col("click_ts"), col("purchase_ts"),
+        col("purchase_value"))
+  }
+
   /** Checkpointed gold-layer stream: watermarked tumbling aggregation →
     * parquet sink with exactly-once file-sink semantics. `AvailableNow`
     * drains everything currently in the source then stops — the same query

@@ -166,6 +166,31 @@ class EventsStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches the time-bound semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Events.Event]
+    val purchases = MemoryStream[Events.Event]
+    val joined = Events.attributionJoin(clicks.toDF(), purchases.toDF(),
+      window_ = "10 minutes", watermark = "30 minutes")
+    val q = joined.writeStream
+      .format("memory").queryName("attjoin_test").outputMode("append").start()
+    try {
+      clicks.addData(
+        Events.Event(1, ts(0), 1, "click", 0.0), // 12 min before: outside
+        Events.Event(2, ts(5), 1, "click", 0.0), // 7 min before: attributed
+        Events.Event(3, ts(10), 1, "click", 0.0), // 2 min before: attributed
+        Events.Event(4, ts(5), 2, "click", 0.0)) // other user
+      purchases.addData(Events.Event(100, ts(12), 1, "purchase", 9.99))
+      q.processAllAvailable()
+      val got = spark.table("attjoin_test")
+        .select("purchase_id", "click_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((100L, 2L), (100L, 3L)),
+        s"attribution window misapplied: $got")
+    } finally q.stop()
+  }
+
   test("goldStream: checkpointed parquet sink with restart recovery") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("goldstream")
