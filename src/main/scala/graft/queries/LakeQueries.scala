@@ -489,16 +489,26 @@ object LakeQueries {
         val o = t(s, dir, "orders")
         val days = datediff(col("o_orderdate").cast("date"),
           to_date(lit("1970-01-01")))
-        val points = o.select(col("o_orderkey").as("point_key"),
-          col("o_totalprice").as("price"), days.cast("long").as("d"))
+        // aggregation pushdown THROUGH the range join: the query only
+        // needs per-window count/sum, so points pre-aggregate to day
+        // grain first (DECIMAL partial sums stay exact under re-
+        // aggregation). Joined cardinality becomes days×windows instead
+        // of orders×windows — the difference between 4.5 s and 158 s at
+        // 100× interval density (PERF.md).
+        val dayAgg = o
+          .select(days.cast("long").as("d"),
+            col("o_totalprice").cast(DecimalType(30, 2)).as("p"))
+          .groupBy("d")
+          .agg(count(lit(1)).cast("long").as("n_day"),
+            sum(col("p")).as("rev_day"))
         val windows = o.filter(col("o_orderkey") % 97 === 0)
           .select(col("o_orderkey").as("window_id"),
             days.cast("long").as("lo"), (days + 3).cast("long").as("hi"))
         graft.etl.Joins
-          .intervalJoin(points, "d", windows, "lo", "hi", bucketWidth = 4L)
+          .intervalJoin(dayAgg, "d", windows, "lo", "hi", bucketWidth = 4L)
           .groupBy("window_id")
-          .agg(count(lit(1)).cast("long").as("n_orders"),
-            Q.sumExact(col("price")).as("revenue"))
+          .agg(sum(col("n_day")).as("n_orders"),
+            sum(col("rev_day")).cast("double").as("revenue"))
           .orderBy("window_id")
       },
       Some("""WITH p AS (
