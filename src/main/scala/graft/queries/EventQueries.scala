@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.queries.Q._
 
 /** Batch twins of the streaming surface over `events` — same window
@@ -329,6 +330,61 @@ object EventQueries {
              |FROM p LEFT JOIN c ON p.user_id = c.user_id
              |  AND cus <= pus AND cus >= pus - 3600000000
              |GROUP BY 1 ORDER BY purchase_id""".stripMargin)
+    ),
+
+    // ---- trailing-window z-score anomaly detection, engine-exact: the
+    //      window variance comes from DECIMAL-routed Σv and Σv² (an
+    //      order-dependent double stddev would never hash-match), and the
+    //      z computation is a fixed sequence of IEEE double ops
+    QueryDef(
+      "q110_anomaly_zscore",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            col("value").cast(DecimalType(18, 4)).as("v"),
+            unix_micros(col("ts").cast("timestamp")).as("us"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("us"))
+          .rangeBetween(-86400000000L, 0L)
+        val stats = ev.select(col("event_id"), col("event_type"), col("v"),
+          count(lit(1)).over(w).cast("long").as("n"),
+          sum(col("v")).over(w).as("s1"),
+          sum(col("v") * col("v")).over(w).as("s2"))
+        val vD = col("v").cast("double")
+        val mean = col("s1").cast("double") / col("n")
+        val varS = (col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+          (col("n") - 1)
+        stats
+          .filter(col("n") >= 20)
+          .withColumn("z", (vD - mean) / sqrt(varS))
+          .filter(col("z") > 3.0)
+          .select(col("event_id"), col("event_type"),
+            round(vD, 4).as("value"), round(col("z"), 6).as("zscore"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, event_type, CAST(value AS DECIMAL(18,4)) AS v,
+             |    epoch_us(ts) AS us
+             |  FROM events),
+             |st AS (
+             |  SELECT event_id, event_type, v,
+             |    CAST(count(*) OVER w AS BIGINT) AS n,
+             |    sum(v) OVER w AS s1,
+             |    sum(v * v) OVER w AS s2
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY us
+             |               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)),
+             |z AS (
+             |  SELECT event_id, event_type, CAST(v AS DOUBLE) AS vd,
+             |    (CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+             |      / sqrt((CAST(s2 AS DOUBLE)
+             |              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+             |             / (n - 1)) AS zv
+             |  FROM st WHERE n >= 20)
+             |SELECT event_id, event_type, round(vd, 4) AS value,
+             |  round(zv, 6) AS zscore
+             |FROM z WHERE zv > 3.0 ORDER BY event_id""".stripMargin)
     )
   )
 }
