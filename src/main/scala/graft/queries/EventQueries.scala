@@ -332,30 +332,39 @@ object EventQueries {
              |GROUP BY 1 ORDER BY purchase_id""".stripMargin)
     ),
 
-    // ---- trailing-window z-score anomaly detection, engine-exact: the
-    //      window variance comes from DECIMAL-routed Σv and Σv² (an
-    //      order-dependent double stddev would never hash-match), and the
-    //      z computation is a fixed sequence of IEEE double ops
+    // ---- z-score anomaly detection vs the trailing 24 hourly buckets,
+    //      engine-exact AND scale-exact: a per-ROW sliding range frame is
+    //      O(rows x frame) in Spark (non-retractable window buffers) and
+    //      melted down at 100x (1,067 s) — stats instead pre-aggregate per
+    //      (type, hour bucket), a tiny bucket-series window derives the
+    //      trailing sums, and events broadcast-join their bucket's stats.
+    //      Variance from DECIMAL-routed sum(v)/sum(v*v); z is a fixed
+    //      sequence of IEEE ops.
     QueryDef(
       "q110_anomaly_zscore",
       (s, dir) => {
         val ev = t(s, dir, "events")
           .select(col("event_id"), col("event_type"),
             col("value").cast(DecimalType(18, 4)).as("v"),
-            unix_micros(col("ts").cast("timestamp")).as("us"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("event_type")).orderBy(col("us"))
-          .rangeBetween(-86400000000L, 0L)
-        val stats = ev.select(col("event_id"), col("event_type"), col("v"),
-          count(lit(1)).over(w).cast("long").as("n"),
-          sum(col("v")).over(w).as("s1"),
-          sum(col("v") * col("v")).over(w).as("s2"))
+            expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+              .as("b"))
+        val bstats = ev.groupBy("event_type", "b")
+          .agg(count(lit(1)).cast("long").as("nb"),
+            sum(col("v")).as("s1b"),
+            sum(col("v") * col("v")).as("s2b"))
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("b"))
+          .rangeBetween(-24L, -1L)
+        val trailing = bstats.select(col("event_type"), col("b"),
+          sum(col("nb")).over(wb).cast("long").as("n"),
+          sum(col("s1b")).over(wb).as("s1"),
+          sum(col("s2b")).over(wb).as("s2"))
         val vD = col("v").cast("double")
         val mean = col("s1").cast("double") / col("n")
         val varS = (col("s2").cast("double")
           - col("s1").cast("double") * col("s1").cast("double") / col("n")) /
           (col("n") - 1)
-        stats
+        ev.join(broadcast(trailing), Seq("event_type", "b"))
           .filter(col("n") >= 20)
           .withColumn("z", (vD - mean) / sqrt(varS))
           .filter(col("z") > 3.0)
@@ -365,23 +374,27 @@ object EventQueries {
       },
       Some("""WITH e AS (
              |  SELECT event_id, event_type, CAST(value AS DECIMAL(18,4)) AS v,
-             |    epoch_us(ts) AS us
+             |    epoch_us(ts) // 3600000000 AS b
              |  FROM events),
-             |st AS (
-             |  SELECT event_id, event_type, v,
-             |    CAST(count(*) OVER w AS BIGINT) AS n,
-             |    sum(v) OVER w AS s1,
-             |    sum(v * v) OVER w AS s2
-             |  FROM e
-             |  WINDOW w AS (PARTITION BY event_type ORDER BY us
-             |               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)),
+             |bs AS (
+             |  SELECT event_type, b, count(*) AS nb,
+             |    sum(v) AS s1b, sum(v * v) AS s2b
+             |  FROM e GROUP BY 1, 2),
+             |tr AS (
+             |  SELECT event_type, b,
+             |    CAST(sum(nb) OVER w AS BIGINT) AS n,
+             |    sum(s1b) OVER w AS s1, sum(s2b) OVER w AS s2
+             |  FROM bs
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY b
+             |               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
              |z AS (
-             |  SELECT event_id, event_type, CAST(v AS DOUBLE) AS vd,
+             |  SELECT e.event_id, e.event_type, CAST(v AS DOUBLE) AS vd,
              |    (CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
              |      / sqrt((CAST(s2 AS DOUBLE)
              |              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
              |             / (n - 1)) AS zv
-             |  FROM st WHERE n >= 20)
+             |  FROM e JOIN tr ON e.event_type = tr.event_type AND e.b = tr.b
+             |  WHERE n >= 20)
              |SELECT event_id, event_type, round(vd, 4) AS value,
              |  round(zv, 6) AS zscore
              |FROM z WHERE zv > 3.0 ORDER BY event_id""".stripMargin)
