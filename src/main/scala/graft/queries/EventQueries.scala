@@ -365,7 +365,7 @@ object EventQueries {
           - col("s1").cast("double") * col("s1").cast("double") / col("n")) /
           (col("n") - 1)
         ev.join(broadcast(trailing), Seq("event_type", "b"))
-          .filter(col("n") >= 20)
+          .filter(col("n") >= 8)
           .withColumn("z", (vD - mean) / sqrt(varS))
           .filter(col("z") > 3.0)
           .select(col("event_id"), col("event_type"),
@@ -394,7 +394,7 @@ object EventQueries {
              |              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
              |             / (n - 1)) AS zv
              |  FROM e JOIN tr ON e.event_type = tr.event_type AND e.b = tr.b
-             |  WHERE n >= 20)
+             |  WHERE n >= 8)
              |SELECT event_id, event_type, round(vd, 4) AS value,
              |  round(zv, 6) AS zscore
              |FROM z WHERE zv > 3.0 ORDER BY event_id""".stripMargin)
