@@ -398,6 +398,73 @@ object EventQueries {
              |SELECT event_id, event_type, round(vd, 4) AS value,
              |  round(zv, 6) AS zscore
              |FROM z WHERE zv > 3.0 ORDER BY event_id""".stripMargin)
+    ),
+
+    // ---- ordered event funnel (view → click → purchase): each stage's
+    //      first occurrence must FOLLOW the previous stage's. Three
+    //      conditional-min aggregations on user — narrow shuffles only,
+    //      no per-user sequence materialization
+    QueryDef(
+      "q111_event_funnel",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts").cast("timestamp")).as("us"))
+        val fv = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("us")).as("fv"))
+        val fc = ev.filter(col("event_type") === "click")
+          .join(fv, Seq("user_id"))
+          .filter(col("us") > col("fv"))
+          .groupBy("user_id").agg(min(col("us")).as("fc"))
+        val fp = ev.filter(col("event_type") === "purchase")
+          .join(fc, Seq("user_id"))
+          .filter(col("us") > col("fc"))
+          .groupBy("user_id").agg(min(col("us")).as("fp"))
+        val total = ev.agg(countDistinct(col("user_id")).cast("long")
+          .as("n_users"))
+        total
+          .crossJoin(fv.agg(count(lit(1)).cast("long").as("n_viewed")))
+          .crossJoin(fc.agg(count(lit(1)).cast("long").as("n_clicked_after")))
+          .crossJoin(fp.agg(count(lit(1)).cast("long").as("n_purchased_after")))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+             |           FROM events),
+             |fv AS (SELECT user_id, min(us) AS fv FROM e
+             |       WHERE event_type = 'view' GROUP BY 1),
+             |fc AS (SELECT e.user_id, min(us) AS fc FROM e JOIN fv USING (user_id)
+             |       WHERE event_type = 'click' AND us > fv GROUP BY 1),
+             |fp AS (SELECT e.user_id, min(us) AS fp FROM e JOIN fc USING (user_id)
+             |       WHERE event_type = 'purchase' AND us > fc GROUP BY 1)
+             |SELECT
+             |  (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+             |  (SELECT count(*) FROM fv) AS n_viewed,
+             |  (SELECT count(*) FROM fc) AS n_clicked_after,
+             |  (SELECT count(*) FROM fp) AS n_purchased_after""".stripMargin)
+    ),
+
+    // ---- retention cohorts: users grouped by first-activity week, distinct
+    //      actives per (cohort, week offset) — the standard retention matrix
+    QueryDef(
+      "q112_retention_cohorts",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_micros(cast(ts as timestamp)) div 604800000000")
+              .as("wk"))
+        val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+        ev.join(cohort, Seq("user_id"))
+          .groupBy(col("cohort_wk"),
+            (col("wk") - col("cohort_wk")).as("week_offset"))
+          .agg(countDistinct(col("user_id")).cast("long").as("n_active"))
+          .orderBy("cohort_wk", "week_offset")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+             |           FROM events),
+             |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1)
+             |SELECT cohort_wk, wk - cohort_wk AS week_offset,
+             |  count(DISTINCT user_id) AS n_active
+             |FROM e JOIN c USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin)
     )
   )
 }
