@@ -465,6 +465,119 @@ object EventQueries {
              |  count(DISTINCT user_id) AS n_active
              |FROM e JOIN c USING (user_id)
              |GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin)
+    ),
+
+    // ---- first-order Markov transition matrix over per-user event
+    //      sequences: lead() is partition-local (narrow per-user sort), and
+    //      the transition table itself is |types|² rows, so its row-
+    //      normalizing window runs on a broadcast-scale aggregate. p is a
+    //      single long/long IEEE division — engine-exact, no rounding needed
+    QueryDef(
+      "q113_event_transitions",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val wt = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy("event_type", "next_type")
+          .agg(count(lit(1)).cast("long").as("n"))
+          .withColumn("p", col("n").cast("double") / sum(col("n")).over(wt))
+          .orderBy("event_type", "next_type")
+      },
+      Some("""WITH nx AS (
+             |  SELECT event_type,
+             |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS next_type
+             |  FROM events)
+             |SELECT event_type, next_type, count(*) AS n,
+             |  CAST(count(*) AS DOUBLE)
+             |    / CAST(sum(count(*)) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+             |FROM nx WHERE next_type IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // ---- top user journeys: each user's first 5 events (by time) joined
+    //      into a path string, ranked by user count. row_number is partition-
+    //      local per user; the path table is ≤ |types|⁵ but in practice tiny,
+    //      and only (user_id, rn≤5) rows survive into the collect — the
+    //      sequence never materializes beyond 5 elements per user
+    QueryDef(
+      "q114_top_paths",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .groupBy("user_id")
+          .agg(array_join(transform(
+            sort_array(collect_list(struct(col("rn"), col("event_type")))),
+            x => x("event_type")), ">").as("path"))
+          .groupBy("path")
+          .agg(count(lit(1)).cast("long").as("n_users"))
+          .orderBy(col("n_users").desc, col("path"))
+          .limit(20)
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS rn
+             |  FROM events),
+             |p AS (
+             |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+             |  FROM r WHERE rn <= 5 GROUP BY 1)
+             |SELECT path, count(*) AS n_users
+             |FROM p GROUP BY 1 ORDER BY n_users DESC, path LIMIT 20""".stripMargin)
+    ),
+
+    // ---- time-weighted average value per user (each value held until the
+    //      user's next event): interval durations from a partition-local
+    //      lead(); v·dt DECIMAL-routed (18,4)×(14,0) → (33,4), summed within
+    //      the 38-width exact band on BOTH engines, one double division at
+    //      the end. Single-event users have no holding interval and drop out
+    //      identically in both engines
+    QueryDef(
+      "q115_time_weighted_avg",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .select(col("user_id"),
+            col("value").cast(DecimalType(18, 4)).as("v"),
+            unix_micros(col("ts").cast("timestamp")).as("us"),
+            col("ts"), col("event_id"))
+          .withColumn("dt", (lead(col("us"), 1).over(w) - col("us"))
+            .cast(DecimalType(14, 0)))
+          .filter(col("dt").isNotNull)
+          .groupBy("user_id")
+          .agg(
+            round(sum(col("v") * col("dt")).cast("double") /
+              sum(col("dt")).cast("double"), 6).as("twa_value"),
+            sum(col("dt")).cast("long").as("active_us"),
+            count(lit(1)).cast("long").as("n_intervals"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(value AS DECIMAL(18,4)) AS v,
+             |    epoch_us(ts) AS us, ts, event_id
+             |  FROM events),
+             |d AS (
+             |  SELECT user_id, v,
+             |    CAST(lead(us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      - us AS DECIMAL(14,0)) AS dt
+             |  FROM e)
+             |SELECT user_id,
+             |  round(CAST(sum(v * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE), 6)
+             |    AS twa_value,
+             |  CAST(sum(dt) AS BIGINT) AS active_us,
+             |  count(*) AS n_intervals
+             |FROM d WHERE dt IS NOT NULL
+             |GROUP BY 1 ORDER BY user_id""".stripMargin)
     )
   )
 }
