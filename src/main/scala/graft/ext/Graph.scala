@@ -74,4 +74,69 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact triangle census over an undirected edge list: node/edge counts,
+    * wedge (open-path) count, triangle count, and the global clustering
+    * coefficient 3·triangles / wedges.
+    *
+    * Algorithm: degree-ordered orientation (the standard exact method —
+    * cf. Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+    * Last Reducer", WWW'11). Each undirected edge is directed from its
+    * lower-(degree, id) endpoint to the higher; every triangle then has
+    * exactly ONE node with two out-edges, so triangles = wedges formed by
+    * out-edge pairs that close via the oriented edge between their
+    * endpoints — counted once, no /3 correction, no duplicate explosion.
+    *
+    * Scale design: orientation bounds out-degrees by O(√m), so the wedge
+    * fan-out is O(m^1.5) — the best known for exact counting — instead of
+    * the Σdeg² a naive neighbor self-join pays (a single celebrity node
+    * with 1M neighbors would otherwise emit 10^12 wedges from one key).
+    * All joins are equi-joins (node keys / (v,w) pairs); the degree table
+    * is one row per node and broadcasts when small. Edges are canonicalized
+    * (a<b) + distinct'd once and reused via localCheckpoint.
+    */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val s = col(srcCol).cast("long")
+    val d = col(dstCol).cast("long")
+    val e = edges
+      .select(least(s, d).as("a"), greatest(s, d).as("b"))
+      .filter(col("a") < col("b")) // drops self-loops and null endpoints
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast("long").as("deg"))
+      .localCheckpoint(true)
+    // total-order rank (deg, node); orient each edge low-rank → high-rank
+    val withRanks = e
+      .join(deg.select(col("node").as("a"), col("deg").as("_da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("_db")), "b")
+    val aFirst = struct(col("_da"), col("a")) < struct(col("_db"), col("b"))
+    val oriented = withRanks
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, struct(col("_db").as("dg"), col("b").as("node")))
+          .otherwise(struct(col("_da").as("dg"), col("a").as("node")))
+          .as("rv"))
+      .select(col("u"), col("rv"), col("rv").getField("node").as("v"))
+      .localCheckpoint(true)
+    // wedges: ordered out-edge pairs from one center; close on the (v,w) edge
+    val o1 = oriented.select(col("u"), col("rv").as("r1"), col("v").as("w1"))
+    val o2 = oriented.select(col("u"), col("rv").as("r2"), col("v").as("w2"))
+    val wedges = o1.join(o2, Seq("u")).filter(col("r1") < col("r2"))
+      .select(col("w1"), col("w2"))
+    val triangles = wedges
+      .join(oriented.select(col("u").as("w1"), col("v").as("w2")),
+        Seq("w1", "w2"), "left_semi")
+    val nTri = triangles.agg(count(lit(1)).cast("long").as("n_triangles"))
+    val nE = e.agg(count(lit(1)).cast("long").as("n_edges"))
+    val degAgg = deg.agg(
+      count(lit(1)).cast("long").as("n_nodes"),
+      sum(expr("deg * (deg - 1) DIV 2")).cast("long").as("n_wedges"))
+    degAgg.crossJoin(nE).crossJoin(nTri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(lit(3L).cast("double") * col("n_triangles") / col("n_wedges"), 6)
+          .as("global_clustering"))
+  }
 }

@@ -313,4 +313,43 @@ object LakeOps {
         floor(col("_bytes_before") / targetBytes.toDouble).cast("long"))
       .drop("_bytes_before")
   }
+
+  /** Slowly-changing-dimension Type 2 build from an observation feed: one
+    * row per (key, observation), ordered within each key by `orderCols`
+    * (include a unique tiebreaker — determinism is the caller's contract).
+    * Rows where the tracked attributes are unchanged vs the previous
+    * observation are COMPRESSED away (null-safe struct compare, so
+    * null→null is "unchanged" and null→value is a new version); survivors
+    * become dimension versions carrying
+    * `version_no` / `effective_from` (the head of `orderCols`) /
+    * `effective_to` (next version's from, null while current) /
+    * `is_current`.
+    *
+    * Scale design: both passes are windows PARTITIONED by the key — narrow
+    * per-key sorts, no global ordering. The second window runs on the
+    * POST-compression survivors (for stable dimensions, a small fraction
+    * of the feed), so the second shuffle moves only the versions that
+    * exist. At 100 TB the feed shuffles exactly twice on the key, and the
+    * dimension output is append-friendly: re-running on feed ∪ increment
+    * reproduces history (versions are a pure function of the ordered feed).
+    */
+  def scd2(
+      feed: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      attrCols: Seq[String]
+  ): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val attrs = struct(attrCols.map(col): _*)
+    val effFrom = col(orderCols.head)
+    feed
+      .withColumn("_prev_attrs", lag(attrs, 1).over(w))
+      .filter(col("_prev_attrs").isNull || !(col("_prev_attrs") <=> attrs))
+      .drop("_prev_attrs")
+      .withColumn("version_no", row_number().over(w).cast("long"))
+      .withColumn("effective_from", effFrom)
+      .withColumn("effective_to", lead(effFrom, 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+  }
 }

@@ -680,6 +680,102 @@ object LakeQueries {
              |  CAST(sum(bin_bytes) AS BIGINT) AS total_bytes,
              |  max(bin_bytes) AS max_bin_bytes
              |FROM b GROUP BY 1 ORDER BY source""".stripMargin)
+    ),
+
+    // ---- SCD Type 2 dimension build: per-customer order-status history,
+    //      change-compressed into versions with effective ranges. Both
+    //      passes are key-partitioned windows (narrow per-key sorts); the
+    //      key filter sits BELOW the build (pushed to the scan — version
+    //      history is a pure per-key function, so filtering first is
+    //      semantics-preserving and prunes 99% of the feed)
+    QueryDef(
+      "q116_scd2_dimension",
+      (s, dir) => {
+        val feed = t(s, dir, "orders")
+          .filter(col("o_custkey") % 10 === 7)
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+            col("o_orderstatus"))
+        LakeOps.scd2(feed,
+            keyCols = Seq("o_custkey"),
+            orderCols = Seq("o_orderdate", "o_orderkey"),
+            attrCols = Seq("o_orderstatus"))
+          .select(col("o_custkey"), col("version_no"), col("o_orderstatus"),
+            col("effective_from"), col("effective_to"), col("is_current"))
+          .orderBy("o_custkey", "version_no")
+      },
+      Some("""WITH f AS (
+             |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus
+             |  FROM orders WHERE o_custkey % 10 = 7),
+             |c AS (
+             |  SELECT *, lag(o_orderstatus) OVER
+             |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |    AS prev
+             |  FROM f),
+             |k AS (
+             |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus
+             |  FROM c WHERE prev IS DISTINCT FROM o_orderstatus),
+             |v AS (
+             |  SELECT o_custkey, o_orderstatus,
+             |    row_number() OVER w AS version_no,
+             |    o_orderdate AS effective_from,
+             |    lead(o_orderdate) OVER w AS effective_to
+             |  FROM k
+             |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+             |SELECT o_custkey, version_no, o_orderstatus,
+             |  effective_from, effective_to,
+             |  effective_to IS NULL AS is_current
+             |FROM v ORDER BY o_custkey, version_no""".stripMargin)
+    ),
+
+    // ---- exact triangle census of the quarterly co-purchase graph (parts
+    //      appearing in the same order, 1995Q1): degree-ordered orientation
+    //      bounds wedge fan-out at O(m^1.5) — see Graph.triangleStats.
+    //      The date predicate prunes at the orders scan; the DuckDB twin
+    //      counts triangles with the naive a<b<c triple join (same census,
+    //      different algorithm — an algorithmic cross-check, not an unrolled
+    //      mirror)
+    QueryDef(
+      "q117_triangle_census",
+      (s, dir) => {
+        val ords = t(s, dir, "orders")
+          .filter(col("o_orderdate").cast("date")
+            .between("1995-01-01", "1995-03-31"))
+          .select(col("o_orderkey"))
+        val items = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(ords, col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_partkey")
+          .distinct()
+        val x = items.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
+        val y = items.select(col("l_orderkey").as("k"), col("l_partkey").as("pb"))
+        val pairs = x.join(y, Seq("k")).filter(col("pa") < col("pb"))
+          .select(col("pa").as("src"), col("pb").as("dst"))
+        graft.ext.Graph.triangleStats(pairs, "src", "dst")
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey, l_partkey
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE CAST(o_orderdate AS DATE)
+             |        BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'),
+             |e AS (
+             |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+             |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+             |    AND x.l_partkey < y.l_partkey),
+             |deg AS (
+             |  SELECT node, count(*) AS deg FROM (
+             |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+             |  GROUP BY 1),
+             |tri AS (
+             |  SELECT count(*) AS t
+             |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+             |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |w AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS nw,
+             |             count(*) AS nn FROM deg)
+             |SELECT nn AS n_nodes,
+             |  (SELECT count(*) FROM e) AS n_edges,
+             |  nw AS n_wedges, t AS n_triangles,
+             |  round(CAST(3 AS DOUBLE) * t / nw, 6) AS global_clustering
+             |FROM w, tri""".stripMargin)
     )
   )
 }

@@ -62,4 +62,37 @@ class GraphSpec extends SparkSpec {
       LakeOps.mergeAggState(st, st, Seq("k"), how = Map("avg_v" -> "avg"))
     }
   }
+
+  test("triangleStats counts a known graph exactly") {
+    // K4 on {0,1,2,3} (4 triangles) plus a pendant 3-4 (no new triangle)
+    // and a separate triangle {5,6,7}
+    val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)
+    val edges = (k4 ++ Seq((3L, 4L), (5L, 6L), (6L, 7L), (5L, 7L)))
+      .toDF("src", "dst")
+    val r = Graph.triangleStats(edges, "src", "dst").head()
+    assert(r.getAs[Long]("n_nodes") == 8)
+    assert(r.getAs[Long]("n_edges") == 10)
+    // wedges: K4 deg (3,3,3,4 with pendant) → 3+3+3+6 from {0..3}, node 4:
+    // 0, triangle nodes: 1 each = 15 + 0 + 3 = 18
+    assert(r.getAs[Long]("n_wedges") == 18)
+    assert(r.getAs[Long]("n_triangles") == 5)
+    assert(math.abs(r.getAs[Double]("global_clustering") - 15.0 / 18.0) < 1e-6)
+  }
+
+  test("triangleStats is orientation-proof: duplicates, reversed and self edges") {
+    // same triangle listed three ways + self loop + duplicate edge
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (1L, 2L))
+      .toDF("src", "dst")
+    val r = Graph.triangleStats(edges, "src", "dst").head()
+    assert(r.getAs[Long]("n_edges") == 3)
+    assert(r.getAs[Long]("n_triangles") == 1)
+  }
+
+  test("triangleStats on a triangle-free star is zero with wedges present") {
+    val edges = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    val r = Graph.triangleStats(edges, "src", "dst").head()
+    assert(r.getAs[Long]("n_wedges") == 10)
+    assert(r.getAs[Long]("n_triangles") == 0)
+    assert(r.getAs[Double]("global_clustering") == 0.0)
+  }
 }
