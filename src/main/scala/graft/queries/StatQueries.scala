@@ -172,6 +172,143 @@ object StatQueries {
             s"round(corr($r, $c), 4) AS $c").mkString(", ") + " FROM lineitem"
         }.mkString("", " UNION ALL ", " ORDER BY index")
       }
+    ),
+
+    // ---- label-distribution drift: chi-square homogeneity test of the
+    //      event_type mix between the first and second half of the time
+    //      range (the training-data monitor: "did the label mix shift?").
+    //      Chi-square instead of KL: every term is rational in the integer
+    //      counts, so both engines follow the identical IEEE sequence —
+    //      no ln() libm parity risk. The contingency table is one count-
+    //      aggregate over the scan; everything after runs on |labels| rows
+    QueryDef(
+      "q118_label_drift_chi2",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("b"))
+        val bounds = broadcast(ev.agg(
+          expr("(min(b) + max(b)) DIV 2").as("mid")))
+        val ct = ev.crossJoin(bounds)
+          .groupBy("event_type")
+          .agg(count(when(col("b") <= col("mid"), 1)).cast("long")
+            .as("n_first"),
+            count(when(col("b") > col("mid"), 1)).cast("long").as("n_second"))
+        val tot = broadcast(ct.agg(
+          sum("n_first").cast("long").as("t1"),
+          sum("n_second").cast("long").as("t2")))
+        val g = (col("t1") + col("t2")).cast("double")
+        val rt = col("n_first") + col("n_second")
+        val e1 = (rt * col("t1")).cast("double") / g
+        val e2 = (rt * col("t2")).cast("double") / g
+        val o1 = col("n_first").cast("double")
+        val o2 = col("n_second").cast("double")
+        val chi = (o1 - e1) * (o1 - e1) / e1 + (o2 - e2) * (o2 - e2) / e2
+        ct.crossJoin(tot)
+          .select(col("event_type"), col("n_first"), col("n_second"),
+            round(e1, 6).as("expected_first"),
+            round(chi, 6).as("chi2_contrib"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, epoch_us(ts) // 3600000000 AS b FROM events),
+             |m AS (SELECT (min(b) + max(b)) // 2 AS mid FROM e),
+             |ct AS (
+             |  SELECT event_type,
+             |    count(*) FILTER (WHERE b <= mid) AS n_first,
+             |    count(*) FILTER (WHERE b > mid) AS n_second
+             |  FROM e, m GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n_first) AS BIGINT) AS t1,
+             |               CAST(sum(n_second) AS BIGINT) AS t2 FROM ct),
+             |x AS (
+             |  SELECT event_type, n_first, n_second,
+             |    CAST((n_first + n_second) * t1 AS DOUBLE)
+             |      / CAST(t1 + t2 AS DOUBLE) AS e1,
+             |    CAST((n_first + n_second) * t2 AS DOUBLE)
+             |      / CAST(t1 + t2 AS DOUBLE) AS e2
+             |  FROM ct, tot)
+             |SELECT event_type, n_first, n_second,
+             |  round(e1, 6) AS expected_first,
+             |  round((CAST(n_first AS DOUBLE) - e1)
+             |          * (CAST(n_first AS DOUBLE) - e1) / e1
+             |      + (CAST(n_second AS DOUBLE) - e2)
+             |          * (CAST(n_second AS DOUBLE) - e2) / e2, 6)
+             |    AS chi2_contrib
+             |FROM x ORDER BY event_type""".stripMargin)
+    ),
+
+    // ---- per-label hourly trend: least-squares slope/intercept/r² of
+    //      hourly value totals vs the hour index, from DECIMAL-exact
+    //      sufficient statistics (Σx, Σx², Σxy, Σy, Σy²) — one narrow
+    //      pre-agg per (label, hour) then |labels|·|hours| tiny rows; the
+    //      closed-form slope is a fixed IEEE sequence on exact sums, NOT
+    //      an engine-specific regr_slope accumulator (those differ in
+    //      summation order across engines). y re-narrowed to DECIMAL(18,2)
+    //      after the bucket agg so x·y and y² stay inside the exact ≤38
+    //      width band on both engines
+    QueryDef(
+      "q119_trend_slope",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("b"),
+            col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+              .as("v"))
+        val bounds = broadcast(ev.agg(min("b").as("b0")))
+        val hourly = ev.groupBy("event_type", "b")
+          .agg(sum(col("v"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("y"))
+          .crossJoin(bounds)
+          .select(col("event_type"), (col("b") - col("b0")).as("x"), col("y"))
+        val st = hourly.groupBy("event_type").agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          sum(col("x").cast(org.apache.spark.sql.types.DecimalType(6, 0))
+            * col("y")).cast("double").as("sxy"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("y") * col("y")).cast("double").as("syy"))
+        val nD = col("n").cast("double")
+        val sxD = col("sx").cast("double")
+        val num = nD * col("sxy") - sxD * col("sy")
+        val den = nD * col("sxx").cast("double") - sxD * sxD
+        val deny = nD * col("syy") - col("sy") * col("sy")
+        st.select(col("event_type"), col("n"),
+          round(num / den, 8).as("slope_per_hour"),
+          round((col("sy") - (num / den) * sxD) / nD, 6).as("intercept"),
+          round(num * num / (den * deny), 8).as("r2"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+             |    CAST(value AS DECIMAL(18,2)) AS v
+             |  FROM events),
+             |b0 AS (SELECT min(b) AS b0 FROM e),
+             |h AS (
+             |  SELECT event_type, b - b0 AS x,
+             |    CAST(sum(v) AS DECIMAL(18,2)) AS y
+             |  FROM e, b0 GROUP BY event_type, b, b0),
+             |st AS (
+             |  SELECT event_type, count(*) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(CAST(x AS DECIMAL(6,0)) * y) AS DOUBLE) AS sxy,
+             |    CAST(sum(y) AS DOUBLE) AS sy,
+             |    CAST(sum(y * y) AS DOUBLE) AS syy
+             |  FROM h GROUP BY 1),
+             |sl AS (
+             |  SELECT event_type, n, sx, sy,
+             |    CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS num,
+             |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+             |    CAST(n AS DOUBLE) * syy - sy * sy AS deny
+             |  FROM st)
+             |SELECT event_type, n,
+             |  round(num / den, 8) AS slope_per_hour,
+             |  round((sy - (num / den) * CAST(sx AS DOUBLE))
+             |        / CAST(n AS DOUBLE), 6) AS intercept,
+             |  round(num * num / (den * deny), 8) AS r2
+             |FROM sl ORDER BY event_type""".stripMargin)
     )
   )
 }
