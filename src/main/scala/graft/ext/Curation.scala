@@ -331,4 +331,33 @@ object Curation {
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(desc("bm25"), col(idCol))).cast("long"))
   }
+
+  /** Declarative data-quality audit: evaluate a rule set (name → violation
+    * predicate) in ONE aggregate pass over the table and return a row per
+    * rule with violation count and percentage. A null predicate result
+    * counts as non-violating (SQL FILTER semantics) — write rules so null
+    * means "cannot judge".
+    *
+    * Scale design: every rule is a conditional count inside a single
+    * partial-aggregating scan — adding rules adds registers, not passes;
+    * the per-rule rows are exploded from the one aggregate row. At 100 TB
+    * an audit of 50 rules costs exactly one column-pruned scan.
+    */
+  def qualityRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "qualityRules needs at least one rule")
+    val aggs = count(lit(1)).cast("long").as("_n") +:
+      rules.map { case (name, pred) =>
+        count(when(pred, 1)).cast("long").as(s"_v_$name")
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = array(rules.map { case (name, _) =>
+      struct(lit(name).as("rule"), col(s"_v_$name").as("n_violations"))
+    }: _*)
+    row.select(explode(pairs).as("r"), col("_n"))
+      .select(col("r.rule").as("rule"),
+        col("r.n_violations").as("n_violations"),
+        col("_n").as("n_rows"),
+        round(col("r.n_violations").cast("double") / col("_n")
+          * lit(100.0).cast("double"), 6).as("violation_pct"))
+  }
 }

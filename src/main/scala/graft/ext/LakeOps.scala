@@ -352,4 +352,58 @@ object LakeOps {
       .withColumn("effective_to", lead(effFrom, 1).over(w))
       .withColumn("is_current", col("effective_to").isNull)
   }
+
+  /** Incremental SCD2 maintenance: merge a NEW feed increment into an
+    * existing [[scd2]] dimension without re-windowing history. Contract:
+    * every increment observation sorts strictly AFTER the key's existing
+    * feed (the append-only ingest shape); result == `scd2(feed ∪ inc)`
+    * (LakeOpsSpec pins it; q120's oracle is the batch rebuild itself).
+    *
+    * Scale design — why this beats rebuild at 100 TB: the closed history
+    * (the bulk of the dimension) is a pure PASS-THROUGH — no shuffle, no
+    * window, not even a scan of its attribute payload. Work is windows
+    * over the increment (small by definition) plus one equi-join of the
+    * increment's versions against the OPEN versions (one row per live
+    * key — broadcastable for typical dims). A daily ingest touches
+    * O(|increment| + |live keys|), not O(|history|).
+    */
+  def scd2Merge(
+      dim: DataFrame,
+      inc: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      attrCols: Seq[String]
+  ): DataFrame = {
+    val attrs = struct(attrCols.map(col): _*)
+    val incV = scd2(inc, keyCols, orderCols, attrCols)
+    val open = dim.filter(col("is_current"))
+    val openKeyed = open.select(
+      keyCols.map(col) :+ attrs.as("_open_attrs")
+        :+ col("version_no").as("_open_ver"): _*)
+    val joined = incV.join(openKeyed, keyCols, "left")
+    // the increment's FIRST version can collapse into the open version
+    // when the attributes did not actually change across the boundary
+    val absorbedFirst = col("version_no") === 1 &&
+      col("_open_attrs").isNotNull && (attrs <=> col("_open_attrs"))
+    val newV = joined
+      .withColumn("_absorbed",
+        max(when(absorbedFirst, 1L).otherwise(0L)).over(
+          Window.partitionBy(keyCols.map(col): _*)))
+      .filter(!absorbedFirst)
+      .withColumn("version_no",
+        coalesce(col("_open_ver"), lit(0L)) + col("version_no")
+          - col("_absorbed"))
+      .drop("_open_attrs", "_open_ver", "_absorbed")
+    // close superseded open versions at the first surviving new version
+    val closeAt = newV
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col("effective_from")).as("_close_at"))
+    val stillOpen = open.join(closeAt, keyCols, "left")
+      .withColumn("effective_to", col("_close_at"))
+      .withColumn("is_current", col("effective_to").isNull)
+      .drop("_close_at")
+    dim.filter(!col("is_current"))
+      .unionByName(stillOpen)
+      .unionByName(newV)
+  }
 }

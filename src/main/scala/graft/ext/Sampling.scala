@@ -108,4 +108,37 @@ object Sampling {
     df.join(broadcast(ppm.drop("n_g")), Seq(groupCol))
       .filter(h < col("sample_ppm"))
   }
+
+  /** Weighted priority sample (Duffield–Lund–Thorup, "priority sampling"):
+    * each row draws a deterministic uniform u ∈ (0,1] from a hash of its
+    * key and gets priority w/u; the sample is the top-k priorities.
+    * Inclusion probability ≈ min(1, k·w/Σw) — the quality-weighted corpus
+    * subsample — yet membership is a pure function of (key, weight), so
+    * the sample is stable under re-runs and across engines.
+    *
+    * Scale design: top-k-by-priority is exactly Spark's
+    * TakeOrderedAndProject — each partition keeps its local top-k and only
+    * k·partitions tiny rows reach the driver; no global sort, no shuffle
+    * of the corpus. The same mergeability is what makes the scheme
+    * streamable.
+    *
+    * The default hash is the engine-portable md5-prefix form (DuckDB twin:
+    * `('0x'||substr(md5(CAST(key AS VARCHAR)),1,15))::BIGINT`); pass an
+    * xxhash64-based `hashFn` for maximum scan throughput when portability
+    * is not needed.
+    */
+  def prioritySample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      k: Int,
+      hashFn: Column => Column =
+        c => Dedup.portableHash60(c.cast("string"))
+  ): DataFrame = {
+    val u = (hashFn(col(keyCol)) + lit(1L)).cast("double") /
+      lit((1L << 60).toDouble)
+    df.withColumn("priority", col(weightCol).cast("double") / u)
+      .orderBy(col("priority").desc, col(keyCol))
+      .limit(k)
+  }
 }

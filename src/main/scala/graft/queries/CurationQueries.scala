@@ -250,6 +250,48 @@ object CurationQueries {
              |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
              |  min(doc_id) AS min_id, max(doc_id) AS max_id
              |FROM fp WHERE f NOT IN (SELECT f FROM bl)""".stripMargin)
+    ),
+
+    // ---- declarative data-quality rule audit: one conditional-count pass
+    //      (rules = aggregate registers, not extra scans); per-rule rows
+    //      exploded from the single aggregate row. Predicates chosen
+    //      Spark/DuckDB-identical (comparisons only, no arithmetic)
+    QueryDef(
+      "q122_quality_rules",
+      (s, dir) =>
+        Curation.qualityRules(t(s, dir, "lineitem"), Seq(
+            "discount_out_of_band" ->
+              (col("l_discount") < 0 || col("l_discount") > 0.08),
+            "negative_price" -> (col("l_extendedprice") < 0),
+            "nonpositive_qty" -> (col("l_quantity") <= 0),
+            "null_partkey" -> col("l_partkey").isNull,
+            "stale_shipdate" ->
+              (col("l_shipdate").cast("date") >
+                lit("1997-12-31").cast("date")),
+            "tax_exceeds_discount" -> (col("l_tax") > col("l_discount"))))
+          .orderBy("rule"),
+      Some {
+        val rules = Seq(
+          "discount_out_of_band" -> "l_discount < 0 OR l_discount > 0.08",
+          "negative_price" -> "l_extendedprice < 0",
+          "nonpositive_qty" -> "l_quantity <= 0",
+          "null_partkey" -> "l_partkey IS NULL",
+          "stale_shipdate" -> "CAST(l_shipdate AS DATE) > DATE '1997-12-31'",
+          "tax_exceeds_discount" -> "l_tax > l_discount")
+        val counters = rules.zipWithIndex.map { case ((_, p), i) =>
+          s"count(*) FILTER (WHERE $p) AS v$i" }.mkString(",\n    ")
+        val branches = rules.zipWithIndex.map { case ((n, _), i) =>
+          s"SELECT '$n' AS rule, v$i AS n_violations, n AS n_rows, " +
+            s"round(CAST(v$i AS DOUBLE) / n * CAST(100.0 AS DOUBLE), 6) " +
+            "AS violation_pct FROM a"
+        }.mkString("\nUNION ALL ")
+        s"""WITH a AS (
+           |  SELECT count(*) AS n,
+           |    $counters
+           |  FROM lineitem)
+           |$branches
+           |ORDER BY rule""".stripMargin
+      }
     )
   )
 }

@@ -776,6 +776,81 @@ object LakeQueries {
              |  nw AS n_wedges, t AS n_triangles,
              |  round(CAST(3 AS DOUBLE) * t / nw, 6) AS global_clustering
              |FROM w, tri""".stripMargin)
+    ),
+
+    // ---- INCREMENTAL SCD2 maintenance: the Spark side builds the
+    //      dimension from the pre-1998 feed, then MERGES the 1998+
+    //      increment with scd2Merge (history pass-through, increment-only
+    //      windows); the oracle is the BATCH REBUILD over the full feed —
+    //      a hash match proves incremental maintenance ≡ rebuild
+    QueryDef(
+      "q120_scd2_incremental_merge",
+      (s, dir) => {
+        val feed = t(s, dir, "orders")
+          .filter(col("o_custkey") % 10 === 3)
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+            col("o_orderstatus"))
+        val cut = lit("1998-01-01").cast("date")
+        val prefix = feed.filter(col("o_orderdate").cast("date") < cut)
+        val incr = feed.filter(col("o_orderdate").cast("date") >= cut)
+        val keys = Seq("o_custkey")
+        val ord = Seq("o_orderdate", "o_orderkey")
+        val att = Seq("o_orderstatus")
+        LakeOps.scd2Merge(LakeOps.scd2(prefix, keys, ord, att),
+            incr, keys, ord, att)
+          .select(col("o_custkey"), col("version_no"), col("o_orderstatus"),
+            col("effective_from"), col("effective_to"), col("is_current"))
+          .orderBy("o_custkey", "version_no")
+      },
+      Some("""WITH f AS (
+             |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus
+             |  FROM orders WHERE o_custkey % 10 = 3),
+             |c AS (
+             |  SELECT *, lag(o_orderstatus) OVER
+             |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |    AS prev
+             |  FROM f),
+             |k AS (
+             |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus
+             |  FROM c WHERE prev IS DISTINCT FROM o_orderstatus),
+             |v AS (
+             |  SELECT o_custkey, o_orderstatus,
+             |    row_number() OVER w AS version_no,
+             |    o_orderdate AS effective_from,
+             |    lead(o_orderdate) OVER w AS effective_to
+             |  FROM k
+             |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+             |SELECT o_custkey, version_no, o_orderstatus,
+             |  effective_from, effective_to,
+             |  effective_to IS NULL AS is_current
+             |FROM v ORDER BY o_custkey, version_no""".stripMargin)
+    ),
+
+    // ---- weighted priority sampling (Duffield–Lund–Thorup): length-
+    //      weighted top-k corpus subsample, deterministic via the portable
+    //      hash → DuckDB twin replays the identical priorities. Executes
+    //      as TakeOrderedAndProject (per-partition top-k, no global sort)
+    QueryDef(
+      "q121_priority_sample",
+      (s, dir) =>
+        Sampling.prioritySample(
+            t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+            "doc_id", "n_chars", k = 100)
+          .select(col("doc_id"), col("n_chars"),
+            round(col("priority"), 4).as("priority"))
+          .orderBy("doc_id"),
+      Some("""WITH p AS (
+             |  SELECT doc_id, n_chars,
+             |    CAST(n_chars AS DOUBLE) /
+             |      (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |            + 1 AS DOUBLE)
+             |       / CAST(1152921504606846976 AS DOUBLE)) AS priority
+             |  FROM documents),
+             |top AS (
+             |  SELECT doc_id, n_chars, priority
+             |  FROM p ORDER BY priority DESC, doc_id LIMIT 100)
+             |SELECT doc_id, n_chars, round(priority, 4) AS priority
+             |FROM top ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -278,6 +278,32 @@ class LakeOpsSpec extends SparkSpec {
       (1L, 1L, None), (1L, 2L, Some("v")), (1L, 3L, None)))
   }
 
+  test("scd2Merge equals batch rebuild on every boundary shape") {
+    // shapes across the prefix/increment boundary (seq <= 3 | seq > 3):
+    //  k=1 change AT the boundary, k=2 unchanged across it (absorption),
+    //  k=3 prefix-only, k=4 increment-only, k=5 multi-change increment,
+    //  k=6 nulls on both sides of the boundary
+    val full = Seq[(Long, Long, String)](
+      (1L, 1L, "A"), (1L, 2L, "A"), (1L, 4L, "B"),
+      (2L, 1L, "X"), (2L, 3L, "X"), (2L, 4L, "X"), (2L, 6L, "Y"),
+      (3L, 1L, "P"), (3L, 2L, "Q"),
+      (4L, 5L, "N"), (4L, 6L, "M"),
+      (5L, 2L, "a"), (5L, 4L, "b"), (5L, 5L, "c"), (5L, 6L, "b"),
+      (6L, 3L, null), (6L, 4L, null), (6L, 5L, "v")
+    ).toDF("k", "seq", "attr")
+    val dim = LakeOps.scd2(full.filter(col("seq") <= 3),
+      Seq("k"), Seq("seq"), Seq("attr"))
+    val merged = LakeOps.scd2Merge(dim, full.filter(col("seq") > 3),
+      Seq("k"), Seq("seq"), Seq("attr"))
+    val rebuilt = LakeOps.scd2(full, Seq("k"), Seq("seq"), Seq("attr"))
+    val proj = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("k", "version_no", "attr", "effective_from", "effective_to",
+        "is_current")
+        .as[(Long, Long, Option[String], Long, Option[Long], Boolean)]
+        .collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(proj(merged) == proj(rebuilt))
+  }
+
   test("scd2 is incremental: rerun on feed ∪ increment reproduces history") {
     val full = Seq(
       (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "B"), (1L, 4L, "C"))

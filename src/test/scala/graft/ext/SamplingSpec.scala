@@ -5,6 +5,7 @@ import graft.queries.Q
 import org.apache.spark.sql.functions._
 
 class SamplingSpec extends SparkSpec {
+  import spark.implicits._
 
   test("deterministicSplit: complete, disjoint, stable under growth") {
     val docs = Q.t(spark, sfDir("0.01"), "documents")
@@ -52,5 +53,41 @@ class SamplingSpec extends SparkSpec {
     val ok = Sampling.stratifiedSample(docs, "doc_id",
       Map("1" -> 1.0), maxStrata = 1000)
     assert(ok.count() >= 1)
+  }
+
+  test("prioritySample is deterministic, size-k, and weight-biased") {
+    val rows = spark.range(0, 2000).select(
+      col("id"),
+      // ids < 100 carry 50× the weight of the rest
+      when(col("id") < 100, 500L).otherwise(10L).as("w"))
+    val s1 = Sampling.prioritySample(rows, "id", "w", 200)
+      .select("id").as[Long].collect().toSet
+    val s2 = Sampling.prioritySample(rows, "id", "w", 200)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2, "same keys+weights must reproduce the same sample")
+    assert(s1.size == 200)
+    // heavy items are ~50× more likely: nearly all of the 100 heavies
+    // make a 200-of-2000 sample (expected inclusion ≈ min(1, k·w/Σw) ≈ 1)
+    val heavies = s1.count(_ < 100)
+    assert(heavies > 80, s"only $heavies/100 heavy items sampled")
+    // plan shape: top-k must be TakeOrderedAndProject, not a global sort
+    val plan = Sampling.prioritySample(rows, "id", "w", 200)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("prioritySample growth stability: a grown corpus keeps prior winners in order") {
+    // priorities are per-row pure functions, so the top-k of the grown
+    // corpus can only change by NEW rows outranking old ones — old rows
+    // never reshuffle among themselves
+    val small = spark.range(0, 1000).select(col("id"), lit(7L).as("w"))
+    val grown = spark.range(0, 2000).select(col("id"), lit(7L).as("w"))
+    val pri = (df: org.apache.spark.sql.DataFrame) =>
+      Sampling.prioritySample(df, "id", "w", 50)
+        .select("id", "priority").as[(Long, Double)].collect().toMap
+    val a = pri(small)
+    val b = pri(grown)
+    // every id surviving in both samples carries the identical priority
+    a.keySet.intersect(b.keySet).foreach(k => assert(a(k) == b(k)))
   }
 }
