@@ -142,4 +142,107 @@ object Summary {
   /** W1: top-k rows by absolute value of a column, deterministic tie-break. */
   def topKByAbs(df: DataFrame, c: String, k: Int, tieBreak: String): DataFrame =
     df.orderBy(abs(col(c)).desc, col(tieBreak).asc).limit(k)
+
+  /** Distributed weighted median per group — the LOWER weighted median:
+    * the smallest value v with 2·W(≤v) ≥ W — WITHOUT a per-group global
+    * sort.
+    *
+    * A cumulative-weight window partitioned by the group column is the
+    * textbook formulation, but with a handful of groups it is a handful
+    * of tasks each sorting its whole group (the q110 lesson generalized:
+    * never put order-statistics machinery on the per-row table). Instead,
+    * histogram refinement:
+    *   1. one aggregate: per-group total weight + [min,max] bounds;
+    *   2. one aggregate: per-group `nBuckets` weighted histogram; the
+    *      driver walks ≤ groups×nBuckets cumulative rows to locate each
+    *      group's median bucket and the weight before it;
+    *   3. exact resolve INSIDE the located buckets only (≈1/nBuckets of
+    *      the rows): distinct-value weights + a per-group window over
+    *      that small remainder.
+    * The decision predicate is pure integer arithmetic on long weights
+    * (2·cum ≥ W), so the answer is independent of the float bucketing —
+    * which is why a DuckDB oracle can recompute it straight from the
+    * definition (q125).
+    *
+    * Group cardinality is driver-bounded (two collects of
+    * groups(×nBuckets) rows) — guarded by `maxGroups`; for
+    * high-cardinality keys use the plain window form, which is already
+    * parallel there.
+    */
+  def weightedMedian(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      weightCol: String,
+      nBuckets: Int = 1024,
+      maxGroups: Int = 10000
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("double").as("v"),
+        col(weightCol).cast("long").as("wt"))
+      .filter(col("v").isNotNull && col("wt") > 0)
+    val gType = base.schema("g").dataType
+
+    val bounds = base.groupBy("g")
+      .agg(sum("wt").as("W"), min("v").as("lo"), max("v").as("hi"))
+      .collect()
+    require(bounds.length <= maxGroups,
+      s"weightedMedian: ${bounds.length} groups exceed maxGroups=$maxGroups" +
+        " — use a cumulative-weight window for high-cardinality keys")
+    if (bounds.isEmpty)
+      return base.select(col("g").as(groupCol),
+        col("v").as("weighted_median")).limit(0)
+
+    val paramSchema = StructType(Seq(
+      StructField("g", gType), StructField("W", LongType),
+      StructField("lo", DoubleType), StructField("width", DoubleType)))
+    val paramRows = bounds.toSeq.map { r =>
+      val lo = r.getDouble(2); val hi = r.getDouble(3)
+      Row(r.get(0), r.getLong(1), lo,
+        if (hi > lo) (hi - lo) / nBuckets else 1.0)
+    }
+    val params = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(paramRows, 1), paramSchema))
+    val bucketOf = least(lit(nBuckets - 1), greatest(lit(0),
+      floor((col("v") - col("lo")) / col("width")).cast("int")))
+
+    val hist = base.join(params, "g")
+      .groupBy(col("g"), bucketOf.as("_b"))
+      .agg(sum("wt").as("bw"))
+      .collect()
+    // driver walk: first bucket where the cumulative weight crosses W/2
+    val byG = hist.groupBy(r => r.get(0))
+    val located = bounds.toSeq.map { r =>
+      val g = r.get(0); val w = r.getLong(1)
+      val bs = byG.getOrElse(g, Array.empty)
+        .map(h => (h.getInt(1), h.getLong(2))).sortBy(_._1)
+      var cum = 0L; var bStar = bs.last._1; var before = 0L
+      var found = false
+      for ((b, bw) <- bs if !found) {
+        if (2 * (cum + bw) >= w) { bStar = b; before = cum; found = true }
+        cum += bw
+      }
+      (g, w, bStar, before)
+    }
+    val targetSchema = StructType(Seq(
+      StructField("g", gType), StructField("W", LongType),
+      StructField("bstar", IntegerType), StructField("wbefore", LongType)))
+    val targets = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        located.map(t => Row(t._1, t._2, t._3, t._4)), 1), targetSchema))
+
+    val resolved = base.join(params.select("g", "lo", "width"), "g")
+      .join(targets, "g")
+      .filter(bucketOf === col("bstar"))
+      .groupBy(col("g"), col("W"), col("wbefore"), col("v"))
+      .agg(sum("wt").as("vw"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("v")
+    resolved
+      .withColumn("cw", sum("vw").over(wCum))
+      .filter(lit(2) * (col("wbefore") + col("cw")) >= col("W"))
+      .groupBy("g").agg(min("v").as("weighted_median"))
+      .select(col("g").as(groupCol), col("weighted_median"))
+  }
 }

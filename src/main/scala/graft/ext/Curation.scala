@@ -360,4 +360,46 @@ object Curation {
         round(col("r.n_violations").cast("double") / col("_n")
           * lit(100.0).cast("double"), 6).as("violation_pct"))
   }
+
+  /** Collocation mining by LIFT: bigrams whose observed rate beats the
+    * unigram-independence expectation,
+    * lift = (B_xy/B) / ((U_x/T)·(U_y/T)), evaluated as the fixed IEEE
+    * sequence ((((B_xy·T)/B)·T)/U_x)/U_y on exact integer counts — same
+    * ranking as PMI but with NO log, so no libm parity risk in the oracle.
+    *
+    * Scale design: two aggregation passes over the token projection
+    * (unigram and bigram counts — re-scan beats shuffling gram arrays,
+    * the minhash house rule), then only the minCount-surviving bigrams
+    * (small) join the vocab table; totals ride a broadcast. The corpus
+    * text itself never shuffles.
+    */
+  def collocationsByLift(
+      df: DataFrame,
+      textCol: String,
+      k: Int = 20,
+      minPairCount: Long = 20L
+  ): DataFrame = {
+    val toks = df.select(TextAnalysis.tokens(lower(col(textCol))).as("_t"))
+    val uni = toks.select(explode(col("_t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("long").as("uc"))
+    val totals = broadcast(toks.agg(
+      sum(size(col("_t")).cast("long")).cast("long").as("t_tokens"),
+      sum(when(size(col("_t")) >= 2, size(col("_t")) - 1).otherwise(0)
+        .cast("long")).cast("long").as("b_pairs")))
+    val bi = toks
+      .select(explode(bigramsFromTokens(col("_t"))).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).cast("long").as("pair_count"))
+      .filter(col("pair_count") >= minPairCount)
+    val lift = ((((col("pair_count").cast("double") * col("t_tokens"))
+      / col("b_pairs")) * col("t_tokens")) / col("u1")) / col("u2")
+    bi
+      .withColumn("w1", split(col("ngram"), " ").getItem(0))
+      .withColumn("w2", split(col("ngram"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("uc").as("u1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("uc").as("u2")), "w2")
+      .crossJoin(totals)
+      .select(col("ngram"), col("pair_count"), round(lift, 6).as("lift"))
+      .orderBy(desc("lift"), col("ngram"))
+      .limit(k)
+  }
 }

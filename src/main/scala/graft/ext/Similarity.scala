@@ -586,4 +586,48 @@ object Similarity {
       .select("id_a", "id_b", "cos_sim")
       .orderBy("id_a", "id_b")
   }
+
+  /** Int8 affine-quantization census: per vector, the [min,max] scale an
+    * 8-bit (0..255) encoding would use and the reconstruction error it
+    * costs — the storage decision for a 100-TB float32 embedding corpus
+    * (4 B/dim → 1 B/dim + 8 B of scale per vector).
+    *
+    * Engine-exact by construction: codes are round((x−lo)/scale) (both
+    * engines round half-away-from-zero for the non-negative argument),
+    * and per-vector error totals are sums of 9-decimal-rounded
+    * per-element errors routed through DECIMAL — order-independent, so
+    * partitioning can never change the reported error. Zero-range
+    * vectors quantize to code 0 with zero error (CASE-guarded in both
+    * engines). One posexplode pass; only (id, element) pairs shuffle.
+    */
+  def int8QuantizationCensus(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val lo = array_min(col(vecCol)).cast("double")
+    val hi = array_max(col(vecCol)).cast("double")
+    val exploded = df
+      .select(col(idCol), col(vecCol).as("_v"), lo.as("_lo"), hi.as("_hi"),
+        ((hi - lo) / lit(255.0).cast("double")).as("_scale"))
+      .select(col(idCol), col("_lo"), col("_hi"), col("_scale"),
+        posexplode(col("_v")).as(Seq("_i", "_e")))
+      .withColumn("_x", col("_e").cast("double"))
+      .withColumn("_q",
+        when(col("_scale") === 0, lit(0.0).cast("double"))
+          .otherwise(round((col("_x") - col("_lo")) / col("_scale"), 0)))
+      .withColumn("_err",
+        abs(col("_x") - (col("_lo") + col("_q") * col("_scale"))))
+    exploded
+      .groupBy(col(idCol), col("_lo"), col("_hi"))
+      .agg(
+        count(lit(1)).cast("long").as("n_dims"),
+        sum(round(col("_err"), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+          .cast("double").as("total_abs_err"),
+        max(col("_q")).cast("long").as("max_q"))
+      .select(col(idCol), round(col("_lo"), 6).as("v_min"),
+        round(col("_hi"), 6).as("v_max"), col("n_dims"),
+        col("total_abs_err"), col("max_q"))
+  }
 }

@@ -292,6 +292,45 @@ object CurationQueries {
            |$branches
            |ORDER BY rule""".stripMargin
       }
+    ),
+
+    // ---- collocation mining by lift (PMI ranking without the log):
+    //      rational-only arithmetic on exact counts → DuckDB twin replays
+    //      the identical doubles; top-20 over the ≥20-count bigrams
+    QueryDef(
+      "q123_collocations_lift",
+      (s, dir) =>
+        Curation.collocationsByLift(t(s, dir, "documents"), "text",
+          k = 20, minPairCount = 20L),
+      Some("""WITH toks AS (
+             |  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |                     x -> x <> '') AS t
+             |  FROM documents),
+             |tot AS (
+             |  SELECT CAST(sum(len(t)) AS BIGINT) AS t_tokens,
+             |    CAST(sum(CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END)
+             |         AS BIGINT) AS b_pairs
+             |  FROM toks),
+             |uc AS (
+             |  SELECT w, count(*) AS uc
+             |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+             |bc AS (
+             |  SELECT ngram, count(*) AS pair_count
+             |  FROM (SELECT unnest(list_transform(range(1, len(t)),
+             |                                     i -> t[i] || ' ' || t[i+1]))
+             |          AS ngram
+             |        FROM toks WHERE len(t) >= 2)
+             |  GROUP BY 1 HAVING count(*) >= 20),
+             |j AS (
+             |  SELECT ngram, pair_count,
+             |    string_split(ngram, ' ')[1] AS w1,
+             |    string_split(ngram, ' ')[2] AS w2
+             |  FROM bc)
+             |SELECT ngram, pair_count,
+             |  round(((((CAST(pair_count AS DOUBLE) * t_tokens) / b_pairs)
+             |          * t_tokens) / u1.uc) / u2.uc, 6) AS lift
+             |FROM j JOIN uc u1 ON j.w1 = u1.w JOIN uc u2 ON j.w2 = u2.w, tot
+             |ORDER BY lift DESC, ngram LIMIT 20""".stripMargin)
     )
   )
 }

@@ -397,6 +397,46 @@ object SimilarityQueries {
              |  round(sqrt(CAST(sum(c2) AS DOUBLE)) / CAST(1000.0 AS DOUBLE), 6)
              |    AS centroid_norm
              |FROM c GROUP BY 1 ORDER BY label""".stripMargin)
+    ),
+
+    // ---- int8 affine-quantization census: the 4×-compression decision
+    //      for a float32 embedding corpus — per-vector scale + DECIMAL-
+    //      routed reconstruction error (order-independent), codes round
+    //      half-away identically in both engines on the ≥0 argument
+    QueryDef(
+      "q124_int8_quantization",
+      (s, dir) =>
+        Similarity.int8QuantizationCensus(t(s, dir, "embeddings"),
+            "vec_id", "embedding")
+          .orderBy("vec_id"),
+      Some("""WITH b AS (
+             |  SELECT vec_id,
+             |    CAST(list_min(embedding) AS DOUBLE) AS lo,
+             |    CAST(list_max(embedding) AS DOUBLE) AS hi,
+             |    embedding AS v
+             |  FROM embeddings),
+             |s AS (
+             |  SELECT vec_id, lo, hi,
+             |    (hi - lo) / CAST(255.0 AS DOUBLE) AS sc, v
+             |  FROM b),
+             |e AS (
+             |  SELECT vec_id, lo, hi, sc, CAST(unnest(v) AS DOUBLE) AS x
+             |  FROM s),
+             |q AS (
+             |  SELECT vec_id, lo, hi, sc, x,
+             |    CASE WHEN sc = 0 THEN CAST(0 AS DOUBLE)
+             |         ELSE round((x - lo) / sc, 0) END AS qv
+             |  FROM e),
+             |er AS (
+             |  SELECT vec_id, lo, hi, qv,
+             |    abs(x - (lo + qv * sc)) AS err
+             |  FROM q)
+             |SELECT vec_id, round(lo, 6) AS v_min, round(hi, 6) AS v_max,
+             |  count(*) AS n_dims,
+             |  CAST(sum(CAST(round(err, 9) AS DECIMAL(18,9))) AS DOUBLE)
+             |    AS total_abs_err,
+             |  CAST(max(qv) AS BIGINT) AS max_q
+             |FROM er GROUP BY 1, 2, 3 ORDER BY vec_id""".stripMargin)
     )
   )
 

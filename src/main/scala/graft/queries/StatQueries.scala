@@ -309,6 +309,36 @@ object StatQueries {
              |        / CAST(n AS DOUBLE), 6) AS intercept,
              |  round(num * num / (den * deny), 8) AS r2
              |FROM sl ORDER BY event_type""".stripMargin)
+    ),
+
+    // ---- distributed weighted median (quantity-weighted price per
+    //      returnflag) via histogram refinement — NO per-group global
+    //      sort (3 groups = 3 sorting tasks otherwise; the q110 lesson
+    //      generalized). The decision predicate is integer (2·cum ≥ W),
+    //      so the float bucketing can't leak into the answer — the
+    //      oracle recomputes the definition directly with a cumulative
+    //      window, a different algorithm agreeing on the same statistic
+    QueryDef(
+      "q125_weighted_median",
+      (s, dir) =>
+        Summary.weightedMedian(t(s, dir, "lineitem"),
+            "l_returnflag", "l_extendedprice", "l_quantity")
+          .orderBy("l_returnflag"),
+      Some("""WITH w AS (
+             |  SELECT l_returnflag AS f, l_extendedprice AS v,
+             |    CAST(l_quantity AS BIGINT) AS wt
+             |  FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL
+             |    AND CAST(l_quantity AS BIGINT) > 0),
+             |tot AS (SELECT f, CAST(sum(wt) AS BIGINT) AS W FROM w GROUP BY 1),
+             |c AS (
+             |  SELECT f, v,
+             |    CAST(sum(wt) OVER (PARTITION BY f ORDER BY v) AS BIGINT) AS cw
+             |  FROM w)
+             |SELECT c.f AS l_returnflag, min(v) AS weighted_median
+             |FROM c JOIN tot ON c.f = tot.f
+             |WHERE 2 * cw >= W
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -1,0 +1,71 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class WeightedMedianSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force lower weighted median: smallest v with 2·W(≤v) ≥ W. */
+  private def brute(rows: Seq[(String, Double, Long)]): Map[String, Double] =
+    rows.groupBy(_._1).map { case (g, rs) =>
+      val w = rs.map(_._3).sum
+      val byV = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      g -> byV.collectFirst {
+        case (v, vw) if { cum += vw; 2 * cum >= w } => v
+      }.get
+    }
+
+  private def run(rows: Seq[(String, Double, Long)], nBuckets: Int = 1024) =
+    Summary.weightedMedian(rows.toDF("g", "v", "wt"), "g", "v", "wt",
+        nBuckets = nBuckets)
+      .as[(String, Double)].collect().toMap
+
+  test("matches the brute-force definition on mixed groups") {
+    val rows = Seq(
+      // even total weight, answer between two values
+      ("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 3.0, 1L), ("a", 4.0, 1L),
+      // heavy single value dominates
+      ("b", 10.0, 100L), ("b", 99.0, 1L), ("b", -5.0, 2L),
+      // all values equal (zero range → width fallback)
+      ("c", 7.5, 3L), ("c", 7.5, 9L),
+      // single row
+      ("d", -3.25, 5L)
+    )
+    assert(run(rows) == brute(rows))
+    assert(run(rows)("a") == 2.0) // lower median of {1,2,3,4} unit weights
+    assert(run(rows)("b") == 10.0)
+    assert(run(rows)("c") == 7.5)
+    assert(run(rows)("d") == -3.25)
+  }
+
+  test("agrees with brute force on pseudorandom data at every bucket count") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(5000) { i =>
+      (s"g${i % 4}", math.floor(rnd.nextDouble() * 10000) / 100.0,
+        (rnd.nextInt(9) + 1).toLong)
+    }
+    val expect = brute(rows)
+    // small bucket counts force multi-value resolve buckets; 1024 is the
+    // production default
+    for (nb <- Seq(4, 64, 1024)) {
+      assert(run(rows, nb) == expect, s"nBuckets=$nb")
+    }
+  }
+
+  test("ignores null values and non-positive weights; caps group count") {
+    val rows = Seq(("a", Some(1.0), 1L), ("a", None, 100L),
+      ("a", Some(5.0), 0L), ("a", Some(3.0), 1L))
+      .toDF("g", "v", "wt")
+    val out = Summary.weightedMedian(rows, "g", "v", "wt")
+      .as[(String, Double)].collect().toMap
+    assert(out == Map("a" -> 1.0)) // weights {1.0→1, 3.0→1}: lower median 1.0
+    val many = spark.range(0, 200).select(col("id").cast("string").as("g"),
+      col("id").cast("double").as("v"), lit(1L).as("wt"))
+    intercept[IllegalArgumentException] {
+      Summary.weightedMedian(many, "g", "v", "wt", maxGroups = 100)
+    }
+  }
+}
