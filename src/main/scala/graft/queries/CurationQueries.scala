@@ -331,6 +331,52 @@ object CurationQueries {
              |          * t_tokens) / u1.uc) / u2.uc, 6) AS lift
              |FROM j JOIN uc u1 ON j.w1 = u1.w JOIN uc u2 ON j.w2 = u2.w, tot
              |ORDER BY lift DESC, ngram LIMIT 20""".stripMargin)
+    ),
+
+    // ---- dataset-lineage census per source: internal duplication (rows
+    //      minus distinct fingerprints) AND external contamination
+    //      (fingerprints also shipped by ≥1 other source). All joins run
+    //      on the DISTINCT (source, fingerprint) table — a hash repeated
+    //      by many rows still contributes at most |sources| join rows —
+    //      and the per-source row count makes the audit informative even
+    //      when the answer is "no cross-source duplication"
+    QueryDef(
+      "q126_source_lineage",
+      (s, dir) => {
+        val fp = t(s, dir, "documents")
+          .select(col("source"), md5(col("text").cast("binary")).as("f"))
+        val docCounts = fp.groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+        val sf = fp.distinct()
+        val spread = sf.groupBy("f")
+          .agg(count(lit(1)).cast("long").as("ns"))
+        val perSource = sf.join(spread, "f")
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_unique_fp"),
+            count(when(col("ns") >= 2, 1)).cast("long").as("n_external_fp"))
+        docCounts.join(perSource, "source")
+          .select(col("source"), col("n_docs"), col("n_unique_fp"),
+            (col("n_docs") - col("n_unique_fp")).as("n_internal_dup_docs"),
+            col("n_external_fp"),
+            round(col("n_external_fp").cast("double") / col("n_unique_fp")
+              * lit(100.0).cast("double"), 6).as("external_pct"))
+          .orderBy("source")
+      },
+      Some("""WITH fp AS (SELECT source, md5(text) AS f FROM documents),
+             |dc AS (SELECT source, count(*) AS n_docs FROM fp GROUP BY 1),
+             |sf AS (SELECT DISTINCT source, f FROM fp),
+             |spread AS (SELECT f, count(*) AS ns FROM sf GROUP BY 1),
+             |ps AS (
+             |  SELECT source, count(*) AS n_unique_fp,
+             |    count(*) FILTER (WHERE ns >= 2) AS n_external_fp
+             |  FROM sf JOIN spread USING (f) GROUP BY 1)
+             |SELECT source, n_docs, n_unique_fp,
+             |  n_docs - n_unique_fp AS n_internal_dup_docs,
+             |  n_external_fp,
+             |  round(CAST(n_external_fp AS DOUBLE) / n_unique_fp
+             |        * CAST(100.0 AS DOUBLE), 6) AS external_pct
+             |FROM dc JOIN ps USING (source)
+             |ORDER BY source""".stripMargin)
     )
   )
 }

@@ -578,6 +578,92 @@ object EventQueries {
              |  count(*) AS n_intervals
              |FROM d WHERE dt IS NOT NULL
              |GROUP BY 1 ORDER BY user_id""".stripMargin)
+    ),
+
+    // ---- association rules over sessions-as-baskets (market-basket
+    //      mining): support / confidence / lift for every directed
+    //      event-type pair co-occurring in a 30-min-gap session (q37's
+    //      session definition). The basket→type presence table is
+    //      distinct'd FIRST, so the pair self-join fans out ≤ |types|²
+    //      per basket no matter how many events a session holds; all
+    //      metrics are rational in exact counts
+    QueryDef(
+      "q127_association_rules",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val present = t(s, dir, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_session",
+            (col("prev_ts").isNull ||
+              unix_micros(col("ts").cast("timestamp")) -
+                unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L)
+              .cast("long"))
+          .withColumn("session_id",
+            sum(col("new_session")).over(w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .select(col("user_id"), col("session_id"), col("event_type"))
+          .distinct()
+        val nBaskets = broadcast(
+          present.select("user_id", "session_id").distinct()
+            .agg(count(lit(1)).cast("long").as("n_baskets")))
+        val cnt = present.groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n"))
+        val pairs = present
+          .join(present
+              .select(col("user_id"), col("session_id"),
+                col("event_type").as("consequent")),
+            Seq("user_id", "session_id"))
+          .filter(col("event_type") =!= col("consequent"))
+          .groupBy(col("event_type").as("antecedent"), col("consequent"))
+          .agg(count(lit(1)).cast("long").as("n_both"))
+        pairs
+          .join(cnt.select(col("event_type").as("antecedent"),
+            col("n").as("n_ante")), "antecedent")
+          .join(cnt.select(col("event_type").as("consequent"),
+            col("n").as("n_cons")), "consequent")
+          .crossJoin(nBaskets)
+          .select(col("antecedent"), col("consequent"), col("n_both"),
+            round(col("n_both").cast("double") / col("n_baskets"), 6)
+              .as("support"),
+            round(col("n_both").cast("double") / col("n_ante"), 6)
+              .as("confidence"),
+            round((col("n_both").cast("double") * col("n_baskets"))
+              / col("n_ante") / col("n_cons"), 6).as("lift"))
+          .orderBy("antecedent", "consequent")
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, event_type, ts, event_id,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, event_type,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM flagged),
+             |present AS (
+             |  SELECT DISTINCT user_id, session_id, event_type FROM sess),
+             |nb AS (
+             |  SELECT count(*) AS n_baskets
+             |  FROM (SELECT DISTINCT user_id, session_id FROM present)),
+             |cnt AS (SELECT event_type, count(*) AS n FROM present GROUP BY 1),
+             |p AS (
+             |  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+             |    count(*) AS n_both
+             |  FROM present a JOIN present b
+             |    ON a.user_id = b.user_id AND a.session_id = b.session_id
+             |    AND a.event_type <> b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT antecedent, consequent, n_both,
+             |  round(CAST(n_both AS DOUBLE) / n_baskets, 6) AS support,
+             |  round(CAST(n_both AS DOUBLE) / ca.n, 6) AS confidence,
+             |  round(CAST(n_both AS DOUBLE) * n_baskets / ca.n / cc.n, 6)
+             |    AS lift
+             |FROM p JOIN cnt ca ON p.antecedent = ca.event_type
+             |       JOIN cnt cc ON p.consequent = cc.event_type, nb
+             |ORDER BY antecedent, consequent""".stripMargin)
     )
   )
 }
