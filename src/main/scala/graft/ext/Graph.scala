@@ -139,4 +139,47 @@ object Graph {
         round(lit(3L).cast("double") * col("n_triangles") / col("n_wedges"), 6)
           .as("global_clustering"))
   }
+
+  /** Degree assortativity: the Pearson correlation of endpoint degrees
+    * over the (symmetrized) edge list — do high-degree nodes attach to
+    * high-degree nodes? Computed from DECIMAL-exact sufficient statistics
+    * (each undirected edge contributes both orientations, so Σx = Σy and
+    * the closed form collapses to (N·Σxy − Σx²)/(N·Σx² − (Σx)² … with
+    * x² meaning Σ of squares); the final expression is a fixed IEEE
+    * sequence on exact sums — engine-portable like the q119 regression.
+    *
+    * Scale: canonical distinct + one degree aggregate + two equi-joins +
+    * one global aggregate. Nothing is quadratic; the degree table
+    * broadcasts when small.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val s = col(srcCol).cast("long")
+    val d = col(dstCol).cast("long")
+    val e = edges
+      .select(least(s, d).as("a"), greatest(s, d).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast("long").as("deg"))
+    val dec = (c: org.apache.spark.sql.Column) =>
+      c.cast(DecimalType(12, 0))
+    val sums = e
+      .join(deg.select(col("node").as("a"), col("deg").as("_da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("_db")), "b")
+      .agg(
+        count(lit(1)).cast("long").as("m"),
+        sum(dec(col("_da")) + dec(col("_db"))).as("sx"),
+        sum(dec(col("_da")) * dec(col("_da"))
+          + dec(col("_db")) * dec(col("_db"))).as("sxx"),
+        sum(lit(2).cast(DecimalType(2, 0)) * dec(col("_da"))
+          * dec(col("_db"))).as("sxy"))
+    val nD = (col("m") * 2).cast("double")
+    val sxD = col("sx").cast("double")
+    val num = nD * col("sxy").cast("double") - sxD * sxD
+    val den = nD * col("sxx").cast("double") - sxD * sxD
+    sums.select(col("m").as("n_edges"),
+      round(num / den, 8).as("assortativity"))
+  }
 }

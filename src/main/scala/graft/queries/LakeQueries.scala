@@ -778,6 +778,61 @@ object LakeQueries {
              |FROM w, tri""".stripMargin)
     ),
 
+    // ---- degree assortativity of the same quarterly co-purchase graph:
+    //      do popular parts co-sell with popular parts? DECIMAL-exact
+    //      sufficient statistics over the symmetrized edge list, closed
+    //      form in a fixed IEEE sequence (q119's regression recipe on a
+    //      graph statistic)
+    QueryDef(
+      "q128_degree_assortativity",
+      (s, dir) => {
+        val ords = t(s, dir, "orders")
+          .filter(col("o_orderdate").cast("date")
+            .between("1995-01-01", "1995-03-31"))
+          .select(col("o_orderkey"))
+        val items = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(ords, col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_partkey")
+          .distinct()
+        val x = items.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
+        val y = items.select(col("l_orderkey").as("k"), col("l_partkey").as("pb"))
+        val pairs = x.join(y, Seq("k")).filter(col("pa") < col("pb"))
+          .select(col("pa").as("src"), col("pb").as("dst"))
+        graft.ext.Graph.degreeAssortativity(pairs, "src", "dst")
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey, l_partkey
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE CAST(o_orderdate AS DATE)
+             |        BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'),
+             |e AS (
+             |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+             |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+             |    AND x.l_partkey < y.l_partkey),
+             |deg AS (
+             |  SELECT node, count(*) AS deg FROM (
+             |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+             |  GROUP BY 1),
+             |sums AS (
+             |  SELECT count(*) AS m,
+             |    sum(CAST(da.deg AS DECIMAL(12,0))
+             |        + CAST(db.deg AS DECIMAL(12,0))) AS sx,
+             |    sum(CAST(da.deg AS DECIMAL(12,0)) * CAST(da.deg AS DECIMAL(12,0))
+             |        + CAST(db.deg AS DECIMAL(12,0)) * CAST(db.deg AS DECIMAL(12,0)))
+             |      AS sxx,
+             |    sum(CAST(2 AS DECIMAL(2,0)) * CAST(da.deg AS DECIMAL(12,0))
+             |        * CAST(db.deg AS DECIMAL(12,0))) AS sxy
+             |  FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node)
+             |SELECT m AS n_edges,
+             |  round((CAST(m * 2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |        / (CAST(m * 2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8)
+             |    AS assortativity
+             |FROM sums""".stripMargin)
+    ),
+
     // ---- INCREMENTAL SCD2 maintenance: the Spark side builds the
     //      dimension from the pre-1998 feed, then MERGES the 1998+
     //      increment with scd2Merge (history pass-through, increment-only

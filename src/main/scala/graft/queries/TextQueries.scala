@@ -500,6 +500,49 @@ object TextQueries {
              |  CAST(len(ch) AS BIGINT) AS n_tokens,
              |  md5(array_to_string(ch, ' ')) AS chunk_md5
              |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
+    ),
+
+    // ---- vocabulary richness per source: type-token ratio + hapax rate
+    //      (the "is this source template spam?" signal — low TTR = heavy
+    //      repetition). One (source, token) count aggregate; ratios are
+    //      single exact divisions of longs
+    QueryDef(
+      "q129_vocab_richness",
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("source"),
+            explode(graft.ext.TextAnalysis.tokens(lower(col("text"))))
+              .as("w"))
+        tok.groupBy("source", "w")
+          .agg(count(lit(1)).cast("long").as("c"))
+          .groupBy("source")
+          .agg(sum(col("c")).cast("long").as("n_tokens"),
+            count(lit(1)).cast("long").as("n_types"),
+            count(when(col("c") === 1, 1)).cast("long").as("n_hapax"))
+          .select(col("source"), col("n_tokens"), col("n_types"),
+            col("n_hapax"),
+            round(col("n_types").cast("double") / col("n_tokens"), 6)
+              .as("type_token_ratio"),
+            round(col("n_hapax").cast("double") / col("n_types"), 6)
+              .as("hapax_rate"))
+          .orderBy("source")
+      },
+      Some("""WITH tok AS (
+             |  SELECT source, unnest(list_filter(
+             |    regexp_split_to_array(trim(lower(text)), '\s+'),
+             |    x -> x <> '')) AS w
+             |  FROM documents),
+             |tw AS (
+             |  SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2)
+             |SELECT source,
+             |  CAST(sum(c) AS BIGINT) AS n_tokens,
+             |  count(*) AS n_types,
+             |  count(*) FILTER (WHERE c = 1) AS n_hapax,
+             |  round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT), 6)
+             |    AS type_token_ratio,
+             |  round(CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE) / count(*), 6)
+             |    AS hapax_rate
+             |FROM tw GROUP BY 1 ORDER BY source""".stripMargin)
     )
   )
 }
