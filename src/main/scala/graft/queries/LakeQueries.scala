@@ -881,6 +881,118 @@ object LakeQueries {
              |FROM v ORDER BY o_custkey, version_no""".stripMargin)
     ),
 
+    // ---- POINT-IN-TIME (temporal) join against the SCD2 dimension: each
+    //      shipment is enriched with the customer's status version valid
+    //      AT SHIP TIME — the lookup every feature-backfill pipeline needs
+    //      (training-serving skew dies here). Rides the as-of join (one
+    //      key shuffle, latest-from carry-forward — no range explosion);
+    //      zero-duration versions (two changes on one date) are dropped
+    //      so the as-of match is well-defined in BOTH engines
+    QueryDef(
+      "q130_temporal_join",
+      (s, dir) => {
+        val feed = t(s, dir, "orders")
+          .filter(col("o_custkey") % 10 === 7)
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+            col("o_orderstatus"))
+        val dim = LakeOps.scd2(feed, Seq("o_custkey"),
+            Seq("o_orderdate", "o_orderkey"), Seq("o_orderstatus"))
+          .filter(col("effective_to").isNull ||
+            col("effective_to") =!= col("effective_from"))
+          .select(col("o_custkey"), col("effective_from").as("t"),
+            col("o_orderstatus"))
+        val facts = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders").filter(col("o_custkey") % 10 === 7)
+              .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey"), col("l_orderkey"), col("l_quantity"),
+            col("l_shipdate").as("t"))
+        graft.etl.Joins.asOfJoin(facts, dim, Seq("o_custkey"), "t",
+            rightValueCols = Seq("o_orderstatus"), suffix = "_at_ship")
+          .groupBy(col("o_orderstatus_at_ship").as("status_at_ship"))
+          .agg(count(lit(1)).cast("long").as("n_items"),
+            countDistinct(col("l_orderkey")).cast("long").as("n_orders"),
+            sumExact(col("l_quantity"), 2).as("total_qty"))
+          .orderBy("status_at_ship")
+      },
+      Some(s"""WITH f AS (
+             |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus
+             |  FROM orders WHERE o_custkey % 10 = 7),
+             |c AS (
+             |  SELECT *, lag(o_orderstatus) OVER
+             |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |    AS prev
+             |  FROM f),
+             |k AS (
+             |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus
+             |  FROM c WHERE prev IS DISTINCT FROM o_orderstatus),
+             |v AS (
+             |  SELECT o_custkey, o_orderstatus,
+             |    o_orderdate AS effective_from,
+             |    lead(o_orderdate) OVER w AS effective_to
+             |  FROM k
+             |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+             |dim AS (
+             |  SELECT o_custkey, effective_from AS t, o_orderstatus
+             |  FROM v
+             |  WHERE effective_to IS NULL OR effective_to <> effective_from),
+             |facts AS (
+             |  SELECT o.o_custkey, l.l_orderkey, l.l_quantity,
+             |    l.l_shipdate AS t
+             |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |  WHERE o.o_custkey % 10 = 7)
+             |SELECT d.o_orderstatus AS status_at_ship,
+             |  count(*) AS n_items,
+             |  count(DISTINCT facts.l_orderkey) AS n_orders,
+             |  ${sqlSumExact("facts.l_quantity", 2)} AS total_qty
+             |FROM facts ASOF LEFT JOIN dim d
+             |  ON facts.o_custkey = d.o_custkey AND facts.t >= d.t
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // ---- right-to-be-forgotten cascade audit: how far does a customer
+    //      blocklist propagate through the star schema? Key-only semi
+    //      joins (8 B/row) — the payload tables never shuffle; the counts
+    //      are the delete plan a compliance pass would execute
+    QueryDef(
+      "q131_delete_cascade",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .filter(col("c_custkey") % 500 === 7).select(col("c_custkey"))
+        val orders = t(s, dir, "orders")
+          .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+        val li = t(s, dir, "lineitem")
+          .join(orders.select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")
+        cust.agg(count(lit(1)).cast("long").as("n_customers"))
+          .crossJoin(orders.agg(
+            count(lit(1)).cast("long").as("n_orders"),
+            sumExact(col("o_totalprice"), 2).as("order_value_purged")))
+          .crossJoin(li.agg(count(lit(1)).cast("long").as("n_lineitems")))
+          .crossJoin(t(s, dir, "lineitem").agg(
+            count(lit(1)).cast("long").as("n_li_total")))
+          .select(col("n_customers"), col("n_orders"),
+            col("order_value_purged"), col("n_lineitems"),
+            round(col("n_lineitems").cast("double") / col("n_li_total")
+              * lit(100.0).cast("double"), 6).as("lineitem_pct"))
+      },
+      Some(s"""WITH cust AS (
+             |  SELECT c_custkey FROM customer WHERE c_custkey % 500 = 7),
+             |o AS (SELECT * FROM orders
+             |      WHERE o_custkey IN (SELECT c_custkey FROM cust)),
+             |l AS (SELECT * FROM lineitem
+             |      WHERE l_orderkey IN (SELECT o_orderkey FROM o))
+             |SELECT
+             |  (SELECT count(*) FROM cust) AS n_customers,
+             |  (SELECT count(*) FROM o) AS n_orders,
+             |  (SELECT ${sqlSumExact("o_totalprice", 2)} FROM o)
+             |    AS order_value_purged,
+             |  (SELECT count(*) FROM l) AS n_lineitems,
+             |  round(CAST((SELECT count(*) FROM l) AS DOUBLE)
+             |        / (SELECT count(*) FROM lineitem)
+             |        * CAST(100.0 AS DOUBLE), 6) AS lineitem_pct""".stripMargin)
+    ),
+
     // ---- weighted priority sampling (Duffield–Lund–Thorup): length-
     //      weighted top-k corpus subsample, deterministic via the portable
     //      hash → DuckDB twin replays the identical priorities. Executes
