@@ -339,6 +339,118 @@ object StatQueries {
              |FROM c JOIN tot ON c.f = tot.f
              |WHERE 2 * cw >= W
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // ---- seasonal profile (day-of-week × hour-of-day): cell means and
+    //      deviation from the global mean. Day-of-week is computed as
+    //      (epoch_day + 4) % 7 — pure integer arithmetic (1970-01-01 was
+    //      a Thursday), NOT each engine's dayofweek() (they disagree on
+    //      numbering). One cell aggregate; the global mean rides a
+    //      broadcast
+    QueryDef(
+      "q132_seasonal_profile",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(
+          ((expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            + 4) % 7).as("dow"),
+          (expr("unix_micros(cast(ts as timestamp)) div 3600000000") % 24)
+            .as("hod"),
+          col("value"))
+        val overall = broadcast(ev.agg(
+          (sumExact(col("value"), 4) / count(col("value"))).as("gmean")))
+        ev.groupBy("dow", "hod")
+          .agg(count(lit(1)).cast("long").as("n"),
+            (sumExact(col("value"), 4) / count(col("value"))).as("_m"))
+          .crossJoin(overall)
+          .select(col("dow"), col("hod"), col("n"),
+            round(col("_m"), 6).as("mean_value"),
+            round(col("_m") - col("gmean"), 6).as("deviation"))
+          .orderBy("dow", "hod")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+             |    (epoch_us(ts) // 3600000000) % 24 AS hod, value
+             |  FROM events),
+             |g AS (SELECT ${sqlSumExact("value", 4)} / count(value) AS gmean
+             |      FROM e)
+             |SELECT dow, hod, count(*) AS n,
+             |  round(${sqlSumExact("value", 4)} / count(value), 6)
+             |    AS mean_value,
+             |  round(${sqlSumExact("value", 4)} / count(value) - gmean, 6)
+             |    AS deviation
+             |FROM e, g GROUP BY dow, hod, gmean
+             |ORDER BY dow, hod""".stripMargin)
+    ),
+
+    // ---- CUSUM change-point detection per event_type — on the HOURLY
+    //      bucket series, never the per-row table (the q110 rule): the
+    //      drift statistic cum(v) − cum(n)·mean is exact decimal cumsum
+    //      + one fixed IEEE sequence; the change-point is the bucket
+    //      maximizing |drift| (earliest bucket on ties)
+    QueryDef(
+      "q133_cusum_changepoint",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("b"),
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+            .as("v"))
+        val bstats = ev.groupBy("event_type", "b")
+          .agg(count(lit(1)).cast("long").as("nb"), sum(col("v")).as("sb"))
+        val totals = bstats.groupBy("event_type")
+          .agg(sum(col("nb")).cast("long").as("nn"), sum(col("sb")).as("ss"))
+          .select(col("event_type"),
+            (col("ss").cast("double") / col("nn")).as("mean"))
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("b")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        val drift = bstats
+          .withColumn("cs", sum(col("sb")).over(wb))
+          .withColumn("cn", sum(col("nb")).over(wb).cast("long"))
+          .join(totals, "event_type")
+          .select(col("event_type"), col("b"),
+            abs(col("cs").cast("double") - col("cn").cast("double")
+              * col("mean")).as("adrift"))
+        val mx = drift.groupBy("event_type")
+          .agg(max(col("adrift")).as("max_drift"),
+            count(lit(1)).cast("long").as("n_buckets"))
+        drift.join(mx, "event_type")
+          .filter(col("adrift") === col("max_drift"))
+          .groupBy("event_type", "max_drift", "n_buckets")
+          .agg(min(col("b")).as("change_bucket"))
+          .select(col("event_type"), col("change_bucket"),
+            round(col("max_drift"), 6).as("max_drift"), col("n_buckets"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+             |    CAST(value AS DECIMAL(18,4)) AS v
+             |  FROM events),
+             |bs AS (
+             |  SELECT event_type, b, count(*) AS nb, sum(v) AS sb
+             |  FROM e GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT event_type,
+             |    CAST(sum(sb) AS DOUBLE) / CAST(sum(nb) AS BIGINT) AS mean
+             |  FROM bs GROUP BY 1),
+             |dr AS (
+             |  SELECT bs.event_type, b,
+             |    abs(CAST(sum(sb) OVER w AS DOUBLE)
+             |        - CAST(CAST(sum(nb) OVER w AS BIGINT) AS DOUBLE) * mean)
+             |      AS adrift
+             |  FROM bs JOIN tot ON bs.event_type = tot.event_type
+             |  WINDOW w AS (PARTITION BY bs.event_type ORDER BY b
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |mx AS (
+             |  SELECT event_type, max(adrift) AS max_drift,
+             |    count(*) AS n_buckets
+             |  FROM dr GROUP BY 1)
+             |SELECT dr.event_type, min(b) AS change_bucket,
+             |  round(max_drift, 6) AS max_drift, n_buckets
+             |FROM dr JOIN mx ON dr.event_type = mx.event_type
+             |  AND dr.adrift = mx.max_drift
+             |GROUP BY dr.event_type, max_drift, n_buckets
+             |ORDER BY dr.event_type""".stripMargin)
     )
   )
 }
