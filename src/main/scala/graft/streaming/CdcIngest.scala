@@ -115,4 +115,61 @@ object CdcIngest {
         commit(snapshotDir, s"v$epochId")
       }
       .start()
+
+  /** One SCD2 micro-batch: merge a feed increment into the versioned
+    * dimension with [[LakeOps.scd2Merge]] (first batch bootstraps via a
+    * merge into the empty dimension — same code path). Public so specs
+    * and batch backfills can drive it directly.
+    *
+    * Replay guard: scd2Merge is NOT idempotent (re-merging an increment
+    * would re-append its versions), so a batch whose epoch is already
+    * committed — a foreachBatch replay after a crash between the pointer
+    * swap and the offset commit — is SKIPPED by epoch number (epoch ids
+    * are monotone per checkpoint).
+    */
+  def mergeDimBatch(
+      batch: DataFrame,
+      dimDir: String,
+      epochId: Long,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      attrCols: Seq[String]
+  ): Unit = {
+    if (versions(dimDir).exists(_.drop(1).toLong >= epochId)) return
+    val spark = batch.sparkSession
+    val base = readSnapshot(spark, dimDir)
+      .getOrElse(LakeOps.scd2(batch.limit(0), keyCols, orderCols, attrCols))
+    val merged = LakeOps.scd2Merge(base, batch, keyCols, orderCols, attrCols)
+    merged.write.mode("overwrite").parquet(s"$dimDir/v$epochId")
+    commit(dimDir, s"v$epochId")
+  }
+
+  /** Streaming SCD2 dimension maintenance: each micro-batch of feed
+    * observations is merged into the dimension snapshot — history rows
+    * pass through untouched, windows run only over the increment (the
+    * [[LakeOps.scd2Merge]] scale contract), and every epoch leaves a
+    * time-travelable version directory behind the atomic `_latest`
+    * pointer.
+    *
+    * Ordering contract (inherited from scd2Merge): the source must
+    * deliver each key's observations in non-retrograde order across
+    * batches — i.e. everything in batch N+1 sorts after the key's rows
+    * in batches ≤ N. File/Kafka sources partitioned by ingest time
+    * satisfy this for append-only feeds.
+    */
+  def scd2DimStream(
+      feed: DataFrame,
+      dimDir: String,
+      checkpointDir: String,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      attrCols: Seq[String]
+  ): StreamingQuery =
+    feed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        mergeDimBatch(batch, dimDir, epochId, keyCols, orderCols, attrCols)
+      }
+      .start()
 }
