@@ -543,6 +543,70 @@ object TextQueries {
              |  round(CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE) / count(*), 6)
              |    AS hapax_rate
              |FROM tw GROUP BY 1 ORDER BY source""".stripMargin)
+    ),
+
+    // ---- fuzzy record linkage (entity resolution): planted one-char
+    //      deletions of unique part names relinked to their originals via
+    //      multi-pass blocking (prefix ∪ suffix, length band) + a
+    //      levenshtein verify on candidates only — never a cartesian. A
+    //      1-char edit can't break both blocks, so recall is structural;
+    //      precision < 100% is REAL (keys like '…#12'→'…#1' collide) and
+    //      both engines agree on it exactly
+    QueryDef(
+      "q134_record_linkage",
+      (s, dir) => {
+        val originals = t(s, dir, "part").selectExpr("p_partkey AS oid",
+          "concat(p_name, '#', CAST(p_partkey AS STRING)) AS oname")
+        val perturbed = originals
+          .selectExpr("oid", "oname", "(oid % length(oname)) + 1 AS pos1")
+          .selectExpr("oid AS pid",
+            """concat(substring(oname, 1, pos1 - 1),
+              |substring(oname, pos1 + 1, length(oname) - pos1)) AS pname"""
+              .stripMargin.replace("\n", " "))
+        val pairs = graft.ext.Dedup.fuzzyLinkPairs(
+          perturbed, "pid", "pname", originals, "oid", "oname",
+          maxDist = 1, blockLen = 3)
+        pairs.agg(
+            count(lit(1)).cast("long").as("n_pairs"),
+            count(when(col("id_l") === col("id_r"), 1)).cast("long")
+              .as("n_correct"))
+          .crossJoin(broadcast(originals.agg(
+            count(lit(1)).cast("long").as("n_entities"))))
+          .select(col("n_pairs"), col("n_correct"), col("n_entities"),
+            round(col("n_correct").cast("double") / col("n_entities")
+              * lit(100.0).cast("double"), 6).as("recall_pct"),
+            round(col("n_correct").cast("double") / col("n_pairs")
+              * lit(100.0).cast("double"), 6).as("precision_pct"))
+      },
+      Some("""WITH o AS (
+             |  SELECT p_partkey AS oid,
+             |    p_name || '#' || CAST(p_partkey AS VARCHAR) AS oname
+             |  FROM part),
+             |p AS (
+             |  SELECT oid AS pid,
+             |    substr(oname, 1, pos1 - 1)
+             |      || substr(oname, pos1 + 1, length(oname) - pos1) AS pname
+             |  FROM (SELECT oid, oname,
+             |          (oid % length(oname)) + 1 AS pos1 FROM o)),
+             |cand AS (
+             |  SELECT DISTINCT pid, pname, oid, oname FROM (
+             |    SELECT pid, pname, oid, oname
+             |    FROM p JOIN o ON substr(pname, 1, 3) = substr(oname, 1, 3)
+             |      AND abs(length(pname) - length(oname)) <= 1
+             |    UNION ALL
+             |    SELECT pid, pname, oid, oname
+             |    FROM p JOIN o ON substr(pname, -3, 3) = substr(oname, -3, 3)
+             |      AND abs(length(pname) - length(oname)) <= 1)),
+             |m AS (SELECT * FROM cand WHERE levenshtein(pname, oname) <= 1)
+             |SELECT count(*) AS n_pairs,
+             |  count(*) FILTER (WHERE pid = oid) AS n_correct,
+             |  (SELECT count(*) FROM o) AS n_entities,
+             |  round(CAST(count(*) FILTER (WHERE pid = oid) AS DOUBLE)
+             |        / (SELECT count(*) FROM o)
+             |        * CAST(100.0 AS DOUBLE), 6) AS recall_pct,
+             |  round(CAST(count(*) FILTER (WHERE pid = oid) AS DOUBLE)
+             |        / count(*) * CAST(100.0 AS DOUBLE), 6) AS precision_pct
+             |FROM m""".stripMargin)
     )
   )
 }

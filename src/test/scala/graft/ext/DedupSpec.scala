@@ -164,4 +164,26 @@ class DedupSpec extends SparkSpec {
     val sizes = d.collect().map(_.getSeq[String](0).length).toSeq
     assert(sizes == Seq(0, 1, 2))
   }
+
+  test("fuzzyLinkPairs: recall survives edits at either end, no cartesian") {
+    import spark.implicits._
+    // edits at the head (breaks the prefix block), the tail (breaks the
+    // suffix block), and the middle (breaks neither) must all be found;
+    // an unrelated string within the length band must not match
+    val right = Seq((1L, "abcdefghij"), (2L, "qrstuvwxyz"))
+      .toDF("rid", "rs")
+    val left = Seq(
+      (101L, "bcdefghij"), // head deletion of rid=1
+      (102L, "abcdefghi"), // tail deletion of rid=1
+      (103L, "abcdfghij"), // middle deletion of rid=1
+      (104L, "zzzzzzzzz") // no match
+    ).toDF("lid", "ls")
+    val pairs = Dedup.fuzzyLinkPairs(left, "lid", "ls", right, "rid", "rs")
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((101L, 1L), (102L, 1L), (103L, 1L)))
+    val plan = Dedup.fuzzyLinkPairs(left, "lid", "ls", right, "rid", "rs")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
 }
