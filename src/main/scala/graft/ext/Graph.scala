@@ -182,4 +182,58 @@ object Graph {
     sums.select(col("m").as("n_edges"),
       round(num / den, 8).as("assortativity"))
   }
+
+  /** k-core decomposition (fixed k): iteratively peel nodes of degree < k
+    * until the remaining subgraph is stable; returns (node, core_degree)
+    * for the surviving core. The classic "dense cohesive subgraph"
+    * extractor — and the peeling fixpoint is CONFLUENT (removal order
+    * cannot change the result), which is what lets a DuckDB oracle
+    * reproduce it by unrolling enough rounds (extra rounds are no-ops
+    * after convergence).
+    *
+    * Scale design: each round is one degree aggregate + two key-only
+    * semi joins (8 B/row — edge payloads never shuffle), with
+    * localCheckpoint truncating lineage per round (house CC pattern).
+    * Rounds are data-bounded, not size-bounded — peeling cascades are
+    * short on real graphs — and `maxRounds` throws instead of silently
+    * returning a non-fixpoint (the clusterIds lesson).
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxRounds: Int = 12
+  ): DataFrame = {
+    require(k >= 1, "k-core needs k >= 1")
+    val s = col(srcCol).cast("long")
+    val d = col(dstCol).cast("long")
+    var e = edges
+      .select(least(s, d).as("a"), greatest(s, d).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var prev = -1L
+    var rounds = 0
+    while (true) {
+      val deg = e.select(col("a").as("node"))
+        .unionByName(e.select(col("b").as("node")))
+        .groupBy("node")
+        .agg(count(lit(1)).cast("long").as("core_degree"))
+      val keep = deg.filter(col("core_degree") >= k).localCheckpoint(true)
+      val n = keep.count()
+      if (n == prev) return keep
+      prev = n
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"kCore did not converge within $maxRounds rounds — raise maxRounds")
+      val nodes = keep.select("node")
+      e = e
+        .join(nodes.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }

@@ -833,6 +833,65 @@ object LakeQueries {
              |FROM sums""".stripMargin)
     ),
 
+    // ---- k-core decomposition (k=4) of the quarterly co-purchase graph:
+    //      peel-to-fixpoint on the Spark side (degree agg + key-only semi
+    //      joins per round); the oracle unrolls 8 peel rounds — peeling is
+    //      CONFLUENT, so extra rounds past convergence are no-ops and the
+    //      unroll depth only needs to exceed the actual cascade (5 at
+    //      sf0.1; kCore throws rather than under-iterate)
+    QueryDef(
+      "q135_kcore",
+      (s, dir) => {
+        val ords = t(s, dir, "orders")
+          .filter(col("o_orderdate").cast("date")
+            .between("1995-01-01", "1995-03-31"))
+          .select(col("o_orderkey"))
+        val items = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(ords, col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_partkey")
+          .distinct()
+        val x = items.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
+        val y = items.select(col("l_orderkey").as("k"), col("l_partkey").as("pb"))
+        val pairs = x.join(y, Seq("k")).filter(col("pa") < col("pb"))
+          .select(col("pa").as("src"), col("pb").as("dst"))
+        graft.ext.Graph.kCore(pairs, "src", "dst", k = 4)
+          .orderBy("node")
+      },
+      Some {
+        val rounds = 8
+        // every CTE MATERIALIZED: DuckDB inlines plain CTEs, and each
+        // round references the previous one 3x — an 8-round unroll would
+        // otherwise expand to ~3^8 copies of the base scan (observed as
+        // "Too many open files" on the parquet source)
+        val peels = (1 to rounds).map { i =>
+          s"""d$i AS MATERIALIZED (
+             |  SELECT node FROM (
+             |    SELECT a AS node FROM e${i - 1}
+             |    UNION ALL SELECT b FROM e${i - 1})
+             |  GROUP BY 1 HAVING count(*) >= 4),
+             |e$i AS MATERIALIZED (
+             |  SELECT a, b FROM e${i - 1}
+             |  WHERE a IN (SELECT node FROM d$i)
+             |    AND b IN (SELECT node FROM d$i))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH li AS MATERIALIZED (
+           |  SELECT DISTINCT l_orderkey, l_partkey
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  WHERE CAST(o_orderdate AS DATE)
+           |        BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'),
+           |e0 AS MATERIALIZED (
+           |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+           |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+           |    AND x.l_partkey < y.l_partkey),
+           |$peels
+           |SELECT node, count(*) AS core_degree
+           |FROM (SELECT a AS node FROM e$rounds
+           |      UNION ALL SELECT b FROM e$rounds)
+           |GROUP BY 1 ORDER BY node""".stripMargin
+      }
+    ),
+
     // ---- INCREMENTAL SCD2 maintenance: the Spark side builds the
     //      dimension from the pre-1998 feed, then MERGES the 1998+
     //      increment with scd2Merge (history pass-through, increment-only

@@ -95,4 +95,18 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Long]("n_triangles") == 0)
     assert(r.getAs[Double]("global_clustering") == 0.0)
   }
+
+  test("kCore peels cascades: chain into a clique") {
+    // path 10-11-12 hanging off K4 {0,1,2,3}: k=3 keeps exactly the K4
+    // (the cascade must peel 12, then 11, then 10 — multi-round)
+    val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)
+    val edges = (k4 ++ Seq((3L, 10L), (10L, 11L), (11L, 12L)))
+      .toDF("src", "dst")
+    val core = Graph.kCore(edges, "src", "dst", k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // k=5 on the same graph is empty; k=1 keeps everything
+    assert(Graph.kCore(edges, "src", "dst", k = 5).count() == 0)
+    assert(Graph.kCore(edges, "src", "dst", k = 1).count() == 7)
+  }
 }
