@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding vocabulary learning (the Sennrich
+  * word-frequency formulation): the corpus-scale pass collapses 100 TB of
+  * text into a compact (word, frequency) dictionary — ONE shuffle, sized by
+  * vocabulary not corpus — and every merge iteration then runs on that
+  * dictionary alone (≤ `topWords` rows), so learning k merges costs one
+  * corpus scan plus k trivially small aggregates. This is exactly how
+  * production tokenizer training distributes: the corpus contributes only
+  * word counts.
+  *
+  * Merge semantics are the classic greedy left-to-right fold: within a
+  * word, every non-overlapping occurrence of the chosen pair merges in one
+  * pass, scanning left to right (a run "a a a" under pair (a,a) becomes
+  * "aa a"). The fold is expressed identically in Spark (`aggregate` HOF
+  * with a string accumulator over '|'-separated symbols) and in the DuckDB
+  * oracle (`list_reduce` with the same accumulator), which is what makes
+  * the learned merge table exactly hash-checkable — symbols are restricted
+  * to `[a-z]+` words so the '|' separator and LIKE patterns are safe.
+  *
+  * Tie-breaking is deterministic: highest pair count, then lexicographic
+  * (left, right).
+  */
+object Bpe {
+
+  /** '|'-joined character symbolization of a word ("low" → "l|o|w").
+    * Empty-guarded: Spark's sequence(1, 0) counts DOWN, so an unguarded
+    * empty string would symbolize to "|".
+    */
+  def symbolize(w: Column): Column =
+    when(length(w) === 0, lit(""))
+      .otherwise(concat_ws("|",
+        transform(sequence(lit(1), length(w).cast("int")),
+          i => w.substr(i, lit(1)))))
+
+  /** Apply one learned merge (a,b) → ab to a '|'-separated symbol string,
+    * greedy left-to-right. String accumulator: the last symbol of the
+    * accumulated prefix is `a` iff the prefix IS `a` or ends with "|a" —
+    * safe because symbols never contain '|'.
+    */
+  def applyMerge(sym: Column, a: String, b: String): Column = {
+    val arr = split(sym, "\\|")
+    val rest = slice(arr, lit(2), greatest(size(arr) - 1, lit(0)))
+    aggregate(rest, element_at(arr, 1),
+      (acc, x) =>
+        when((acc === lit(a) || acc.endsWith(lit("|" + a))) && x === lit(b),
+          concat(acc.substr(lit(1), length(acc) - lit(a.length)), lit(a + b)))
+          .otherwise(concat(acc, lit("|"), x)))
+  }
+
+  final case class Merge(rank: Int, left: String, right: String, count: Long)
+
+  /** Learn the first `nMerges` BPE merges from the corpus' `topWords` most
+    * frequent `[a-z]{2,}` words (frequency-desc, word-asc deterministic
+    * cut). Pair counts are frequency-weighted, as in standard BPE.
+    */
+  def learnMerges(
+      df: DataFrame,
+      textCol: String,
+      nMerges: Int,
+      topWords: Int
+  ): Seq[Merge] = {
+    val words = df
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(topWords)
+    var vocab = words
+      .select(symbolize(col("w")).as("sym"), col("c"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val top = vocab
+        .select(col("c"), split(col("sym"), "\\|").as("_t"))
+        .select(col("c"), col("_t"),
+          explode(when(size(col("_t")) > 1,
+            sequence(lit(1), size(col("_t")) - 1))
+            .otherwise(array().cast("array<int>"))).as("i"))
+        .select(element_at(col("_t"), col("i")).as("l"),
+          element_at(col("_t"), col("i") + 1).as("r"), col("c"))
+        .groupBy("l", "r").agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val row = top(0)
+        val (a, b, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+        out += Merge(r, a, b, cnt)
+        vocab = vocab
+          .select(applyMerge(col("sym"), a, b).as("sym"), col("c"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+}

@@ -402,4 +402,63 @@ object Curation {
       .orderBy(desc("lift"), col("ngram"))
       .limit(k)
   }
+
+  // ------------------------------------------- boilerplate segment removal ----
+
+  /** C4-style cross-document boilerplate removal at SEGMENT grain: any
+    * segment whose exact text occurs in ≥ `minDocFreq` DISTINCT documents
+    * (nav bars, cookie banners, licence footers in a real crawl) is dropped
+    * from every document; the survivors are re-joined in original order.
+    * Segments here are non-overlapping `segTokens`-word chunks — the
+    * corpus fixtures carry no newlines, and on a real crawl the same plan
+    * runs with `split(text, "\n")` as the segment source (ref corpus
+    * cleaning: clean_traffic.py drops repeated rows the same
+    * count-then-filter way, at row grain).
+    *
+    * Scale shape: the document-frequency aggregate shuffles only the 8-byte
+    * xxhash64 of each segment (never segment text — the q79 argument: a
+    * count over hash groups equals the count over string groups up to
+    * ~1e-15 collision odds, which is also why the string-keyed DuckDB twin
+    * hash-matches). The resulting boilerplate set is small by construction
+    * (only segments repeated across documents) and broadcasts; the one
+    * unavoidable text shuffle is the per-document rebuild (doc-key grouped,
+    * linear). Output: (idCol, clean_text, n_segments, n_removed) — one row
+    * per input document, clean_text = "" when everything was boilerplate.
+    */
+  def removeBoilerplateSegments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      segTokens: Int = 10,
+      minDocFreq: Long = 2L
+  ): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    val segs = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .withColumn("_nc",
+        greatest(lit(1L), expr(s"(size(_t) + $segTokens - 1) div $segTokens")))
+      .withColumn("seg_id", explode(sequence(lit(0L), col("_nc") - 1)))
+      .select(col(idCol), col("seg_id"),
+        array_join(
+          slice(col("_t"), (col("seg_id") * segTokens + 1).cast("int"),
+            lit(segTokens)), " ").as("seg"))
+      .withColumn("_h", xxhash64(col("seg")))
+    val boiler = segs
+      .groupBy("_h")
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= minDocFreq)
+      .select(col("_h"), lit(true).as("_boiler"))
+    val kept = segs
+      .join(broadcast(boiler), Seq("_h"), "left")
+      .groupBy(idCol)
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("_boiler").isNull, struct(col("seg_id"), col("seg"))))),
+            s => s.getField("seg")), " ").as("clean_text"),
+        count(lit(1)).cast("long").as("n_segments"),
+        count(when(col("_boiler"), 1)).cast("long").as("n_removed"))
+    kept
+  }
 }

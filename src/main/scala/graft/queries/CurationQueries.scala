@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.Curation
+import graft.ext.{Bpe, Curation, TextAnalysis}
 import graft.queries.Q._
 
 /** Corpus-curation operators (graft.ext.Curation) over `documents`, every one
@@ -29,6 +29,62 @@ object CurationQueries {
       concat(lit(" host 10."), (col("doc_id") % 200).cast("string"),
         lit(".0."), ((col("doc_id") * 3) % 250).cast("string")))
       .otherwise(lit("")))
+
+  // q136 boilerplate grain + threshold (declared ABOVE `defs` — the oracle
+  // SQL interpolates them at object init; CLAUDE.md init-order trap)
+  private val SegTokens = 10
+  private val MinDocFreq = 2
+
+  // q137 BPE learning size
+  private val BpeMerges = 5
+  private val BpeTopWords = 200
+
+  /** Unrolled 5-round BPE oracle. Each round: pair counts from the
+    * '|'-separated symbol strings (range+unnest is the 1-based twin of
+    * Spark's explode(sequence)), deterministic argmax, then the SAME greedy
+    * left-to-right fold Spark runs — DuckDB `list_reduce` with a string
+    * accumulator mirrors Spark's `aggregate` HOF exactly. Every CTE
+    * MATERIALIZED (the q135 lesson: plain CTEs re-inline per reference).
+    */
+  private val bpeOracle: String = {
+    val rounds = (1 to BpeMerges).map { r =>
+      val prev = s"v${r - 1}"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT t[i] AS a, t[i+1] AS b, CAST(sum(c) AS BIGINT) AS cnt FROM (
+         |    SELECT t, c, unnest(range(1, len(t))) AS i FROM (
+         |      SELECT string_split(sym, '|') AS t, c FROM $prev))
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (
+         |  SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT list_reduce(string_split(sym, '|'), (acc, x) ->
+         |    CASE WHEN (acc = m.a OR acc LIKE '%|' || m.a) AND x = m.b
+         |      THEN substr(acc, 1, length(acc) - length(m.a)) || m.a || m.b
+         |      ELSE acc || '|' || x END) AS sym, c
+         |  FROM $prev, m$r AS m)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeMerges)
+      .map(r => s"SELECT $r AS r, a, b, cnt FROM m$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH wc AS MATERIALIZED (
+       |  SELECT w, count(*) AS c FROM (
+       |    SELECT unnest(list_filter(
+       |      regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      x -> x <> '')) AS w
+       |    FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+${"$"}') AND length(w) >= 2
+       |  GROUP BY w),
+       |v0 AS MATERIALIZED (
+       |  SELECT array_to_string(list_transform(range(1, length(w) + 1),
+       |      i -> substr(w, CAST(i AS INT), 1)), '|') AS sym, c
+       |  FROM (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT $BpeTopWords)),
+       |$rounds
+       |SELECT CAST(r AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym,
+       |  cnt AS pair_count, a || b AS merged
+       |FROM (
+       |  $union)
+       |ORDER BY merge_rank""".stripMargin
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -377,6 +433,91 @@ object CurationQueries {
              |        * CAST(100.0 AS DOUBLE), 6) AS external_pct
              |FROM dc JOIN ps USING (source)
              |ORDER BY source""".stripMargin)
+    ),
+
+    // ---- cross-document boilerplate removal (C4-style) at segment grain:
+    //      per-source census of segments dropped because their exact text
+    //      repeats across >= MinDocFreq distinct docs. Only 8-byte segment
+    //      hashes shuffle for the doc-frequency count; the boilerplate set
+    //      broadcasts; the doc rebuild is the one text shuffle (doc-key,
+    //      linear)
+    QueryDef(
+      "q136_boilerplate_segments",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cleaned = Curation.removeBoilerplateSegments(
+          docs, "doc_id", "text", SegTokens, MinDocFreq)
+        docs
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).as("tb"))
+          .join(cleaned, "doc_id")
+          .withColumn("ta", TextAnalysis.tokenCount(col("clean_text")))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("n_segments").cast("long").as("n_segments"),
+            sum("n_removed").cast("long").as("n_removed"),
+            sum("tb").cast("long").as("n_tokens_before"),
+            sum("ta").cast("long").as("n_tokens_after"),
+            count(when(col("ta") === 0 && col("tb") > 0, 1)).cast("long")
+              .as("n_docs_emptied"))
+          .orderBy("source")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, source,
+             |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+             |                x -> x <> '') AS t
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, source, t,
+             |    greatest(1, (len(t) + ${SegTokens - 1}) // $SegTokens) AS nc
+             |  FROM toks),
+             |x AS (SELECT doc_id, source, t, unnest(range(0, nc)) AS sid FROM p),
+             |segs AS MATERIALIZED (
+             |  SELECT doc_id, source, sid,
+             |    array_to_string(
+             |      t[sid * $SegTokens + 1 : sid * $SegTokens + $SegTokens],
+             |      ' ') AS seg,
+             |    len(t[sid * $SegTokens + 1 : sid * $SegTokens + $SegTokens])
+             |      AS ntok
+             |  FROM x),
+             |boiler AS (
+             |  SELECT seg FROM segs GROUP BY seg
+             |  HAVING count(DISTINCT doc_id) >= $MinDocFreq),
+             |flag AS (
+             |  SELECT s.doc_id, s.source, s.ntok, (b.seg IS NOT NULL) AS is_b
+             |  FROM segs s LEFT JOIN boiler b ON s.seg = b.seg),
+             |perdoc AS (
+             |  SELECT doc_id, source, count(*) AS n_segs,
+             |    count(*) FILTER (WHERE is_b) AS n_rm,
+             |    sum(ntok) AS tb,
+             |    coalesce(sum(ntok) FILTER (WHERE NOT is_b), 0) AS ta
+             |  FROM flag GROUP BY 1, 2)
+             |SELECT source,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_segs) AS BIGINT) AS n_segments,
+             |  CAST(sum(n_rm) AS BIGINT) AS n_removed,
+             |  CAST(sum(tb) AS BIGINT) AS n_tokens_before,
+             |  CAST(sum(ta) AS BIGINT) AS n_tokens_after,
+             |  count(*) FILTER (WHERE ta = 0 AND tb > 0) AS n_docs_emptied
+             |FROM perdoc GROUP BY 1 ORDER BY source""".stripMargin)
+    ),
+
+    // ---- distributed BPE vocabulary learning: first 5 merges from the
+    //      word-frequency dictionary (the corpus contributes ONE shuffle —
+    //      the word count — and every merge round runs on <= 200 dict
+    //      rows). Greedy LTR fold identical in both engines; ties break
+    //      (count DESC, left ASC, right ASC)
+    QueryDef(
+      "q137_bpe_merges",
+      (s, dir) => {
+        val ms = Bpe.learnMerges(t(s, dir, "documents"), "text",
+          nMerges = BpeMerges, topWords = BpeTopWords)
+        import s.implicits._
+        ms.map(m => (m.rank.toLong, m.left, m.right, m.count, m.left + m.right))
+          .toDF("merge_rank", "left_sym", "right_sym", "pair_count", "merged")
+          .orderBy("merge_rank")
+      },
+      Some(bpeOracle)
     )
   )
 }

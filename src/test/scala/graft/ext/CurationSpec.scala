@@ -163,6 +163,56 @@ class CurationSpec extends SparkSpec {
       plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("removeBoilerplateSegments drops repeated segments, keeps order") {
+    // 2-token segments; "x y" appears in docs 1 and 2 → boilerplate
+    val docs = Seq(
+      (1L, "x y a b"),
+      (2L, "c d x y"),
+      (3L, "e f g h")
+    ).toDF("doc_id", "text")
+    val out = Curation.removeBoilerplateSegments(docs, "doc_id", "text",
+        segTokens = 2, minDocFreq = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq(
+      (1L, "a b"), (2L, "c d"), (3L, "e f g h")))
+    assert(out.map(r => (r.getLong(2), r.getLong(3))).toSeq == Seq(
+      (2L, 1L), (2L, 1L), (2L, 0L)))
+  }
+
+  test("removeBoilerplateSegments: fully-boilerplate doc survives as empty") {
+    val docs = Seq(
+      (1L, "x y"),
+      (2L, "x y"),
+      (3L, "a b x y")
+    ).toDF("doc_id", "text")
+    val out = Curation.removeBoilerplateSegments(docs, "doc_id", "text",
+        segTokens = 2, minDocFreq = 2)
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getString(1) == "" && out(1).getString(1) == "")
+    assert(out(2).getString(1) == "a b")
+  }
+
+  test("removeBoilerplateSegments: within-doc repeats are not boilerplate") {
+    // "x y" repeats INSIDE doc 1 only — distinct-doc frequency is 1
+    val docs = Seq(
+      (1L, "x y x y"),
+      (2L, "a b c d")
+    ).toDF("doc_id", "text")
+    val out = Curation.removeBoilerplateSegments(docs, "doc_id", "text",
+        segTokens = 2, minDocFreq = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "x y x y")
+  }
+
+  test("removeBoilerplateSegments: boilerplate set never carries doc text " +
+    "through the doc-frequency shuffle") {
+    val docs = Seq((1L, "x y a b"), (2L, "c d x y")).toDF("doc_id", "text")
+    val plan = Curation.removeBoilerplateSegments(docs, "doc_id", "text",
+      segTokens = 2, minDocFreq = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), "boilerplate set must broadcast")
+  }
+
   test("repetitionMetrics on empty and whitespace-only docs") {
     val docs = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
     val m = Curation.repetitionMetrics(docs, "doc_id", "text")
