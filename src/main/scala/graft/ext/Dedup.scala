@@ -131,6 +131,60 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Asymmetric CONTAINMENT pairs within blocks: containment(A→B) =
+    * |grams(A) ∩ grams(B)| / |grams(A)| with A the SMALLER gram set (ties
+    * break to the lower id). This catches what symmetric Jaccard
+    * structurally cannot: a snippet fully quoted inside a much larger
+    * document has Jaccard ≈ |A|/|B| (arbitrarily small) but containment
+    * 1.0 — the "document wrapped in boilerplate" / "excerpt duplication"
+    * shape in crawl curation.
+    *
+    * No size-ratio prefilter exists for containment (small-inside-large is
+    * the signal, not noise), so the blocking keys carry ALL the pair-count
+    * control; for an unblocked corpus use minhash-LSH on the SMALLER side's
+    * signature as the candidate channel instead (minHashPairs), then verify
+    * with this measure. Gram sets are xxhash64-hashed once per doc (set
+    * CARDINALITIES are hash-independent, the q24/q79 argument — which is
+    * why a string-set DuckDB twin hash-matches). The expensive intersection
+    * stays out of the join condition (PlanHints.noPushdown).
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCols: Seq[String],
+      n: Int = 1,
+      minContainment: Double = 0.8
+  ): DataFrame = {
+    val base = df.select(
+      (col(idCol) +: groupCols.map(col)) :+
+        array_distinct(transform(wordNgrams(col(textCol), n), g => xxhash64(g)))
+          .as("_grams"): _*)
+    val a = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c,
+      if (c == "_grams") "_grams_a" else if (c == idCol) "id_a" else c))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val b = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c,
+      if (c == "_grams") "_grams_b" else if (c == idCol) "id_b" else c))
+    val ga = col("_grams_a")
+    val gb = col("_grams_b")
+    val aIsSmall = (size(ga) < size(gb)) ||
+      (size(ga) === size(gb) && col("id_a") < col("id_b"))
+    a.join(b, groupCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("_inter", size(array_intersect(ga, gb)))
+      .withColumn("contained_id", when(aIsSmall, col("id_a")).otherwise(col("id_b")))
+      .withColumn("container_id", when(aIsSmall, col("id_b")).otherwise(col("id_a")))
+      .withColumn("n_grams",
+        when(aIsSmall, size(ga)).otherwise(size(gb)).cast("long"))
+      .withColumn("containment",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(col("_inter").cast("double") / col("n_grams"), 4)))
+      .filter(graft.util.PlanHints.noPushdown(col("containment") >= minContainment))
+      .select((Seq(col("contained_id"), col("container_id")) ++
+        groupCols.map(col)) :+ col("n_grams") :+ col("containment"): _*)
+      .orderBy("contained_id", "container_id")
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** Affine minhash constants — see [[graft.functions.MinHashSignature.affineConsts]]

@@ -607,6 +607,65 @@ object TextQueries {
              |  round(CAST(count(*) FILTER (WHERE pid = oid) AS DOUBLE)
              |        / count(*) * CAST(100.0 AS DOUBLE), 6) AS precision_pct
              |FROM m""".stripMargin)
+    ),
+
+    // ---- asymmetric containment dedup: planted 25-token snippets of every
+    //      10th doc relink to their parents with containment 1.0 even
+    //      though their Jaccard vs the parent is tiny — the excerpt/
+    //      boilerplate-wrap duplication shape symmetric measures miss.
+    //      Blocked (lang, source) pair scan, gram sets hashed once;
+    //      intersections run on longs and stay out of the join condition
+    QueryDef(
+      "q138_containment_pairs",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        val snippets = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            array_join(slice(TextAnalysis.tokens(col("text")), 1, 25), " ")
+              .as("text"),
+            col("lang"), col("source"))
+        Dedup.containmentPairs(docs.unionByName(snippets), "doc_id", "text",
+          groupCols = Seq("lang", "source"), n = 1, minContainment = 0.8)
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text, lang, source FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000,
+             |    array_to_string(list_filter(
+             |      regexp_split_to_array(trim(text), '\s+'),
+             |      x -> x <> '')[1:25], ' '),
+             |    lang, source
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |toks AS (
+             |  SELECT doc_id, lang, source,
+             |    list_distinct(list_filter(
+             |      regexp_split_to_array(trim(text), '\s+'),
+             |      x -> x <> '')) AS t
+             |  FROM corpus),
+             |pairs AS (
+             |  SELECT a.lang, a.source,
+             |    CASE WHEN len(a.t) < len(b.t)
+             |           OR (len(a.t) = len(b.t) AND a.doc_id < b.doc_id)
+             |      THEN a.doc_id ELSE b.doc_id END AS contained_id,
+             |    CASE WHEN len(a.t) < len(b.t)
+             |           OR (len(a.t) = len(b.t) AND a.doc_id < b.doc_id)
+             |      THEN b.doc_id ELSE a.doc_id END AS container_id,
+             |    CAST(least(len(a.t), len(b.t)) AS BIGINT) AS n_grams,
+             |    len(list_intersect(a.t, b.t)) AS inter
+             |  FROM toks a JOIN toks b
+             |    ON a.lang = b.lang AND a.source = b.source
+             |    AND a.doc_id < b.doc_id),
+             |m AS (
+             |  SELECT contained_id, container_id, lang, source, n_grams,
+             |    CASE WHEN n_grams = 0 THEN 0.0
+             |      ELSE round(CAST(inter AS DOUBLE) / n_grams, 4) END
+             |      AS containment
+             |  FROM pairs)
+             |SELECT contained_id, container_id, lang, source, n_grams,
+             |  containment
+             |FROM m WHERE containment >= 0.8
+             |ORDER BY contained_id, container_id""".stripMargin)
     )
   )
 }

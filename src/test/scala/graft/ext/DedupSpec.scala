@@ -186,4 +186,54 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoop"), plan)
   }
+
+  test("containmentPairs finds snippet-in-document that Jaccard misses") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "en"), // big doc
+      (2L, "a b c", "en"),               // snippet of 1: containment 1.0
+      (3L, "a b x", "en"),               // 2/3 contained → below 0.8
+      (4L, "a b c", "de")                // right text, wrong block
+    ).toDF("doc_id", "text", "lang")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+      groupCols = Seq("lang"), n = 1, minContainment = 0.8)
+    val rows = out.select("contained_id", "container_id", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows == Seq((2L, 1L, 1.0)))
+    // sanity: the found pair's Jaccard is far below any useful threshold
+    assert(3.0 / 10.0 < 0.5)
+  }
+
+  test("containmentPairs tie on equal sets keeps lower id as contained") {
+    import spark.implicits._
+    val docs = Seq(
+      (5L, "x y z", "en"),
+      (9L, "x y z", "en")
+    ).toDF("doc_id", "text", "lang")
+    val rows = Dedup.containmentPairs(docs, "doc_id", "text", Seq("lang"))
+      .select("contained_id", "container_id").as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((5L, 9L)))
+  }
+
+  test("containmentPairs: empty-text docs never pass the threshold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "", "en"), (2L, "", "en"), (3L, "a b", "en")
+    ).toDF("doc_id", "text", "lang")
+    val rows = Dedup.containmentPairs(docs, "doc_id", "text", Seq("lang"))
+      .collect()
+    assert(rows.isEmpty)
+  }
+
+  test("containmentPairs plan: intersection predicate not pushed into join") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d", "en"), (2L, "a b", "en"))
+      .toDF("doc_id", "text", "lang")
+    val plan = Dedup.containmentPairs(docs, "doc_id", "text", Seq("lang"))
+      .queryExecution.executedPlan.toString
+    // the equi-join on blocking keys must not carry the set math
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
