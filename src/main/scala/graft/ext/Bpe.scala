@@ -53,6 +53,25 @@ object Bpe {
 
   final case class Merge(rank: Int, left: String, right: String, count: Long)
 
+  /** Encode a distinct-word vocabulary with an ordered merge list: adds
+    * `sym` (the post-merge '|'-separated symbols) and `n_pieces`. Encoding
+    * runs on the VOCABULARY, not the corpus — the scale-right shape: a
+    * 100 TB corpus contributes word instances, but the fold runs once per
+    * word TYPE and the resulting (word → n_pieces) map broadcasts back
+    * over the token stream. Word types are bounded (~1e6-1e7 for web text);
+    * if the map outgrows broadcast, the join degrades to a hash shuffle of
+    * 8-byte word hashes, never of documents.
+    */
+  def encodeVocab(words: DataFrame, wordCol: String, merges: Seq[Merge]): DataFrame = {
+    val sym = merges.foldLeft(symbolize(col(wordCol))) {
+      (s, m) => applyMerge(s, m.left, m.right)
+    }
+    words
+      .withColumn("sym", sym)
+      .withColumn("n_pieces",
+        size(split(col("sym"), "\\|")).cast("long"))
+  }
+
   /** Learn the first `nMerges` BPE merges from the corpus' `topWords` most
     * frequent `[a-z]{2,}` words (frequency-desc, word-asc deterministic
     * cut). Pair counts are frequency-weighted, as in standard BPE.

@@ -39,14 +39,24 @@ object CurationQueries {
   private val BpeMerges = 5
   private val BpeTopWords = 200
 
-  /** Unrolled 5-round BPE oracle. Each round: pair counts from the
-    * '|'-separated symbol strings (range+unnest is the 1-based twin of
-    * Spark's explode(sequence)), deterministic argmax, then the SAME greedy
-    * left-to-right fold Spark runs — DuckDB `list_reduce` with a string
-    * accumulator mirrors Spark's `aggregate` HOF exactly. Every CTE
-    * MATERIALIZED (the q135 lesson: plain CTEs re-inline per reference).
+  /** The greedy-LTR merge fold as a DuckDB list_reduce lambda — the exact
+    * twin of Spark's `aggregate` HOF in Bpe.applyMerge. `m` is a 1-row
+    * merge CTE alias providing (a, b).
     */
-  private val bpeOracle: String = {
+  private def bpeFold(symExpr: String): String =
+    s"""list_reduce(string_split($symExpr, '|'), (acc, x) ->
+       |    CASE WHEN (acc = m.a OR acc LIKE '%|' || m.a) AND x = m.b
+       |      THEN substr(acc, 1, length(acc) - length(m.a)) || m.a || m.b
+       |      ELSE acc || '|' || x END)""".stripMargin
+
+  /** Shared learn-stage CTEs for the BPE oracles (q137/q139): word counts,
+    * the top-`BpeTopWords` symbolized dictionary, and `BpeMerges` unrolled
+    * rounds of pair-count argmax (m1..mN) + fold application (v1..vN).
+    * Pair counts via range+unnest (the 1-based twin of Spark's
+    * explode(sequence)); every CTE MATERIALIZED (the q135 lesson: plain
+    * CTEs re-inline per reference).
+    */
+  private val bpeLearnCtes: String = {
     val rounds = (1 to BpeMerges).map { r =>
       val prev = s"v${r - 1}"
       s"""p$r AS MATERIALIZED (
@@ -57,16 +67,10 @@ object CurationQueries {
          |m$r AS MATERIALIZED (
          |  SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
          |v$r AS MATERIALIZED (
-         |  SELECT list_reduce(string_split(sym, '|'), (acc, x) ->
-         |    CASE WHEN (acc = m.a OR acc LIKE '%|' || m.a) AND x = m.b
-         |      THEN substr(acc, 1, length(acc) - length(m.a)) || m.a || m.b
-         |      ELSE acc || '|' || x END) AS sym, c
+         |  SELECT ${bpeFold("sym")} AS sym, c
          |  FROM $prev, m$r AS m)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to BpeMerges)
-      .map(r => s"SELECT $r AS r, a, b, cnt FROM m$r")
-      .mkString("\n  UNION ALL ")
-    s"""WITH wc AS MATERIALIZED (
+    s"""wc AS MATERIALIZED (
        |  SELECT w, count(*) AS c FROM (
        |    SELECT unnest(list_filter(
        |      regexp_split_to_array(trim(lower(text)), '\\s+'),
@@ -78,12 +82,57 @@ object CurationQueries {
        |  SELECT array_to_string(list_transform(range(1, length(w) + 1),
        |      i -> substr(w, CAST(i AS INT), 1)), '|') AS sym, c
        |  FROM (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT $BpeTopWords)),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** q137 oracle: the learned merge table itself. */
+  private val bpeOracle: String = {
+    val union = (1 to BpeMerges)
+      .map(r => s"SELECT $r AS r, a, b, cnt FROM m$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $bpeLearnCtes
        |SELECT CAST(r AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym,
        |  cnt AS pair_count, a || b AS merged
        |FROM (
        |  $union)
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** q139 oracle: encode the DISTINCT eligible vocabulary with the learned
+    * merges (e0 symbolize → e1..eN one fold per merge), then join piece
+    * counts back over the token stream for per-source compression stats.
+    */
+  private val bpeEncodeOracle: String = {
+    val encodes = (1 to BpeMerges).map { r =>
+      s"""e$r AS MATERIALIZED (
+         |  SELECT w, ${bpeFold("sym")} AS sym
+         |  FROM e${r - 1}, m$r AS m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeLearnCtes,
+       |tok AS MATERIALIZED (
+       |  SELECT source, w FROM (
+       |    SELECT source, unnest(list_filter(
+       |      regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      x -> x <> '')) AS w
+       |    FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+${"$"}') AND length(w) >= 2),
+       |vocab AS MATERIALIZED (SELECT DISTINCT w FROM tok),
+       |e0 AS MATERIALIZED (
+       |  SELECT w, array_to_string(list_transform(range(1, length(w) + 1),
+       |      i -> substr(w, CAST(i AS INT), 1)), '|') AS sym
+       |  FROM vocab),
+       |$encodes,
+       |enc AS MATERIALIZED (
+       |  SELECT w, CAST(len(string_split(sym, '|')) AS BIGINT) AS n_pieces
+       |  FROM e$BpeMerges)
+       |SELECT source,
+       |  count(*) AS n_words,
+       |  CAST(sum(length(w)) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       |  round(CAST(sum(n_pieces) AS DOUBLE) / CAST(sum(length(w)) AS BIGINT),
+       |        6) AS pieces_per_char
+       |FROM tok JOIN enc USING (w)
+       |GROUP BY source ORDER BY source""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -518,6 +567,34 @@ object CurationQueries {
           .orderBy("merge_rank")
       },
       Some(bpeOracle)
+    ),
+
+    // ---- BPE corpus encode: apply the learned merges and measure the
+    //      per-source compression. The fold runs once per word TYPE
+    //      (distinct vocabulary), and the (word → pieces) map broadcasts
+    //      back over the token stream — the corpus itself is never folded
+    QueryDef(
+      "q139_bpe_encode",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = Bpe.learnMerges(docs, "text",
+          nMerges = BpeMerges, topWords = BpeTopWords)
+        val words = docs
+          .select(col("source"),
+            explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+          .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+        val enc = Bpe.encodeVocab(words.select("w").distinct(), "w", merges)
+          .select(col("w"), col("n_pieces"))
+        words.join(broadcast(enc), "w")
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_words"),
+            sum(length(col("w"))).cast("long").as("n_chars"),
+            sum(col("n_pieces")).cast("long").as("n_pieces"),
+            round(sum(col("n_pieces")).cast("double")
+              / sum(length(col("w"))), 6).as("pieces_per_char"))
+          .orderBy("source")
+      },
+      Some(bpeEncodeOracle)
     )
   )
 }

@@ -64,6 +64,20 @@ class BpeSpec extends SparkSpec {
     assert(ms.map(m => (m.left, m.right)) == Seq(("a", "b")))
   }
 
+  test("encodeVocab applies merges in order; pieces counted post-fold") {
+    val words = Seq("aab", "ab", "xy").toDF("w")
+    val merges = Seq(
+      Bpe.Merge(1, "a", "a", 0L),
+      Bpe.Merge(2, "aa", "b", 0L))
+    val out = Bpe.encodeVocab(words, "w", merges)
+      .select("w", "sym", "n_pieces")
+      .as[(String, String, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out("aab") == (("aab", 1L))) // a|a|b → aa|b → aab
+    assert(out("ab") == (("a|b", 2L))) // untouched by both merges
+    assert(out("xy") == (("x|y", 2L)))
+  }
+
   test("learnMerges ignores non-[a-z]+ and single-char words") {
     val docs = Seq((1L, "a b c 123 x9 zz zz")).toDF("doc_id", "text")
     val ms = Bpe.learnMerges(docs, "text", nMerges = 2, topWords = 10)
