@@ -547,4 +547,68 @@ object Dedup {
       .withColumn("edit_distance", levenshtein(col("s_l"), col("s_r")))
       .filter(col("edit_distance") <= maxDist)
   }
+
+  /** Prefix-filtered set-similarity self-join (the SSJoin/PPJoin candidate
+    * channel): exact n-gram Jaccard pairs over the WHOLE corpus with no
+    * blocking keys and no cartesian product. The prefix-filtering theorem:
+    * under any one global total order of grams, if J(A,B) >= t then the
+    * first |X| - ceil(t*|X|) + 1 grams of A and of B (in that order) share
+    * at least one gram — so only those PREFIX grams need to enter the
+    * candidate equi-join. We order grams by (document frequency asc,
+    * gram hash asc): prefixes are then each document's RAREST grams, so
+    * candidate buckets are bounded by rare-gram df where a naive
+    * gram-inverted join explodes on the most common gram (df² pairs).
+    *
+    * Scale shape: one corpus gram scan feeds a vocabulary-sized df
+    * aggregate; grams are xxhash64'd at the scan so the df join, the
+    * per-doc canonical re-sort, the prefix equi-join, and the verify
+    * intersections all move 8-byte longs, never gram strings. The output
+    * is hash-INDEPENDENT (set cardinalities + thresholds only — the q24
+    * argument; a cross-gram collision risks ~1e-15 per pair), which is
+    * what makes a string-set DuckDB brute-force twin hash-match. The
+    * O(pairs) verify math stays out of join conditions (PlanHints).
+    */
+  def prefixJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minSim: Double = 0.5
+  ): DataFrame = {
+    val base = df.select(col(idCol).as("_pid"),
+        array_distinct(transform(wordNgrams(col(textCol), n), g => xxhash64(g)))
+          .as("_h"))
+      .withColumn("_sz", size(col("_h")))
+      .filter(col("_sz") > 0)
+      // single-file local inputs = one partition: spread the gram explode
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val exploded = base.select(col("_pid"), col("_sz"), explode(col("_h")).as("_g"))
+    val gramDf = exploded.groupBy("_g")
+      .agg(count(lit(1)).cast("long").as("_df"))
+    // canonical re-sort: any consistent total order satisfies the theorem,
+    // so (df, hash) works and keeps gram strings out of every shuffle
+    val prefixes = exploded.join(gramDf, "_g")
+      .groupBy("_pid")
+      .agg(sort_array(collect_list(struct(col("_df"), col("_g")))).as("_ord"),
+        first(col("_sz")).as("_sz"))
+      .withColumn("_plen",
+        (col("_sz") - ceil(lit(minSim) * col("_sz")) + 1).cast("int"))
+      .select(col("_pid"), col("_sz"),
+        explode(transform(slice(col("_ord"), lit(1), col("_plen")),
+          s => s.getField("_g"))).as("_g"))
+    val cands = prefixes.select(col("_g"), col("_pid").as("id_a"), col("_sz").as("_sa"))
+      .join(prefixes.select(col("_g"), col("_pid").as("id_b"), col("_sz").as("_sb")), Seq("_g"))
+      .filter(col("id_a") < col("id_b"))
+      // size-ratio necessary condition: J >= t forces min/max sizes >= t
+      .filter(least(col("_sa"), col("_sb")).cast("double")
+        >= lit(minSim) * greatest(col("_sa"), col("_sb")))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(base.select(col("_pid").as("id_a"), col("_h").as("_ha")), "id_a")
+      .join(base.select(col("_pid").as("id_b"), col("_h").as("_hb")), "id_b")
+      .withColumn("jaccard_sim", round(jaccard(col("_ha"), col("_hb")), 4))
+      .filter(graft.util.PlanHints.noPushdown(col("jaccard_sim") >= minSim))
+      .select(col("id_a"), col("id_b"), col("jaccard_sim"))
+      .orderBy("id_a", "id_b")
+  }
 }

@@ -666,6 +666,41 @@ object TextQueries {
              |  containment
              |FROM m WHERE containment >= 0.8
              |ORDER BY contained_id, container_id""".stripMargin)
+    ),
+
+    // ---- prefix-filtered set-similarity self-join (PPJoin candidate
+    //      channel): same exact 3-gram Jaccard answer as a brute-force
+    //      all-pairs scan, but candidates come from an equi-join on each
+    //      doc's RAREST grams only (prefix-filtering theorem) — no
+    //      blocking keys, no cartesian. The oracle IS the brute force,
+    //      so the hash match doubles as a no-false-negatives proof
+    QueryDef(
+      "q140_prefix_jaccard_pairs",
+      (s, dir) =>
+        Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, minSim = 0.5),
+      Some("""WITH toks0 AS (
+             |  SELECT doc_id, list_filter(
+             |    regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, list_distinct(
+             |    CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+             |         WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             |         ELSE list_transform(range(1, len(w) - 1),
+             |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)
+             |    AS t
+             |  FROM toks0),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    round(CASE WHEN len(list_distinct(a.t || b.t)) = 0 THEN 0.0
+             |      ELSE len(list_intersect(a.t, b.t))::DOUBLE /
+             |           len(list_distinct(a.t || b.t)) END, 4) AS jaccard_sim
+             |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+             |  WHERE len(a.t) > 0 AND len(b.t) > 0)
+             |SELECT id_a, id_b, jaccard_sim
+             |FROM pairs WHERE jaccard_sim >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)
     )
   )
 }

@@ -236,4 +236,36 @@ class DedupSpec extends SparkSpec {
       || plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("prefixJaccardPairs equals brute force — the theorem's no-false-" +
+    "negatives guarantee on a corpus with shared common grams") {
+    import spark.implicits._
+    // docs 1/2 near-dup (share most rare grams), 3 shares only the very
+    // common "x y z" grams with everyone, 4 unrelated, 5 short (<n fallback)
+    val corpus = Seq(
+      (1L, "x y z alpha beta gamma delta epsilon"),
+      (2L, "x y z alpha beta gamma delta zeta"),
+      (3L, "x y z completely different tail here now"),
+      (4L, "unrelated words about parquet column pruning"),
+      (5L, "x y"),
+      (6L, "x y")
+    ).toDF("doc_id", "text")
+    val fast = Dedup.prefixJaccardPairs(corpus, "doc_id", "text",
+      n = 3, minSim = 0.5)
+      .select("id_a", "id_b", "jaccard_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force = ngramJaccardPairs with a constant blocking key
+    val brute = Dedup.ngramJaccardPairs(
+      corpus.withColumn("one", lit(1)), "doc_id", "text",
+      groupCols = Seq("one"), n = 3, minSim = 0.5)
+      .select("id_a", "id_b", "jaccard_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast == brute, s"fast=$fast brute=$brute")
+    assert(fast.contains((5L, 6L, 1.0))) // short-doc whole-text fallback
+    assert(fast.exists { case (a, b, _) => a == 1L && b == 2L })
+    val plan = Dedup.prefixJaccardPairs(corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
 }
