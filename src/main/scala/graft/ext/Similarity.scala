@@ -630,4 +630,49 @@ object Similarity {
         round(col("_hi"), 6).as("v_max"), col("n_dims"),
         col("total_abs_err"), col("max_q"))
   }
+
+  /** Hard-negative mining for contrastive training: for every anchor
+    * vector, the most-similar vector with a DIFFERENT label (ties on
+    * similarity break to the lower candidate id) — the canonical pair-
+    * construction step for embedding-model training, where a "hard"
+    * negative is a cross-label neighbor the model currently scores high.
+    *
+    * Scale shape: the candidate side is broadcast and the anchor side
+    * scans — an exact O(n²·d) cross product by design at bench scale; at
+    * lake scale feed candidates from lshBucket buckets / IVF cells
+    * (q33/q53 machinery) and keep this exact ranking as the verify stage,
+    * the same ANN-then-verify split q34 uses. The per-anchor argmax is a
+    * window over that anchor's candidate rows only (never a global
+    * window); double ordering matches the DuckDB twin because both
+    * engines compute the identical sequential IEEE dot/norm sums (the
+    * q31 argument). Null/zero-norm vectors are excluded on both sides
+    * (cosine undefined there).
+    */
+  def hardNegatives(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val valid = df
+      .select(col(idCol), col(vecCol), col(labelCol))
+      .filter(col(vecCol).isNotNull && norm(col(vecCol)) > 0)
+    val anchors = valid.select(col(idCol).as("vec_id"),
+        col(vecCol).as("_va"), col(labelCol).as("label"))
+      // single-file local inputs = one partition: spread the pair scan
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val cands = valid.select(col(idCol).as("hard_neg_id"),
+      col(vecCol).as("_vb"), col(labelCol).as("hard_neg_label"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("_cs"), asc("hard_neg_id"))
+    anchors.crossJoin(broadcast(cands))
+      .filter(col("label") =!= col("hard_neg_label"))
+      .withColumn("_cs", cosine(col("_va"), col("_vb")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("vec_id"), col("label"), col("hard_neg_id"),
+        col("hard_neg_label"), round(col("_cs"), 4).as("cos_sim"))
+      .orderBy("vec_id")
+  }
 }

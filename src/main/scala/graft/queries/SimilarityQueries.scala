@@ -437,6 +437,39 @@ object SimilarityQueries {
              |    AS total_abs_err,
              |  CAST(max(qv) AS BIGINT) AS max_q
              |FROM er GROUP BY 1, 2, 3 ORDER BY vec_id""".stripMargin)
+    ),
+
+    // ---- hard-negative mining: per anchor, the most-similar CROSS-label
+    //      vector — the contrastive-pair construction step. Exact double
+    //      cosine (the q31 sequential-IEEE argument) → fully oracled;
+    //      per-anchor argmax via row_number over (sim desc, id asc)
+    QueryDef(
+      "q141_hard_negatives",
+      (s, dir) =>
+        Similarity.hardNegatives(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label"),
+      Some("""WITH valid AS (
+             |  SELECT vec_id, label, embedding FROM embeddings
+             |  WHERE embedding IS NOT NULL AND
+             |    sqrt(list_sum(list_transform(embedding,
+             |      x -> x::DOUBLE * x::DOUBLE))) > 0),
+             |sims AS (
+             |  SELECT a.vec_id, a.label,
+             |    b.vec_id AS hard_neg_id, b.label AS hard_neg_label,
+             |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+             |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+             |    (sqrt(list_sum(list_transform(a.embedding,
+             |       x -> x::DOUBLE * x::DOUBLE))) *
+             |     sqrt(list_sum(list_transform(b.embedding,
+             |       x -> x::DOUBLE * x::DOUBLE)))) AS cs
+             |  FROM valid a JOIN valid b ON a.label <> b.label),
+             |r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY vec_id
+             |    ORDER BY cs DESC, hard_neg_id) AS rn
+             |  FROM sims)
+             |SELECT vec_id, label, hard_neg_id, hard_neg_label,
+             |  round(cs, 4) AS cos_sim
+             |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)
     )
   )
 

@@ -193,4 +193,21 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((0L, 10L)))
   }
+
+  test("hardNegatives picks the nearest CROSS-label vector, skipping a " +
+    "closer same-label one; zero vectors excluded") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Array(1f, 0f, 0f), 0),     // anchor
+      (2L, Array(0.99f, 0.1f, 0f), 0), // closest overall but SAME label
+      (3L, Array(0.9f, 0.3f, 0f), 1),  // closest cross-label → the answer
+      (4L, Array(0f, 1f, 0f), 1),
+      (5L, Array(0f, 0f, 0f), 2)       // zero norm: excluded entirely
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(d, "vec_id", "embedding", "label")
+      .select("vec_id", "hard_neg_id").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 3L)
+    assert(!out.contains(5L), "zero vector must not be an anchor")
+    assert(!out.values.toSet.contains(5L), "zero vector must not be a negative")
+  }
 }
