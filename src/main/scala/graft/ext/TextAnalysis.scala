@@ -277,4 +277,66 @@ object TextAnalysis {
       .withColumn("pred_lang", langId(c))
       .withColumn("fingerprint", fingerprintMd5(c))
   }
+
+  /** Count-based bigram language model with absolute discounting, learned
+    * on the corpus and applied back per document — the "perplexity filter"
+    * family of curation signals, restated in rational arithmetic (no
+    * log/exp, so no libm parity risk): the reported signals are the
+    * minimum bigram probability, the DECIMAL-routed mean probability, and
+    * the count of low-probability bigrams, which rank documents like mean
+    * log-prob does without ever calling a transcendental.
+    *
+    *   p(w2|w1) = ((c12 − d) + d · n1p(w1) · (c2 / T)) / c1
+    *
+    * with d = 0.5 (exact in binary), c12 the bigram count, c1 the count of
+    * w1 as a context, n1p(w1) the number of distinct followers of w1
+    * (interpolated absolute discounting — sums to exactly 1 over the
+    * vocabulary), c2 the unigram count and T the token total. Every scored
+    * bigram exists in the LM by construction (trained on the same corpus),
+    * so there is no unseen-mass code path for engines to disagree on.
+    *
+    * Scale shape: the LM is bigram-TYPE-sized (vocabulary-bounded), learned
+    * from one token-stream aggregate; scoring joins doc bigrams against the
+    * LM on the bigram key — broadcast when the LM fits, hash join on two
+    * short strings otherwise. Per-doc sums are routed through round-9
+    * DECIMAL so partitioning can never change the reported statistic.
+    * Documents with fewer than 2 tokens have no bigrams and are omitted.
+    */
+  def bigramLmScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lowP: Double = 0.01
+  ): DataFrame = {
+    val d = lit(0.5)
+    val toks = df.select(col(idCol), tokens(lower(col(textCol))).as("_t"))
+    val bg = toks
+      .filter(size(col("_t")) >= 2)
+      .select(col(idCol), col("_t"), explode(sequence(lit(1), size(col("_t")) - 1)).as("_i"))
+      .select(col(idCol), element_at(col("_t"), col("_i")).as("w1"),
+        element_at(col("_t"), col("_i") + 1).as("w2"))
+    val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("_c12"))
+    val ctx = big.groupBy("w1")
+      .agg(sum(col("_c12")).as("_c1"), count(lit(1)).as("_n1p"))
+    val uni = toks.select(explode(col("_t")).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("_c2"))
+    val total = broadcast(uni.agg(sum(col("_c2")).as("_tot")))
+    val lm = big.join(ctx, "w1").join(uni, "w2").crossJoin(total)
+      .select(col("w1"), col("w2"),
+        (((col("_c12").cast("double") - d)
+          + d * col("_n1p").cast("double")
+            * (col("_c2").cast("double") / col("_tot").cast("double")))
+          / col("_c1").cast("double")).as("_p"))
+    bg.join(broadcast(lm), Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        round(min(col("_p")), 6).as("min_p"),
+        round(
+          sum(round(col("_p"), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9))).cast("double")
+            / count(lit(1)), 6).as("avg_p"),
+        count(when(col("_p") < lit(lowP), 1)).cast("long").as("n_low"))
+      .orderBy(col(idCol))
+  }
 }

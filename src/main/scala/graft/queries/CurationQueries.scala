@@ -595,6 +595,48 @@ object CurationQueries {
           .orderBy("source")
       },
       Some(bpeEncodeOracle)
+    ),
+
+    // ---- bigram-LM surprisal signals (the perplexity-filter family in
+    //      rational arithmetic): corpus-learned absolute-discount bigram
+    //      probabilities scored back per document. min/avg/low-count
+    //      signals rank docs like mean log-prob without any libm call;
+    //      per-doc sums DECIMAL-routed (order-independent)
+    QueryDef(
+      "q142_bigram_lm_surprisal",
+      (s, dir) =>
+        TextAnalysis.bigramLmScores(t(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(
+             |    regexp_split_to_array(trim(lower(text)), '\s+'),
+             |    x -> x <> '') AS w
+             |  FROM documents),
+             |bge AS (
+             |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+             |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+             |        FROM toks WHERE len(w) >= 2)),
+             |big AS (SELECT w1, w2, count(*) AS c12 FROM bge GROUP BY 1, 2),
+             |ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS n1p
+             |        FROM big GROUP BY 1),
+             |uni AS (SELECT u AS w2, count(*) AS c2
+             |        FROM (SELECT unnest(w) AS u FROM toks) GROUP BY 1),
+             |tot AS (SELECT sum(c2) AS t FROM uni),
+             |lm AS (
+             |  SELECT b.w1, b.w2,
+             |    ((CAST(c12 AS DOUBLE) - CAST(0.5 AS DOUBLE))
+             |      + CAST(0.5 AS DOUBLE) * CAST(n1p AS DOUBLE)
+             |        * (CAST(c2 AS DOUBLE) / CAST(t AS DOUBLE)))
+             |      / CAST(c1 AS DOUBLE) AS p
+             |  FROM big b JOIN ctx USING (w1) JOIN uni ON b.w2 = uni.w2, tot)
+             |SELECT doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  round(min(p), 6) AS min_p,
+             |  round(CAST(sum(CAST(round(p, 9) AS DECIMAL(18,9))) AS DOUBLE)
+             |        / count(*), 6) AS avg_p,
+             |  CAST(count(*) FILTER (p < CAST(0.01 AS DOUBLE)) AS BIGINT)
+             |    AS n_low
+             |FROM bge JOIN lm USING (w1, w2)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -224,4 +224,23 @@ class CurationSpec extends SparkSpec {
       assert(!r.getBoolean(6))
     }
   }
+
+  test("bigramLmScores: hand-computed absolute-discount probabilities; " +
+    "sub-2-token docs omitted") {
+    import spark.implicits._
+    // bigrams come from doc 1 "a a b" only, but the unigram stream is the
+    // WHOLE corpus (the 1-token doc "x" still contributes): c(a,a)=1
+    // c(a,b)=1, ctx(a)=(c1=2, n1p=2), uni a=2 b=1 x=1, T=4 →
+    //   p(a|a) = ((1-.5) + .5*2*(2/4)) / 2 = 0.5
+    //   p(b|a) = ((1-.5) + .5*2*(1/4)) / 2 = 0.375
+    val docs = Seq((1L, "a a b"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScores(docs, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "min_p", "avg_p", "n_low")
+      .as[(Long, Long, Double, Double, Long)].collect()
+    assert(out.length == 1, "1-token doc has no bigrams to score")
+    val (id, n, minP, avgP, nLow) = out.head
+    assert(id == 1L && n == 2L && nLow == 0L)
+    assert(minP == 0.375)
+    assert(avgP == 0.4375)
+  }
 }
