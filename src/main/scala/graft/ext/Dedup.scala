@@ -611,4 +611,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard_sim"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Canonical-document selection per near-duplicate cluster: cluster the
+    * verified dup pairs (min-label connected components, pointer-jumping
+    * clusterIds) and keep the BEST-quality member of each cluster — max
+    * `scoreCol`, ties to the lowest id — instead of the blind lowest-id
+    * survivor exact()/minHashDedup use. This is the policy layer of a
+    * curation pipeline: "which copy do we train on" (keep the longest /
+    * highest-quality variant, drop the rest).
+    *
+    * Scale shape: `pairs` is the (small) verified-duplicate edge set, so
+    * clustering and selection never touch non-duplicate corpus rows; the
+    * one join back to `docs` is keyed on the id (8-byte keys), and the
+    * per-cluster argmax is a window over that cluster's members only.
+    */
+  def canonicalPerCluster(
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      pairs: DataFrame
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = clusterIds(pairs)
+      .join(docs.select(col(idCol).as("id"), col(scoreCol).as("_score")), Seq("id"))
+    val w = Window.partitionBy("cluster_id")
+    val rank = Window.partitionBy("cluster_id")
+      .orderBy(desc("_score"), asc("id"))
+    members
+      .withColumn("n_members", count(lit(1)).over(w).cast("long"))
+      .withColumn("_rn", row_number().over(rank))
+      .filter(col("_rn") === 1)
+      .select(col("cluster_id"), col("n_members"),
+        col("id").as("canonical_id"),
+        col("_score").cast("long").as("canonical_score"))
+      .orderBy("cluster_id")
+  }
 }

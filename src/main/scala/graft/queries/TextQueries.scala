@@ -11,6 +11,32 @@ import graft.queries.Q._
   */
 object TextQueries {
 
+  /** Shared oracle CTEs for q140/q143: 3-gram sets per doc (with the
+    * wordNgrams short-text fallback) and the brute-force all-pairs Jaccard
+    * table. Declared ABOVE `defs` — oracle strings evaluate eagerly while
+    * `defs` is constructed (the q75 init-order trap).
+    */
+  private val prefixGramPairCtes: String =
+    """toks0 AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+      |         WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |         ELSE list_transform(range(1, len(w) - 1),
+      |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)
+      |    AS t
+      |  FROM toks0),
+      |ppairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    round(CASE WHEN len(list_distinct(a.t || b.t)) = 0 THEN 0.0
+      |      ELSE len(list_intersect(a.t, b.t))::DOUBLE /
+      |           len(list_distinct(a.t || b.t)) END, 4) AS jaccard_sim
+      |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      |  WHERE len(a.t) > 0 AND len(b.t) > 0)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // ---- exact dedup census: md5 content hash (identical in both engines)
     QueryDef(
@@ -679,28 +705,43 @@ object TextQueries {
       (s, dir) =>
         Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
           n = 3, minSim = 0.5),
-      Some("""WITH toks0 AS (
-             |  SELECT doc_id, list_filter(
-             |    regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
-             |  FROM documents),
-             |grams AS (
-             |  SELECT doc_id, list_distinct(
-             |    CASE WHEN len(w) = 0 THEN []::VARCHAR[]
-             |         WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-             |         ELSE list_transform(range(1, len(w) - 1),
-             |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)
-             |    AS t
-             |  FROM toks0),
-             |pairs AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |    round(CASE WHEN len(list_distinct(a.t || b.t)) = 0 THEN 0.0
-             |      ELSE len(list_intersect(a.t, b.t))::DOUBLE /
-             |           len(list_distinct(a.t || b.t)) END, 4) AS jaccard_sim
-             |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-             |  WHERE len(a.t) > 0 AND len(b.t) > 0)
-             |SELECT id_a, id_b, jaccard_sim
-             |FROM pairs WHERE jaccard_sim >= 0.5
-             |ORDER BY id_a, id_b""".stripMargin)
+      Some(s"""WITH $prefixGramPairCtes
+              |SELECT id_a, id_b, jaccard_sim
+              |FROM ppairs WHERE jaccard_sim >= 0.5
+              |ORDER BY id_a, id_b""".stripMargin)
+    ),
+
+    // ---- canonical selection per near-dup cluster: q140's verified pairs
+    //      → min-label connected components → keep the LONGEST member
+    //      (ties to lowest id). The policy layer of dedup: "which copy do
+    //      we train on". Oracle clusters via the q77 recursive-CTE pattern
+    QueryDef(
+      "q143_canonical_selection",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+          n = 3, minSim = 0.5)
+        Dedup.canonicalPerCluster(docs, "doc_id", "n_chars", pairs)
+      },
+      Some(s"""WITH RECURSIVE $prefixGramPairCtes,
+              |pairs AS (SELECT id_a, id_b FROM ppairs WHERE jaccard_sim >= 0.5),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |  UNION SELECT id_b, id_a FROM pairs),
+              |reach(node, label) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+              |labels AS (SELECT node, min(label) AS cl FROM reach GROUP BY node),
+              |m AS (SELECT l.cl AS cluster_id, l.node, d.n_chars
+              |      FROM labels l JOIN documents d ON d.doc_id = l.node),
+              |r2 AS (SELECT cluster_id, node, n_chars,
+              |  count(*) OVER (PARTITION BY cluster_id) AS n_members,
+              |  row_number() OVER (PARTITION BY cluster_id
+              |    ORDER BY n_chars DESC, node) AS rn
+              |  FROM m)
+              |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+              |  node AS canonical_id, CAST(n_chars AS BIGINT) AS canonical_score
+              |FROM r2 WHERE rn = 1 ORDER BY cluster_id""".stripMargin)
     )
   )
 }

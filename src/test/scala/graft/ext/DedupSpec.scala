@@ -268,4 +268,19 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoop"), plan)
   }
+
+  test("canonicalPerCluster keeps the best-scored member per component; " +
+    "score ties break to the lowest id") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, 10L), (2L, 99L), (3L, 50L), // chain cluster: 2 wins on score
+      (5L, 7L), (6L, 7L),              // tie cluster: 5 wins on id
+      (9L, 1000L)                      // not in any pair: absent
+    ).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.canonicalPerCluster(d, "doc_id", "n_chars", pairs)
+      .select("cluster_id", "n_members", "canonical_id", "canonical_score")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 2L, 99L), (5L, 2L, 5L, 7L)))
+  }
 }
