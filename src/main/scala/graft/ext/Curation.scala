@@ -148,6 +148,72 @@ object Curation {
       .select(col(groupCol), col("n_docs"), col("weight"))
   }
 
+  /** Token-budget WATER-FILLING allocation across sources: find the level
+    * θ with Σ_s min(n_s, θ) = B (the token budget) and give every source
+    * min(n_s, θ) — small sources contribute everything they have,
+    * large sources are capped at the common level. This is the budgeted
+    * generalization of temperature mixing (mixtureWeights): the standard
+    * way to fill a fixed training-token budget without letting one giant
+    * domain drown the rest.
+    *
+    * The budget is the exact rational (total · num) DIV den, so both
+    * engines derive it in integer arithmetic. θ comes from the classic
+    * sorted sweep: with sources ascending by n and cum_i the prefix sum,
+    * θ_i = (B − cum_i)/(m − i) for "first i sources fully taken"; the
+    * valid i (θ_i ≥ n_i and θ_i ≤ n_{i+1}) is unique up to boundary ties,
+    * and the smallest is chosen deterministically. All comparisons and
+    * the one division are IEEE doubles with identical shape in DuckDB.
+    *
+    * Scale shape: the corpus contributes ONE token-count aggregate; the
+    * sweep runs on the |sources|-row dimension table (the partitionless
+    * windows only ever see that tiny table), and the final allocation is
+    * a broadcast of the 1-row θ back onto it.
+    */
+  def tokenBudgetAllocation(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      budgetNum: Long = 1L,
+      budgetDen: Long = 2L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol))).cast("long").as("n_tokens"))
+    val tot = broadcast(counts.agg(
+      sum(col("n_tokens")).cast("long").as("_t"),
+      count(lit(1)).cast("long").as("_m"),
+      min(col("n_tokens")).cast("long").as("_minn")))
+    val wOrd = Window.orderBy(col("n_tokens"), col(groupCol))
+    val ord = counts.crossJoin(tot)
+      .withColumn("_b", expr(s"_t * $budgetNum DIV $budgetDen"))
+      .withColumn("_i", row_number().over(wOrd).cast("long"))
+      .withColumn("_cum", sum(col("n_tokens")).over(wOrd))
+      .withColumn("_lead_n", lead(col("n_tokens"), 1).over(wOrd))
+    // candidate i=0 (nothing saturated): θ = B/m, valid iff θ ≤ min n
+    val zero = tot
+      .withColumn("_b", expr(s"_t * $budgetNum DIV $budgetDen"))
+      .select(lit(0L).as("_i"), lit(0L).as("_cum"),
+        lit(null).cast("long").as("_n"), col("_minn").as("_lead_n"),
+        col("_b"), col("_m"))
+    val cands = ord
+      .select(col("_i"), col("_cum"), col("n_tokens").as("_n"),
+        col("_lead_n"), col("_b"), col("_m"))
+      .unionByName(zero)
+      .withColumn("_theta",
+        (col("_b") - col("_cum")).cast("double")
+          / (col("_m") - col("_i")).cast("double"))
+      .filter((col("_n").isNull || col("_theta") >= col("_n").cast("double"))
+        && (col("_lead_n").isNull
+          || col("_theta") <= col("_lead_n").cast("double")))
+      .orderBy("_i").limit(1)
+    counts.crossJoin(broadcast(cands.select(col("_theta"), col("_b"))))
+      .select(col(groupCol), col("n_tokens"), col("_b").as("budget"),
+        round(least(col("n_tokens").cast("double"), col("_theta")), 4)
+          .as("allocated"),
+        (col("n_tokens").cast("double") <= col("_theta")).as("saturated"))
+      .orderBy(groupCol)
+  }
+
   // ------------------------------------------- quality classifier (LR) ----
 
   /** Deterministic text features for the linear quality model, each in [0,1].

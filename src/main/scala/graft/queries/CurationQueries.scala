@@ -637,6 +637,51 @@ object CurationQueries {
              |    AS n_low
              |FROM bge JOIN lm USING (w1, w2)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ---- token-budget water-filling: fill B = total DIV 2 tokens across
+    //      sources at a common level θ (small sources give everything,
+    //      big ones cap at θ) — the budgeted form of domain mixing. The
+    //      sweep runs on the |sources|-row table; one corpus aggregate
+    QueryDef(
+      "q144_token_budget_waterfill",
+      (s, dir) =>
+        Curation.tokenBudgetAllocation(t(s, dir, "documents"),
+          "source", "text"),
+      Some("""WITH counts AS (
+             |  SELECT source, CAST(sum(len(list_filter(
+             |    regexp_split_to_array(trim(text), '\s+'),
+             |    x -> x <> ''))) AS BIGINT) AS n
+             |  FROM documents GROUP BY source),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+             |        CAST(count(*) AS BIGINT) AS m,
+             |        CAST(min(n) AS BIGINT) AS minn FROM counts),
+             |ord AS (SELECT source, n,
+             |        row_number() OVER (ORDER BY n, source) AS i,
+             |        sum(n) OVER (ORDER BY n, source) AS cum,
+             |        lead(n, 1) OVER (ORDER BY n, source) AS lead_n
+             |        FROM counts),
+             |cands AS (
+             |  SELECT CAST(i AS BIGINT) AS i, CAST(cum AS BIGINT) AS cum,
+             |         n AS ni, lead_n FROM ord
+             |  UNION ALL
+             |  SELECT 0, 0, NULL, minn FROM tot),
+             |sel AS (
+             |  SELECT CAST(((t * 1) // 2) - cum AS DOUBLE)
+             |           / CAST(m - i AS DOUBLE) AS theta,
+             |         CAST((t * 1) // 2 AS BIGINT) AS b
+             |  FROM cands, tot
+             |  WHERE (ni IS NULL OR
+             |      CAST(((t * 1) // 2) - cum AS DOUBLE)
+             |        / CAST(m - i AS DOUBLE) >= CAST(ni AS DOUBLE))
+             |    AND (lead_n IS NULL OR
+             |      CAST(((t * 1) // 2) - cum AS DOUBLE)
+             |        / CAST(m - i AS DOUBLE) <= CAST(lead_n AS DOUBLE))
+             |  ORDER BY i LIMIT 1)
+             |SELECT source, n AS n_tokens, b AS budget,
+             |  round(least(CAST(n AS DOUBLE), theta), 4) AS allocated,
+             |  CAST(n AS DOUBLE) <= theta AS saturated
+             |FROM counts, sel ORDER BY source""".stripMargin)
     )
   )
 }

@@ -243,4 +243,26 @@ class CurationSpec extends SparkSpec {
     assert(minP == 0.375)
     assert(avgP == 0.4375)
   }
+
+  test("tokenBudgetAllocation: water level fills exactly B; small sources " +
+    "saturate, big ones cap at theta") {
+    import spark.implicits._
+    // n = (a:2, b:4, c:10), total 16, B = 8 → sweep: i=1 gives
+    // θ = (8−2)/2 = 3 (≥ n₁=2, ≤ n₂=4) → a keeps 2, b and c cap at 3
+    val docs = Seq(
+      ("a", "x y"), ("b", "x x x x"),
+      ("c", "x x x x x x x x x x")
+    ).toDF("source", "text")
+    val out = Curation.tokenBudgetAllocation(docs, "source", "text")
+      .select("source", "n_tokens", "budget", "allocated", "saturated")
+      .as[(String, Long, Long, Double, Boolean)].collect().toSeq
+    assert(out == Seq(
+      ("a", 2L, 8L, 2.0, true),
+      ("b", 4L, 8L, 3.0, false),
+      ("c", 10L, 8L, 3.0, false)))
+    // full budget (num=den=1): everything saturates at alloc = n
+    val full = Curation.tokenBudgetAllocation(docs, "source", "text", 1L, 1L)
+      .select("allocated", "saturated").as[(Double, Boolean)].collect()
+    assert(full.forall(_._2) && full.map(_._1).sorted.toSeq == Seq(2.0, 4.0, 10.0))
+  }
 }
