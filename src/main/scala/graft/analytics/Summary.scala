@@ -245,4 +245,47 @@ object Summary {
       .groupBy("g").agg(min("v").as("weighted_median"))
       .select(col("g").as(groupCol), col("weighted_median"))
   }
+
+  /** Benford's-law expected first-digit shares, rounded to 6 dp so the
+    * constants inline as short decimal literals that parse to identical
+    * doubles in every IEEE engine (no runtime log10 anywhere).
+    */
+  val benfordShares: Seq[(Int, Double)] = (1 to 9).map { d =>
+    d -> BigDecimal(math.log10(1.0 + 1.0 / d))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Benford first-digit audit of a positive monetary column — the classic
+    * fabricated-data / anomalous-feed screen: observed first-digit counts
+    * vs the Benford expectation, with per-digit chi-square contributions.
+    *
+    * Engine-portable by construction: values become integer cents via
+    * round(x·100) (half-away == HALF_UP for the non-negative domain, the
+    * q124 argument), the first digit is the first character of the
+    * BIGINT's decimal rendering (integer formatting is identical across
+    * engines, unlike float formatting), and the expected shares are
+    * round-6 literals baked into BOTH engines' plans. One scan + a
+    * 9-row aggregate; the total rides along by broadcast.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val shareMap = typedLit(benfordShares.toMap)
+    val digits = df
+      .select((round(col(valueCol).cast("double") * 100.0, 0))
+        .cast("long").as("_cents"))
+      .filter(col("_cents") > 0)
+      .select(substring(col("_cents").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).cast("long").as("observed"))
+    val total = broadcast(digits.agg(sum(col("observed")).cast("long").as("_n")))
+    digits.crossJoin(total)
+      .withColumn("_p", element_at(shareMap, col("digit")))
+      .withColumn("_e", col("_n").cast("double") * col("_p"))
+      .select(col("digit"), col("observed"),
+        round(col("_e"), 4).as("expected"),
+        round(((col("observed").cast("double") - col("_e"))
+          * (col("observed").cast("double") - col("_e"))) / col("_e"), 6)
+          .as("chi2_part"))
+      .orderBy("digit")
+  }
 }

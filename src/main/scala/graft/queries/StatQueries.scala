@@ -451,6 +451,37 @@ object StatQueries {
              |  AND dr.adrift = mx.max_drift
              |GROUP BY dr.event_type, max_drift, n_buckets
              |ORDER BY dr.event_type""".stripMargin)
+    ),
+
+    // ---- Benford first-digit audit of lineitem prices: integer-cents
+    //      digit extraction (BIGINT rendering is engine-stable), round-6
+    //      Benford constants baked into both plans, chi-square parts in
+    //      identical IEEE shape — no runtime log10 anywhere
+    QueryDef(
+      "q145_benford_audit",
+      (s, dir) =>
+        Summary.benfordAudit(t(s, dir, "lineitem"), "l_extendedprice"),
+      Some {
+        val caseExpr = Summary.benfordShares.map { case (d, p) =>
+          f"WHEN $d THEN CAST($p%.6f AS DOUBLE)"
+        }.mkString(" ")
+        def e = s"CAST(nn AS DOUBLE) * (CASE digit $caseExpr END)"
+        s"""WITH c AS (
+           |  SELECT CAST(round(CAST(l_extendedprice AS DOUBLE)
+           |    * CAST(100.0 AS DOUBLE), 0) AS BIGINT) AS cents
+           |  FROM lineitem),
+           |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT)
+           |        AS digit
+           |      FROM c WHERE cents > 0),
+           |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed
+           |      FROM d GROUP BY digit),
+           |n AS (SELECT CAST(sum(observed) AS BIGINT) AS nn FROM o)
+           |SELECT digit, observed,
+           |  round($e, 4) AS expected,
+           |  round(((CAST(observed AS DOUBLE) - $e)
+           |    * (CAST(observed AS DOUBLE) - $e)) / ($e), 6) AS chi2_part
+           |FROM o, n ORDER BY digit""".stripMargin
+      }
     )
   )
 }

@@ -68,4 +68,19 @@ class WeightedMedianSpec extends SparkSpec {
       Summary.weightedMedian(many, "g", "v", "wt", maxGroups = 100)
     }
   }
+
+  test("benfordAudit: digit from integer cents, zero/sub-cent rows dropped, " +
+    "chi2 parts from the round-6 shares") {
+    // 1.23 → 123 → digit 1 (×2), 0.91 → 91 → digit 9, 0.004 → 0 dropped
+    val rows = Seq(1.23, 19.0, 0.91, 0.004).toDF("v")
+    val out = Summary.benfordAudit(rows, "v")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq((1, 2L), (9, 1L)))
+    val p1 = Summary.benfordShares.toMap.apply(1) // 0.301030
+    val e1 = 3.0 * p1
+    assert(out.head._3 == BigDecimal(e1)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.head._4 == BigDecimal((2.0 - e1) * (2.0 - e1) / e1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
