@@ -315,6 +315,64 @@ object Similarity {
         acc => acc.getField("i")))
   }
 
+  /** Simplified silhouette over a FIXED quantized centroid set: per
+    * vector, a = squared-L2 to its own (nearest) centroid, b = min
+    * squared-L2 to any OTHER centroid, s = (b − a)/max(a, b) — the
+    * standard clustering-quality score in its centroid form (per-point
+    * cost O(k·d) instead of the O(n·d) pairwise definition; this is how
+    * silhouette is evaluated at scale). Quantized round(v·1000) integer
+    * distances (the q72 family) keep a and b exact, so the one division
+    * is engine-portable; duplicate centroids (a = b = 0) guard to 0.
+    *
+    * Scale shape: one scan; each row meets the k-row broadcast centroid
+    * table and partial-aggregates per cell map-side — corpus rows never
+    * shuffle, only (cell, partial-stat) rows. Per-cell means are
+    * DECIMAL-routed (order-independent).
+    */
+  def silhouetteQuantized(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Long]]
+  ): DataFrame = {
+    require(centroids.length >= 2, "silhouette needs at least 2 centroids")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = broadcast(centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("_cid", "_cq"))
+    val dists = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol),
+        transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long"))
+          .as("_vq"))
+      .crossJoin(cents)
+      .select(col(idCol), col("_cid"),
+        aggregate(zip_with(col("_vq"), col("_cq"), (x, c) => (x - c) * (x - c)),
+          lit(0L), (a, x) => a + x).as("_dist"))
+    val perVec = dists
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("_dist"), col("_cid"))))
+        .as("_sorted"))
+      .select(col(idCol),
+        element_at(col("_sorted"), 1).getField("_cid").as("cell"),
+        element_at(col("_sorted"), 1).getField("_dist").as("_a"),
+        element_at(col("_sorted"), 2).getField("_dist").as("_b"))
+      .withColumn("_sil",
+        when(greatest(col("_a"), col("_b")) === 0, lit(0.0))
+          .otherwise((col("_b").cast("double") - col("_a").cast("double"))
+            / greatest(col("_a"), col("_b")).cast("double")))
+    perVec
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).cast("long").as("n_vectors"),
+        round(
+          sum(round(col("_sil"), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9))).cast("double")
+            / count(lit(1)), 6).as("mean_sil"),
+        round(min(col("_sil")), 6).as("min_sil"),
+        round(max(col("_sil")), 6).as("max_sil"))
+      .orderBy("cell")
+  }
+
   // ---- Product Quantization (PQ): the byte-budget ANN layout -------------
 
   /** PQ codebooks from a FIXED rule — codeword j of subspace s is the

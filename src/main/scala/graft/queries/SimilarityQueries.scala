@@ -470,6 +470,46 @@ object SimilarityQueries {
              |SELECT vec_id, label, hard_neg_id, hard_neg_label,
              |  round(cs, 4) AS cos_sim
              |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+    ),
+
+    // ---- simplified silhouette of the q72 fixed-centroid clustering:
+    //      per-cell clustering-quality stats from exact integer distances;
+    //      own/other centroid distances via the same (dist, cid) tie rule
+    QueryDef(
+      "q146_silhouette",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+          .select(transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long")).as("cq"))
+          .collect().map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+        Similarity.silhouetteQuantized(emb, "vec_id", "embedding", centroids)
+      },
+      Some("""WITH q AS (SELECT vec_id,
+             |  list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS vq
+             |  FROM embeddings),
+             |c AS (SELECT vec_id AS cid, vq AS cq FROM q WHERE vec_id < 8),
+             |d AS (SELECT q.vec_id, c.cid,
+             |  list_sum(list_transform(generate_series(1, 64),
+             |    j -> (q.vq[j] - c.cq[j]) * (q.vq[j] - c.cq[j]))) AS dist
+             |  FROM q, c),
+             |r AS (SELECT vec_id, cid, dist,
+             |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             |  FROM d),
+             |own AS (SELECT vec_id, cid AS cell, dist AS a FROM r WHERE rn = 1),
+             |oth AS (SELECT vec_id, min(dist) AS b FROM r WHERE rn > 1
+             |        GROUP BY vec_id),
+             |s AS (SELECT own.vec_id, cell,
+             |  CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS DOUBLE)
+             |       ELSE (CAST(b AS DOUBLE) - CAST(a AS DOUBLE))
+             |            / CAST(greatest(a, b) AS DOUBLE) END AS sil
+             |  FROM own JOIN oth USING (vec_id))
+             |SELECT CAST(cell AS BIGINT) AS cell,
+             |  CAST(count(*) AS BIGINT) AS n_vectors,
+             |  round(CAST(sum(CAST(round(sil, 9) AS DECIMAL(18,9))) AS DOUBLE)
+             |        / count(*), 6) AS mean_sil,
+             |  round(min(sil), 6) AS min_sil, round(max(sil), 6) AS max_sil
+             |FROM s GROUP BY cell ORDER BY cell""".stripMargin)
     )
   )
 

@@ -210,4 +210,20 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.contains(5L), "zero vector must not be an anchor")
     assert(!out.values.toSet.contains(5L), "zero vector must not be a negative")
   }
+
+  test("silhouetteQuantized: hand-computed scores; equidistant vector ties " +
+    "to the lower centroid with silhouette 0") {
+    import spark.implicits._
+    val cents = Seq(Seq(0L, 0L), Seq(10000L, 0L)) // quantized (0,0), (10,0)
+    val d = Seq(
+      (1L, Array(1f, 0f)),  // cell 0: s = (81e6−1e6)/81e6 = 80/81
+      (2L, Array(10f, 0f)), // cell 1: a = 0 → s = 1.0
+      (3L, Array(5f, 0f))   // tie → cell 0, a = b → s = 0.0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.silhouetteQuantized(d, "vec_id", "embedding", cents)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 0.493827, 0.0, 0.987654),
+      (1L, 1L, 1.0, 1.0, 1.0)))
+  }
 }
