@@ -246,6 +246,58 @@ object Summary {
       .select(col("g").as(groupCol), col("weighted_median"))
   }
 
+  /** A/B experiment readout: Welch's t STATISTIC (and Welch–Satterthwaite
+    * degrees of freedom) of `valueCol` between two variants, per group —
+    * the experiment-analysis primitive, stopping at the statistic (the
+    * p-value lookup is a driver-side table, not a data-parallel concern).
+    *
+    * Engine-exact: values are rounded to 6 dp and routed through
+    * DECIMAL(18,6) — sums and sums of squares (width 37, still exact) are
+    * then order-independent, so partitioning cannot change the moments;
+    * the t/df formulas are fixed-shape IEEE doubles on top (sqrt is
+    * correctly rounded everywhere). One aggregate pass with conditional
+    * sums; groups × 7 numbers is all that leaves the shuffle.
+    */
+  def abWelchT(
+      df: DataFrame,
+      groupCol: String,
+      variantCol: org.apache.spark.sql.Column,
+      valueCol: String
+  ): DataFrame = {
+    val x = round(col(valueCol).cast("double"), 6).cast(DecimalType(18, 6))
+    val isA = variantCol === 0
+    val isB = variantCol === 1
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val g = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        count(when(isA, 1)).cast("long").as("n_a"),
+        count(when(isB, 1)).cast("long").as("n_b"),
+        sum(when(isA, x)).as("_sxa"), sum(when(isA, x * x)).as("_sxxa"),
+        sum(when(isB, x)).as("_sxb"), sum(when(isB, x * x)).as("_sxxb"))
+      .withColumn("_ma", d(col("_sxa")) / d(col("n_a")))
+      .withColumn("_mb", d(col("_sxb")) / d(col("n_b")))
+      .withColumn("_va",
+        (d(col("_sxxa")) - d(col("_sxa")) * d(col("_sxa")) / d(col("n_a")))
+          / d(col("n_a") - 1))
+      .withColumn("_vb",
+        (d(col("_sxxb")) - d(col("_sxb")) * d(col("_sxb")) / d(col("n_b")))
+          / d(col("n_b") - 1))
+      .withColumn("_sea", col("_va") / d(col("n_a")))
+      .withColumn("_seb", col("_vb") / d(col("n_b")))
+    g.select(col(groupCol), col("n_a"), col("n_b"),
+        round(col("_ma"), 6).as("mean_a"),
+        round(col("_mb"), 6).as("mean_b"),
+        round((col("_ma") - col("_mb")) / sqrt(col("_sea") + col("_seb")), 4)
+          .as("t_stat"),
+        round(((col("_sea") + col("_seb")) * (col("_sea") + col("_seb")))
+          / (col("_sea") * col("_sea") / d(col("n_a") - 1)
+            + col("_seb") * col("_seb") / d(col("n_b") - 1)), 4)
+          .as("df_welch"))
+      .orderBy(groupCol)
+  }
+
   /** Benford's-law expected first-digit shares, rounded to 6 dp so the
     * constants inline as short decimal literals that parse to identical
     * doubles in every IEEE engine (no runtime log10 anywhere).

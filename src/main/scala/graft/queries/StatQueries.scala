@@ -482,6 +482,50 @@ object StatQueries {
            |    * (CAST(observed AS DOUBLE) - $e)) / ($e), 6) AS chi2_part
            |FROM o, n ORDER BY digit""".stripMargin
       }
+    ),
+
+    // ---- A/B experiment readout: Welch t statistic + Satterthwaite df of
+    //      event value between user-parity variants, per event type. All
+    //      moments DECIMAL-routed (order-independent); t/df are
+    //      fixed-shape IEEE doubles, sqrt correctly rounded everywhere
+    QueryDef(
+      "q147_ab_welch_t",
+      (s, dir) =>
+        Summary.abWelchT(t(s, dir, "events"), "event_type",
+          pmod(col("user_id"), lit(2)), "value"),
+      Some("""WITH e AS (
+             |  SELECT event_type, user_id % 2 AS v,
+             |    CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS x
+             |  FROM events WHERE value IS NOT NULL),
+             |g AS (
+             |  SELECT event_type,
+             |    CAST(count(*) FILTER (v = 0) AS BIGINT) AS n_a,
+             |    CAST(count(*) FILTER (v = 1) AS BIGINT) AS n_b,
+             |    sum(x) FILTER (v = 0) AS sxa,
+             |    sum(x * x) FILTER (v = 0) AS sxxa,
+             |    sum(x) FILTER (v = 1) AS sxb,
+             |    sum(x * x) FILTER (v = 1) AS sxxb
+             |  FROM e GROUP BY 1),
+             |m AS (
+             |  SELECT *,
+             |    CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+             |    CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+             |    (CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE)
+             |       * CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE))
+             |      / CAST(n_a - 1 AS DOUBLE) AS va,
+             |    (CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE)
+             |       * CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE))
+             |      / CAST(n_b - 1 AS DOUBLE) AS vb
+             |  FROM g),
+             |s AS (SELECT *, va / CAST(n_a AS DOUBLE) AS sea,
+             |             vb / CAST(n_b AS DOUBLE) AS seb FROM m)
+             |SELECT event_type, n_a, n_b,
+             |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+             |  round((ma - mb) / sqrt(sea + seb), 4) AS t_stat,
+             |  round(((sea + seb) * (sea + seb))
+             |    / (sea * sea / CAST(n_a - 1 AS DOUBLE)
+             |      + seb * seb / CAST(n_b - 1 AS DOUBLE)), 4) AS df_welch
+             |FROM s ORDER BY event_type""".stripMargin)
     )
   )
 }

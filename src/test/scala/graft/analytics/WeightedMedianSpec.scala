@@ -83,4 +83,16 @@ class WeightedMedianSpec extends SparkSpec {
     assert(out.head._4 == BigDecimal((2.0 - e1) * (2.0 - e1) / e1)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("abWelchT: hand-computed statistic; null values dropped") {
+    // A = {1,3}: m=2, v=2; B = {2,6}: m=4, v=8 → sea=1, seb=4,
+    // t = −2/√5 = −0.8944, df = 25/(1+16) = 1.4706
+    val rows = Seq(("g", 0L, Some(1.0)), ("g", 0L, Some(3.0)),
+      ("g", 1L, Some(2.0)), ("g", 1L, Some(6.0)), ("g", 0L, None))
+      .toDF("grp", "u", "value")
+    val out = Summary.abWelchT(rows, "grp", col("u"), "value")
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(out == Seq(("g", 2L, 2L, 2.0, 4.0, -0.8944, 1.4706)))
+  }
 }
