@@ -298,6 +298,55 @@ object Summary {
       .orderBy(groupCol)
   }
 
+  /** Mann-Whitney U readout — the nonparametric companion to [[abWelchT]]:
+    * per group, the rank-sum U statistic of `valueCol` between two
+    * variants and its normal-approximation z (no tie correction in the
+    * variance; ties in the DATA are still handled exactly via average
+    * ranks). Average ranks are multiples of 0.5, so they route through
+    * DECIMAL(18,1) exactly — rank sums are order-independent — and the
+    * z formula is fixed-shape IEEE on top.
+    *
+    * Scale shape: one rank window PER GROUP (sort-based, linear per
+    * partition — never a global window) + one aggregate; groups × 5
+    * numbers leave the shuffle.
+    */
+  def mannWhitneyU(
+      df: DataFrame,
+      groupCol: String,
+      variantCol: org.apache.spark.sql.Column,
+      valueCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val wRank = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val wTies = Window.partitionBy(col(groupCol), col(valueCol))
+    val ranked = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol), variantCol.as("_v"), col(valueCol))
+      .withColumn("_r", rank().over(wRank))
+      .withColumn("_ties", count(lit(1)).over(wTies))
+      .withColumn("_ar",
+        (d(col("_r")) + d(col("_ties") - 1) / lit(2.0).cast("double"))
+          .cast(DecimalType(18, 1)))
+    val g = ranked.groupBy(col(groupCol))
+      .agg(
+        count(when(col("_v") === 0, 1)).cast("long").as("n_a"),
+        count(when(col("_v") === 1, 1)).cast("long").as("n_b"),
+        sum(when(col("_v") === 0, col("_ar"))).as("_sa"))
+      .withColumn("_ua",
+        d(col("_sa")) - d(col("n_a")) * d(col("n_a") + 1)
+          / lit(2.0).cast("double"))
+    g.select(col(groupCol), col("n_a"), col("n_b"),
+        col("_ua").as("u_a"),
+        (d(col("n_a")) * d(col("n_b")) - col("_ua")).as("u_b"),
+        round((col("_ua") - d(col("n_a")) * d(col("n_b"))
+            / lit(2.0).cast("double"))
+          / sqrt(d(col("n_a")) * d(col("n_b"))
+            * d(col("n_a") + col("n_b") + 1) / lit(12.0).cast("double")), 4)
+          .as("z_approx"))
+      .orderBy(groupCol)
+  }
+
   /** Benford's-law expected first-digit shares, rounded to 6 dp so the
     * constants inline as short decimal literals that parse to identical
     * doubles in every IEEE engine (no runtime log10 anywhere).

@@ -526,6 +526,49 @@ object StatQueries {
              |    / (sea * sea / CAST(n_a - 1 AS DOUBLE)
              |      + seb * seb / CAST(n_b - 1 AS DOUBLE)), 4) AS df_welch
              |FROM s ORDER BY event_type""".stripMargin)
+    ),
+
+    // ---- Mann-Whitney U: the nonparametric twin of q147. Average ranks
+    //      are exact 0.5-multiples routed through DECIMAL(18,1); one rank
+    //      window per event type (never global), z in fixed IEEE shape
+    QueryDef(
+      "q148_mann_whitney_u",
+      (s, dir) =>
+        Summary.mannWhitneyU(t(s, dir, "events"), "event_type",
+          pmod(col("user_id"), lit(2)), "value"),
+      Some("""WITH e AS (
+             |  SELECT event_type, user_id % 2 AS v, CAST(value AS DOUBLE) AS x
+             |  FROM events WHERE value IS NOT NULL),
+             |r AS (
+             |  SELECT event_type, v, x,
+             |    rank() OVER (PARTITION BY event_type ORDER BY x) AS rk,
+             |    count(*) OVER (PARTITION BY event_type, x) AS ties
+             |  FROM e),
+             |ar AS (
+             |  SELECT event_type, v,
+             |    CAST(CAST(rk AS DOUBLE)
+             |      + CAST(ties - 1 AS DOUBLE) / CAST(2.0 AS DOUBLE)
+             |      AS DECIMAL(18,1)) AS arank
+             |  FROM r),
+             |g AS (
+             |  SELECT event_type,
+             |    CAST(count(*) FILTER (v = 0) AS BIGINT) AS n_a,
+             |    CAST(count(*) FILTER (v = 1) AS BIGINT) AS n_b,
+             |    sum(arank) FILTER (v = 0) AS sa
+             |  FROM ar GROUP BY 1),
+             |u AS (
+             |  SELECT *, CAST(sa AS DOUBLE)
+             |    - CAST(n_a AS DOUBLE) * CAST(n_a + 1 AS DOUBLE)
+             |      / CAST(2.0 AS DOUBLE) AS ua
+             |  FROM g)
+             |SELECT event_type, n_a, n_b, ua AS u_a,
+             |  CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) - ua AS u_b,
+             |  round((ua - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+             |      / CAST(2.0 AS DOUBLE))
+             |    / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+             |      * CAST(n_a + n_b + 1 AS DOUBLE) / CAST(12.0 AS DOUBLE)), 4)
+             |    AS z_approx
+             |FROM u ORDER BY event_type""".stripMargin)
     )
   )
 }

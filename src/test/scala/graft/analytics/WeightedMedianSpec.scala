@@ -95,4 +95,14 @@ class WeightedMedianSpec extends SparkSpec {
       .collect().toSeq
     assert(out == Seq(("g", 2L, 2L, 2.0, 4.0, -0.8944, 1.4706)))
   }
+
+  test("mannWhitneyU: tied values get exact average ranks") {
+    // sorted {1,2,3,3}: ranks 1,2,3.5,3.5 → S_A(1,3)=4.5, U_A=1.5,
+    // U_B=2.5, z = −0.5/√(20/12) = −0.3873
+    val rows = Seq(("g", 0L, 1.0), ("g", 0L, 3.0),
+      ("g", 1L, 2.0), ("g", 1L, 3.0)).toDF("grp", "u", "value")
+    val out = Summary.mannWhitneyU(rows, "grp", col("u"), "value")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(("g", 2L, 2L, 1.5, 2.5, -0.3873)))
+  }
 }
