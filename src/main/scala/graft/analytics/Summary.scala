@@ -298,6 +298,52 @@ object Summary {
       .orderBy(groupCol)
   }
 
+  /** Exact power-of-two decay table 2^−k for k = 0..maxAge: (1 / 2^k) is
+    * an exact double, and its plain-decimal rendering is an exact DECIMAL
+    * literal, so BOTH engines carry identical constants (no runtime pow).
+    */
+  def halfLifeDecays(maxAge: Int): Seq[(Int, Double)] =
+    (0 to maxAge).map(k => k -> 1.0 / (1L << k))
+
+  /** Time-decayed engagement score per user: Σ value · 2^−age_days with a
+    * one-day half-life, ages clamped at `maxAge` (beyond which the weight
+    * is ≤ 2^−30 ≈ noise) and anchored at the corpus' newest event day —
+    * the classic recency-weighted activity feature for churn/ranking
+    * models, restated so engines can't disagree: event days are integer
+    * µs-division epoch days, decays come from [[halfLifeDecays]]' exact
+    * constant table (a broadcast literal in Spark, a CASE of the same
+    * literals in the twin), and per-user sums route round-9 contributions
+    * through DECIMAL (order-independent).
+    *
+    * Scale shape: one scan + one (user, partial-sum) aggregate; the
+    * anchor day is a broadcast 1-row aggregate.
+    */
+  def timeDecayedScore(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      valueCol: String,
+      maxAge: Int = 30
+  ): DataFrame = {
+    val decayMap = typedLit(halfLifeDecays(maxAge).toMap)
+    val e = df
+      .filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol), col(valueCol),
+        expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) DIV 86400000000")
+          .as("_day"))
+    val anchor = broadcast(e.agg(max(col("_day")).as("_maxday")))
+    e.crossJoin(anchor)
+      .withColumn("_age",
+        least(col("_maxday") - col("_day"), lit(maxAge.toLong)).cast("int"))
+      .withColumn("_contrib",
+        round(col(valueCol).cast("double") * element_at(decayMap, col("_age")), 9)
+          .cast(DecimalType(18, 9)))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        round(sum(col("_contrib")).cast("double"), 6).as("engagement"))
+      .orderBy(userCol)
+  }
+
   /** Mann-Whitney U readout — the nonparametric companion to [[abWelchT]]:
     * per group, the rank-sum U statistic of `valueCol` between two
     * variants and its normal-approximation z (no tie correction in the

@@ -664,6 +664,37 @@ object EventQueries {
              |FROM p JOIN cnt ca ON p.antecedent = ca.event_type
              |       JOIN cnt cc ON p.consequent = cc.event_type, nb
              |ORDER BY antecedent, consequent""".stripMargin)
+    ),
+
+    // ---- time-decayed engagement score (1-day half-life, corpus-anchored):
+    //      recency-weighted activity per user. Decays are EXACT 2^-k
+    //      constants baked into both plans (no runtime pow); per-user
+    //      contributions DECIMAL-routed (order-independent)
+    QueryDef(
+      "q149_decayed_engagement",
+      (s, dir) =>
+        graft.analytics.Summary.timeDecayedScore(
+          t(s, dir, "events"), "user_id", "ts", "value"),
+      Some {
+        val decayCase = graft.analytics.Summary.halfLifeDecays(30)
+          .map { case (k, _) =>
+            val lit = new java.math.BigDecimal(1)
+              .divide(new java.math.BigDecimal(1L << k)).toPlainString
+            s"WHEN $k THEN CAST($lit AS DOUBLE)"
+          }.mkString("\n    ")
+        s"""WITH e AS (
+           |  SELECT user_id, CAST(value AS DOUBLE) AS x,
+           |    epoch_us(ts) // 86400000000 AS day
+           |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+           |a AS (SELECT max(day) AS maxday FROM e),
+           |c AS (SELECT user_id,
+           |  CAST(round(x * (CASE least(maxday - day, 30)
+           |    $decayCase END), 9) AS DECIMAL(18,9)) AS contrib
+           |  FROM e, a)
+           |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           |  round(CAST(sum(contrib) AS DOUBLE), 6) AS engagement
+           |FROM c GROUP BY 1 ORDER BY user_id""".stripMargin
+      }
     )
   )
 }

@@ -105,4 +105,19 @@ class WeightedMedianSpec extends SparkSpec {
       .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
     assert(out == Seq(("g", 2L, 2L, 1.5, 2.5, -0.3873)))
   }
+
+  test("timeDecayedScore: exact 2^-age weights, anchor = newest day, " +
+    "age clamped at 30") {
+    import java.sql.Timestamp
+    // anchor day = 2020-01-03: u1 = 4·2^-2 + 8·2^0 = 9.0;
+    // u2 is 40 days old → clamped to 30 → 2^30 · 2^-30 = 1.0
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2020-01-01 06:00:00"), 4.0),
+      (1L, Timestamp.valueOf("2020-01-03 01:00:00"), 8.0),
+      (2L, Timestamp.valueOf("2019-11-24 12:00:00"), 1073741824.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Summary.timeDecayedScore(rows, "user_id", "ts", "value")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 9.0), (2L, 1L, 1.0)))
+  }
 }
