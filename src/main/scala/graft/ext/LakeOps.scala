@@ -406,4 +406,32 @@ object LakeOps {
       .unionByName(stillOpen)
       .unionByName(newV)
   }
+
+  /** Incremental maintenance of a materialized JOIN view (append-only
+    * deltas): J_new = J_old ∪ (ΔL ⋈ R_old) ∪ (L_old ⋈ ΔR) ∪ (ΔL ⋈ ΔR) —
+    * the classic delta-join identity. Only DELTA rows drive new work:
+    * both delta sides are broadcast, so the stored view and the base
+    * tables are scanned without reshuffling a single base row (the CDC
+    * merge lesson: never let the big side cross an exchange). At 100 TB
+    * the stored J_old is read-through (here it rides in as a DataFrame);
+    * the three delta joins touch |Δ|-proportional data.
+    *
+    * `usingKey` must name the join column identically on both sides
+    * (rename before calling); inputs must be append-only (no updates or
+    * deletes — those need the CDC path, cdcMerge).
+    */
+  def incrementalJoinRefresh(
+      jOld: DataFrame,
+      oldLeft: DataFrame,
+      deltaLeft: DataFrame,
+      oldRight: DataFrame,
+      deltaRight: DataFrame,
+      usingKey: String
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    jOld
+      .unionByName(broadcast(deltaLeft).join(oldRight, usingKey))
+      .unionByName(oldLeft.join(broadcast(deltaRight), usingKey))
+      .unionByName(broadcast(deltaLeft).join(broadcast(deltaRight), usingKey))
+  }
 }

@@ -1077,6 +1077,41 @@ object LakeQueries {
              |  FROM p ORDER BY priority DESC, doc_id LIMIT 100)
              |SELECT doc_id, n_chars, round(priority, 4) AS priority
              |FROM top ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ---- incremental join-view maintenance: split orders/lineitem into
+    //      old + append deltas (key % 10), refresh via the delta-join
+    //      identity, aggregate the maintained view. The oracle is the
+    //      BATCH join — the hash match proves incremental ≡ batch
+    QueryDef(
+      "q150_incremental_join_refresh",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("k"), col("l_extendedprice"),
+            col("l_linenumber"))
+        // INDEPENDENT delta predicates (key-based vs linenumber-based) so
+        // all three delta joins of the identity carry rows
+        val oldL = orders.filter(col("k") % 10 =!= 0)
+        val dL = orders.filter(col("k") % 10 === 0)
+        val oldR = li.filter(col("l_linenumber") % 3 =!= 0).drop("l_linenumber")
+        val dR = li.filter(col("l_linenumber") % 3 === 0).drop("l_linenumber")
+        val refreshed = LakeOps.incrementalJoinRefresh(
+          oldL.join(oldR, "k"), oldL, dL, oldR, dR, "k")
+        refreshed.groupBy("o_orderpriority")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sumExact(col("l_extendedprice")).as("revenue"),
+            min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority,
+              |  CAST(count(*) AS BIGINT) AS n_rows,
+              |  ${sqlSumExact("l_extendedprice")} AS revenue,
+              |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+              |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -319,4 +319,25 @@ class LakeOpsSpec extends SparkSpec {
     assert(out(full) == Seq((1L, 1L, "A", 1L), (1L, 2L, "B", 2L),
       (1L, 3L, "C", 4L)))
   }
+
+  test("incrementalJoinRefresh equals the batch join with every delta " +
+    "quadrant populated; deltas broadcast") {
+    import spark.implicits._
+    val left = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "lv")
+    val right = Seq((1L, 10), (2L, 20), (3L, 30), (4L, 40), (2L, 21))
+      .toDF("k", "rv")
+    val (oldL, dL) = (left.filter(col("k") <= 2), left.filter(col("k") > 2))
+    val (oldR, dR) = (right.filter(col("rv") % 2 === 0),
+      right.filter(col("rv") % 2 =!= 0))
+    val refreshed = LakeOps.incrementalJoinRefresh(
+      oldL.join(oldR, "k"), oldL, dL, oldR, dR, "k")
+    val batch = left.join(right, "k")
+    assert(refreshed.select("k", "lv", "rv").as[(Long, String, Int)]
+      .collect().sorted.toSeq ==
+      batch.select("k", "lv", "rv").as[(Long, String, Int)]
+        .collect().sorted.toSeq)
+    val plan = refreshed.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan)
+  }
 }
