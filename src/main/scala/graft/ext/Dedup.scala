@@ -544,8 +544,12 @@ object Dedup {
     val bySuffix = pass(s => substring(s, -blockLen, blockLen))
     byPrefix.unionByName(bySuffix)
       .distinct()
-      .withColumn("edit_distance", levenshtein(col("s_l"), col("s_r")))
-      .filter(col("edit_distance") <= maxDist)
+      // bounded levenshtein: O(len·(2k+1)) banded DP with early exit
+      // instead of the full O(len²) table — returns -1 above the bound,
+      // and the true distance (identical to the unbounded form) within
+      // it, so the kept rows and their edit_distance values are unchanged
+      .withColumn("edit_distance", levenshtein(col("s_l"), col("s_r"), maxDist))
+      .filter(col("edit_distance") =!= -1)
   }
 
   /** Prefix-filtered set-similarity self-join (the SSJoin/PPJoin candidate
