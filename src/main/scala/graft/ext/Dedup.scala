@@ -579,6 +579,11 @@ object Dedup {
       n: Int = 3,
       minSim: Double = 0.5
   ): DataFrame = {
+    // materialize the hashed gram sets ONCE: base feeds the df aggregate,
+    // the canonical re-sort AND both verify sides — without the checkpoint
+    // the tokenize+gram+hash scan re-runs in every branch (12 scans, no
+    // exchange reuse across renamed subtrees). This is the signature table
+    // a production pipeline persists anyway (the q74 incremental index).
     val base = df.select(col(idCol).as("_pid"),
         array_distinct(transform(wordNgrams(col(textCol), n), g => xxhash64(g)))
           .as("_h"))
@@ -586,6 +591,7 @@ object Dedup {
       .filter(col("_sz") > 0)
       // single-file local inputs = one partition: spread the gram explode
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint()
     val exploded = base.select(col("_pid"), col("_sz"), explode(col("_h")).as("_g"))
     val gramDf = exploded.groupBy("_g")
       .agg(count(lit(1)).cast("long").as("_df"))
@@ -600,6 +606,9 @@ object Dedup {
       .select(col("_pid"), col("_sz"),
         explode(transform(slice(col("_ord"), lit(1), col("_plen")),
           s => s.getField("_g"))).as("_g"))
+      // both sides of the candidate self-join read this — checkpoint so
+      // the df-join + per-doc re-sort pipeline runs once, not twice
+      .localCheckpoint()
     val cands = prefixes.select(col("_g"), col("_pid").as("id_a"), col("_sz").as("_sa"))
       .join(prefixes.select(col("_g"), col("_pid").as("id_b"), col("_sz").as("_sb")), Seq("_g"))
       .filter(col("id_a") < col("id_b"))
