@@ -569,6 +569,187 @@ object StatQueries {
              |      * CAST(n_a + n_b + 1 AS DOUBLE) / CAST(12.0 AS DOUBLE)), 4)
              |    AS z_approx
              |FROM u ORDER BY event_type""".stripMargin)
+    ),
+
+    // ---- Equal-frequency (decile) binning: exact quantile_cont-parity
+    //      boundaries (q07 machinery) inlined as literals, scan-side
+    //      bucket assign, partial-agg per-bin profile
+    QueryDef(
+      "q151_equal_freq_binning",
+      (s, dir) =>
+        graft.analytics.FeaturePrep.equalFreqBins(
+          t(s, dir, "lineitem"), "l_extendedprice", "l_discount", 10),
+      Some {
+        val probs = (1 to 9).map(i => s"CAST(0.$i AS DOUBLE)").mkString(",")
+        s"""WITH q AS (SELECT quantile_cont(l_extendedprice, [$probs]) AS qs
+           |  FROM lineitem),
+           |b AS (SELECT
+           |    CAST(len(list_filter(q.qs, t -> l_extendedprice > t)) AS BIGINT)
+           |      AS bin,
+           |    l_extendedprice AS v, l_discount AS tgt FROM lineitem, q)
+           |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           |  round(min(v), 2) AS lo, round(max(v), 2) AS hi,
+           |  round(${sqlSumExact("tgt", 6)}/count(tgt), 6) AS target_mean
+           |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+      }
+    ),
+
+    // ---- Smoothed (m-estimate) target encoding: DECIMAL sufficient stats,
+    //      broadcast global mean, fixed-shape IEEE shrinkage
+    QueryDef(
+      "q152_target_encoding",
+      (s, dir) =>
+        graft.analytics.FeaturePrep.targetEncodeM(
+          t(s, dir, "orders"), "o_orderpriority", "o_totalprice", 100.0),
+      Some("""WITH g AS (
+             |  SELECT o_orderpriority AS category,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    sum(CAST(o_totalprice AS DECIMAL(25,6))) AS s
+             |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+             |tot AS (SELECT CAST(sum(s) AS DOUBLE)
+             |    / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS mu FROM g)
+             |SELECT category, n,
+             |  round(CAST(s AS DOUBLE)/CAST(n AS DOUBLE), 6) AS raw_mean,
+             |  round(mu, 6) AS global_mean,
+             |  round((CAST(s AS DOUBLE) + CAST(100.0 AS DOUBLE)*mu)
+             |    /(CAST(n AS DOUBLE) + CAST(100.0 AS DOUBLE)), 6) AS encoded
+             |FROM g, tot ORDER BY category""".stripMargin)
+    ),
+
+    // ---- Two-sample KS drift per event type, user-parity variants: the
+    //      ECDF gap stays the INTEGER cross-product |cumA·nB − cumB·nA|
+    //      until one final division — max found in integer space, engines
+    //      agree bit-for-bit; window over distinct values, never rows
+    QueryDef(
+      "q153_ks_drift",
+      (s, dir) =>
+        graft.analytics.FeaturePrep.ksDrift(
+          t(s, dir, "events"), "event_type",
+          pmod(col("user_id"), lit(2)), "value"),
+      Some("""WITH e AS (
+             |  SELECT event_type, user_id % 2 AS v, CAST(value AS DOUBLE) AS x
+             |  FROM events WHERE value IS NOT NULL),
+             |c AS (SELECT event_type, x,
+             |    CAST(count(*) FILTER (v = 0) AS BIGINT) AS ca,
+             |    CAST(count(*) FILTER (v = 1) AS BIGINT) AS cb
+             |  FROM e GROUP BY 1, 2),
+             |t AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS n_a,
+             |    CAST(sum(cb) AS BIGINT) AS n_b
+             |  FROM c GROUP BY 1),
+             |w AS (SELECT c.event_type, x, n_a, n_b,
+             |    abs(CAST(sum(ca) OVER win AS BIGINT)*n_b
+             |      - CAST(sum(cb) OVER win AS BIGINT)*n_a) AS dint
+             |  FROM c JOIN t ON c.event_type = t.event_type
+             |  WINDOW win AS (PARTITION BY c.event_type ORDER BY x
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |m AS (SELECT event_type, max(dint) AS mdint FROM w GROUP BY 1)
+             |SELECT w.event_type, n_a, n_b,
+             |  round(CAST(mdint AS DOUBLE)
+             |    /(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)), 6) AS ks_stat,
+             |  round(min(x), 6) AS at_value
+             |FROM w JOIN m ON w.event_type = m.event_type
+             |  AND w.dint = m.mdint
+             |GROUP BY w.event_type, n_a, n_b, mdint
+             |ORDER BY w.event_type""".stripMargin)
+    ),
+
+    // ---- Calibration (reliability) bins of the rational en-confidence
+    //      score against the lang label: libm-free score (5·hits/ntok
+    //      clamped), DECIMAL-routed mean confidence per bin
+    QueryDef(
+      "q154_calibration_bins",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ntok = graft.ext.TextAnalysis.tokenCount(col("text"))
+        val hits = graft.ext.TextAnalysis.langScore(col("text"), "en")
+        val score = when(ntok === 0, lit(0.0))
+          .otherwise(least(
+            lit(5.0) * hits.cast("double") / ntok.cast("double"), lit(1.0)))
+        graft.analytics.FeaturePrep.calibrationBins(
+          docs, score, coalesce(col("lang"), lit("")) === "en")
+      },
+      Some("""WITH f AS (
+             |  SELECT coalesce(lang, '') = 'en' AS y,
+             |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |      x -> x <> '')) AS ntok,
+             |    len(regexp_extract_all(lower(text),
+             |      '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS hits
+             |  FROM documents),
+             |s AS (SELECT y, CASE WHEN ntok = 0 THEN CAST(0.0 AS DOUBLE)
+             |    ELSE least(CAST(5.0 AS DOUBLE)*CAST(hits AS DOUBLE)
+             |      /CAST(ntok AS DOUBLE), CAST(1.0 AS DOUBLE)) END AS score
+             |  FROM f),
+             |b AS (SELECT
+             |    least(CAST(floor(score*CAST(10.0 AS DOUBLE)) AS BIGINT), 9)
+             |      AS bin,
+             |    score, CAST(y AS INT) AS yi FROM s),
+             |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(yi) AS BIGINT) AS n_pos,
+             |    sum(CAST(round(score, 6) AS DECIMAL(18,6))) AS sconf
+             |  FROM b GROUP BY bin)
+             |SELECT bin, n, n_pos,
+             |  round(CAST(sconf AS DOUBLE)/CAST(n AS DOUBLE), 6) AS confidence,
+             |  round(CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE), 6) AS accuracy,
+             |  round(abs(CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE)
+             |    - CAST(sconf AS DOUBLE)/CAST(n AS DOUBLE)), 6) AS gap
+             |FROM g ORDER BY bin""".stripMargin)
+    ),
+
+    // ---- Lag-1..7 autocorrelation of daily revenue: partial-agg daily
+    //      rollup, tiny broadcast self-join per lag, closed-form Pearson r
+    //      from DECIMAL sufficient stats (never engine corr accumulators)
+    QueryDef(
+      "q155_acf_daily",
+      (s, dir) =>
+        graft.analytics.FeaturePrep.acfDaily(
+          t(s, dir, "orders"), "o_orderdate", "o_totalprice", 7),
+      Some("""WITH dly AS (
+             |  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |      AS DECIMAL(18,2)) AS rev
+             |  FROM orders GROUP BY 1),
+             |p AS (SELECT r.lag AS lag, a.rev AS xv, b.rev AS yv
+             |  FROM dly a CROSS JOIN (SELECT range AS lag FROM range(1,8)) r
+             |  JOIN dly b ON b.day = a.day + r.lag),
+             |g AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             |    sum(xv) AS sx, sum(yv) AS sy, sum(xv*xv) AS sxx,
+             |    sum(yv*yv) AS syy, sum(xv*yv) AS sxy
+             |  FROM p GROUP BY 1)
+             |SELECT lag, n_pairs,
+             |  round((CAST(n_pairs AS DOUBLE)*CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+             |    /(sqrt(CAST(n_pairs AS DOUBLE)*CAST(sxx AS DOUBLE)
+             |        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+             |      *sqrt(CAST(n_pairs AS DOUBLE)*CAST(syy AS DOUBLE)
+             |        - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6) AS acf
+             |FROM g ORDER BY lag""".stripMargin)
+    ),
+
+    // ---- Robust outlier census via median/MAD (robust twin of q110):
+    //      exact per-group medians both passes, 3·1.4826·MAD fence as
+    //      explicit double products
+    QueryDef(
+      "q156_mad_outliers",
+      (s, dir) =>
+        graft.analytics.FeaturePrep.madOutliers(
+          t(s, dir, "events"), "event_type", "value"),
+      Some("""WITH e AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+             |  FROM events WHERE value IS NOT NULL),
+             |m AS (SELECT g, quantile_cont(x, 0.5) AS med,
+             |    CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+             |dv AS (SELECT e.g, x, med, n, abs(x - med) AS dev
+             |  FROM e JOIN m USING (g)),
+             |md AS (SELECT g, quantile_cont(dev, 0.5) AS mad
+             |  FROM dv GROUP BY 1),
+             |o AS (SELECT dv.g, med, n, mad,
+             |    CAST(count(*) FILTER (dev > CAST(3.0 AS DOUBLE)
+             |      *CAST(1.4826 AS DOUBLE)*mad) AS BIGINT) AS n_out
+             |  FROM dv JOIN md USING (g) GROUP BY 1, 2, 3, 4)
+             |SELECT g AS event_type, n, round(med, 6) AS med,
+             |  round(mad, 6) AS mad, n_out AS n_outliers,
+             |  round(CAST(n_out AS DOUBLE)/CAST(n AS DOUBLE), 6)
+             |    AS outlier_share
+             |FROM o ORDER BY event_type""".stripMargin)
     )
   )
 }
