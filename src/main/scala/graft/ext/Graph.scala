@@ -236,4 +236,82 @@ object Graph {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Global triangle census + clustering coefficient of an undirected
+    * graph: node/edge/wedge/triangle counts and the transitivity ratio
+    * 3·T / W (rational — exact integer counts until one division).
+    *
+    * Scale design — degree orientation: every undirected edge is directed
+    * from its (degree, id)-smaller endpoint to the larger, so each
+    * triangle is enumerated exactly once (no /3 dedup pass) and the
+    * wedge-join fan-out per node is bounded by its OUT-degree, which the
+    * orientation caps at O(√m) on any graph — the standard defense
+    * against hub nodes that makes the naive a<b ordering quadratic.
+    * Wedges W = Σ C(deg,2) come from the degree table (no join); the
+    * triangle probe is two equi-joins shuffling (long, long) pairs only.
+    */
+  def triangleCensus(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String
+  ): DataFrame = {
+    val s = col(srcCol).cast("long")
+    val dd = col(dstCol).cast("long")
+    val und = edges
+      .select(least(s, dd).as("a"), greatest(s, dd).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).cast("long").as("deg"))
+      .localCheckpoint(true)
+    // orient by (deg, node): u -> v iff (deg_u, u) < (deg_v, v)
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val oriented = withDeg
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("v")
+      )
+      .localCheckpoint(true)
+    val e1 = oriented.select(col("u").as("x"), col("v").as("y"))
+    val e2 = oriented.select(col("u").as("x"), col("v").as("z"))
+    val wedges = e1.join(e2, "x").filter(col("y") < col("z"))
+    val tri = wedges
+      .join(
+        oriented.select(
+          least(col("u"), col("v")).as("y"),
+          greatest(col("u"), col("v")).as("z")),
+        Seq("y", "z"))
+      .agg(count(lit(1)).cast("long").as("t"))
+    val stats = deg
+      .agg(
+        count(lit(1)).cast("long").as("n_nodes"),
+        sum(col("deg")).cast("long").as("degsum"),
+        sum(col("deg") * (col("deg") - 1)).cast("long").as("wedges2")
+      )
+      // integer div keeps the counts exact (Spark's `/` on longs is double)
+      .select(
+        col("n_nodes"),
+        expr("degsum div 2").as("n_edges"),
+        expr("wedges2 div 2").as("n_wedges")
+      )
+    stats
+      .crossJoin(broadcast(tri))
+      .select(
+        col("n_nodes"),
+        col("n_edges"),
+        col("n_wedges"),
+        col("t").as("n_triangles"),
+        round(lit(3.0) * col("t").cast("double") /
+          col("n_wedges").cast("double"), 6).as("transitivity")
+      )
+  }
 }

@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+import graft.analytics.{Behavior, Concentration}
+import graft.queries.Q._
+
+/** Sequence / cohort / concentration analytics (q157–q162): user-journey
+  * transition matrices, weekly cohort retention, revenue inequality and
+  * market concentration, Kaplan-Meier churn survival, and the triangle
+  * census of the co-purchase graph. Every query is exactly DuckDB-
+  * oracle-able — integer counts, DECIMAL-routed sums, fixed-shape IEEE
+  * readouts, and (for KM) an explicitly ordered multiply fold.
+  */
+object BehaviorQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- First-order Markov transition matrix of the user event journey:
+    //      lead() within (user, ts, id) order, one transition-count
+    //      aggregate, row-normalized by a broadcast per-source total
+    QueryDef(
+      "q157_markov_transitions",
+      (s, dir) =>
+        Behavior.markovTransitions(
+          t(s, dir, "events"), "user_id", "ts", "event_id", "event_type"),
+      Some("""WITH p AS (SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+             |  FROM c GROUP BY 1)
+             |SELECT c.from_type, to_type, n,
+             |  round(CAST(n AS DOUBLE)/CAST(n_from AS DOUBLE), 6) AS prob
+             |FROM c JOIN t USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin)
+    ),
+
+    // ---- Weekly cohort retention: first-active-week cohorts via ONE
+    //      collect_set(week)-per-user shuffle; epoch-week integer math
+    //      (day div 7) sidesteps engine week-of-year semantics
+    QueryDef(
+      "q158_cohort_retention",
+      (s, dir) =>
+        Behavior.cohortRetention(t(s, dir, "events"), "user_id", "ts"),
+      Some("""WITH uw AS (SELECT DISTINCT user_id AS u,
+             |    (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk
+             |  FROM events),
+             |c AS (SELECT u, min(wk) AS cw FROM uw GROUP BY 1),
+             |r AS (SELECT cw AS cohort_week, wk - cw AS week_offset,
+             |    CAST(count(*) AS BIGINT) AS n_active
+             |  FROM uw JOIN c USING (u) GROUP BY 1, 2),
+             |s AS (SELECT cohort_week, n_active AS cohort_size FROM r
+             |  WHERE week_offset = 0)
+             |SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+             |  CAST(week_offset AS BIGINT) AS week_offset, n_active,
+             |  cohort_size,
+             |  round(CAST(n_active AS DOUBLE)/CAST(cohort_size AS DOUBLE), 6)
+             |    AS retention
+             |FROM r JOIN s USING (cohort_week)
+             |ORDER BY cohort_week, week_offset""".stripMargin)
+    ),
+
+    // ---- Gini coefficient of customer order revenue per nation: exact
+    //      integer cents, rank window per nation, rank-weighted sums
+    //      through DECIMAL — one IEEE division at the end
+    QueryDef(
+      "q159_gini_customer_revenue",
+      (s, dir) => {
+        val rev = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+            .cast(LongType).as("cents"))
+        val per = rev
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").cast(LongType).as("g"),
+            col("c_custkey").as("e"), col("cents"))
+        Concentration.giniByGroup(per, "nationkey")
+      },
+      Some("""WITH rev AS (SELECT o_custkey,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             |      AS cents
+             |  FROM orders GROUP BY 1),
+             |per AS (SELECT CAST(c_nationkey AS BIGINT) AS g, c_custkey AS e,
+             |    cents
+             |  FROM rev JOIN customer ON o_custkey = c_custkey),
+             |rk AS (SELECT g, cents,
+             |    CAST(row_number() OVER (PARTITION BY g ORDER BY cents, e)
+             |      AS BIGINT) AS i
+             |  FROM per),
+             |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+             |    sum(CAST(cents AS DECIMAL(28,0))) AS s,
+             |    sum(CAST(i * cents AS DECIMAL(28,0))) AS s1
+             |  FROM rk GROUP BY 1)
+             |SELECT g AS nationkey, n AS n_entities,
+             |  round((CAST(2.0 AS DOUBLE)*CAST(s1 AS DOUBLE)
+             |      - CAST(n + 1 AS DOUBLE)*CAST(s AS DOUBLE))
+             |    /(CAST(n AS DOUBLE)*CAST(s AS DOUBLE)), 6) AS gini
+             |FROM a ORDER BY nationkey""".stripMargin)
+    ),
+
+    // ---- HHI market concentration of supplier lineitem revenue per
+    //      region: DECIMAL(18,0) cents square to width 37 and sum inside
+    //      width 38 in both engines (the width discipline)
+    QueryDef(
+      "q160_hhi_supplier_share",
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2))) * 100)
+            .cast(LongType).as("cents"))
+        val per = rev
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name").as("g"), col("cents"))
+        Concentration.hhiByGroup(per, "region")
+      },
+      Some("""WITH rev AS (SELECT l_suppkey,
+             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+             |      AS BIGINT) AS cents
+             |  FROM lineitem GROUP BY 1),
+             |per AS (SELECT r_name AS g, cents FROM rev
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey),
+             |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+             |    sum(CAST(cents AS DECIMAL(19,0))) AS s,
+             |    sum(CAST(cents AS DECIMAL(19,0))
+             |      * CAST(cents AS DECIMAL(19,0))) AS s2,
+             |    max(cents) AS mx
+             |  FROM per GROUP BY 1)
+             |SELECT g AS region, n AS n_entities,
+             |  round(CAST(s2 AS DOUBLE)
+             |    /(CAST(s AS DOUBLE)*CAST(s AS DOUBLE)), 6) AS hhi,
+             |  round(CAST(mx AS DOUBLE)/CAST(s AS DOUBLE), 6) AS top_share,
+             |  round((CAST(s AS DOUBLE)*CAST(s AS DOUBLE))
+             |    /CAST(s2 AS DOUBLE), 4) AS effective_n
+             |FROM a ORDER BY region""".stripMargin)
+    ),
+
+    // ---- Kaplan-Meier churn survival at fixed horizons, right-censored
+    //      at 7 idle days: risk table on the tiny lifetime grain; S(h) is
+    //      an explicitly t-ordered multiply fold (Spark `aggregate` HOF ≡
+    //      DuckDB `list_reduce` over `list(... ORDER BY t)` — the q139
+    //      init-prepend trick)
+    QueryDef(
+      "q161_kaplan_meier",
+      (s, dir) =>
+        Behavior.kaplanMeier(t(s, dir, "events"), "user_id", "ts",
+          censorDays = 7, horizons = Seq(7, 14, 28, 56, 84)),
+      Some("""WITH pu AS (SELECT user_id AS u,
+             |    min(CAST(ts AS DATE) - DATE '1970-01-01') AS fday,
+             |    max(CAST(ts AS DATE) - DATE '1970-01-01') AS lday
+             |  FROM events GROUP BY 1),
+             |mx AS (SELECT max(lday) AS m FROM pu),
+             |lt AS (SELECT
+             |    CASE WHEN lday <= m - 7 THEN lday - fday ELSE m - fday END
+             |      AS t,
+             |    CASE WHEN lday <= m - 7 THEN 1 ELSE 0 END AS is_d
+             |  FROM pu, mx),
+             |st AS (SELECT t, CAST(sum(is_d) AS BIGINT) AS dd,
+             |    CAST(sum(1 - is_d) AS BIGINT) AS cc FROM lt GROUP BY 1),
+             |rk AS (SELECT t, dd,
+             |    CAST((SELECT sum(dd + cc) FROM st) AS BIGINT)
+             |      - CAST(coalesce(sum(dd + cc) OVER (ORDER BY t
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |        0) AS BIGINT) AS n_risk
+             |  FROM st),
+             |tm AS (SELECT t, CAST(1.0 AS DOUBLE)
+             |    - CAST(dd AS DOUBLE)/CAST(n_risk AS DOUBLE) AS term
+             |  FROM rk WHERE dd > 0),
+             |h AS (SELECT unnest([7,14,28,56,84]) AS horizon),
+             |f AS (SELECT horizon, CAST(count(*) AS BIGINT) AS n_steps,
+             |    round(list_reduce(
+             |      list_prepend(CAST(1.0 AS DOUBLE), list(term ORDER BY t)),
+             |      (a,b) -> a*b), 6) AS s
+             |  FROM h JOIN tm ON tm.t <= h.horizon GROUP BY 1)
+             |SELECT CAST(h.horizon AS BIGINT) AS horizon,
+             |  coalesce(n_steps, CAST(0 AS BIGINT)) AS n_steps,
+             |  coalesce(s, CAST(1.0 AS DOUBLE)) AS s_km
+             |FROM h LEFT JOIN f USING (horizon)
+             |ORDER BY horizon""".stripMargin)
+    ),
+
+    // ---- Triangle census + transitivity of the Q1-1995 co-purchase
+    //      graph (q135's edge construction): degree-oriented enumeration
+    //      bounds wedge fan-out at O(√m) per node; counts stay integers,
+    //      transitivity 3T/W is the one division
+    QueryDef(
+      "q162_triangle_census",
+      (s, dir) => {
+        val ords = t(s, dir, "orders")
+          .filter(col("o_orderdate").cast("date")
+            .between("1995-01-01", "1995-03-31"))
+          .select(col("o_orderkey"))
+        val items = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(ords, col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_partkey")
+          .distinct()
+        val x = items.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
+        val y = items.select(col("l_orderkey").as("k"), col("l_partkey").as("pb"))
+        val pairs = x.join(y, Seq("k")).filter(col("pa") < col("pb"))
+          .select(col("pa").as("src"), col("pb").as("dst"))
+        graft.ext.Graph.triangleCensus(pairs, "src", "dst")
+      },
+      Some("""WITH ords AS (SELECT o_orderkey FROM orders
+             |    WHERE CAST(o_orderdate AS DATE)
+             |      BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'),
+             |items AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+             |  FROM lineitem JOIN ords ON l_orderkey = o_orderkey),
+             |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+             |  FROM items x JOIN items y USING (k) WHERE x.p < y.p),
+             |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+             |    (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+             |  GROUP BY 1),
+             |o AS (SELECT
+             |    CASE WHEN (da.deg < db.deg)
+             |      OR (da.deg = db.deg AND a < b) THEN a ELSE b END AS u,
+             |    CASE WHEN (da.deg < db.deg)
+             |      OR (da.deg = db.deg AND a < b) THEN b ELSE a END AS v
+             |  FROM e JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
+             |w AS (SELECT e1.v AS y, e2.v AS z FROM o e1
+             |  JOIN o e2 ON e1.u = e2.u WHERE e1.v < e2.v),
+             |tri AS (SELECT CAST(count(*) AS BIGINT) AS t FROM w
+             |  JOIN o o3 ON least(o3.u, o3.v) = w.y
+             |    AND greatest(o3.u, o3.v) = w.z),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             |    CAST(sum(deg) AS BIGINT) // 2 AS n_edges,
+             |    CAST(sum(deg*(deg-1)) AS BIGINT) // 2 AS n_wedges
+             |  FROM deg)
+             |SELECT n_nodes, n_edges, n_wedges, t AS n_triangles,
+             |  round(CAST(3.0 AS DOUBLE)*CAST(t AS DOUBLE)
+             |    /CAST(n_wedges AS DOUBLE), 6) AS transitivity
+             |FROM st, tri""".stripMargin)
+    )
+  )
+}
