@@ -196,4 +196,34 @@ object Behavior {
       )
       .orderBy("horizon")
   }
+
+  /** Top-N event-type trigrams across user journeys (sequence-pattern
+    * mining at the cheapest useful grain): two leads in the same
+    * (user, ts, id) window, one count aggregate on a |types|³-bounded
+    * key space, deterministic top-N via (count desc, lexicographic)
+    * order — plans as TakeOrderedAndProject, partial top-N map-side,
+    * never a global sort.
+    */
+  def journeyTrigrams(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      topN: Int
+  ): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .select(
+        col(typeCol).as("t1"),
+        lead(col(typeCol), 1).over(w).as("t2"),
+        lead(col(typeCol), 2).over(w).as("t3")
+      )
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3")
+      .agg(count(lit(1)).cast(LongType).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(topN)
+  }
 }

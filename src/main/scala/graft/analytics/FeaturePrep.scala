@@ -272,4 +272,51 @@ object FeaturePrep {
       )
       .orderBy(groupCol)
   }
+
+  /** Chi-square feature screening of a categorical column against a binary
+    * label: each category's one-vs-rest 2×2 contingency (the one-hot
+    * feature-selection view, sklearn `chi2`'s shape) scored as
+    * Σ(o−e)²/e over the four cells.
+    *
+    * Counts are exact integers from one aggregate pass; expectations and
+    * cell terms are fixed-shape IEEE expressions evaluated in a pinned
+    * order (pos-cell, neg-cell, rest-pos, rest-neg), so the DuckDB twin
+    * lands on bit-identical doubles. Degenerate margins (empty rest,
+    * all-positive label) zero out their cells instead of dividing by 0.
+    */
+  def chi2Screen(
+      df: DataFrame,
+      catCol: Column,
+      labelCol: Column
+  ): DataFrame = {
+    val g = df
+      .select(catCol.as("category"), labelCol.cast("int").as("y"))
+      .groupBy("category")
+      .agg(
+        count(lit(1)).cast(LongType).as("n"),
+        sum(col("y")).cast(LongType).as("pos")
+      )
+    val tot = broadcast(
+      g.agg(sum(col("n")).cast(LongType).as("nn"),
+        sum(col("pos")).cast(LongType).as("pp")))
+    val withTot = g.crossJoin(tot)
+    def cell(o: Column, rowTot: Column, colTot: Column, nAll: Column): Column = {
+      val e = d(rowTot) * d(colTot) / d(nAll)
+      when(e > 0.0, (d(o) - e) * (d(o) - e) / e).otherwise(lit(0.0))
+    }
+    val chi2 =
+      cell(col("pos"), col("n"), col("pp"), col("nn")) +
+        cell(col("n") - col("pos"), col("n"), col("nn") - col("pp"), col("nn")) +
+        cell(col("pp") - col("pos"), col("nn") - col("n"), col("pp"), col("nn")) +
+        cell((col("nn") - col("n")) - (col("pp") - col("pos")),
+          col("nn") - col("n"), col("nn") - col("pp"), col("nn"))
+    withTot
+      .select(
+        col("category"),
+        col("n").as("n_docs"),
+        col("pos").as("n_pos"),
+        round(chi2, 6).as("chi2")
+      )
+      .orderBy("category")
+  }
 }

@@ -141,4 +141,50 @@ object Sampling {
       .orderBy(col("priority").desc, col(keyCol))
       .limit(k)
   }
+
+  /** Group-safe (leakage-safe) train/val/test split: rows sharing a
+    * content group — here, identical normalized content hash; the same
+    * machinery accepts any cluster id — are assigned as a UNIT, keyed by
+    * the group representative's portable hash, so duplicate documents can
+    * never straddle the train/holdout boundary and leak eval data into
+    * training. The per-split summary carries `max_splits_per_group`,
+    * which the construction pins at 1 — the leakage-safety proof rides
+    * the output.
+    *
+    * Scale: one (hash → min id) aggregate and one co-partitioned join on
+    * the hash (both sides shuffle on `ch` once); split assignment is a
+    * scan-side expression on the representative id.
+    */
+  def groupSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String
+  ): DataFrame = {
+    val g = df.select(col(idCol).as("_id"),
+      Dedup.portableHash60(col(contentCol)).as("ch"))
+    val rep = g.groupBy("ch").agg(min(col("_id")).as("rep"))
+    val bucket = pmod(Dedup.portableHash60(col("rep").cast("string")), lit(10L))
+    val assigned = g.join(rep, "ch")
+      .select(col("_id"), col("ch"),
+        when(bucket < 8, "train")
+          .when(bucket === 8, "val")
+          .otherwise("test").as("split"))
+    val span = broadcast(
+      assigned.groupBy("ch")
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(max(col("ns")).cast("long").as("max_splits_per_group")))
+    val tot = broadcast(assigned.agg(count(lit(1)).cast("long").as("_tot")))
+    assigned
+      .groupBy("split")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col("ch")).cast("long").as("n_groups"))
+      .crossJoin(tot)
+      .crossJoin(span)
+      .select(col("split"), col("n_docs"), col("n_groups"),
+        round(col("n_docs").cast("double") / col("_tot").cast("double"), 6)
+          .as("share"),
+        col("max_splits_per_group"))
+      .orderBy("split")
+  }
 }

@@ -63,6 +63,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion of per-query cosine rankings: each query id
+    * produces a top-`listSize` candidate list (distributed top-k —
+    * TakeOrderedAndProject, never a global sort; ranks are assigned by a
+    * window over the already-tiny list), and the fused score is
+    * Σ 1/(kRrf + rank) over the lists that contain the candidate —
+    * the standard multi-query / hybrid-retrieval combiner.
+    *
+    * Determinism: ranks order by (4-dp cosine desc, id) — the q31-proven
+    * cross-engine-exact ordering — and the fused sum adds the per-query
+    * terms in query order, so a DuckDB twin replays identical doubles.
+    */
+  def rrfFuse(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      listSize: Int,
+      kRrf: Int = 60,
+      topN: Int = 20
+  ): DataFrame = {
+    require(queryIds.nonEmpty, "rrfFuse needs at least one query id")
+    val lists = queryIds.zipWithIndex.map { case (qid, i) =>
+      val top = bruteForceTopK(df, idCol, vecCol, qid, listSize)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("cos_sim"), asc(idCol))
+      top.select(col(idCol),
+        row_number().over(w).cast("long").as(s"rank_$i"))
+    }
+    val joined = lists.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    def term(i: Int): Column =
+      when(col(s"rank_$i").isNull, lit(0.0))
+        .otherwise(lit(1.0) / (lit(kRrf.toLong) + col(s"rank_$i")).cast("double"))
+    val score = queryIds.indices.map(term).reduce(_ + _)
+    val ranksOut = queryIds.indices.map(i =>
+      coalesce(col(s"rank_$i"), lit(0L)).as(s"rank_$i"))
+    joined
+      .select((col(idCol) +: ranksOut :+ round(score, 6).as("rrf")): _*)
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topN)
+  }
+
   /** Deterministic random hyperplanes (seeded), as literal arrays. Pure
     * data (a seeded Gaussian stream), so an oracle can inline the SAME
     * values as SQL literals — q75 pins lshTopK's recall that way.

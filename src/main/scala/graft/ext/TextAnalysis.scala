@@ -339,4 +339,38 @@ object TextAnalysis {
         count(when(col("_p") < lit(lowP), 1)).cast("long").as("n_low"))
       .orderBy(col(idCol))
   }
+
+  /** Feature hashing (the hashing trick): tokens map to `nBuckets` fixed
+    * feature slots via the portable 60-bit hash, giving a bounded-width
+    * bag-of-words representation with no vocabulary pass. Per-bucket
+    * token mass, document frequency, and corpus share.
+    *
+    * Scale: tokens explode scan-side and aggregate map-side onto an
+    * nBuckets-sized key space; the only distinct pass is (bucket, doc)
+    * for the document frequency. The hash is [[Dedup.portableHash60]],
+    * so a DuckDB twin computes identical bucket ids (q68-q73 family).
+    */
+  def featureHashBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int
+  ): DataFrame = {
+    val tok = df.select(col(idCol).as("_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val g = tok
+      .select(col("_id"),
+        pmod(Dedup.portableHash60(col("tok")), lit(nBuckets.toLong))
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        countDistinct(col("_id")).cast("long").as("n_docs"))
+    val tot = broadcast(g.agg(sum(col("n_tokens")).cast("long").as("_tot")))
+    g.crossJoin(tot)
+      .select(col("bucket"), col("n_tokens"), col("n_docs"),
+        round(col("n_tokens").cast("double") / col("_tot").cast("double"), 6)
+          .as("share"))
+      .orderBy("bucket")
+  }
 }

@@ -236,6 +236,160 @@ object BehaviorQueries {
              |  round(CAST(3.0 AS DOUBLE)*CAST(t AS DOUBLE)
              |    /CAST(n_wedges AS DOUBLE), 6) AS transitivity
              |FROM st, tri""".stripMargin)
+    ),
+
+    // ---- Feature hashing (the hashing trick): tokens → 64 portable-hash
+    //      buckets, per-bucket mass / doc frequency / corpus share — the
+    //      no-vocabulary bounded-width encoder
+    QueryDef(
+      "q163_feature_hashing",
+      (s, dir) =>
+        graft.ext.TextAnalysis.featureHashBuckets(
+          t(s, dir, "documents"), "doc_id", "text", nBuckets = 64),
+      Some("""WITH tk AS (SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |      x -> x <> '')) AS tok
+             |  FROM documents),
+             |b AS (SELECT doc_id,
+             |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket
+             |  FROM tk),
+             |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens,
+             |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+             |  FROM b GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM g)
+             |SELECT bucket, n_tokens, n_docs,
+             |  round(CAST(n_tokens AS DOUBLE)/CAST(tot AS DOUBLE), 6)
+             |    AS share
+             |FROM g, t ORDER BY bucket""".stripMargin)
+    ),
+
+    // ---- Chi-square feature screening: source vs is-English label,
+    //      one-vs-rest 2×2 per category; exact counts, pinned-order IEEE
+    //      cell terms (the q145 chi-square family)
+    QueryDef(
+      "q164_chi2_feature_screen",
+      (s, dir) =>
+        graft.analytics.FeaturePrep.chi2Screen(
+          t(s, dir, "documents"),
+          col("source"),
+          coalesce(col("lang"), lit("")) === "en"),
+      Some {
+        def cell(o: String, r: String, c: String): String =
+          s"""(CASE WHEN CAST($r AS DOUBLE)*CAST($c AS DOUBLE)
+             |      /CAST(nn AS DOUBLE) > CAST(0.0 AS DOUBLE)
+             |    THEN (CAST($o AS DOUBLE) - CAST($r AS DOUBLE)
+             |        *CAST($c AS DOUBLE)/CAST(nn AS DOUBLE))
+             |      *(CAST($o AS DOUBLE) - CAST($r AS DOUBLE)
+             |        *CAST($c AS DOUBLE)/CAST(nn AS DOUBLE))
+             |      /(CAST($r AS DOUBLE)*CAST($c AS DOUBLE)
+             |        /CAST(nn AS DOUBLE))
+             |    ELSE CAST(0.0 AS DOUBLE) END)""".stripMargin
+        s"""WITH g AS (SELECT source AS category,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN coalesce(lang, '') = 'en' THEN 1 ELSE 0
+           |      END) AS BIGINT) AS pos
+           |  FROM documents GROUP BY 1),
+           |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+           |    CAST(sum(pos) AS BIGINT) AS pp FROM g)
+           |SELECT category, n AS n_docs, pos AS n_pos,
+           |  round(${cell("pos", "n", "pp")}
+           |    + ${cell("n - pos", "n", "nn - pp")}
+           |    + ${cell("pp - pos", "nn - n", "pp")}
+           |    + ${cell("(nn - n) - (pp - pos)", "nn - n", "nn - pp")}, 6)
+           |    AS chi2
+           |FROM g, t ORDER BY category""".stripMargin
+      }
+    ),
+
+    // ---- Top-20 journey trigrams: two leads in the (user, ts, id)
+    //      window, |types|³-bounded count key, TakeOrderedAndProject
+    QueryDef(
+      "q165_journey_trigrams",
+      (s, dir) =>
+        Behavior.journeyTrigrams(
+          t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+          topN = 20),
+      Some("""WITH s AS (SELECT event_type AS t1,
+             |    lead(event_type, 1) OVER w AS t2,
+             |    lead(event_type, 2) OVER w AS t3
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |g AS (SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n FROM s
+             |  WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1, 2, 3)
+             |SELECT t1, t2, t3, n FROM g
+             |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin)
+    ),
+
+    // ---- Reciprocal-rank fusion of two query rankings (multi-query
+    //      retrieval): top-100 lists by the q31-exact 4-dp cosine order,
+    //      score = Σ 1/(60+rank), full-outer on the tiny lists
+    QueryDef(
+      "q166_rrf_fusion",
+      (s, dir) =>
+        graft.ext.Similarity.rrfFuse(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          queryIds = Seq(1L, 2L), listSize = 100, kRrf = 60, topN = 20),
+      Some {
+        def cosList(qid: Long, out: String): String =
+          s"""q$out AS (SELECT embedding AS qe FROM embeddings
+             |  WHERE vec_id = $qid),
+             |c$out AS (SELECT e.vec_id, round(
+             |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+             |      i -> e.embedding[i]::DOUBLE * qe[i]::DOUBLE)) /
+             |    (sqrt(list_sum(list_transform(e.embedding,
+             |        x -> x::DOUBLE * x::DOUBLE))) *
+             |     sqrt(list_sum(list_transform(qe,
+             |        x -> x::DOUBLE * x::DOUBLE)))), 4) AS cs
+             |  FROM embeddings e, q$out WHERE e.vec_id <> $qid),
+             |l$out AS (SELECT vec_id, r FROM (SELECT vec_id,
+             |    CAST(row_number() OVER (ORDER BY cs DESC, vec_id)
+             |      AS BIGINT) AS r FROM c$out) WHERE r <= 100)""".stripMargin
+        s"""WITH ${cosList(1L, "0")},
+           |${cosList(2L, "1")},
+           |f AS (SELECT coalesce(l0.vec_id, l1.vec_id) AS vec_id,
+           |    l0.r AS r0, l1.r AS r1
+           |  FROM l0 FULL JOIN l1 ON l0.vec_id = l1.vec_id)
+           |SELECT vec_id, CAST(coalesce(r0, 0) AS BIGINT) AS rank_0,
+           |  CAST(coalesce(r1, 0) AS BIGINT) AS rank_1,
+           |  round((CASE WHEN r0 IS NULL THEN CAST(0.0 AS DOUBLE)
+           |      ELSE CAST(1.0 AS DOUBLE)/CAST(60 + r0 AS DOUBLE) END)
+           |    + (CASE WHEN r1 IS NULL THEN CAST(0.0 AS DOUBLE)
+           |      ELSE CAST(1.0 AS DOUBLE)/CAST(60 + r1 AS DOUBLE) END), 6)
+           |    AS rrf
+           |FROM f ORDER BY rrf DESC, vec_id LIMIT 20""".stripMargin
+      }
+    ),
+
+    // ---- Leakage-safe (group-consistent) split: identical-content
+    //      groups assigned train/val/test as a unit by the portable hash
+    //      of the group representative; max_splits_per_group == 1 is the
+    //      no-leakage proof riding the output
+    QueryDef(
+      "q167_groupsafe_split",
+      (s, dir) =>
+        graft.ext.Sampling.groupSafeSplit(
+          t(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH g AS (SELECT doc_id AS id,
+             |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS ch
+             |  FROM documents),
+             |rep AS (SELECT ch, min(id) AS rep FROM g GROUP BY 1),
+             |a AS (SELECT id, g.ch,
+             |    CASE WHEN ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15))
+             |        ::BIGINT % 10 < 8 THEN 'train'
+             |      WHEN ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15))
+             |        ::BIGINT % 10 = 8 THEN 'val'
+             |      ELSE 'test' END AS split
+             |  FROM g JOIN rep USING (ch)),
+             |sp AS (SELECT CAST(max(ns) AS BIGINT) AS msg FROM
+             |    (SELECT count(DISTINCT split) AS ns FROM a GROUP BY ch)),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM a)
+             |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT ch) AS BIGINT) AS n_groups,
+             |  round(CAST(count(*) AS DOUBLE)/CAST(tot AS DOUBLE), 6)
+             |    AS share,
+             |  msg AS max_splits_per_group
+             |FROM a, t, sp GROUP BY split, tot, msg
+             |ORDER BY split""".stripMargin)
     )
   )
 }
