@@ -29,9 +29,11 @@ class FusionSplitSpec extends SparkSpec {
     assert(alphaBucket.length == 1 && alphaBucket.head.getLong(1) == 2L)
   }
 
-  test("rrfFuse: hand-built vectors rank shared neighbor first") {
-    // q1 = e1-axis, q2 = e2-axis; v10 is close to BOTH queries, v11/v12
-    // each close to only one — RRF must put v10 on top
+  test("rrfFuse: hand-built vectors fuse ranks with id tie-break") {
+    // q1 = e1-axis, q2 = e2-axis; v10 is rank-2 in BOTH lists, v11/v12 are
+    // rank-1 in one and rank-3 in the other. By AM-HM, 1/61 + 1/63 > 2/62,
+    // so RRF legitimately ranks the 1+3 candidates above the 2+2 one; the
+    // v11/v12 tie (equal scores) breaks to the lower id.
     def v(x: Double, y: Double, z: Double) = Array(x.toFloat, y.toFloat, z.toFloat)
     val rows = Seq(
       (1L, v(1, 0, 0)), (2L, v(0, 1, 0)),
@@ -46,7 +48,8 @@ class FusionSplitSpec extends SparkSpec {
     // list1: 11(r1), 10(r2), 12(r3); list2: 12(r1), 10(r2), 11(r3)
     val byId = out.map(r => r._1 -> r).toMap
     assert(byId(10L)._2 == 2L && byId(10L)._3 == 2L)
-    assert(out.head._1 == 10L) // 2/(60+2) beats 1/61 + 1/63 mixes
+    assert(out.head._1 == 11L) // 1/61 + 1/63 > 2/62; id 11 < 12 on the tie
+    assert(out.map(_._1).take(3).toSeq == Seq(11L, 12L, 10L))
     // ranks of one-sided ids: present in both lists here (size-3 lists)
     assert(byId(11L)._2 == 1L && byId(11L)._3 == 3L)
     assert(byId(12L)._2 == 3L && byId(12L)._3 == 1L)
@@ -66,7 +69,9 @@ class FusionSplitSpec extends SparkSpec {
     val byId = out.map(r => r._1 -> r).toMap
     // listSize=1: list1 = [10], list2 = [11]; absent rank reported as 0
     assert(byId(10L)._2 == 1L && byId(10L)._3 == 0L)
-    assert(math.abs(byId(10L)._4 - 1.0 / 61) < 1e-9)
+    // operator rounds the fused score to 6 dp (Similarity.rrfFuse), so the
+    // tolerance must absorb up to 5e-7 of rounding — not 1e-9
+    assert(math.abs(byId(10L)._4 - 1.0 / 61) < 1e-6)
   }
 
   test("groupSafeSplit: duplicate content never straddles splits") {

@@ -4,6 +4,7 @@ import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 /** True streaming-execution tests: MemoryStream micro-batches through the
   * watermarked window aggregations and the custom-state sessionizer.
@@ -233,7 +234,10 @@ class EventsStreamingSpec extends SparkSpec {
     val expected = static.groupBy(window(col("ts"), "10 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events")).count()
     import org.apache.spark.sql.types._
-    // nanos fixture: stream with long ts then convert, mirroring Q.t
+    // nanos fixture: the file-STREAM source hands TIMESTAMP(NANOS) to a
+    // LongType schema as MICROS (unlike the batch nanosAsLong path, which
+    // yields raw nanos) — so convert with timestamp_micros directly, no
+    // DIV 1000. Verified empirically: DIV 1000 lands all events in 1970.
     val schema = StructType(Seq(StructField("event_id", LongType),
       StructField("ts", LongType), StructField("user_id", LongType),
       StructField("event_type", StringType), StructField("value", DoubleType),
@@ -245,15 +249,34 @@ class EventsStreamingSpec extends SparkSpec {
       streamDir.resolve("events.parquet"))
     val stream = spark.readStream.schema(schema)
       .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts", timestamp_micros(col("ts")))
     val q = Events.tumblingCounts(stream, "10 minutes").writeStream
       .format("memory").queryName("file_stream_test").outputMode("append").start()
     try {
+      // batch 1: with a single file the watermark only advances AFTER the
+      // batch, so append mode emits nothing yet — that's correct semantics.
       q.processAllAvailable()
-      // append mode only emits watermark-closed windows; at least the bulk
-      // of windows must have been produced
+      // Stage a second file with one sentinel event 2h past the fixture's
+      // max so the next micro-batch's watermark (max - 30min delay) closes
+      // every real window deterministically.
+      val maxLdt = spark.read.parquet(s"$sf/events.parquet")
+        .agg(max(col("ts"))).head.getAs[java.time.LocalDateTime](0)
+      val maxMicros =
+        maxLdt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + maxLdt.getNano / 1000L
+      val sentinelDir = java.nio.file.Files.createTempDirectory("events_sentinel")
+      val sentinel = spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(
+          999999L, maxMicros + 7200L * 1000000L, 0L, "sentinel", 0.0, "{}")),
+        schema)
+      sentinel.coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+      val part = java.nio.file.Files.list(sentinelDir).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part, streamDir.resolve("sentinel.parquet"))
+      q.processAllAvailable()
+      // all real windows closed; the sentinel's own window stays open
+      // (its end > watermark), so the count is exactly the static count
       val n = spark.table("file_stream_test").count()
-      assert(n > 0.8 * expected, s"file-stream windows $n vs static $expected")
+      assert(n == expected, s"file-stream windows $n vs static $expected")
     } finally q.stop()
   }
 }
