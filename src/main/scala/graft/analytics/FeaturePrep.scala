@@ -26,21 +26,29 @@ object FeaturePrep {
     * the driver (nBins-1 doubles) and inlined as literals, so the bucketing
     * pass is pure whole-stage codegen with no join.
     *
-    * 100 TB: the exact percentile buffers one column per partition; swap
-    * `approx_percentile` for the boundary pass (the bucket pass is
-    * unchanged) when the column no longer fits — same tradeoff note as
-    * `Summary.describeNumeric`.
+    * 100 TB: the exact percentile's FINAL MERGE absorbs the whole column
+    * into one buffer (600M doubles at the 100× sweep — the q151 scale
+    * hazard); `approxBoundaries = true` swaps the boundary pass to
+    * `approx_percentile` (t-digest-style mergeable sketch, bounded memory,
+    * certified against the exact quantiles by the q98 error pin) while the
+    * bucket/profile pass is UNCHANGED. Exact stays the default because the
+    * oracle replays exact interpolated quantiles.
     */
   def equalFreqBins(
       df: DataFrame,
       valueCol: String,
       targetCol: String,
-      nBins: Int
+      nBins: Int,
+      approxBoundaries: Boolean = false,
+      approxAccuracy: Int = 10000
   ): DataFrame = {
     val probs = (1 until nBins).map(i => i.toDouble / nBins)
-    val qRow = df
-      .agg(percentile(col(valueCol), array(probs.map(lit): _*)))
-      .head()
+    val boundaryAgg =
+      if (approxBoundaries)
+        approx_percentile(col(valueCol).cast("double"),
+          array(probs.map(lit): _*), lit(approxAccuracy))
+      else percentile(col(valueCol), array(probs.map(lit): _*))
+    val qRow = df.agg(boundaryAgg).head()
     val bounds = qRow.getSeq[Double](0)
     val bin = bounds
       .foldLeft(lit(0))((acc, b) => acc + (col(valueCol) > lit(b)).cast("int"))

@@ -116,6 +116,99 @@ object Multimodal {
       finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** PURE HEADER PARSE — no codec, no decode: container format and pixel
+    * dimensions straight from the first bytes of the payload. This is the
+    * 100-TB metadata pass: a petabyte image lake gets (format, w, h) from
+    * reading ≤ a few hundred bytes per object, never rasterizing.
+    *
+    *  - PNG: 8-byte signature, then the IHDR chunk's big-endian w/h
+    *    (bytes 16-23 — IHDR is required to be first by the spec)
+    *  - JPEG: marker scan from SOI to the first SOFn frame header
+    *    (C0-CF minus C4/C8/CC), big-endian height then width
+    *  - GIF: 6-byte version tag, little-endian logical-screen w/h
+    *  - BMP: "BM" + BITMAPINFOHEADER little-endian w/h at offsets 18/22
+    *
+    * Returns None for anything else (or truncated headers).
+    */
+  def headerMeta(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (bytes.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' &&
+        u8(3) == 'G' && u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a &&
+        u8(7) == 0x0a)
+      Some(("png", be32(16), be32(20)))
+    else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // marker scan: FF marker len(2) payload…; SOFn payload is
+      // precision(1) height(2) width(2)
+      var i = 2
+      var res: Option[(String, Int, Int)] = None
+      while (res.isEmpty && i + 3 < bytes.length) {
+        if (u8(i) != 0xff) return None // desynced — not a JPEG stream
+        val marker = u8(i + 1)
+        if (marker == 0xff) i += 1 // fill bytes before a marker are legal
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) i += 2
+        else if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 &&
+            marker != 0xc8 && marker != 0xcc) {
+          if (i + 8 < bytes.length) res = Some(("jpeg", be16(i + 7), be16(i + 5)))
+          else return None
+        } else {
+          if (i + 3 >= bytes.length) return None
+          i += 2 + be16(i + 2)
+        }
+      }
+      res
+    } else if (bytes.length >= 10 && u8(0) == 'G' && u8(1) == 'I' &&
+        u8(2) == 'F' && u8(3) == '8' && (u8(4) == '7' || u8(4) == '9') &&
+        u8(5) == 'a')
+      Some(("gif", le16(6), le16(8)))
+    else if (bytes.length >= 26 && u8(0) == 'B' && u8(1) == 'M')
+      Some(("bmp", le32(18), le32(22)))
+    else None
+  }
+
+  /** Minimal valid-prefix PNG bytes (signature + IHDR) for the given
+    * dimensions — deterministic pure data, used by the q169 round-trip
+    * oracle and specs. (CRC left zero: headerMeta reads structure only.)
+    */
+  def pngHeaderBytes(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(33)
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    b.putInt(w).putInt(h)
+    b.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    b.putInt(0) // CRC placeholder
+    b.array()
+  }
+
+  /** Minimal JPEG prefix (SOI + APP0/JFIF + SOF0) for the given
+    * dimensions — deterministic pure data for the q169 round-trip oracle.
+    */
+  def jpegHeaderBytes(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(4 + 18 + 19)
+    b.put(0xff.toByte).put(0xd8.toByte) // SOI
+    b.put(0xff.toByte).put(0xe0.toByte).putShort(16.toShort) // APP0 len 16
+    b.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    b.put(1.toByte).put(1.toByte).put(0.toByte)
+    b.putShort(1.toShort).putShort(1.toShort).put(0.toByte).put(0.toByte)
+    b.put(0xff.toByte).put(0xc0.toByte).putShort(17.toShort) // SOF0 len 17
+    b.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+    b.put(3.toByte) // 3 components, descriptors zeroed
+    b.put(new Array[Byte](9))
+    b.array()
+  }
+
+  /** Minimal GIF89a prefix for the given dimensions (round-trip oracle). */
+  def gifHeaderBytes(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("GIF89a".getBytes("US-ASCII"))
+    b.putShort(w.toShort).putShort(h.toShort)
+    b.put(0.toByte).put(0.toByte).put(0.toByte)
+    b.array()
+  }
+
   /** Decoded pixel dimensions, when the payload is a decodable image. */
   def imageDims(bytes: Array[Byte]): Option[(Int, Int)] =
     try {

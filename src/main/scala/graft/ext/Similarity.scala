@@ -779,4 +779,75 @@ object Similarity {
         round(col("_b._cs"), 4).as("cos_sim"))
       .orderBy("vec_id")
   }
+
+  /** LAKE-SCALE hard-negative mining: the candidate set comes from the
+    * multi-probe SRP bucket join (the q78 knnJoin channel) instead of the
+    * full cross product — each anchor only meets candidates in its own
+    * bucket plus the `probeHamming`-bit-flip neighbors, then the SAME
+    * exact-cosine cross-label argmax as [[hardNegatives]] ranks them
+    * (which stays available as the verify stage, the ANN-then-verify
+    * split q34 uses).
+    *
+    * Scale shape: the anchor side explodes into its ≤ nBits+1 probe
+    * masks and equi-joins the bucketed candidate side — the corpus is
+    * never replicated, no quadratic predicate ever forms, and a given
+    * (anchor, candidate) pair meets in at most ONE probe bucket (the
+    * matching mask is uniquely anchor⊕candidate), so no dedup pass.
+    * Candidate volume is sum of bucket-pair products, not n²: at 100×
+    * replication the pair stream shrinks ~2^nBits-fold vs brute force.
+    * Anchors whose probe buckets hold no cross-label vector drop out —
+    * recall < 1 by construction (q168 pins the recall against the exact
+    * miner in both engines). Per-anchor argmax is the same map-side
+    * struct-max aggregation as [[hardNegatives]].
+    *
+    * `portable = true` uses the quantized integer plane family
+    * ([[lshBucketQuantized]]) so the whole channel has a DuckDB twin;
+    * production keeps the seeded-Gaussian native `srp_bucket`.
+    */
+  def hardNegativesLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      dim: Int,
+      nBits: Int = 8,
+      probeHamming: Int = 1,
+      seed: Long = 42L,
+      portable: Boolean = false
+  ): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 1,
+      "probe masks are enumerated; Hamming 0 or 1 supported")
+    def bucketOf(c: Column): Column =
+      if (portable) lshBucketQuantized(c, dim, nBits)
+      else lshBucket(c, dim, nBits, seed)
+    val valid = df
+      .select(col(idCol), col(vecCol), col(labelCol))
+      .filter(col(vecCol).isNotNull && norm(col(vecCol)) > 0)
+    val masks: Seq[Long] =
+      0L +: (if (probeHamming >= 1) (0 until nBits).map(i => 1L << i) else Nil)
+    val anchors = valid
+      .select(col(idCol).as("vec_id"), col(vecCol).as("_va"),
+        col(labelCol).as("label"))
+      .withColumn("_abucket", bucketOf(col("_va")))
+      .withColumn("_bucket",
+        explode(array(masks.map(m => col("_abucket").bitwiseXOR(lit(m))): _*)))
+      .drop("_abucket")
+    val cands = valid
+      .select(col(idCol).as("hard_neg_id"), col(vecCol).as("_vb"),
+        col(labelCol).as("hard_neg_label"))
+      .withColumn("_bucket", bucketOf(col("_vb")))
+      // single-file local inputs = one partition: spread the bucket join
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    anchors.join(cands, Seq("_bucket"))
+      .filter(col("label") =!= col("hard_neg_label"))
+      .withColumn("_cs", cosine(col("_va"), col("_vb")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("_cs"), negate(col("hard_neg_id")).as("_nid"),
+        col("hard_neg_label").as("_nl"))).as("_b"))
+      .select(col("vec_id"), col("label"),
+        negate(col("_b._nid")).as("hard_neg_id"),
+        col("_b._nl").as("hard_neg_label"),
+        round(col("_b._cs"), 4).as("cos_sim"))
+      .orderBy("vec_id")
+  }
 }

@@ -510,8 +510,100 @@ object SimilarityQueries {
              |        / count(*), 6) AS mean_sil,
              |  round(min(sil), 6) AS min_sil, round(max(sil), 6) AS max_sil
              |FROM s GROUP BY cell ORDER BY cell""".stripMargin)
+    ),
+
+    // ---- the q141 LAKE channel, oracled as a RECALL PIN (the q75
+    //      pattern): hard negatives mined through the multi-probe SRP
+    //      bucket join (quantized plane family) compared anchor-by-anchor
+    //      against the exact cross-product miner — both engines compute
+    //      both paths independently, so a drift in bucketing, probe
+    //      enumeration, argmax tie-break, or cosine rounding breaks the
+    //      hash. Integer outputs only (counts + basis-point cos gap).
+    QueryDef(
+      "q168_hard_negatives_lsh",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val ex = Similarity.hardNegatives(e, "vec_id", "embedding", "label")
+          .select(col("vec_id"), col("hard_neg_id").as("_xneg"),
+            col("cos_sim").as("_xcs"))
+        val lsh = Similarity.hardNegativesLsh(e, "vec_id", "embedding",
+            "label", dim = 64, nBits = SemBits, probeHamming = 1,
+            portable = true)
+          .select(col("vec_id"), col("hard_neg_id").as("_lneg"),
+            col("cos_sim").as("_lcs"))
+        ex.join(lsh, Seq("vec_id"), "left").agg(
+          count(lit(1)).cast("long").as("n_anchors"),
+          count(col("_lneg")).cast("long").as("n_lsh"),
+          sum(when(col("_lneg") === col("_xneg"), lit(1L)).otherwise(lit(0L)))
+            .cast("long").as("n_id_match"),
+          coalesce(sum(when(col("_lneg").isNotNull,
+            round(col("_xcs") * 10000).cast("long") -
+              round(col("_lcs") * 10000).cast("long"))), lit(0L))
+            .cast("long").as("cos_gap_bp"))
+      },
+      Some(hardNegLshOracleSql)
     )
   )
+
+  /** The q168 oracle: BOTH hard-negative paths in DuckDB — the exact
+    * cross-product miner (q141's CTEs) and the multi-probe bucket channel
+    * (q78's bucket/probe CTEs + the cross-label filter) — then the recall
+    * pin: anchor counts, id-match count, and the summed basis-point gap
+    * between the exact and LSH winners' rounded cosines (pure integers).
+    */
+  private def hardNegLshOracleSql: String = {
+    val bits = Similarity.quantPlanes(64, SemBits).zipWithIndex.map {
+      case (p, i) =>
+        val lst = p.mkString("[", ",", "]")
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), " +
+          s"j -> ($lst)[j] * vq[j])) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" +\n  ")
+    val masks = (0L +: (0 until SemBits).map(i => 1L << i).toSeq)
+      .mkString("[", ",", "]")
+    def cos(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, len($a) + 1),
+         |    i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
+         |  (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) *
+         |   sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))))""".stripMargin
+    s"""WITH valid AS (
+       |  SELECT vec_id, label, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL AND
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> x::DOUBLE * x::DOUBLE))) > 0),
+       |sims AS (
+       |  SELECT a.vec_id, b.vec_id AS hard_neg_id,
+       |    ${cos("a.embedding", "b.embedding")} AS cs
+       |  FROM valid a JOIN valid b ON a.label <> b.label),
+       |ex AS (SELECT vec_id, hard_neg_id, round(cs, 4) AS cs4 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cs DESC, hard_neg_id) AS rn FROM sims) r WHERE rn = 1),
+       |vq AS (SELECT vec_id,
+       |  list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS vq
+       |  FROM valid),
+       |b AS (SELECT vec_id, CAST($bits AS BIGINT) AS bucket FROM vq),
+       |probes AS (SELECT q.vec_id AS q_id, xor(q.bucket, m.m) AS bucket
+       |  FROM b q, (SELECT unnest($masks::BIGINT[]) AS m) m),
+       |lsims AS (
+       |  SELECT p.q_id AS vec_id, c.vec_id AS hard_neg_id,
+       |    ${cos("va.embedding", "vc.embedding")} AS cs
+       |  FROM probes p
+       |  JOIN b c ON c.bucket = p.bucket
+       |  JOIN valid va ON va.vec_id = p.q_id
+       |  JOIN valid vc ON vc.vec_id = c.vec_id
+       |  WHERE va.label <> vc.label),
+       |lsh AS (SELECT vec_id, hard_neg_id, round(cs, 4) AS cs4 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cs DESC, hard_neg_id) AS rn FROM lsims) r WHERE rn = 1)
+       |SELECT
+       |  CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_anchors,
+       |  CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+       |  CAST((SELECT count(*) FROM ex JOIN lsh USING (vec_id)
+       |    WHERE ex.hard_neg_id = lsh.hard_neg_id) AS BIGINT) AS n_id_match,
+       |  CAST((SELECT coalesce(sum(
+       |      CAST(round(ex.cs4 * 10000) AS BIGINT) -
+       |      CAST(round(lsh.cs4 * 10000) AS BIGINT)), 0)
+       |    FROM ex JOIN lsh USING (vec_id)) AS BIGINT) AS cos_gap_bp""".stripMargin
+  }
 
   /** The q77 oracle: the full semantic-dedup pipeline in DuckDB — quantized
     * SRP buckets (same integer plane family as q70), bucket-local candidate

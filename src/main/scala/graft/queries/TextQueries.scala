@@ -11,6 +11,12 @@ import graft.queries.Q._
   */
 object TextQueries {
 
+  /** Registry key for the q140-produced / q143-consumed verified pair
+    * index (session + sf dir + the gram/threshold operating point).
+    */
+  private def pairIndexKey(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.util.Materialized.key(s, dir, "prefix_jaccard_pairs", "n=3", "minSim=0.5")
+
   /** Shared oracle CTEs for q140/q143: 3-gram sets per doc (with the
     * wordNgrams short-text fallback) and the brute-force all-pairs Jaccard
     * table. Declared ABOVE `defs` — oracle strings evaluate eagerly while
@@ -439,6 +445,48 @@ object TextQueries {
              |FROM documents ORDER BY media_id""".stripMargin)
     ),
 
+    // ---- media HEADER parsing, oracled as an encode→parse ROUND TRIP:
+    //      deterministic PNG/JPEG/GIF header bytes are built from each
+    //      row's fields (real container structure: IHDR / SOF0 marker
+    //      scan / logical screen descriptor), then Multimodal.headerMeta
+    //      recovers (format, w, h) by PURE byte parsing — no codec — and
+    //      the DuckDB twin replays the closed-form dimensions. A parser
+    //      or builder drift in either direction breaks the hash. This is
+    //      the petabyte-lake metadata pass: dimensions from ≤ 64 header
+    //      bytes per object, never rasterizing.
+    QueryDef(
+      "q169_media_header_census",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .filter(col("n_chars").isNotNull)
+          .select(col("doc_id"), col("n_chars"))
+          .as[(Long, Long)]
+          .map { case (id, nc) =>
+            val w = (nc % 1000 + 1).toInt
+            val h = (id % 500 + 1).toInt
+            val bytes = (id % 3) match {
+              case 0 => graft.ext.Multimodal.pngHeaderBytes(w, h)
+              case 1 => graft.ext.Multimodal.jpegHeaderBytes(w, h)
+              case _ => graft.ext.Multimodal.gifHeaderBytes(w, h)
+            }
+            val p = graft.ext.Multimodal.headerMeta(bytes)
+            (id, p.map(_._1).getOrElse("unknown"),
+              p.map(_._2.toLong).getOrElse(-1L),
+              p.map(_._3.toLong).getOrElse(-1L))
+          }
+          .toDF("media_id", "format", "width", "height")
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+             |    ELSE 'gif' END AS format,
+             |  CAST(n_chars % 1000 + 1 AS BIGINT) AS width,
+             |  CAST(doc_id % 500 + 1 AS BIGINT) AS height
+             |FROM documents WHERE n_chars IS NOT NULL
+             |ORDER BY media_id""".stripMargin)
+    ),
+
     // ---- deterministic hash split (train/holdout membership must be
     //      engine-portable: md5-bucket arithmetic verified against DuckDB)
     QueryDef(
@@ -703,8 +751,13 @@ object TextQueries {
     QueryDef(
       "q140_prefix_jaccard_pairs",
       (s, dir) =>
-        Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, minSim = 0.5),
+        // producing stage: ALWAYS re-derives, then registers the verified
+        // pair set as a materialized artifact for downstream policy stages
+        // (q143) — the pipeline derives pairs ONCE, like a production
+        // curation run that persists this table (the q74 index pattern)
+        graft.util.Materialized.put(pairIndexKey(s, dir),
+          Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+            n = 3, minSim = 0.5)),
       Some(s"""WITH $prefixGramPairCtes
               |SELECT id_a, id_b, jaccard_sim
               |FROM ppairs WHERE jaccard_sim >= 0.5
@@ -719,8 +772,12 @@ object TextQueries {
       "q143_canonical_selection",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val pairs = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
-          n = 3, minSim = 0.5)
+        // consuming stage: reuse q140's materialized pair index (derive it
+        // only if the producer never ran in this session) — identical rows
+        // either way, so the oracle hash is path-independent
+        val pairs = graft.util.Materialized.getOrBuild(pairIndexKey(s, dir))(
+          Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+            n = 3, minSim = 0.5))
         Dedup.canonicalPerCluster(docs, "doc_id", "n_chars", pairs)
       },
       Some(s"""WITH RECURSIVE $prefixGramPairCtes,

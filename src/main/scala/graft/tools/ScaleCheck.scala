@@ -48,6 +48,25 @@ object ScaleCheck {
     ()
   }
 
+  /** Scale-only plans that aren't (and shouldn't be) bench queries: the
+    * production operating points of operators whose REGISTERED form must
+    * stay oracle-friendly. x141 is hardNegativesLsh at production width
+    * (12-bit seeded-Gaussian planes, Hamming-1 probes) — the lake channel
+    * whose 100× line the exact q141 cross product cannot produce.
+    */
+  val extras: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x141_hard_negatives_lsh" -> ((s, dir) =>
+      graft.ext.Similarity.hardNegativesLsh(
+        graft.queries.Q.t(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", dim = 64, nBits = 12, probeHamming = 1)),
+    // q151's lake boundary pass: approx_percentile sketch instead of the
+    // exact percentile whose final merge buffers the whole column
+    "x151_equal_freq_binning_approx" -> ((s, dir) =>
+      graft.analytics.FeaturePrep.equalFreqBins(
+        graft.queries.Q.t(s, dir, "lineitem"), "l_extendedprice",
+        "l_discount", 10, approxBoundaries = true))
+  )
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val out = args.drop(1).headOption.getOrElse("/tmp/graft_scale")
@@ -63,13 +82,15 @@ object ScaleCheck {
         "q31_cosine_topk", "q35_tumbling_window", "q37_sessionization",
         "q38_out_of_order_census", "q41_bootstrap_ci", "q44_corr_matrix",
         "q46_curation_pipeline")
+    def queryOf(n: String): (SparkSession, String) => DataFrame =
+      extras.getOrElse(n, SparkEntry.queries(n))
     // warm-up at sf0.1, then timed at the scaled dir
     headline.foreach(n =>
-      SparkEntry.queries(n)(spark, "/root/testdata/sf0.1")
+      queryOf(n)(spark, "/root/testdata/sf0.1")
         .write.format("noop").mode("overwrite").save())
     val results = headline.map { n =>
       val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, out)
+      queryOf(n)(spark, out)
         .write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[scale] $n: $dt%.2f s")

@@ -128,4 +128,39 @@ class MultimodalSpec extends SparkSpec {
       Set("media_id", "kind", "n_bytes", "byte_entropy", "histogram", "frames_sampled"))
     assert(feats.filter(col("kind") === "image").count() == 10)
   }
+
+  test("headerMeta parses real codec output, built headers, and rejects junk") {
+    // REAL PNG and GIF from the JDK encoder — parser vs actual codec output
+    val img = new java.awt.image.BufferedImage(
+      37, 21, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (fmt <- Seq("png", "gif")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      assert(Multimodal.headerMeta(bos.toByteArray).contains((fmt, 37, 21)))
+    }
+    // REAL JPEG from the JDK encoder (SOF position varies — marker scan)
+    val jb = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", jb))
+    assert(Multimodal.headerMeta(jb.toByteArray).contains(("jpeg", 37, 21)))
+    // built minimal headers round-trip
+    assert(Multimodal.headerMeta(Multimodal.pngHeaderBytes(1000, 500))
+      .contains(("png", 1000, 500)))
+    assert(Multimodal.headerMeta(Multimodal.jpegHeaderBytes(640, 480))
+      .contains(("jpeg", 640, 480)))
+    assert(Multimodal.headerMeta(Multimodal.gifHeaderBytes(13, 7))
+      .contains(("gif", 13, 7)))
+    // BMP structural header
+    val bmp = java.nio.ByteBuffer.allocate(26)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte).position(18)
+    bmp.putInt(320).putInt(200)
+    assert(Multimodal.headerMeta(bmp.array()).contains(("bmp", 320, 200)))
+    // junk / truncation never throws, never lies
+    assert(Multimodal.headerMeta(Array[Byte]()).isEmpty)
+    assert(Multimodal.headerMeta(Array.fill(100)(0x41.toByte)).isEmpty)
+    assert(Multimodal.headerMeta(
+      Multimodal.pngHeaderBytes(10, 10).take(20)).isEmpty)
+    assert(Multimodal.headerMeta(
+      Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x03, 0x00).map(_.toByte)).isEmpty)
+  }
 }
