@@ -435,4 +435,88 @@ object Summary {
           .as("chi2_part"))
       .orderBy("digit")
   }
+
+  /** A13: `df.memory_usage(deep=True)` analog — per-column DATA bytes under
+    * a deterministic deep-size model (fixed-width types: width × non-null
+    * count; strings/binary: exact UTF-8/byte length sum; arrays: element
+    * width × total element count). ONE aggregate pass over the table, then
+    * a `stack` reshape of the single agg row — no collect, no per-column
+    * scans (pandas rescans per column). The model is engine-portable pure
+    * arithmetic, so the whole readout is DuckDB-oracle-able (q170) —
+    * unlike pandas' Python-object overhead accounting, which measures the
+    * CPython allocator, not the data.
+    */
+  def memoryUsage(df: DataFrame): DataFrame = {
+    def widthOf(dt: DataType): Int = dt match {
+      case IntegerType | FloatType | DateType => 4
+      case ShortType => 2
+      case ByteType | BooleanType => 1
+      case _ => 8 // long/double/timestamp/decimal(≤18)
+    }
+    def bytesExpr(f: StructField): org.apache.spark.sql.Column = f.dataType match {
+      case StringType | BinaryType =>
+        coalesce(sum(octet_length(col(f.name)).cast("long")), lit(0L))
+      case ArrayType(et, _) =>
+        coalesce(sum((size(col(f.name)) * widthOf(et)).cast("long")), lit(0L))
+      case dt => count(col(f.name)) * lit(widthOf(dt).toLong)
+    }
+    val fields = df.schema.fields
+    val aggs = fields.flatMap(f => Seq(
+      count(col(f.name)).cast("long").as(s"_n_${f.name}"),
+      bytesExpr(f).cast("long").as(s"_b_${f.name}")))
+    val stackArgs = fields
+      .map(f => s"'${f.name}', _n_${f.name}, _b_${f.name}").mkString(", ")
+    df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+      .selectExpr(s"stack(${fields.length}, $stackArgs) " +
+        "as (column_name, n_values, data_bytes)")
+      .orderBy("column_name")
+  }
+
+  /** A13's physical half: per-table size statistics from parquet FOOTERS
+    * only — file count, row count, compressed/uncompressed bytes — plus
+    * Catalyst's optimized-plan size estimate (`stats.sizeInBytes`, what
+    * the broadcast-join threshold consults). Footers are read on the
+    * EXECUTORS (file list distributed, ~KB per footer); no data pages are
+    * touched, so this is the petabyte-lake "du" that costs seconds.
+    * Engine-internal estimates aren't cross-engine-comparable, so this
+    * half is spec-pinned (SummarySpec) rather than DuckDB-oracled.
+    */
+  def sizeStats(spark: SparkSession, paths: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    val rows = paths.toSeq.sortBy(_._1).map { case (name, p) =>
+      val df = spark.read.parquet(p)
+      val planBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+      val files = df.inputFiles.toIndexedSeq
+      val m = spark.createDataset(files)
+        .repartition(math.min(files.length,
+          spark.sparkContext.defaultParallelism))
+        .mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              var nRows = 0L; var comp = 0L; var unc = 0L
+              r.getFooter.getBlocks.forEach { b =>
+                nRows += b.getRowCount
+                b.getColumns.forEach { c =>
+                  comp += c.getTotalSize
+                  unc += c.getTotalUncompressedSize
+                }
+              }
+              (nRows, comp, unc)
+            } finally r.close()
+          }
+        }
+        .toDF("r", "c", "u")
+        .agg(coalesce(sum("r"), lit(0L)), coalesce(sum("c"), lit(0L)),
+          coalesce(sum("u"), lit(0L)))
+        .head()
+      (name, files.length.toLong, m.getLong(0), m.getLong(1), m.getLong(2),
+        planBytes)
+    }
+    rows.toDF("table_name", "n_files", "n_rows", "compressed_bytes",
+      "uncompressed_bytes", "plan_est_bytes")
+  }
 }

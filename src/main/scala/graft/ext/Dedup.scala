@@ -638,6 +638,134 @@ object Dedup {
     * one join back to `docs` is keyed on the id (8-byte keys), and the
     * per-cluster argmax is a window over that cluster's members only.
     */
+  /** EXACT SUBSTRING duplication census (the "dedup training data at the
+    * substring level" operator): every length-`k` character window of every
+    * document, flagged when the identical window text occurs in ≥ 2
+    * DISTINCT documents; per document, the dup-window count and the longest
+    * consecutive dup RUN (a run of r dup windows = one shared passage of
+    * r+k−1 characters — the span you'd cut).
+    *
+    * Scale shape: windows are hashed (xxhash64) at the scan, so the
+    * multi-doc census and the flag join move 8-byte longs, never window
+    * strings; the output is CARDINALITY-only (hash-independent modulo a
+    * ~1e-15/pair collision — the q24/q140 argument), which is what lets a
+    * string-window DuckDB twin hash-match. Run detection is one per-doc
+    * window function over positions (pos − row_number =
+    * consecutive-group id). At lake scale, stride-1 windows over every
+    * byte are the VERIFY stage; the candidate channel is winnowed
+    * fingerprints (local-minimum hashes — robust to alignment), the same
+    * ANN-then-verify split as q34/q141.
+    */
+  def substringDupSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 40
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .select(col(idCol).as("_id"), col(textCol).as("_t"))
+      .filter(col("_t").isNotNull && length(col("_t")) >= k)
+      // single-file local inputs = one partition: spread the window explode
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val wins = base
+      .select(col("_id"),
+        explode(sequence(lit(1), length(col("_t")) - lit(k - 1))).as("_pos"),
+        col("_t"))
+      .select(col("_id"), col("_pos"),
+        xxhash64(expr(s"substring(_t, _pos, $k)")).as("_h"))
+    // windows whose text occurs in >= 2 distinct docs: min/max doc per
+    // hash differs (no countDistinct buffer; partial-aggregates map-side)
+    val multi = wins.groupBy("_h")
+      .agg((min(col("_id")) =!= max(col("_id"))).as("_multi"))
+      .filter(col("_multi"))
+      .select(col("_h"))
+    val flagged = wins.join(multi, Seq("_h"), "left_semi")
+      .select(col("_id"), col("_pos"))
+    val runs = flagged
+      .withColumn("_grp",
+        col("_pos") - row_number().over(
+          Window.partitionBy("_id").orderBy("_pos")))
+      .groupBy(col("_id"), col("_grp"))
+      .agg(count(lit(1)).cast("long").as("_run"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).cast("long").as("_nruns"),
+        sum(col("_run")).cast("long").as("_ndup"),
+        max(col("_run")).cast("long").as("_maxrun"))
+    base.select(col("_id"), (length(col("_t")) - lit(k - 1)).cast("long")
+        .as("n_windows"))
+      .join(runs, Seq("_id"), "left")
+      .select(col("_id").as("doc_id"), col("n_windows"),
+        coalesce(col("_ndup"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("_nruns"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("_maxrun") + lit(k - 1), lit(0L)).as("max_span_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** WINNOWED FINGERPRINT candidate pairs — the lake-scale candidate
+    * channel for [[substringDupSpans]] (Schleimer/Wilkerson/Aiken
+    * winnowing, the MOSS fingerprinting scheme): hash every `k`-char
+    * window, slide a width-`w` window over the hash stream, keep the
+    * MINIMUM hash of each, and fingerprint the doc with the distinct
+    * selected values. The winnowing guarantee: any shared passage of
+    * ≥ w + k − 1 chars forces both docs to select the same minimum, so a
+    * fingerprint equi-join finds every long shared span with ~n/w
+    * fingerprints per doc instead of n windows — stride-free robustness
+    * to alignment that plain strided windows can't give.
+    *
+    * Scale shape: windows hash at the scan (strings never shuffle);
+    * fingerprints are ~1/w of windows; the pair census is an equi-join on
+    * fingerprint hash with a document-frequency cap (`maxDf`) dropping
+    * boilerplate fingerprints — the same hot-key guard as q88/q140.
+    * `portable = true` swaps xxhash64 for the md5-derived
+    * [[portableHash60]] so the whole channel has a DuckDB twin (q172).
+    */
+  def winnowedCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 40,
+      w: Int = 8,
+      minShared: Int = 2,
+      maxDf: Int = 1000,
+      portable: Boolean = false
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashOf: Column => Column =
+      if (portable) portableHash60 else (c => xxhash64(c))
+    val base = df
+      .select(col(idCol).as("_id"), col(textCol).as("_t"))
+      .filter(col("_t").isNotNull && length(col("_t")) >= k + w - 1)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val wins = base
+      .select(col("_id"), (length(col("_t")) - lit(k - 1)).as("_nw"),
+        explode(sequence(lit(1), length(col("_t")) - lit(k - 1))).as("_pos"),
+        col("_t"))
+      .select(col("_id"), col("_nw"), col("_pos"),
+        hashOf(expr(s"substring(_t, _pos, $k)")).as("_h"))
+    // sliding min over the NEXT w hashes; only full windows select
+    // (bounded O(w) per row — w is small by construction)
+    val fps = wins
+      .withColumn("_min", min(col("_h")).over(
+        Window.partitionBy("_id").orderBy("_pos").rowsBetween(0, w - 1)))
+      .filter(col("_pos") <= col("_nw") - lit(w - 1))
+      .select(col("_id"), col("_min").as("_fp"))
+      .distinct()
+    // boilerplate guard: drop fingerprints present in > maxDf docs
+    val rare = fps.groupBy("_fp")
+      .agg(count(lit(1)).cast("long").as("_df"))
+      .filter(col("_df") <= maxDf && col("_df") >= 2)
+      .select("_fp")
+    val kept = fps.join(rare, Seq("_fp"), "left_semi")
+    kept.select(col("_fp"), col("_id").as("id_a"))
+      .join(kept.select(col("_fp"), col("_id").as("id_b")), Seq("_fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("id_a", "id_b")
+  }
+
   def canonicalPerCluster(
       docs: DataFrame,
       idCol: String,

@@ -156,6 +156,30 @@ object StatQueries {
              |ORDER BY index""".stripMargin)
     ),
 
+    // ---- A13: memory_usage(deep=True) analog — per-column data bytes
+    //      under the deterministic deep-size model (fixed widths × non-null
+    //      counts; exact byte lengths for strings), one aggregate pass +
+    //      stack reshape. The model is pure arithmetic → fully oracled.
+    QueryDef(
+      "q170_memory_usage",
+      (s, dir) => Summary.memoryUsage(t(s, dir, "lineitem")),
+      Some {
+        val eight = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+        val four = Seq("l_linenumber")
+        val str = Seq("l_returnflag", "l_linestatus")
+        val parts =
+          eight.map(c => s"SELECT '$c' AS column_name, " +
+            s"CAST(count($c) AS BIGINT) AS n_values, " +
+            s"CAST(count($c) * 8 AS BIGINT) AS data_bytes FROM lineitem") ++
+          four.map(c => s"SELECT '$c', CAST(count($c) AS BIGINT), " +
+            s"CAST(count($c) * 4 AS BIGINT) FROM lineitem") ++
+          str.map(c => s"SELECT '$c', CAST(count($c) AS BIGINT), " +
+            s"CAST(coalesce(sum(strlen($c)), 0) AS BIGINT) FROM lineitem")
+        parts.mkString("", " UNION ALL ", " ORDER BY column_name")
+      }
+    ),
+
     // ---- A12: full correlation matrix (one ML pass), keyed by `index`
     QueryDef(
       "q44_corr_matrix",

@@ -17,6 +17,13 @@ object TextQueries {
   private def pairIndexKey(s: org.apache.spark.sql.SparkSession, dir: String): String =
     graft.util.Materialized.key(s, dir, "prefix_jaccard_pairs", "n=3", "minSim=0.5")
 
+  /** q171 window width, q172 winnow width. ABOVE `defs` — the oracle SQL
+    * interpolates them eagerly while `defs` is constructed (the q75
+    * init-order trap).
+    */
+  private val SubK = 40
+  private val WinW = 8
+
   /** Shared oracle CTEs for q140/q143: 3-gram sets per doc (with the
     * wordNgrams short-text fallback) and the brute-force all-pairs Jaccard
     * table. Declared ABOVE `defs` — oracle strings evaluate eagerly while
@@ -740,6 +747,84 @@ object TextQueries {
              |  containment
              |FROM m WHERE containment >= 0.8
              |ORDER BY contained_id, container_id""".stripMargin)
+    ),
+
+    // ---- EXACT SUBSTRING duplication census (substring-level training-
+    //      data dedup): every 40-char window flagged when its text recurs
+    //      in >= 2 distinct docs; per doc, dup-window count + longest
+    //      consecutive dup run (shared-passage length). Spark hashes
+    //      windows (longs shuffle, never strings); output is cardinality-
+    //      only, so the string-window DuckDB twin hash-matches (q24/q140
+    //      argument)
+    QueryDef(
+      "q171_substring_dup_spans",
+      (s, dir) =>
+        Dedup.substringDupSpans(t(s, dir, "documents"), "doc_id", "text",
+          k = SubK),
+      Some(s"""WITH base AS (SELECT doc_id, text FROM documents
+              |  WHERE text IS NOT NULL AND length(text) >= $SubK),
+              |w AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+              |    substr(text, CAST(i AS INT), $SubK) AS win
+              |  FROM (SELECT doc_id, text,
+              |      unnest(range(1, length(text) - ${SubK - 2})) AS i
+              |    FROM base)),
+              |dh AS (SELECT win FROM w GROUP BY win
+              |  HAVING min(doc_id) <> max(doc_id)),
+              |f AS (SELECT w.doc_id, w.pos FROM w JOIN dh USING (win)),
+              |g AS (SELECT doc_id, pos,
+              |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+              |      AS grp
+              |  FROM f),
+              |runs AS (SELECT doc_id, grp, count(*) AS run
+              |  FROM g GROUP BY doc_id, grp),
+              |agg AS (SELECT doc_id,
+              |    CAST(count(*) AS BIGINT) AS nruns,
+              |    CAST(sum(run) AS BIGINT) AS ndup,
+              |    CAST(max(run) AS BIGINT) AS maxrun
+              |  FROM runs GROUP BY doc_id)
+              |SELECT b.doc_id,
+              |  CAST(length(b.text) - ${SubK - 1} AS BIGINT) AS n_windows,
+              |  coalesce(a.ndup, 0) AS n_dup_windows,
+              |  coalesce(a.nruns, 0) AS n_dup_spans,
+              |  coalesce(a.maxrun + ${SubK - 1}, 0) AS max_span_chars
+              |FROM base b LEFT JOIN agg a USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ---- WINNOWED FINGERPRINTS (MOSS scheme): the lake-scale candidate
+    //      channel for q171 — sliding-min selection over k-gram hashes
+    //      (any shared passage >= w+k-1 chars forces a shared selection),
+    //      df-capped fingerprint equi-join, shared-count census. Portable
+    //      md5 hash family → full DuckDB twin including the window min.
+    QueryDef(
+      "q172_winnowed_candidates",
+      (s, dir) =>
+        Dedup.winnowedCandidatePairs(t(s, dir, "documents"), "doc_id",
+          "text", k = SubK, w = WinW, portable = true),
+      Some(s"""WITH base AS (SELECT doc_id, text FROM documents
+              |  WHERE text IS NOT NULL AND length(text) >= ${SubK + WinW - 1}),
+              |w AS (SELECT doc_id,
+              |    CAST(length(text) - ${SubK - 1} AS BIGINT) AS nw,
+              |    CAST(i AS BIGINT) AS pos,
+              |    ('0x' || substr(md5(substr(text, CAST(i AS INT), $SubK)),
+              |        1, 15))::BIGINT AS h
+              |  FROM (SELECT doc_id, text,
+              |      unnest(range(1, length(text) - ${SubK - 2})) AS i
+              |    FROM base)),
+              |m AS (SELECT doc_id, pos, nw,
+              |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+              |      ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS mn
+              |  FROM w),
+              |fp AS (SELECT DISTINCT doc_id, mn AS fp FROM m
+              |  WHERE pos <= nw - ${WinW - 1}),
+              |rare AS (SELECT fp FROM fp GROUP BY fp
+              |  HAVING count(*) BETWEEN 2 AND 1000),
+              |kept AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp))
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |  CAST(count(*) AS BIGINT) AS n_shared
+              |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2 HAVING count(*) >= 2
+              |ORDER BY id_a, id_b""".stripMargin)
     ),
 
     // ---- prefix-filtered set-similarity self-join (PPJoin candidate

@@ -23,7 +23,11 @@ object ScaleCheck {
     val reps = spark.range(factor).select(col("id").as("_rep"))
 
     def scaleTable(name: String, keyShifts: Map[String, Long]): Unit = {
+      // single-file source = ONE partition: spread BEFORE the crossJoin or
+      // the whole ×factor expansion runs in a single task (the factor-100
+      // replication of events took >30 min single-threaded)
       val df = spark.read.parquet(s"$src/$name.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
       val scaled = df.crossJoin(broadcast(reps))
       val shifted = keyShifts.foldLeft(scaled) { case (d, (c, base)) =>
         d.withColumn(c, col(c) + col("_rep") * base)
