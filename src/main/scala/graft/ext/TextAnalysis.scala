@@ -373,4 +373,51 @@ object TextAnalysis {
           .as("share"))
       .orderBy("bucket")
   }
+
+  /** DSIR-flavored DOMAIN SCORE, integer-exact: a linear classifier over
+    * hashed token buckets separating a target domain (rows where
+    * `isTarget`) from the rest. Per document,
+    * `score = Σ_tokens [n_target(bucket)·N_rest − n_rest(bucket)·N_target]`
+    * — the sign of each term is the direction of the bucket's target/rest
+    * likelihood ratio (cross-multiplied to avoid the division), so a
+    * positive sum reads "looks like the target domain". The importance-
+    * resampling weights of data-selection pipelines use exactly these
+    * bucket marginals; keeping the statistic in cross-multiplied INTEGER
+    * form makes the whole readout engine-exact (no libm, no float order).
+    *
+    * Scale shape: one token scan builds the nBuckets-row marginal table
+    * (partial-aggregated); the per-doc pass re-scans tokens and joins the
+    * BROADCAST marginals — two scans, zero wide shuffles beyond the
+    * per-doc aggregate. Portable hash family → full DuckDB twin (q174).
+    */
+  def domainScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      nBuckets: Int = 64
+  ): DataFrame = {
+    val base = df
+      .select(col(idCol).as("_id"), isTarget.as("_t"), col(textCol).as("_x"))
+      // single-file local inputs = one partition: spread the token explode
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val tok = base
+      .select(col("_id"), col("_t"), explode(tokens(col("_x"))).as("tok"))
+      .select(col("_id"), col("_t"),
+        pmod(Dedup.portableHash60(col("tok")), lit(nBuckets.toLong)).as("_b"))
+    val marg = tok.groupBy("_b").agg(
+      sum(when(col("_t"), lit(1L)).otherwise(lit(0L))).cast("long").as("_nt"),
+      sum(when(col("_t"), lit(0L)).otherwise(lit(1L))).cast("long").as("_nr"))
+    val tots = marg.agg(sum(col("_nt")).cast("long").as("_tn"),
+      sum(col("_nr")).cast("long").as("_rn"))
+    tok.join(broadcast(marg), Seq("_b"))
+      .crossJoin(broadcast(tots))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("_nt") * col("_rn") - col("_nr") * col("_tn"))
+          .cast("long").as("score"))
+      .select(col("_id").as("doc_id"), col("n_tokens"), col("score"),
+        (col("score") > 0).cast("long").as("predicted_target"))
+      .orderBy("doc_id")
+  }
 }
