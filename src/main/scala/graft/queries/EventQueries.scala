@@ -695,6 +695,46 @@ object EventQueries {
            |  round(CAST(sum(contrib) AS DOUBLE), 6) AS engagement
            |FROM c GROUP BY 1 ORDER BY user_id""".stripMargin
       }
+    ),
+
+    // ---- TEMPORAL HOLDOUT split (train strictly before a cutoff, test
+    //      after): per-split profile plus the two leakage pins a training
+    //      pipeline must check — the time boundary is visible as
+    //      max(train.ts) < min(test.ts) in the output, and the
+    //      user-overlap count quantifies entity leakage across the split.
+    //      One scan + tiny aggregates; NTZ timestamps in the output.
+    QueryDef(
+      "q177_temporal_split",
+      (s, dir) => {
+        val e = t(s, dir, "events").filter(col("ts").isNotNull)
+        val cut = lit("2024-01-25 00:00:00").cast("timestamp_ntz")
+        val tagged = e.withColumn("split",
+          when(col("ts") < cut, "train").otherwise("test"))
+        val per = tagged.groupBy("split").agg(
+          count(lit(1)).cast("long").as("n_events"),
+          countDistinct(col("user_id")).cast("long").as("n_users"),
+          min(col("ts")).as("min_ts"),
+          max(col("ts")).as("max_ts"))
+        val shared = tagged.select(col("split"), col("user_id")).distinct()
+          .groupBy("user_id").agg(count(lit(1)).as("_k"))
+          .filter(col("_k") > 1)
+          .agg(count(lit(1)).cast("long").as("n_shared_users"))
+        per.crossJoin(broadcast(shared)).orderBy("split")
+      },
+      Some("""WITH e AS (SELECT * FROM events WHERE ts IS NOT NULL),
+             |t AS (SELECT CASE WHEN ts < TIMESTAMP '2024-01-25 00:00:00'
+             |    THEN 'train' ELSE 'test' END AS split, user_id, ts
+             |  FROM e),
+             |per AS (SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |    min(ts) AS min_ts, max(ts) AS max_ts
+             |  FROM t GROUP BY 1),
+             |sh AS (SELECT CAST(count(*) AS BIGINT) AS n_shared_users FROM (
+             |  SELECT user_id FROM (SELECT DISTINCT split, user_id FROM t)
+             |  GROUP BY user_id HAVING count(*) > 1))
+             |SELECT per.split, per.n_events, per.n_users, per.min_ts,
+             |  per.max_ts, sh.n_shared_users
+             |FROM per, sh ORDER BY split""".stripMargin)
     )
   )
 }

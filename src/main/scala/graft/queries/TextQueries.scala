@@ -791,6 +791,84 @@ object TextQueries {
               |ORDER BY doc_id""".stripMargin)
     ),
 
+    // ---- REPRODUCIBLE EPOCH SHUFFLE: the deterministic per-epoch data
+    //      order a training run must be able to replay (portable hash of
+    //      epoch:id as the sort key). Per epoch the first 10 ids emit via
+    //      a distributed top-k (TakeOrderedAndProject) — NEVER a global
+    //      permutation sort; rank is a window over the 30 collected rows.
+    QueryDef(
+      "q175_epoch_shuffle",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val frames = (0 until 3).map { e =>
+          docs.select(lit(e.toLong).as("epoch"), col("doc_id"),
+            Dedup.portableHash60(
+              concat_ws(":", lit(e.toLong), col("doc_id"))).as("_h"))
+            .orderBy(col("_h"), col("doc_id")).limit(10)
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("epoch").orderBy(col("_h"), col("doc_id"))
+        frames.reduce(_ unionAll _)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .select(col("epoch"), col("rank"), col("doc_id"))
+          .orderBy("epoch", "rank")
+      },
+      Some("""WITH h AS (SELECT e.epoch, d.doc_id,
+             |    ('0x' || substr(md5(CAST(e.epoch AS VARCHAR) || ':' ||
+             |      CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+             |  FROM documents d, (SELECT unnest(range(0, 3)) AS epoch) e),
+             |r AS (SELECT epoch, doc_id,
+             |    row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+             |      AS rank
+             |  FROM h)
+             |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(rank AS BIGINT)
+             |  AS rank, doc_id
+             |FROM r WHERE rank <= 10 ORDER BY epoch, rank""".stripMargin)
+    ),
+
+    // ---- ZIPF VOCABULARY PROFILE: top-20 tokens with exact counts,
+    //      cumulative coverage, and share — the tokenizer-budget readout.
+    //      Token counts partial-aggregate; top-k is TakeOrderedAndProject;
+    //      the cumsum window runs over 20 rows.
+    QueryDef(
+      "q176_zipf_profile",
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        val counts = tok.groupBy("token")
+          .agg(count(lit(1)).cast("long").as("n"))
+        val tot = broadcast(counts.agg(sum(col("n")).cast("long").as("_tot")))
+        val top = counts.orderBy(desc("n"), asc("token")).limit(20)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(desc("n"), asc("token"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        top.crossJoin(tot)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(desc("n"), asc("token"))).cast("long"))
+          .withColumn("cum_n", sum(col("n")).over(w).cast("long"))
+          .select(col("rank"), col("token"), col("n"), col("cum_n"),
+            round(col("cum_n").cast("double") / col("_tot").cast("double"), 6)
+              .as("cum_share"))
+          .orderBy("rank")
+      },
+      Some("""WITH tk AS (SELECT unnest(list_filter(
+             |    regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))
+             |      AS token
+             |  FROM documents),
+             |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+             |  FROM tk GROUP BY 1),
+             |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+             |top AS (SELECT token, n,
+             |    row_number() OVER (ORDER BY n DESC, token) AS rank
+             |  FROM c ORDER BY n DESC, token LIMIT 20)
+             |SELECT CAST(rank AS BIGINT) AS rank, token, n,
+             |  CAST(sum(n) OVER (ORDER BY rank) AS BIGINT) AS cum_n,
+             |  round(CAST(sum(n) OVER (ORDER BY rank) AS DOUBLE)
+             |    / CAST(tt.tot AS DOUBLE), 6) AS cum_share
+             |FROM top, tt ORDER BY rank""".stripMargin)
+    ),
+
     // ---- per-SOURCE duplication profile: consumes the q140 pair index
     //      (the Materialized composition q143 uses) and joins dup
     //      membership + intra-source pair counts back to the docs table —

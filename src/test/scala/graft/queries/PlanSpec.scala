@@ -302,4 +302,43 @@ class PlanSpec extends SparkSpec {
     windows.foreach(w => assert(w.partitionSpec.nonEmpty,
       s"partition-less window in the merge:\n$w"))
   }
+
+  test("q171/q172 substring dedup: window STRINGS never cross an exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case qs: QueryStageExec => shuffles(qs.plan)
+      case s: ShuffleExchangeExec => Seq(s) ++ s.children.flatMap(shuffles)
+      case o => o.children.flatMap(shuffles)
+    }
+    for (name <- Seq("q171_substring_dup_spans", "q172_winnowed_candidates")) {
+      val df = q(name)
+      val ex = shuffles(df.queryExecution.executedPlan)
+      assert(ex.nonEmpty, s"$name should have hash/agg exchanges")
+      // only the narrow parallelism rebalance may carry the raw text; every
+      // OTHER exchange moves ids/positions/hashes — 8-byte longs, never the
+      // per-window substrings (those exist only scan-side, pre-hash)
+      val wide = ex.filterNot(
+        _.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning])
+      wide.foreach(e => assert(
+        !e.child.schema.exists(_.dataType == StringType),
+        s"$name: strings crossing a wide exchange: " +
+          e.child.schema.catalogString))
+    }
+  }
+
+  test("q174 domain score: marginal table broadcasts; no string shuffle " +
+      "beyond the parallelism rebalance") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = q("q174_domain_score")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"bucket marginals should broadcast-join the token stream:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token-side join must not sort-merge:\n$p")
+  }
 }
