@@ -668,12 +668,17 @@ object Dedup {
       .filter(col("_t").isNotNull && length(col("_t")) >= k)
       // single-file local inputs = one partition: spread the window explode
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // materialize the window-hash table ONCE (the persisted signature-
+    // table pattern, q140's base precedent): without the checkpoint the
+    // explode+hash scan runs 3× — once per consumer branch (census,
+    // flag join, runs) — which tripled the 100× wall clock
     val wins = base
       .select(col("_id"),
         explode(sequence(lit(1), length(col("_t")) - lit(k - 1))).as("_pos"),
         col("_t"))
       .select(col("_id"), col("_pos"),
         xxhash64(expr(s"substring(_t, _pos, $k)")).as("_h"))
+      .localCheckpoint()
     // windows whose text occurs in >= 2 distinct docs: min/max doc per
     // hash differs (no countDistinct buffer; partial-aggregates map-side)
     val multi = wins.groupBy("_h")
@@ -745,12 +750,16 @@ object Dedup {
         hashOf(expr(s"substring(_t, _pos, $k)")).as("_h"))
     // sliding min over the NEXT w hashes; only full windows select
     // (bounded O(w) per row — w is small by construction)
+    // fingerprints are ~n/w rows and feed THREE consumers (df census +
+    // both sides of the pair join): checkpoint so the window explode and
+    // sliding min run once
     val fps = wins
       .withColumn("_min", min(col("_h")).over(
         Window.partitionBy("_id").orderBy("_pos").rowsBetween(0, w - 1)))
       .filter(col("_pos") <= col("_nw") - lit(w - 1))
       .select(col("_id"), col("_min").as("_fp"))
       .distinct()
+      .localCheckpoint()
     // boilerplate guard: drop fingerprints present in > maxDf docs
     val rare = fps.groupBy("_fp")
       .agg(count(lit(1)).cast("long").as("_df"))

@@ -27,10 +27,16 @@ object Materialized {
   def key(spark: SparkSession, parts: String*): String =
     (System.identityHashCode(spark).toString +: parts).mkString("|")
 
-  /** Rebuild, materialize (eager local checkpoint), and register. */
+  /** Rebuild, materialize (eager local checkpoint), and register. The
+    * replaced entry's blocks are released — a producer re-run (each bench
+    * pass) must not accumulate dead checkpoints.
+    */
   def put(k: String, df: DataFrame): DataFrame = {
     val c = df.localCheckpoint()
-    cache.put(k, c)
+    val old = cache.put(k, c)
+    if (old != null && (old ne c))
+      try old.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
     c
   }
 
