@@ -869,94 +869,6 @@ object TextQueries {
              |FROM top, tt ORDER BY rank""".stripMargin)
     ),
 
-    // ---- per-SOURCE duplication profile: consumes the q140 pair index
-    //      (the Materialized composition q143 uses) and joins dup
-    //      membership + intra-source pair counts back to the docs table —
-    //      the "which sources are polluting the corpus" curation readout.
-    //      The dup end-set is tiny; every join is keyed on 8-byte ids.
-    QueryDef(
-      "q173_source_dup_profile",
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val pairs = graft.util.Materialized.getOrBuild(pairIndexKey(s, dir))(
-          Dedup.prefixJaccardPairs(docs, "doc_id", "text",
-            n = 3, minSim = 0.5))
-        val ends = pairs.select(col("id_a").as("doc_id"))
-          .union(pairs.select(col("id_b").as("doc_id")))
-          .distinct()
-          .withColumn("_dup", lit(1L))
-        val bySrc = docs.join(ends, Seq("doc_id"), "left")
-          .groupBy(col("source"))
-          .agg(count(lit(1)).cast("long").as("n_docs"),
-            sum(coalesce(col("_dup"), lit(0L))).cast("long").as("n_dup_docs"))
-        val intra = pairs
-          .join(docs.select(col("doc_id").as("id_a"),
-            col("source").as("_sa")), Seq("id_a"))
-          .join(docs.select(col("doc_id").as("id_b"),
-            col("source").as("_sb")), Seq("id_b"))
-          .filter(col("_sa") === col("_sb"))
-          .groupBy(col("_sa").as("source"))
-          .agg(count(lit(1)).cast("long").as("n_intra_pairs"))
-        bySrc.join(intra, Seq("source"), "left")
-          .select(col("source"), col("n_docs"), col("n_dup_docs"),
-            coalesce(col("n_intra_pairs"), lit(0L)).as("n_intra_pairs"))
-          .orderBy("source")
-      },
-      Some(s"""WITH $prefixGramPairCtes,
-              |p AS (SELECT id_a, id_b FROM ppairs WHERE jaccard_sim >= 0.5),
-              |ends AS (SELECT DISTINCT doc_id FROM (
-              |  SELECT id_a AS doc_id FROM p
-              |  UNION ALL SELECT id_b AS doc_id FROM p)),
-              |bysrc AS (SELECT d.source,
-              |    CAST(count(*) AS BIGINT) AS n_docs,
-              |    CAST(sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-              |      AS BIGINT) AS n_dup_docs
-              |  FROM documents d LEFT JOIN ends e USING (doc_id)
-              |  GROUP BY 1),
-              |intra AS (SELECT da.source,
-              |    CAST(count(*) AS BIGINT) AS n_intra_pairs
-              |  FROM p
-              |  JOIN documents da ON da.doc_id = p.id_a
-              |  JOIN documents db ON db.doc_id = p.id_b
-              |  WHERE da.source = db.source GROUP BY 1)
-              |SELECT b.source, b.n_docs, b.n_dup_docs,
-              |  coalesce(i.n_intra_pairs, 0) AS n_intra_pairs
-              |FROM bysrc b LEFT JOIN intra i USING (source)
-              |ORDER BY source""".stripMargin)
-    ),
-
-    // ---- DSIR-flavored hashed-token DOMAIN SCORE: cross-multiplied
-    //      integer likelihood-ratio sum per doc over a broadcast 64-row
-    //      bucket-marginal table — the data-selection scorer, fully
-    //      engine-exact (addend ≤ N_t·N_r ≈ 1.2e10 at sf0.1, doc sums
-    //      ≪ 2^63 even at 100×; DuckDB sums via HUGEINT, cast back)
-    QueryDef(
-      "q174_domain_score",
-      (s, dir) =>
-        TextAnalysis.domainScore(t(s, dir, "documents"), "doc_id", "text",
-          col("source").isin("src0", "src1", "src2", "src3", "src4")),
-      Some("""WITH tk AS (SELECT doc_id,
-             |    source IN ('src0','src1','src2','src3','src4') AS t,
-             |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
-             |      x -> x <> '')) AS tok
-             |  FROM documents),
-             |b AS (SELECT doc_id, t,
-             |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bk
-             |  FROM tk),
-             |m AS (SELECT bk,
-             |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
-             |    CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS nr
-             |  FROM b GROUP BY 1),
-             |tt AS (SELECT CAST(sum(nt) AS BIGINT) AS tn,
-             |    CAST(sum(nr) AS BIGINT) AS rn FROM m)
-             |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-             |  CAST(sum(m.nt * tt.rn - m.nr * tt.tn) AS BIGINT) AS score,
-             |  CAST(CAST(sum(m.nt * tt.rn - m.nr * tt.tn) AS BIGINT) > 0
-             |    AS BIGINT) AS predicted_target
-             |FROM b JOIN m ON m.bk = b.bk, tt
-             |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin)
-    ),
-
     // ---- WINNOWED FINGERPRINTS (MOSS scheme): the lake-scale candidate
     //      channel for q171 — sliding-min selection over k-gram hashes
     //      (any shared passage >= w+k-1 chars forces a shared selection),
@@ -1050,6 +962,94 @@ object TextQueries {
               |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
               |  node AS canonical_id, CAST(n_chars AS BIGINT) AS canonical_score
               |FROM r2 WHERE rn = 1 ORDER BY cluster_id""".stripMargin)
+    ),
+
+    // ---- per-SOURCE duplication profile: consumes the q140 pair index
+    //      (the Materialized composition q143 uses) and joins dup
+    //      membership + intra-source pair counts back to the docs table —
+    //      the "which sources are polluting the corpus" curation readout.
+    //      The dup end-set is tiny; every join is keyed on 8-byte ids.
+    QueryDef(
+      "q173_source_dup_profile",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = graft.util.Materialized.getOrBuild(pairIndexKey(s, dir))(
+          Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+            n = 3, minSim = 0.5))
+        val ends = pairs.select(col("id_a").as("doc_id"))
+          .union(pairs.select(col("id_b").as("doc_id")))
+          .distinct()
+          .withColumn("_dup", lit(1L))
+        val bySrc = docs.join(ends, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(coalesce(col("_dup"), lit(0L))).cast("long").as("n_dup_docs"))
+        val intra = pairs
+          .join(docs.select(col("doc_id").as("id_a"),
+            col("source").as("_sa")), Seq("id_a"))
+          .join(docs.select(col("doc_id").as("id_b"),
+            col("source").as("_sb")), Seq("id_b"))
+          .filter(col("_sa") === col("_sb"))
+          .groupBy(col("_sa").as("source"))
+          .agg(count(lit(1)).cast("long").as("n_intra_pairs"))
+        bySrc.join(intra, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("n_dup_docs"),
+            coalesce(col("n_intra_pairs"), lit(0L)).as("n_intra_pairs"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $prefixGramPairCtes,
+              |p AS (SELECT id_a, id_b FROM ppairs WHERE jaccard_sim >= 0.5),
+              |ends AS (SELECT DISTINCT doc_id FROM (
+              |  SELECT id_a AS doc_id FROM p
+              |  UNION ALL SELECT id_b AS doc_id FROM p)),
+              |bysrc AS (SELECT d.source,
+              |    CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_dup_docs
+              |  FROM documents d LEFT JOIN ends e USING (doc_id)
+              |  GROUP BY 1),
+              |intra AS (SELECT da.source,
+              |    CAST(count(*) AS BIGINT) AS n_intra_pairs
+              |  FROM p
+              |  JOIN documents da ON da.doc_id = p.id_a
+              |  JOIN documents db ON db.doc_id = p.id_b
+              |  WHERE da.source = db.source GROUP BY 1)
+              |SELECT b.source, b.n_docs, b.n_dup_docs,
+              |  coalesce(i.n_intra_pairs, 0) AS n_intra_pairs
+              |FROM bysrc b LEFT JOIN intra i USING (source)
+              |ORDER BY source""".stripMargin)
+    ),
+
+    // ---- DSIR-flavored hashed-token DOMAIN SCORE: cross-multiplied
+    //      integer likelihood-ratio sum per doc over a broadcast 64-row
+    //      bucket-marginal table — the data-selection scorer, fully
+    //      engine-exact (addend ≤ N_t·N_r ≈ 1.2e10 at sf0.1, doc sums
+    //      ≪ 2^63 even at 100×; DuckDB sums via HUGEINT, cast back)
+    QueryDef(
+      "q174_domain_score",
+      (s, dir) =>
+        TextAnalysis.domainScore(t(s, dir, "documents"), "doc_id", "text",
+          col("source").isin("src0", "src1", "src2", "src3", "src4")),
+      Some("""WITH tk AS (SELECT doc_id,
+             |    source IN ('src0','src1','src2','src3','src4') AS t,
+             |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |      x -> x <> '')) AS tok
+             |  FROM documents),
+             |b AS (SELECT doc_id, t,
+             |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bk
+             |  FROM tk),
+             |m AS (SELECT bk,
+             |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+             |    CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS nr
+             |  FROM b GROUP BY 1),
+             |tt AS (SELECT CAST(sum(nt) AS BIGINT) AS tn,
+             |    CAST(sum(nr) AS BIGINT) AS rn FROM m)
+             |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(m.nt * tt.rn - m.nr * tt.tn) AS BIGINT) AS score,
+             |  CAST(CAST(sum(m.nt * tt.rn - m.nr * tt.tn) AS BIGINT) > 0
+             |    AS BIGINT) AS predicted_target
+             |FROM b JOIN m ON m.bk = b.bk, tt
+             |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin)
     )
   )
 }
