@@ -15,7 +15,7 @@ object SparkEntry {
   val all: Seq[QueryDef] =
     CoreQueries.defs ++ TextQueries.defs ++ SimilarityQueries.defs ++
       EventQueries.defs ++ StatQueries.defs ++ CurationQueries.defs ++
-      LakeQueries.defs ++ BehaviorQueries.defs
+      LakeQueries.defs ++ BehaviorQueries.defs ++ SketchQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

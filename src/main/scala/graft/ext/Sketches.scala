@@ -1,0 +1,182 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketches for lake-scale distinct counting and membership
+  * pre-filtering.
+  *
+  * Both operators are built on [[Dedup.portableHash60]] (md5-derived 60-bit),
+  * so every number they produce — including the *estimates* — has an exact
+  * DuckDB twin: a KMV estimate is a deterministic function of the hash
+  * values, not of engine randomness. The production swap-in is xxhash64
+  * (same code path, faster hash, no cross-engine twin) — the q25/q69
+  * precedent.
+  *
+  * Scale shape:
+  *  - KMV: the only state per shard is its k smallest distinct hashes
+  *    (k·8 bytes). Selection is two-level (salted windows), so no single
+  *    reducer ever absorbs a shard's full distinct stream; sketches merge
+  *    by unioning the k-sets and re-taking the bottom k — the union of
+  *    per-shard bottom-k supersets the global bottom-k, which is the KMV
+  *    mergeability theorem. A 1000-executor job ships k longs per shard
+  *    to the driver, never the key stream.
+  *  - Bloom: the index side collapses to ≤ m distinct int positions
+  *    (m bits in the bitmap rendering; the position-set rendering here is
+  *    the same information and joins natively). The probe side meets it
+  *    as a BROADCAST semi-join — zero shuffle of the probe corpus — and
+  *    only bloom-positive rows reach the exact verify join.
+  */
+object Sketches {
+
+  // ------------------------------------------------------------------ KMV
+
+  /** Bottom-k distinct hashes per shard, two-level so the per-shard
+    * selection parallelizes: stage 1 takes bottom-k within (shard, salt)
+    * buckets, stage 2 reduces the ≤ salts·k survivors per shard. Input
+    * must already be distinct on (shardCol, hashCol).
+    */
+  def bottomK(
+      distinctHashes: DataFrame,
+      shardCol: String,
+      hashCol: String,
+      k: Int,
+      salts: Int = 64
+  ): DataFrame = {
+    val pre = distinctHashes
+      .withColumn("_salt", pmod(col(hashCol), lit(salts.toLong)))
+      .withColumn("_rn",
+        row_number().over(
+          Window.partitionBy(col(shardCol), col("_salt"))
+            .orderBy(col(hashCol))))
+      .filter(col("_rn") <= k)
+      .drop("_salt", "_rn")
+    pre
+      .withColumn("_rn",
+        row_number().over(
+          Window.partitionBy(col(shardCol)).orderBy(col(hashCol))))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /** 2^60 as an exact double — the portable-hash value range. */
+  private val HashSpan = 1152921504606846976L.toDouble
+
+  /** KMV estimate from a bottom-k set: (k−1)·2^60 / h_k when the sketch
+    * is full, else the sketch size itself (it holds every distinct hash).
+    * All inputs are exact integers; the one division is a fixed-shape
+    * IEEE step both engines round identically.
+    */
+  private def kmvEstimate(nSketch: Column, hk: Column, k: Int): Column =
+    when(nSketch < k, nSketch.cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(HashSpan) / hk.cast("double"))
+
+  /** Per-shard KMV distinct-count estimates plus a merged all-shards row
+    * (shard `~all`), each certified against the exact distinct count.
+    * The merged row is computed FROM THE SHARD SKETCHES (union → distinct
+    * → bottom-k), never from the raw keys — hash-equality with an oracle
+    * that computes it from the raw keys is the mergeability proof.
+    *
+    * Output: (shard, n_exact, kmv_est, rel_err_pct), ordered by shard.
+    */
+  def kmvCensus(
+      df: DataFrame,
+      shardCol: String,
+      keyCol: String,
+      k: Int = 64
+  ): DataFrame = {
+    val hashes = df
+      .select(col(shardCol).cast("string").as("shard"),
+        Dedup.portableHash60(col(keyCol).cast("string")).as("h"))
+      .distinct()
+    val shardSketch = bottomK(hashes, "shard", "h", k)
+      .localCheckpoint(true) // consumed twice: per-shard rows + merge
+    val merged = bottomK(
+      shardSketch.select(lit("~all").as("shard"), col("h")).distinct(),
+      "shard", "h", k)
+    val sketches = shardSketch.unionByName(merged)
+      .groupBy("shard")
+      .agg(count(lit(1)).cast("long").as("_n_sk"), max(col("h")).as("_hk"))
+    val exact = df
+      .groupBy(col(shardCol).cast("string").as("shard"))
+      .agg(count_distinct(col(keyCol)).as("n_exact"))
+    val exactAll = df.agg(count_distinct(col(keyCol)).as("n_exact"))
+      .select(lit("~all").as("shard"), col("n_exact"))
+    sketches
+      .join(broadcast(exact.unionByName(exactAll)), Seq("shard"))
+      .select(col("shard"), col("n_exact"),
+        round(kmvEstimate(col("_n_sk"), col("_hk"), k), 1).as("kmv_est"),
+        round(lit(100.0) *
+          abs(kmvEstimate(col("_n_sk"), col("_hk"), k) -
+            col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 2).as("rel_err_pct"))
+      .orderBy("shard")
+  }
+
+  // ---------------------------------------------------------------- Bloom
+
+  /** The kH probe positions of a text in an m-slot Bloom filter, via
+    * double hashing pos_i = (h1 + i·h2) mod m with two independent
+    * portable hashes. Magnitude guard: h1 + (kH−1)·h2 < kH·2^60, which
+    * stays inside int64 for kH ≤ 7 — Spark and DuckDB agree exactly
+    * (no overflow wrap on either side).
+    */
+  def bloomPositions(textCol: Column, m: Int, kH: Int): Column = {
+    require(kH <= 7, s"kH=$kH would overflow int64 position math")
+    val h1 = Dedup.portableHash60(textCol)
+    val h2 = Dedup.portableHash60(concat(lit("b2|"), textCol))
+    transform(sequence(lit(0), lit(kH - 1)),
+      i => pmod(h1 + i.cast("long") * h2, lit(m.toLong)))
+  }
+
+  /** Bloom-pre-filtered incremental dedup census: build the position set
+    * from `index`, probe every `probe` row (bloom-positive ⇔ ALL its
+    * distinct positions present), then resolve bloom-positives with the
+    * exact content join. One row:
+    * (n_probe, n_bloom_pass, n_true_dup, n_false_pos, fp_pct).
+    *
+    * The exact verify only ever sees bloom-positive rows — at lake scale
+    * that is the point: the m-bounded position set broadcasts, the probe
+    * corpus never shuffles, and the expensive exact join runs on the
+    * (tiny) candidate stream instead of the corpus.
+    */
+  def bloomPrefilterCensus(
+      index: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      m: Int = 1 << 15,
+      kH: Int = 5
+  ): DataFrame = {
+    val posSet = index
+      .select(explode(bloomPositions(col(textCol), m, kH)).as("pos"))
+      .distinct()
+    val probePos = probe
+      .select(col(idCol).as("_pid"),
+        explode(array_distinct(bloomPositions(col(textCol), m, kH)))
+          .as("pos"))
+    val perDoc = probePos
+      .join(broadcast(posSet.withColumn("_hit", lit(1))), Seq("pos"), "left")
+      .groupBy("_pid")
+      .agg((count(lit(1)) === sum(coalesce(col("_hit"), lit(0))))
+        .as("_pass"))
+    val passed = perDoc.filter(col("_pass"))
+      .join(probe.select(col(idCol).as("_pid"),
+        Dedup.contentHash(Seq(textCol)).as("_ch")), Seq("_pid"))
+    val indexHashes = index
+      .select(Dedup.contentHash(Seq(textCol)).as("_ch")).distinct()
+    val verified = passed
+      .join(indexHashes.withColumn("_dup", lit(1)), Seq("_ch"), "left")
+      .agg(count(lit(1)).cast("long").as("n_bloom_pass"),
+        coalesce(sum(coalesce(col("_dup"), lit(0))), lit(0L)).cast("long")
+          .as("n_true_dup"))
+    probe.agg(count(lit(1)).cast("long").as("n_probe"))
+      .crossJoin(verified)
+      .select(col("n_probe"), col("n_bloom_pass"), col("n_true_dup"),
+        (col("n_bloom_pass") - col("n_true_dup")).as("n_false_pos"),
+        round(lit(100.0) *
+          (col("n_bloom_pass") - col("n_true_dup")).cast("double") /
+          col("n_probe").cast("double"), 3).as("fp_pct"))
+  }
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.Sketches
+import graft.queries.Q._
+
+/** Mergeable-sketch operators (q178-q180): KMV distinct-count sketches,
+  * Bloom membership pre-filtering, and the HLL accuracy certification.
+  * The KMV/Bloom math runs on the portable md5-derived hash, so even the
+  * ESTIMATES hash-match a DuckDB twin (the q68-q73 portable-twin family);
+  * production swaps in xxhash64 on the identical code path.
+  */
+object SketchQueries {
+
+  /** KMV sketch size. ABOVE `defs` — the oracle strings interpolate it
+    * eagerly while `defs` is constructed (round-3 init-order trap).
+    */
+  private val KmvK = 64
+  private val BloomM = 1 << 15
+  private val BloomKh = 5
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- KMV (k-minimum-values) distinct sketch per shard + merged
+    //      global row. The Spark side derives the global row by MERGING
+    //      the shard sketches; the oracle derives it from the raw keys —
+    //      hash equality is the mergeability proof (union of bottom-k
+    //      supersets the global bottom-k).
+    QueryDef(
+      "q178_kmv_distinct",
+      (s, dir) =>
+        Sketches.kmvCensus(t(s, dir, "orders"), "o_orderpriority",
+          "o_custkey", k = KmvK),
+      Some(s"""WITH h AS (SELECT DISTINCT o_orderpriority AS shard,
+             |    ('0x'||substr(md5(o_custkey::VARCHAR),1,15))::BIGINT AS h
+             |  FROM orders),
+             |ranked AS (SELECT shard, h,
+             |    row_number() OVER (PARTITION BY shard ORDER BY h) AS rn
+             |  FROM h),
+             |sk AS (SELECT shard, count(*) AS n_sk, max(h) AS hk
+             |  FROM ranked WHERE rn <= $KmvK GROUP BY shard),
+             |gr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+             |  FROM (SELECT DISTINCT h FROM h)),
+             |gsk AS (SELECT '~all' AS shard, count(*) AS n_sk, max(h) AS hk
+             |  FROM gr WHERE rn <= $KmvK),
+             |allsk AS (SELECT * FROM sk UNION ALL SELECT * FROM gsk),
+             |ex AS (SELECT o_orderpriority AS shard,
+             |    count(DISTINCT o_custkey) AS n_exact FROM orders GROUP BY 1
+             |  UNION ALL
+             |  SELECT '~all', count(DISTINCT o_custkey) FROM orders),
+             |est AS (SELECT s.shard, e.n_exact,
+             |    CASE WHEN s.n_sk < $KmvK THEN s.n_sk::DOUBLE
+             |      ELSE CAST(${KmvK - 1} AS DOUBLE) *
+             |        CAST(1152921504606846976 AS DOUBLE) / s.hk::DOUBLE
+             |    END AS kmv
+             |  FROM allsk s JOIN ex e USING (shard))
+             |SELECT shard, n_exact, round(kmv, 1) AS kmv_est,
+             |  round(CAST(100.0 AS DOUBLE) * abs(kmv - n_exact::DOUBLE) /
+             |    n_exact::DOUBLE, 2) AS rel_err_pct
+             |FROM est ORDER BY shard""".stripMargin)
+    ),
+
+    // ---- Bloom membership pre-filter for incremental dedup: the even
+    //      half of `documents` is the stored index (reduced to ≤ m int
+    //      positions — the broadcastable "bitmap"), the odd half probes
+    //      it; bloom-positives (ALL kH probe positions present) resolve
+    //      through the exact content join, separating true dups from the
+    //      filter's false positives.
+    QueryDef(
+      "q179_bloom_prefilter",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Sketches.bloomPrefilterCensus(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", m = BloomM, kH = BloomKh)
+      },
+      Some(s"""WITH idx AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+             |prb AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+             |ih AS (SELECT ('0x'||substr(md5(text),1,15))::BIGINT AS h1,
+             |    ('0x'||substr(md5('b2|'||text),1,15))::BIGINT AS h2 FROM idx),
+             |ph AS (SELECT doc_id,
+             |    ('0x'||substr(md5(text),1,15))::BIGINT AS h1,
+             |    ('0x'||substr(md5('b2|'||text),1,15))::BIGINT AS h2 FROM prb),
+             |pos AS (SELECT DISTINCT (h1 + i*h2) % $BloomM AS pos
+             |  FROM ih, generate_series(0, ${BloomKh - 1}) g(i)),
+             |ppos AS (SELECT DISTINCT doc_id, (h1 + i*h2) % $BloomM AS pos
+             |  FROM ph, generate_series(0, ${BloomKh - 1}) g(i)),
+             |perdoc AS (SELECT p.doc_id, count(*) AS np,
+             |    sum(CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END) AS nh
+             |  FROM ppos p LEFT JOIN pos s USING (pos) GROUP BY p.doc_id),
+             |pass AS (SELECT doc_id FROM perdoc WHERE np = nh),
+             |passed AS (SELECT p.doc_id, md5(p.text) AS ch
+             |  FROM pass JOIN prb p USING (doc_id)),
+             |v AS (SELECT count(*) AS n_bloom_pass,
+             |    coalesce(sum(CASE WHEN EXISTS
+             |      (SELECT 1 FROM idx i WHERE md5(i.text) = passed.ch)
+             |      THEN 1 ELSE 0 END), 0)::BIGINT AS n_true_dup
+             |  FROM passed)
+             |SELECT (SELECT count(*) FROM prb) AS n_probe,
+             |  n_bloom_pass, n_true_dup,
+             |  n_bloom_pass - n_true_dup AS n_false_pos,
+             |  round(CAST(100.0 AS DOUBLE) *
+             |    (n_bloom_pass - n_true_dup)::DOUBLE /
+             |    (SELECT count(*) FROM prb)::DOUBLE, 3) AS fp_pct
+             |FROM v""".stripMargin)
+    ),
+
+    // ---- HLL accuracy certification (the q98 pattern for cardinality):
+    //      per-source exact distinct text count next to a boolean that
+    //      hash-fails if approx_count_distinct ever drifts past 3·rsd.
+    //      At 100 TB the approx path is the only affordable one; this
+    //      entry is the standing proof it stays honest.
+    QueryDef(
+      "q180_hll_certification",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy("source")
+          .agg(count_distinct(col("text")).as("n_exact"),
+            approx_count_distinct(col("text"), rsd = 0.05).as("_a"))
+          .select(col("source"), col("n_exact"),
+            (abs(col("_a").cast("double") - col("n_exact").cast("double")) <=
+              greatest(col("n_exact").cast("double") * 0.15, lit(3.0)))
+              .as("hll_ok"))
+          .orderBy("source"),
+      Some("""SELECT source, count(DISTINCT text) AS n_exact,
+             |  TRUE AS hll_ok
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,77 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.queries.Q
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bottomK: selects the k smallest hashes per shard, any salt count") {
+    val rows = (for (s <- Seq("a", "b"); h <- 1L to 500L)
+      yield (s, h * 7919L % 1000L)).distinct
+    val df = rows.toDF("shard", "h").distinct()
+    val got = Sketches.bottomK(df, "shard", "h", k = 10, salts = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (s, hs) =>
+      hs.map(_._2).distinct.sorted.take(10).map(s -> _)
+    }.toSet
+    assert(got == want)
+  }
+
+  test("kmvCensus: merged row equals a direct global sketch (mergeability)") {
+    val orders = Q.t(spark, sfDir("0.01"), "orders")
+    val census = Sketches.kmvCensus(orders, "o_orderpriority", "o_custkey")
+      .collect()
+    assert(census.length == 6) // 5 priorities + ~all
+    val all = census.find(_.getString(0) == "~all").get
+    // direct global sketch: bottom-64 of all distinct hashes, computed
+    // without the per-shard merge path
+    val direct = Sketches.kmvCensus(
+      orders.withColumn("one", lit("g")), "one", "o_custkey")
+      .filter(col("shard") === "g").head()
+    assert(all.getDouble(2) == direct.getDouble(2),
+      s"merged ${all.getDouble(2)} vs direct ${direct.getDouble(2)}")
+    // estimates land within a loose 4-sigma band of exact (k=64 → ~12.5%)
+    census.foreach { r =>
+      assert(r.getDouble(3) < 50.0, s"${r.getString(0)} err ${r.getDouble(3)}")
+    }
+  }
+
+  test("kmvCensus: under-full sketch reports the exact count") {
+    val tiny = Seq(("s", 1L), ("s", 2L), ("s", 3L)).toDF("g", "k")
+    val c = Sketches.kmvCensus(tiny, "g", "k", k = 64)
+      .filter(col("shard") === "s").head()
+    assert(c.getLong(1) == 3L && c.getDouble(2) == 3.0 && c.getDouble(3) == 0.0)
+  }
+
+  test("bloomPositions: kH in-range positions, deterministic") {
+    val df = Seq("alpha", "beta").toDF("t")
+      .select(Sketches.bloomPositions(col("t"), m = 1 << 10, kH = 5).as("p"))
+    val rows = df.collect().map(_.getSeq[Long](0))
+    assert(rows.forall(p => p.length == 5 && p.forall(x => x >= 0 && x < 1024)))
+    val again = df.collect().map(_.getSeq[Long](0))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("bloomPrefilterCensus: finds planted dups, false positives bounded") {
+    val index = (0 until 200).map(i => (i.toLong, s"indexed document $i"))
+      .toDF("doc_id", "text")
+    val probe = ((0 until 20).map(i => (1000L + i, s"indexed document $i")) ++
+      (0 until 180).map(i => (2000L + i, s"novel probe document $i")))
+      .toDF("doc_id", "text")
+    val r = Sketches.bloomPrefilterCensus(index, probe, "doc_id", "text",
+      m = 1 << 14, kH = 5).head()
+    assert(r.getLong(0) == 200L) // n_probe
+    assert(r.getLong(2) == 20L, s"true dups ${r.getLong(2)}") // all planted found
+    assert(r.getLong(1) >= 20L) // pass ⊇ true dups (no false negatives)
+    assert(r.getLong(3) <= 10L, s"false positives ${r.getLong(3)}")
+  }
+
+  test("bloom census survives an all-negative probe set (no null counts)") {
+    val index = Seq((1L, "only one")).toDF("doc_id", "text")
+    val probe = Seq((2L, "definitely absent")).toDF("doc_id", "text")
+    val r = Sketches.bloomPrefilterCensus(index, probe, "doc_id", "text").head()
+    assert(r.getLong(0) == 1L && !r.isNullAt(2) && r.getLong(3) >= 0L)
+  }
+}
