@@ -314,6 +314,122 @@ object Similarity {
     df.join(removed, Seq(idCol), "left_anti")
   }
 
+  /** Maximal-marginal-relevance selection: from the top-`poolSize` cosine
+    * candidates for `queryId`, greedily pick `k` results trading relevance
+    * against redundancy — score(c) = λ·rel(c) − μ·max_{s∈S} sim(c, s) —
+    * the standard diversity re-rank for retrieval-augmented sampling.
+    *
+    * Scale shape: the distributed part is the pool top-k
+    * (TakeOrderedAndProject — never a global sort); the greedy re-rank
+    * runs on the DRIVER over poolSize rows (the documented small-result
+    * pattern — poolSize is tens, k·poolSize² cosines ≈ thousands of
+    * flops). Every cosine — distributed and driver-side — is the same
+    * sequential fold the DuckDB twin's list_sum performs, so selection
+    * order (incl. exact-tie → lowest id) hash-matches (q182).
+    */
+  def mmrSelect(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      poolSize: Int,
+      k: Int,
+      lam: Double = 0.7,
+      mu: Double = 0.3
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val q = broadcast(
+      df.filter(col(idCol) === queryId).select(col(vecCol).as("_q_vec")))
+    val pool = df.filter(col(idCol) =!= queryId)
+      .crossJoin(q)
+      .select(col(idCol), col(vecCol),
+        cosine(col(vecCol), col("_q_vec")).as("_rel"))
+      .orderBy(desc("_rel"), asc(idCol))
+      .limit(poolSize)
+      .collect()
+    final case class Cand(id: Long, v: IndexedSeq[Double], rel: Double)
+    val cands = pool.map(r => Cand(r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toIndexedSeq, r.getDouble(2)))
+    def cosD(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { // sequential — the list_sum shape
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Cand, Double)]
+    while (selected.length < math.min(k, cands.length)) {
+      val chosen = selected.map(_._1.id).toSet
+      val best = cands.iterator.filterNot(c => chosen(c.id)).map { c =>
+        val pen =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => cosD(c.v, s._1.v)).max
+        (c, lam * c.rel - mu * pen)
+      }.reduceLeft { (x, y) => // argmax on (score desc, id asc)
+        if (y._2 > x._2 || (y._2 == x._2 && y._1.id < x._1.id)) y else x
+      }
+      selected += best
+    }
+    import spark.implicits._
+    // scores stay UNROUNDED: they can be negative, where Spark and DuckDB
+    // round() disagree on exact halves; the raw doubles are bit-identical
+    // because every fold shape matches the twin's list_sum
+    selected.toSeq.zipWithIndex.map { case ((c, sc), i) =>
+      (i + 1L, c.id, sc, c.rel)
+    }.toDF("step", "vec_id", "mmr_score", "rel")
+  }
+
+  /** Semantic decontamination: flag corpus vectors whose cosine to ANY
+    * eval/holdout vector reaches `threshold` — the embedding-level
+    * contamination check that complements the n-gram one (q79). Candidates
+    * come from the multi-probe SRP bucket join (the q78 shape): the EVAL
+    * side — small by nature — explodes its probe masks and BROADCASTS, so
+    * the corpus is scanned once, never shuffled, never replicated; only
+    * flagged hits reach the (tiny) per-id aggregation. Each (corpus, eval)
+    * pair arises from at most one probe mask, so no distinct pass.
+    *
+    * `portable = true` uses the quantized plane family → full DuckDB twin
+    * (q183); production keeps the seeded Gaussian planes.
+    */
+  def semanticDecontaminate(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      nBits: Int = 8,
+      probeHamming: Int = 1,
+      seed: Long = 42L,
+      portable: Boolean = false
+  ): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 1)
+    def bucketOf(c: Column): Column =
+      if (portable) lshBucketQuantized(c, dim, nBits)
+      else lshBucket(c, dim, nBits, seed)
+    val masks: Seq[Long] =
+      0L +: (if (probeHamming >= 1) (0 until nBits).map(i => 1L << i) else Nil)
+    val ev = evalSet
+      .select(col(idCol).as("_eval_id"), col(vecCol).as("_e_vec"))
+      .withColumn("_ebucket", bucketOf(col("_e_vec")))
+      .withColumn("_bucket",
+        explode(array(masks.map(m => col("_ebucket").bitwiseXOR(lit(m))): _*)))
+      .drop("_ebucket")
+    corpus.select(col(idCol), col(vecCol))
+      .withColumn("_bucket", bucketOf(col(vecCol)))
+      .join(broadcast(ev), Seq("_bucket"))
+      .withColumn("cos_sim", round(cosine(col(vecCol), col("_e_vec")), 4))
+      .filter(graft.util.PlanHints.noPushdown(col("cos_sim") >= threshold))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_eval_hits"),
+        max(struct(col("cos_sim").as("s"), (-col("_eval_id")).as("nid")))
+          .as("_best"))
+      .select(col(idCol), col("n_eval_hits"),
+        col("_best.s").as("best_sim"),
+        (-col("_best.nid")).cast("long").as("best_eval_id"))
+      .orderBy(idCol)
+  }
+
   /** Nearest-centroid assignment against a FIXED quantized centroid set —
     * the ingest-time half of IVF: at 100 TB steady state, new rows are
     * routed into an EXISTING coarse quantizer's cells (then appended to the
@@ -354,6 +470,68 @@ object Similarity {
             struct(d.as("d"), i.cast("long").as("i"))).otherwise(acc)
         },
         acc => acc.getField("i")))
+  }
+
+  /** Grid-snapped Lloyd k-means over the quantized `round(v·1000)` integer
+    * grid — the codebook-training step for IVF/PQ indexes, expressed so
+    * EVERY number is exact cross-engine integer math:
+    *  - assignment: the native `ivf_argmin` (exact squared-L2 on longs,
+    *    ties to the lowest cell — the q72 family);
+    *  - update: per-cell integer sums (one map-side-combined groupBy with
+    *    d+1 aggregate columns; k·(d+1) longs reach the driver — the
+    *    documented codebook-collect pattern), each mean SNAPPED back to
+    *    the grid with round-half-toward-+∞: c_d = ⌊(2·S_d + n)/(2·n)⌋,
+    *    rendered with the shift-positive trick
+    *    `((2·S + n + 2·n·B) div (2·n)) − B` so JVM truncating division and
+    *    DuckDB `//` (also truncating) both equal floor (numerator > 0; B
+    *    must bound the quantized |value|).
+    * Production k-means keeps double centroids (Spark ML KMeans — q53's
+    * ivfIndex); this is how the QUANTIZED codebook an IVF/PQ index actually
+    * persists trains with a hash-checkable DuckDB twin (q181). Empty cells
+    * keep their previous centroid. Runs `iters` assignment passes with an
+    * update between consecutive ones (iters−1 updates).
+    *
+    * Scale shape: `iters` scans of a checkpointed (id, vec, vq) projection;
+    * per scan one broadcast k×d matrix inside the argmin expression and one
+    * aggregation whose reduced state is k·(d+1) longs. Nothing wider than
+    * the vector column ever shuffles, and no iteration grows the lineage.
+    */
+  def kmeansCodebookQuantized(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      iters: Int,
+      bound: Long = 2000L
+  ): (DataFrame, IndexedSeq[IndexedSeq[Long]]) = {
+    require(iters >= 1 && k >= 1)
+    val vq = transform(col(vecCol),
+      x => round(x.cast("double") * 1000).cast("long"))
+    val base = df.select(col(idCol), col(vecCol), vq.as("_vq"))
+      .localCheckpoint(true) // scanned once per iteration
+    var cents: IndexedSeq[IndexedSeq[Long]] =
+      base.orderBy(idCol).limit(k)
+        .select("_vq").collect()
+        .map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+    require(cents.forall(_.forall(v => math.abs(v) < bound)),
+      s"quantized values exceed snap bound $bound")
+    for (_ <- 1 until iters) {
+      val assigned = base
+        .withColumn("_cell", ivfAssignQuantized(col(vecCol), cents))
+      val aggs = count(lit(1)).as("_n") +:
+        (1 to dim).map(d => sum(element_at(col("_vq"), d)).as(s"_s$d"))
+      val byCell = assigned.groupBy("_cell").agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          val cell = r.getAs[Number]("_cell").intValue
+          val n = r.getLong(1)
+          cell -> (1 to dim).map { d =>
+            (2L * r.getLong(1 + d) + n + 2L * n * bound) / (2L * n) - bound
+          }.toIndexedSeq
+        }.toMap
+      cents = cents.indices.map(c => byCell.getOrElse(c, cents(c)))
+    }
+    (base.withColumn("_cell", ivfAssignQuantized(col(vecCol), cents)), cents)
   }
 
   /** Simplified silhouette over a FIXED quantized centroid set: per

@@ -37,6 +37,22 @@ object SimilarityQueries {
   private val PqM = 8
   private val PqK = 16
 
+  /** q181 operating point: k clusters, 3 assignment passes (2 snapped
+    * updates), snap bound B > max quantized |value| (~580 here).
+    */
+  private val KmK = 8
+  private val KmIters = 3
+  private val KmB = 2000
+
+  /** q182 operating point (pool width, selections, λ/μ as exact double
+    * literals rendered identically in the oracle SQL).
+    */
+  private val MmrPool = 20
+  private val MmrK = 5
+
+  /** q183: eval holdout = vec_id % DeconMod == 0. */
+  private val DeconMod = 97
+
   val defs: Seq[QueryDef] = Seq(
     // ---- brute-force cosine top-k for a fixed query vector (vec_id 0)
     QueryDef(
@@ -542,6 +558,67 @@ object SimilarityQueries {
             .cast("long").as("cos_gap_bp"))
       },
       Some(hardNegLshOracleSql)
+    ),
+
+    // ---- quantized-codebook k-means TRAINING, oracled end-to-end: 3
+    //      grid-snapped Lloyd passes (assign = native integer argmin,
+    //      update = exact integer sums snapped back to the grid) — the
+    //      step that turns q72's "fixed quantizer" into a TRAINED one.
+    //      Census: per-cell size, exact integer WCSS, centroid checksums.
+    QueryDef(
+      "q181_kmeans_codebook",
+      (s, dir) => {
+        import s.implicits._
+        val (assigned, cents) = Similarity.kmeansCodebookQuantized(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, k = KmK, iters = KmIters, bound = KmB.toLong)
+        val cm = typedLit(cents.map(_.toSeq).toSeq)
+        val centroid = element_at(cm, col("_cell").cast("int") + 1)
+        val dist = aggregate(
+          zip_with(col("_vq"), centroid, (x, c) => (x - c) * (x - c)),
+          lit(0L), (a, x) => a + x)
+        val census = assigned
+          .select(col("_cell").cast("long").as("cell"), dist.as("_d"))
+          .groupBy("cell")
+          .agg(count(lit(1)).cast("long").as("n_points"),
+            sum(col("_d")).cast("long").as("wcss"))
+        val checksums = cents.zipWithIndex
+          .map { case (cv, i) =>
+            (i.toLong, cv.sum, cv.map(math.abs).sum)
+          }.toDF("cell", "c_sum", "c_abs")
+        census.join(broadcast(checksums), Seq("cell"))
+          .orderBy("cell")
+      },
+      Some(kmeansOracleSql)
+    ),
+
+    // ---- maximal-marginal-relevance re-rank: distributed top-20 pool,
+    //      driver greedy (poolSize rows — the codebook-collect pattern),
+    //      every cosine the same sequential fold as the twin's list_sum,
+    //      so the SELECTION ORDER itself is hash-checked.
+    QueryDef(
+      "q182_mmr_diverse_topk",
+      (s, dir) =>
+        Similarity.mmrSelect(t(s, dir, "embeddings"), "vec_id", "embedding",
+          queryId = 0L, poolSize = MmrPool, k = MmrK),
+      Some(mmrOracleSql)
+    ),
+
+    // ---- embedding-level decontamination vs the eval holdout
+    //      (vec_id % 97 == 0): multi-probe quantized buckets (q78 shape,
+    //      eval side broadcast) → rounded-cosine verify ≥ SemThreshold →
+    //      per-corpus-doc hit census with deterministic best-hit pick.
+    QueryDef(
+      "q183_semantic_decontamination",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.semanticDecontaminate(
+          e.filter(col("vec_id") % DeconMod =!= 0),
+          e.filter(col("vec_id") % DeconMod === 0),
+          "vec_id", "embedding", dim = 64, threshold = SemThreshold,
+          nBits = SemBits, probeHamming = 1, portable = true)
+      },
+      Some(deconOracleSql)
     )
   )
 
@@ -813,5 +890,123 @@ object SimilarityQueries {
        |SELECT
        |  (SELECT count(*) / 10.0 FROM lshtop JOIN brute USING (vec_id)) AS recall_lsh,
        |  (SELECT count(*) / 10.0 FROM ivftop JOIN brute USING (vec_id)) AS recall_ivf""".stripMargin
+  }
+
+  /** The q181 oracle: KmIters unrolled Lloyd passes. Every CTE mirrors
+    * the Spark step 1:1 — argmin = row_number over (dist, cell); update =
+    * integer sums snapped with the shift-positive floor division (`//`
+    * truncates in DuckDB, but the shifted numerator is positive, where
+    * truncation == floor == the JVM driver formula). Empty cells keep the
+    * previous centroid via the LEFT JOIN coalesce.
+    */
+  private def kmeansOracleSql: String = {
+    val dist =
+      "list_sum(list_transform(generate_series(1, 64), " +
+        "j -> (q.vq[j] - c.cv[j]) * (q.vq[j] - c.cv[j])))"
+    val sb = new StringBuilder
+    sb ++= s"""WITH q AS (SELECT vec_id,
+              |  list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS vq
+              |  FROM embeddings),
+              |c0 AS (SELECT vec_id AS cell, vq AS cv FROM q WHERE vec_id < $KmK),""".stripMargin
+    for (i <- 1 to KmIters) {
+      sb ++= s"""
+                |d$i AS (SELECT q.vec_id, q.vq, c.cell, $dist AS dd
+                |  FROM q CROSS JOIN c${i - 1} c),
+                |a$i AS (SELECT vec_id, vq, cell, dd FROM (SELECT *,
+                |    row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+                |  FROM d$i) WHERE rn = 1),""".stripMargin
+      if (i < KmIters)
+        sb ++= s"""
+                  |u$i AS (SELECT cell, j, (((2*sum(vq[j]) + count(*) + 2*count(*)*$KmB)
+                  |    // (2*count(*))) - $KmB)::BIGINT AS cd
+                  |  FROM a$i, generate_series(1, 64) AS g(j) GROUP BY cell, j),
+                  |n$i AS (SELECT cell, list(cd ORDER BY j) AS cv FROM u$i GROUP BY cell),
+                  |c$i AS (SELECT p.cell, coalesce(n.cv, p.cv) AS cv
+                  |  FROM c${i - 1} p LEFT JOIN n$i n USING (cell)),""".stripMargin
+    }
+    sb ++= s"""
+              |census AS (SELECT cell, count(*) AS n_points, sum(dd)::BIGINT AS wcss
+              |  FROM a$KmIters GROUP BY cell),
+              |cs AS (SELECT cell, list_sum(cv)::BIGINT AS c_sum,
+              |    list_sum(list_transform(cv, x -> abs(x)))::BIGINT AS c_abs
+              |  FROM c${KmIters - 1})
+              |SELECT census.cell::BIGINT AS cell, n_points, wcss, c_sum, c_abs
+              |FROM census JOIN cs USING (cell) ORDER BY cell""".stripMargin
+    sb.toString
+  }
+
+  /** Exact-double cosine between two FLOAT[] columns — the q31 fold shape
+    * (sequential list_sum == Spark's aggregate HOF == the driver loop).
+    */
+  private def cosSqlExpr(a: String, b: String): String =
+    s"(list_sum(list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) / " +
+      s"(sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) * " +
+      s"sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))))"
+
+  /** The q182 oracle: MmrK unrolled greedy steps. Scores stay unrounded
+    * (negative-value rounding is the one engine-divergent op); λ/μ are
+    * CAST(… AS DOUBLE) so no DECIMAL arithmetic sneaks in (the q90-wave
+    * decimal-literal trap).
+    */
+  private def mmrOracleSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+              |rel AS (SELECT e.vec_id, e.embedding, ${cosSqlExpr("e.embedding", "qv.qe")} AS rel
+              |  FROM embeddings e, qv WHERE e.vec_id <> 0),
+              |pool AS (SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT $MmrPool),
+              |sim AS (SELECT a.vec_id AS ia, b.vec_id AS ib, ${cosSqlExpr("a.embedding", "b.embedding")} AS s
+              |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+              |p1 AS (SELECT p.vec_id, CAST(0.7 AS DOUBLE) * p.rel AS sc, p.rel
+              |  FROM pool p ORDER BY sc DESC, vec_id LIMIT 1),
+              |sel1 AS (SELECT CAST(1 AS BIGINT) AS step, vec_id, sc, rel FROM p1),""".stripMargin
+    for (i <- 2 to MmrK)
+      sb ++= s"""
+                |p$i AS (SELECT p.vec_id,
+                |    CAST(0.7 AS DOUBLE) * p.rel - CAST(0.3 AS DOUBLE) *
+                |      (SELECT max(s.s) FROM sim s WHERE s.ia = p.vec_id
+                |        AND s.ib IN (SELECT vec_id FROM sel${i - 1})) AS sc,
+                |    p.rel
+                |  FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+                |  ORDER BY sc DESC, vec_id LIMIT 1),
+                |sel$i AS (SELECT * FROM sel${i - 1}
+                |  UNION ALL SELECT CAST($i AS BIGINT), vec_id, sc, rel FROM p$i),""".stripMargin
+    sb.toString.stripSuffix(",") +
+      s"\nSELECT step, vec_id, sc AS mmr_score, rel FROM sel$MmrK ORDER BY step"
+  }
+
+  /** The q183 oracle: quantized SRP buckets (q70's plane rendering), the
+    * eval side exploded over its Hamming≤1 probe masks, rounded-cosine
+    * verify, then the census with the Spark-identical best-hit rule
+    * (max cos, ties to lowest eval id).
+    */
+  private def deconOracleSql: String = {
+    val bits = Similarity.quantPlanes(64, SemBits).zipWithIndex.map {
+      case (p, i) =>
+        val lst = p.mkString("[", ",", "]")
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), " +
+          s"j -> ($lst)[j] * vq[j])) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" +\n  ")
+    val masks = (0L +: (0 until SemBits).map(i => 1L << i))
+      .map(m => s"($m)").mkString("(VALUES ", ", ", ") m(mask)")
+    s"""WITH q AS (SELECT vec_id, embedding,
+       |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS vq
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, embedding, CAST($bits AS BIGINT) AS bucket FROM q),
+       |ev AS (SELECT vec_id AS eval_id, embedding AS e_vec, bucket
+       |  FROM b WHERE vec_id % $DeconMod = 0),
+       |co AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id % $DeconMod <> 0),
+       |probe AS (SELECT eval_id, e_vec, xor(bucket, m.mask) AS bucket FROM ev, $masks),
+       |hits AS (SELECT * FROM (
+       |    SELECT co.vec_id, probe.eval_id,
+       |      round(${cosSqlExpr("co.embedding", "probe.e_vec")}, 4) AS cs
+       |    FROM co JOIN probe USING (bucket))
+       |  WHERE cs >= CAST($SemThreshold AS DOUBLE)),
+       |agg AS (SELECT vec_id, count(*) AS n_eval_hits, max(cs) AS best_sim
+       |  FROM hits GROUP BY vec_id),
+       |best AS (SELECT h.vec_id, min(h.eval_id) AS best_eval_id
+       |  FROM hits h JOIN agg a ON h.vec_id = a.vec_id AND h.cs = a.best_sim
+       |  GROUP BY h.vec_id)
+       |SELECT a.vec_id, a.n_eval_hits, a.best_sim, b2.best_eval_id
+       |FROM agg a JOIN best b2 USING (vec_id) ORDER BY vec_id""".stripMargin
   }
 }

@@ -226,4 +226,81 @@ class SimilaritySpec extends SparkSpec {
       (0L, 2L, 0.493827, 0.0, 0.987654),
       (1L, 1L, 1.0, 1.0, 1.0)))
   }
+
+  test("mmrSelect: penalizes redundancy, keeps relevance order otherwise") {
+    import spark.implicits._
+    // a and b are near-duplicates aligned with the query; c is diverse.
+    // pure relevance would pick (a, b); MMR must pick (a, c).
+    val d = Seq(
+      (0L, Array(1f, 0f, 0f)), // query
+      (1L, Array(0.9f, 0.10f, 0f)), // a: most relevant
+      (2L, Array(0.9f, 0.11f, 0f)), // b: near-dup of a
+      (3L, Array(0.5f, 0f, 0.5f)) // c: diverse
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrSelect(d, "vec_id", "embedding", 0L,
+      poolSize = 3, k = 2, lam = 0.5, mu = 0.5)
+      .select("step", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (2L, 3L)))
+    // k beyond pool size: returns the whole pool, no crash
+    val all = Similarity.mmrSelect(d, "vec_id", "embedding", 0L,
+      poolSize = 3, k = 10)
+    assert(all.count() == 3)
+  }
+
+  test("semanticDecontaminate: flags near-eval rows with best-hit rule") {
+    import spark.implicits._
+    val ev = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),
+      (200L, Array(0.99f, 0.01f, 0f, 0f)) // near-identical second eval
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(0.98f, 0.02f, 0f, 0f)), // contaminated (hits both)
+      (2L, Array(0f, 0f, 1f, 0f)) // clean
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(corpus, ev, "vec_id",
+      "embedding", dim = 4, threshold = 0.9, nBits = 4, probeHamming = 1,
+      portable = true).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    // best hit = highest cosine; on a tie the LOWEST eval id wins
+    assert(r.getLong(3) == 200L && r.getDouble(2) > 0.99)
+  }
+
+  test("kmeansCodebookQuantized: snapping, convergence, empty-cell rule") {
+    import spark.implicits._
+    // two tight groups around (10,0) and (0,10) in quantized units —
+    // means snap onto the grid and WCSS must not grow with more passes
+    val d = Seq(
+      (0L, Array(0.010f, 0.000f)), (1L, Array(0.000f, 0.010f)),
+      (2L, Array(0.012f, 0.001f)), (3L, Array(0.001f, 0.012f)),
+      (4L, Array(0.011f, -0.001f)), (5L, Array(-0.001f, 0.011f))
+    ).toDF("vec_id", "embedding")
+    val (a1, c1) = Similarity.kmeansCodebookQuantized(
+      d, "vec_id", "embedding", dim = 2, k = 2, iters = 1)
+    val (a3, c3) = Similarity.kmeansCodebookQuantized(
+      d, "vec_id", "embedding", dim = 2, k = 2, iters = 3)
+    def wcss(a: org.apache.spark.sql.DataFrame,
+        c: IndexedSeq[IndexedSeq[Long]]): Long =
+      a.select(col("_vq"), col("_cell")).collect().map { r =>
+        val v = r.getSeq[Long](0); val cell = r.getAs[Number](1).intValue
+        v.zip(c(cell)).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.sum
+    assert(wcss(a3, c3) <= wcss(a1, c1))
+    // after convergence the two centroids are the snapped group means
+    assert(c3.toSet == Set(IndexedSeq(11L, 0L), IndexedSeq(0L, 11L)))
+    // clusters 0/1 split the two groups 3/3
+    val sizes = a3.groupBy("_cell").count().collect()
+      .map(_.getLong(1)).sorted.toSeq
+    assert(sizes == Seq(3L, 3L))
+    // empty-cell rule: k=3 over two distinct points → one cell never wins
+    // an assignment and must keep its initial centroid, not crash
+    val dd = Seq(
+      (0L, Array(0.010f, 0f)), (1L, Array(0.010f, 0f)),
+      (2L, Array(0.010f, 0f)), (3L, Array(-0.010f, 0f))
+    ).toDF("vec_id", "embedding")
+    val (_, ce) = Similarity.kmeansCodebookQuantized(
+      dd, "vec_id", "embedding", dim = 2, k = 3, iters = 3)
+    assert(ce.length == 3 && ce.contains(IndexedSeq(10L, 0L)))
+  }
 }
