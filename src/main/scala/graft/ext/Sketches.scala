@@ -114,6 +114,60 @@ object Sketches {
       .orderBy("shard")
   }
 
+  // ------------------------------------------------------------ Count-Min
+
+  /** Count-Min sketch certification census over the whitespace-token
+    * stream of `textCol`: build a depth×width counter grid (row r uses
+    * the salted portable hash `md5("cm<r>|" + token) mod width`), then
+    * for the top-`topK` exact tokens report the CMS point estimate
+    * next to the exact count — est ≥ exact always; the overcount column
+    * shows the collision error the width buys.
+    *
+    * Scale shape: the sketch build is ONE map-side-combined aggregation
+    * into depth·width cells (the whole sketch is a few KB and merges by
+    * cell-wise addition across shards — the mergeable-sketch property);
+    * the exact path here is the certification harness, exactly like the
+    * q98/q180 pattern — production keeps only the sketch.
+    */
+  def countMinCensus(
+      df: DataFrame,
+      textCol: String,
+      width: Int = 16,
+      depth: Int = 3,
+      topK: Int = 20
+  ): DataFrame = {
+    val tok = df
+      .select(explode(split(lower(col(textCol)), " ")).as("token"))
+      .filter(col("token") =!= "")
+    // "cm" || r || "|" || token — identical salted string both engines
+    def posOf(r: Column, c: Column): Column =
+      pmod(Dedup.portableHash60(
+        concat(lit("cm"), r.cast("string"), lit("|"), c)),
+        lit(width.toLong))
+    val cells = tok
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("r"),
+        col("token"))
+      .select(col("r"), posOf(col("r"), col("token")).as("pos"))
+      .groupBy("r", "pos")
+      .agg(count(lit(1)).as("cnt"))
+    val exact = tok.groupBy("token")
+      .agg(count(lit(1)).cast("long").as("n_exact"))
+      .orderBy(desc("n_exact"), asc("token"))
+      .limit(topK)
+    val probes = exact.select(col("token"), col("n_exact"),
+      explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), posOf(lit(r), col("token")).as("pos"))): _*))
+        .as("_p"))
+      .select(col("token"), col("n_exact"),
+        col("_p.r").as("r"), col("_p.pos").as("pos"))
+    probes.join(broadcast(cells), Seq("r", "pos"))
+      .groupBy("token", "n_exact")
+      .agg(min(col("cnt")).cast("long").as("cms_est"))
+      .select(col("token"), col("n_exact"), col("cms_est"),
+        (col("cms_est") - col("n_exact")).as("overcount"))
+      .orderBy(desc("n_exact"), asc("token"))
+  }
+
   // ---------------------------------------------------------------- Bloom
 
   /** The kH probe positions of a text in an m-slot Bloom filter, via

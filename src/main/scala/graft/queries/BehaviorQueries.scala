@@ -390,6 +390,63 @@ object BehaviorQueries {
              |  msg AS max_splits_per_group
              |FROM a, t, sp GROUP BY split, tot, msg
              |ORDER BY split""".stripMargin)
+    ),
+
+    // ---- Bradley-Terry preference ratings (the RLHF pairwise-comparison
+    //      readout): per-part supplier price duels → (winner, loser)
+    //      counts (≤ k² cells, the only distributed state) → 3 driver MM
+    //      passes whose every fold is ascending-j, mirrored bit-for-bit
+    //      by the twin's list_sum(list(… ORDER BY j)).
+    QueryDef(
+      "q184_bradley_terry",
+      (s, dir) => {
+        val games = graft.ext.Preference.pairwiseGamesFromScores(
+          t(s, dir, "lineitem"), "l_partkey", "l_suppkey",
+          "l_extendedprice")
+        graft.ext.Preference.bradleyTerry(games, iters = 3, topK = 20,
+          itemOut = "supp_key")
+      },
+      Some(bradleyTerryOracleSql)
     )
   )
+
+  /** The q184 oracle: 3 unrolled MM iterations; each denominator is a
+    * `list_sum` over the ascending-j list — the exact fold order the
+    * driver uses — and every count stays integer until the one division.
+    */
+  private def bradleyTerryOracleSql: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH ps AS (SELECT l_partkey AS p, l_suppkey AS s,
+             |    min(l_extendedprice) AS pr
+             |  FROM lineitem GROUP BY 1, 2),
+             |games AS (SELECT
+             |    CASE WHEN a.pr < b.pr OR (a.pr = b.pr AND a.s < b.s)
+             |      THEN a.s ELSE b.s END AS w,
+             |    CASE WHEN a.pr < b.pr OR (a.pr = b.pr AND a.s < b.s)
+             |      THEN b.s ELSE a.s END AS l
+             |  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+             |cnt AS (SELECT w, l, count(*) AS n FROM games GROUP BY 1, 2),
+             |nijg AS (SELECT i, j, sum(n)::BIGINT AS n FROM (
+             |    SELECT w AS i, l AS j, n FROM cnt
+             |    UNION ALL SELECT l, w, n FROM cnt) GROUP BY 1, 2),
+             |wins AS (SELECT w AS i, sum(n)::BIGINT AS wn FROM cnt GROUP BY 1),
+             |r0 AS (SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS r FROM nijg),""".stripMargin
+    for (k <- 1 to 3)
+      sb ++= s"""
+                |r$k AS (SELECT g.i,
+                |    coalesce(any_value(w.wn), 0)::DOUBLE /
+                |      list_sum(list(g.n::DOUBLE / (ri.r + rj.r) ORDER BY g.j)) AS r
+                |  FROM nijg g
+                |  JOIN r${k - 1} ri ON ri.i = g.i
+                |  JOIN r${k - 1} rj ON rj.i = g.j
+                |  LEFT JOIN wins w ON w.i = g.i
+                |  GROUP BY g.i),""".stripMargin
+    sb.toString.stripSuffix(",") +
+      """
+        |SELECT g.i AS supp_key, sum(g.n)::BIGINT AS n_games,
+        |  coalesce(any_value(w.wn), 0)::BIGINT AS n_wins,
+        |  round(any_value(r3.r), 6) AS rating
+        |FROM nijg g JOIN r3 ON r3.i = g.i LEFT JOIN wins w ON w.i = g.i
+        |GROUP BY g.i ORDER BY any_value(r3.r) DESC, supp_key LIMIT 20""".stripMargin
+  }
 }

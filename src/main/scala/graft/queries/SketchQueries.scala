@@ -18,6 +18,8 @@ object SketchQueries {
   private val KmvK = 64
   private val BloomM = 1 << 15
   private val BloomKh = 5
+  private val CmW = 16
+  private val CmD = 3
 
   val defs: Seq[QueryDef] = Seq(
     // ---- KMV (k-minimum-values) distinct sketch per shard + merged
@@ -125,6 +127,35 @@ object SketchQueries {
       Some("""SELECT source, count(DISTINCT text) AS n_exact,
              |  TRUE AS hll_ok
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    // ---- Count-Min sketch certification: a deliberately narrow grid
+    //      (depth 3 × width 16 against a ~31-token vocabulary) so the
+    //      collision overcounts are REAL and the min-over-rows recovery
+    //      is visible — est ≥ exact structurally; the sketch itself is
+    //      depth·width cells and merges by addition across shards.
+    QueryDef(
+      "q185_countmin_census",
+      (s, dir) =>
+        Sketches.countMinCensus(t(s, dir, "documents"), "text",
+          width = CmW, depth = CmD, topK = 20),
+      Some(s"""WITH tok AS (SELECT tok AS token FROM (
+             |    SELECT unnest(string_split(lower(text), ' ')) AS tok
+             |    FROM documents) WHERE tok <> ''),
+             |cells AS (SELECT g.r,
+             |    ('0x'||substr(md5('cm'||g.r||'|'||token),1,15))::BIGINT % $CmW AS pos,
+             |    count(*) AS cnt
+             |  FROM tok, generate_series(0, ${CmD - 1}) g(r) GROUP BY 1, 2),
+             |exact AS (SELECT token, count(*) AS n_exact FROM tok
+             |  GROUP BY token ORDER BY n_exact DESC, token LIMIT 20),
+             |probes AS (SELECT e.token, e.n_exact, g.r,
+             |    ('0x'||substr(md5('cm'||g.r||'|'||e.token),1,15))::BIGINT % $CmW AS pos
+             |  FROM exact e, generate_series(0, ${CmD - 1}) g(r)),
+             |est AS (SELECT p.token, p.n_exact, min(c.cnt)::BIGINT AS cms_est
+             |  FROM probes p JOIN cells c ON c.r = p.r AND c.pos = p.pos
+             |  GROUP BY p.token, p.n_exact)
+             |SELECT token, n_exact, cms_est, cms_est - n_exact AS overcount
+             |FROM est ORDER BY n_exact DESC, token""".stripMargin)
     )
   )
 }

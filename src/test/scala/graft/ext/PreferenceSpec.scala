@@ -1,0 +1,44 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pairwiseGamesFromScores: lower score wins, ties to lower id") {
+    val df = Seq(
+      ("g1", 1L, 5.0), ("g1", 2L, 3.0), ("g1", 3L, 3.0), // 2 beats 1; 2=3 tie→2; 3 beats 1
+      ("g2", 1L, 1.0), ("g2", 2L, 9.0) // 1 beats 2
+    ).toDF("grp", "item", "score")
+    val games = Preference.pairwiseGamesFromScores(df, "grp", "item", "score")
+      .as[(Long, Long)].collect().toSet
+    assert(games == Set((2L, 1L), (2L, 3L), (3L, 1L), (1L, 2L)))
+  }
+
+  test("bradleyTerry: hand-computed 2-item fixpoint and zero-win rule") {
+    // A(1) beats B(2) 3×, B beats A 1× → r_A=1.5, r_B=0.5 (exact fixpoint
+    // reached at iteration 1: 3/(4/2) and 1/(4/2))
+    val games = (Seq.fill(3)((1L, 2L)) ++ Seq((2L, 1L)))
+      .toDF("winner", "loser")
+    val r = Preference.bradleyTerry(games, iters = 3, topK = 10)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (i, g, w, rt) => i -> ((g, w, rt)) }.toMap
+    assert(r(1L) == ((4L, 3L, 1.5)))
+    assert(r(2L) == ((4L, 1L, 0.5)))
+    // an item that never wins converges to rating 0
+    val g2 = Seq((1L, 2L), (1L, 2L)).toDF("winner", "loser")
+    val r2 = Preference.bradleyTerry(g2, iters = 3, topK = 10)
+      .filter(col("item") === 2L).select("rating").as[Double].head()
+    assert(r2 == 0.0)
+  }
+
+  test("bradleyTerry: more wins against the same opposition ranks higher") {
+    val games = (Seq.fill(5)((10L, 30L)) ++ Seq.fill(2)((30L, 10L)) ++
+      Seq.fill(4)((20L, 30L)) ++ Seq.fill(3)((30L, 20L)))
+      .toDF("winner", "loser")
+    val order = Preference.bradleyTerry(games, iters = 5, topK = 10)
+      .select("item").as[Long].collect().toSeq
+    assert(order.head == 10L) // 5/7 vs 4/7 win rate vs the common opponent
+  }
+}

@@ -68,6 +68,27 @@ class SketchesSpec extends SparkSpec {
     assert(r.getLong(3) <= 10L, s"false positives ${r.getLong(3)}")
   }
 
+  test("countMinCensus: est >= exact always; unique tokens recover exactly") {
+    val docs = Seq(
+      (1L, "apple apple banana  Cherry"), // double space + case folding
+      (2L, "apple date")
+    ).toDF("doc_id", "text")
+    val rows = Sketches.countMinCensus(docs, "text", width = 4, depth = 3,
+      topK = 10).collect()
+    val byTok = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byTok.keySet == Set("apple", "banana", "cherry", "date"))
+    assert(byTok("apple")._1 == 3L)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"est < exact for ${r.getString(0)}")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+    // width large enough that nothing collides → zero overcount everywhere
+    val wide = Sketches.countMinCensus(docs, "text", width = 1 << 12,
+      depth = 3, topK = 10).collect()
+    assert(wide.forall(_.getLong(3) == 0L))
+  }
+
   test("bloom census survives an all-negative probe set (no null counts)") {
     val index = Seq((1L, "only one")).toDF("doc_id", "text")
     val probe = Seq((2L, "definitely absent")).toDF("doc_id", "text")
