@@ -68,7 +68,17 @@ object ScaleCheck {
     "x151_equal_freq_binning_approx" -> ((s, dir) =>
       graft.analytics.FeaturePrep.equalFreqBins(
         graft.queries.Q.t(s, dir, "lineitem"), "l_extendedprice",
-        "l_discount", 10, approxBoundaries = true))
+        "l_discount", 10, approxBoundaries = true)),
+    // q183's production operating point: 12-bit seeded-Gaussian planes
+    // (4096 buckets) instead of the oracle-friendly 4-bit quantized family
+    // whose 16 buckets would make the candidate join quadratic at scale
+    "x183_semantic_decon_prod" -> ((s, dir) => {
+      val e = graft.queries.Q.t(s, dir, "embeddings")
+      graft.ext.Similarity.semanticDecontaminate(
+        e.filter(col("vec_id") % 97 =!= 0), e.filter(col("vec_id") % 97 === 0),
+        "vec_id", "embedding", dim = 64, threshold = 0.3, nBits = 12,
+        probeHamming = 1)
+    })
   )
 
   def main(args: Array[String]): Unit = {
