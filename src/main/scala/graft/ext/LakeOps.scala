@@ -222,6 +222,35 @@ object LakeOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  // ------------------------------------------------- skew mitigation
+
+  /** Skew-salted equi-join: the remedy [[keyProfile]] diagnoses for. The
+    * big side gets `_salt = hash(rowId) mod salts` (rows of a HOT key
+    * spread over `salts` reducers); the other side replicates ×salts via
+    * one explode; the join runs on (key, _salt). Row-for-row identical to
+    * the plain join for inner/left semantics — each big row meets each
+    * matching other-side row in exactly ONE salt — which is what the q187
+    * oracle (the PLAIN join) proves by hash equality. Cost: the other
+    * side's shuffle grows ×salts; use when the profile shows a hot key
+    * and AQE's skew split can't engage (e.g. the skewed side feeds from
+    * an aggregation, or stats are missing).
+    */
+  def saltedJoin(
+      big: DataFrame,
+      other: DataFrame,
+      key: String,
+      rowIdCols: Seq[String],
+      salts: Int = 8,
+      joinType: String = "inner"
+  ): DataFrame = {
+    require(salts >= 1)
+    val saltExpr = pmod(xxhash64(rowIdCols.map(col): _*), lit(salts.toLong))
+    val b = big.withColumn("_salt", saltExpr)
+    val o = other.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    b.join(o, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
   // ------------------------------------------------- skew diagnostics
 
   /** Key-distribution profile: the diagnostic run BEFORE picking a join

@@ -86,11 +86,53 @@ object Sketches {
       keyCol: String,
       k: Int = 64
   ): DataFrame = {
-    val hashes = df
-      .select(col(shardCol).cast("string").as("shard"),
-        Dedup.portableHash60(col(keyCol).cast("string")).as("h"))
+    val shardSketch = bottomK(kmvHashes(df, shardCol, keyCol), "shard", "h", k)
+    kmvCensusCore(shardSketch, df, shardCol, keyCol, k)
+  }
+
+  /** Incrementally-maintained KMV census: the stored `state` sketch and
+    * the `delta` batch's sketch merge by set-union → re-bottom-k (each
+    * half's bottom-k supersets its contribution to the union's bottom-k),
+    * WITHOUT re-reading the state's raw keys. Output schema == the batch
+    * [[kmvCensus]] — the q186 oracle computes the batch form over the
+    * full data, so the hash match IS the incremental≡batch proof (the
+    * q97/q120/q150 pattern). The exact-count certification columns do
+    * re-read both halves — that is the certification harness, not the
+    * maintained artifact.
+    */
+  def kmvCensusIncremental(
+      state: DataFrame,
+      delta: DataFrame,
+      shardCol: String,
+      keyCol: String,
+      k: Int = 64
+  ): DataFrame = {
+    val s1 = bottomK(kmvHashes(state, shardCol, keyCol), "shard", "h", k)
+    val s2 = bottomK(kmvHashes(delta, shardCol, keyCol), "shard", "h", k)
+    val merged = bottomK(s1.unionByName(s2).distinct(), "shard", "h", k)
+    kmvCensusCore(merged, state.unionByName(delta), shardCol, keyCol, k)
+  }
+
+  /** Distinct (shard, portable-hash) pairs — the only thing KMV ever
+    * hashes or shuffles.
+    */
+  private def kmvHashes(
+      df: DataFrame, shardCol: String, keyCol: String): DataFrame =
+    df.select(col(shardCol).cast("string").as("shard"),
+      Dedup.portableHash60(col(keyCol).cast("string")).as("h"))
       .distinct()
-    val shardSketch = bottomK(hashes, "shard", "h", k)
+
+  /** Shared census tail: merge the per-shard sketches into the `~all`
+    * row, estimate, and certify against exact distincts of `full`.
+    */
+  private def kmvCensusCore(
+      shardSketch0: DataFrame,
+      full: DataFrame,
+      shardCol: String,
+      keyCol: String,
+      k: Int
+  ): DataFrame = {
+    val shardSketch = shardSketch0
       .localCheckpoint(true) // consumed twice: per-shard rows + merge
     val merged = bottomK(
       shardSketch.select(lit("~all").as("shard"), col("h")).distinct(),
@@ -98,10 +140,10 @@ object Sketches {
     val sketches = shardSketch.unionByName(merged)
       .groupBy("shard")
       .agg(count(lit(1)).cast("long").as("_n_sk"), max(col("h")).as("_hk"))
-    val exact = df
+    val exact = full
       .groupBy(col(shardCol).cast("string").as("shard"))
       .agg(count_distinct(col(keyCol)).as("n_exact"))
-    val exactAll = df.agg(count_distinct(col(keyCol)).as("n_exact"))
+    val exactAll = full.agg(count_distinct(col(keyCol)).as("n_exact"))
       .select(lit("~all").as("shard"), col("n_exact"))
     sketches
       .join(broadcast(exact.unionByName(exactAll)), Seq("shard"))

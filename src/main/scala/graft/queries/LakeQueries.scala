@@ -1112,6 +1112,30 @@ object LakeQueries {
               |  CAST(max(o_orderkey) AS BIGINT) AS max_key
               |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
               |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // ---- skew-salted join (the mitigation q106's keyProfile diagnoses
+    //      for): lineitem rows spread over 8 salts of their order key,
+    //      orders replicated ×8, join on (key, _salt). The oracle is the
+    //      PLAIN join — hash equality proves the salting is row-for-row
+    //      identity; SaltedJoinSpec pins the (key, salt) shuffle shape.
+    QueryDef(
+      "q187_salted_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .withColumnRenamed("l_orderkey", "o_orderkey")
+        val o = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        LakeOps.saltedJoin(li, o, "o_orderkey",
+            rowIdCols = Seq("o_orderkey", "l_linenumber"), salts = 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).cast("long").as("n_items"),
+            sumExact(col("l_extendedprice")).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS n_items,
+              |  ${sqlSumExact("l_extendedprice")} AS revenue
+              |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
     )
   )
 }

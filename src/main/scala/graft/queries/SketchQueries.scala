@@ -32,7 +32,35 @@ object SketchQueries {
       (s, dir) =>
         Sketches.kmvCensus(t(s, dir, "orders"), "o_orderpriority",
           "o_custkey", k = KmvK),
-      Some(s"""WITH h AS (SELECT DISTINCT o_orderpriority AS shard,
+      Some(kmvOracleSql)
+    ),
+
+    // ---- incrementally-maintained KMV: the stored pre-1998 sketch merges
+    //      with the 1998+ delta sketch by set-union → re-bottom-k, never
+    //      re-reading the state's raw keys. The oracle is the BATCH census
+    //      over all orders (same SQL as q178) — hash equality is the
+    //      incremental≡batch proof, the q97/q120/q150 pattern applied to
+    //      a sketch artifact.
+    QueryDef(
+      "q186_kmv_incremental",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val cut = to_timestamp(lit("1998-01-01"))
+        Sketches.kmvCensusIncremental(
+          o.filter(col("o_orderdate") < cut),
+          o.filter(col("o_orderdate") >= cut),
+          "o_orderpriority", "o_custkey", k = KmvK)
+      },
+      Some(kmvOracleSql)
+    )
+  ) ++ moreDefs
+
+  /** The q178/q186 oracle — the BATCH KMV census computed from raw keys.
+    * q186 reaching this hash through the state⊕delta merge is the
+    * mergeability/incremental-maintenance proof.
+    */
+  private def kmvOracleSql: String =
+    s"""WITH h AS (SELECT DISTINCT o_orderpriority AS shard,
              |    ('0x'||substr(md5(o_custkey::VARCHAR),1,15))::BIGINT AS h
              |  FROM orders),
              |ranked AS (SELECT shard, h,
@@ -58,9 +86,9 @@ object SketchQueries {
              |SELECT shard, n_exact, round(kmv, 1) AS kmv_est,
              |  round(CAST(100.0 AS DOUBLE) * abs(kmv - n_exact::DOUBLE) /
              |    n_exact::DOUBLE, 2) AS rel_err_pct
-             |FROM est ORDER BY shard""".stripMargin)
-    ),
+             |FROM est ORDER BY shard""".stripMargin
 
+  private def moreDefs: Seq[QueryDef] = Seq(
     // ---- Bloom membership pre-filter for incremental dedup: the even
     //      half of `documents` is the stored index (reduced to ≤ m int
     //      positions — the broadcastable "bitmap"), the odd half probes

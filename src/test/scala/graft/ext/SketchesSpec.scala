@@ -68,6 +68,18 @@ class SketchesSpec extends SparkSpec {
     assert(r.getLong(3) <= 10L, s"false positives ${r.getLong(3)}")
   }
 
+  test("kmvCensusIncremental == batch kmvCensus (merge never re-reads state)") {
+    val orders = Q.t(spark, sfDir("0.01"), "orders")
+    val cut = to_timestamp(lit("1998-01-01"))
+    val batch = Sketches.kmvCensus(orders, "o_orderpriority", "o_custkey")
+      .collect().toSeq
+    val inc = Sketches.kmvCensusIncremental(
+      orders.filter(col("o_orderdate") < cut),
+      orders.filter(col("o_orderdate") >= cut),
+      "o_orderpriority", "o_custkey").collect().toSeq
+    assert(inc == batch)
+  }
+
   test("countMinCensus: est >= exact always; unique tokens recover exactly") {
     val docs = Seq(
       (1L, "apple apple banana  Cherry"), // double space + case folding
