@@ -134,9 +134,11 @@ object Sketches {
   ): DataFrame = {
     val shardSketch = shardSketch0
       .localCheckpoint(true) // consumed twice: per-shard rows + merge
-    val merged = bottomK(
-      shardSketch.select(lit("~all").as("shard"), col("h")).distinct(),
-      "shard", "h", k)
+    // the all-shards merge input is ≤ shards·k longs — TakeOrdered, not a
+    // constant-partition window (which Catalyst folds to a GLOBAL window)
+    val merged = shardSketch.select(col("h")).distinct()
+      .orderBy("h").limit(k)
+      .select(lit("~all").as("shard"), col("h"))
     val sketches = shardSketch.unionByName(merged)
       .groupBy("shard")
       .agg(count(lit(1)).cast("long").as("_n_sk"), max(col("h")).as("_hk"))
