@@ -116,7 +116,7 @@ object Sketches {
   /** Distinct (shard, portable-hash) pairs — the only thing KMV ever
     * hashes or shuffles.
     */
-  private def kmvHashes(
+  private[graft] def kmvHashes(
       df: DataFrame, shardCol: String, keyCol: String): DataFrame =
     df.select(col(shardCol).cast("string").as("shard"),
       Dedup.portableHash60(col(keyCol).cast("string")).as("h"))

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ext.Sketches
+
+/** Streaming KMV distinct-count ingest: each micro-batch's (shard, hash)
+  * bottom-k sketch merges into the PERSISTED sketch store (one parquet of
+  * ≤ k longs per shard) — the streaming half of q178/q186's lifecycle.
+  *
+  * Exactly-once: unlike the SCD2 stream (which needs an epoch replay
+  * guard — CdcIngest.scd2DimStream), KMV merge is IDEMPOTENT — the merge
+  * is a set union of hashes followed by bottom-k, so replaying a batch
+  * after a mid-commit failure reconverges to the identical sketch. No
+  * replay guard is needed; the store is safe under foreachBatch's
+  * at-least-once contract.
+  *
+  * Scale shape: per batch, the only wide op is the distinct on the
+  * batch's (shard, hash) pairs; the store side is k longs per shard
+  * (read, unioned, re-bottom-k'd, atomically rewritten) — state size is
+  * independent of the stream's history.
+  */
+object SketchStream {
+
+  def start(
+      rows: DataFrame,
+      shardCol: String,
+      keyCol: String,
+      sketchPath: String,
+      checkpointPath: String,
+      k: Int = 64,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    rows.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, shardCol, keyCol, sketchPath, k)
+      }
+      .start()
+
+  /** One micro-batch: batch sketch ∪ stored sketch → bottom-k → rewrite.
+    * Also usable as a batch-mode call (the q186 incremental step).
+    */
+  def processBatch(
+      batch: DataFrame,
+      shardCol: String,
+      keyCol: String,
+      sketchPath: String,
+      k: Int
+  ): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val batchSketch = Sketches.bottomK(
+      Sketches.kmvHashes(batch, shardCol, keyCol), "shard", "h", k)
+    val p = new Path(sketchPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(p)) batchSketch
+      else Sketches.bottomK(
+        spark.read.parquet(sketchPath).unionByName(batchSketch).distinct(),
+        "shard", "h", k)
+    // materialize BEFORE overwriting the path the plan reads from
+    merged.localCheckpoint(true)
+      .write.mode("overwrite").parquet(sketchPath)
+  }
+
+  /** Distinct-count estimates from a persisted sketch store:
+    * (shard, kmv_est), plus the merged `~all` row.
+    */
+  def estimates(spark: SparkSession, sketchPath: String, k: Int = 64): DataFrame = {
+    val sk = spark.read.parquet(sketchPath).localCheckpoint(true)
+    val all = sk.select(col("h")).distinct()
+      .orderBy("h").limit(k)
+      .select(lit("~all").as("shard"), col("h"))
+    sk.unionByName(all)
+      .groupBy("shard")
+      .agg(count(lit(1)).cast("long").as("_n"), max(col("h")).as("_hk"))
+      .select(col("shard"),
+        round(when(col("_n") < k, col("_n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) *
+            lit(1152921504606846976L.toDouble) / col("_hk").cast("double")),
+          1).as("kmv_est"))
+      .orderBy("shard")
+  }
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ext.Sketches
+import graft.queries.Q
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming KMV ingest: the persisted sketch after N micro-batches must
+  * equal the batch sketch over the union of all batches (stream≡batch),
+  * and replaying a batch must not change it (merge idempotence).
+  */
+class SketchStreamSpec extends SparkSpec {
+
+  test("stream of batches converges to the batch KMV census") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("sketch_stream")
+    val (skP, ckpt) = (s"$base/sketch", s"$base/ckpt")
+
+    val orders = Q.t(spark, sfDir("0.01"), "orders")
+      .select(col("o_orderpriority").as("shard"),
+        col("o_custkey").as("key"))
+    val half1 = orders.filter(col("key") % 2 === 0)
+      .as[(String, Long)].collect().toSeq
+    val half2 = orders.filter(col("key") % 2 =!= 0)
+      .as[(String, Long)].collect().toSeq
+
+    val mem = MemoryStream[(String, Long)]
+    val q = SketchStream.start(
+      mem.toDF().toDF("shard", "key"), "shard", "key", skP, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      mem.addData(half1: _*)
+      q.processAllAvailable()
+      mem.addData(half2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = SketchStream.estimates(spark, skP)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = Sketches.kmvCensus(orders, "shard", "key")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
+
+  test("replaying a batch is a no-op (merge idempotence, no epoch guard)") {
+    val base = java.nio.file.Files.createTempDirectory("sketch_replay")
+    val skP = s"$base/sketch"
+    val orders = Q.t(spark, sfDir("0.01"), "orders")
+      .select(col("o_orderpriority").as("shard"), col("o_custkey").as("key"))
+    SketchStream.processBatch(orders, "shard", "key", skP, k = 64)
+    val once = spark.read.parquet(skP)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    SketchStream.processBatch(orders, "shard", "key", skP, k = 64) // replay
+    val twice = spark.read.parquet(skP)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(once == twice)
+  }
+}
