@@ -796,4 +796,31 @@ object Dedup {
         col("_score").cast("long").as("canonical_score"))
       .orderBy("cluster_id")
   }
+
+  // --------------------------------------------------- ensemble verdict
+
+  /** Merge candidate-pair sets from several dedup CHANNELS (exact hash,
+    * normalized hash, n-gram Jaccard, minhash, semantic, …) into one vote
+    * table: per (id_a, id_b) a 0/1 flag per channel plus the vote count —
+    * the standard precision ladder before an expensive resolution step
+    * (majority-gate, human review, canonical selection).
+    *
+    * Scale shape: each channel is distinct-projected to its id pair (8B +
+    * 8B) before the full-outer merge chain, so nothing wider than ids
+    * crosses an exchange regardless of what the channels carry; the merge
+    * output is candidate-sized, not corpus-sized.
+    */
+  def ensembleVerdict(channels: Seq[(String, DataFrame)]): DataFrame = {
+    require(channels.nonEmpty, "need at least one channel")
+    val flagged = channels.map { case (name, df) =>
+      df.select(col("id_a"), col("id_b")).distinct()
+        .withColumn(s"v_$name", lit(1L))
+    }
+    val merged = flagged.reduce((a, b) =>
+      a.join(b, Seq("id_a", "id_b"), "full_outer"))
+    val voteCols = channels.map { case (n, _) => s"v_$n" }
+    merged.na.fill(0L, voteCols)
+      .withColumn("votes", voteCols.map(col).reduce(_ + _))
+      .orderBy("id_a", "id_b")
+  }
 }

@@ -1050,6 +1050,64 @@ object TextQueries {
              |    AS BIGINT) AS predicted_target
              |FROM b JOIN m ON m.bk = b.bk, tt
              |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ---- ensemble dedup verdict: three channels — exact content hash,
+    //      normalized-text hash, 3-gram prefix-Jaccard (the q140 pair
+    //      index, reused via Materialized) — full-outer merged into one
+    //      vote table. The precision ladder a curation pipeline gates on
+    //      before canonical selection / review.
+    QueryDef(
+      "q188_ensemble_dedup",
+      (s, dir) => {
+        import graft.ext.{Dedup, TextAnalysis}
+        val docs = t(s, dir, "documents")
+        def pairsOn(h: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+          val withH = docs.select(col("doc_id"), h.as("_h"))
+          withH.select(col("doc_id").as("id_a"), col("_h"))
+            .join(withH.select(col("doc_id").as("id_b"), col("_h")), Seq("_h"))
+            .filter(col("id_a") < col("id_b"))
+            .select("id_a", "id_b")
+        }
+        val exact = pairsOn(Dedup.contentHash(Seq("text")))
+        val norm = pairsOn(TextAnalysis.fingerprintMd5(col("text")))
+        val jac = graft.util.Materialized.getOrBuild(pairIndexKey(s, dir))(
+          Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+            n = 3, minSim = 0.5))
+        Dedup.ensembleVerdict(Seq(
+          "exact" -> exact, "norm" -> norm, "jaccard" -> jac))
+      },
+      Some(s"""WITH $prefixGramPairCtes,
+             |jac AS (SELECT id_a, id_b FROM ppairs WHERE jaccard_sim >= 0.5),
+             |ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM documents a JOIN documents b
+             |  ON a.doc_id < b.doc_id AND md5(a.text) = md5(b.text)),
+             |nrm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM documents a JOIN documents b
+             |  ON a.doc_id < b.doc_id
+             |  AND md5(trim(regexp_replace(lower(a.text), '\\s+', ' ', 'g'))) =
+             |      md5(trim(regexp_replace(lower(b.text), '\\s+', ' ', 'g')))),
+             |u AS (SELECT id_a, id_b FROM jac
+             |  UNION SELECT id_a, id_b FROM ex
+             |  UNION SELECT id_a, id_b FROM nrm)
+             |SELECT u.id_a, u.id_b,
+             |  (CASE WHEN EXISTS (SELECT 1 FROM ex e
+             |    WHERE e.id_a = u.id_a AND e.id_b = u.id_b)
+             |    THEN 1 ELSE 0 END)::BIGINT AS v_exact,
+             |  (CASE WHEN EXISTS (SELECT 1 FROM nrm n
+             |    WHERE n.id_a = u.id_a AND n.id_b = u.id_b)
+             |    THEN 1 ELSE 0 END)::BIGINT AS v_norm,
+             |  (CASE WHEN EXISTS (SELECT 1 FROM jac j
+             |    WHERE j.id_a = u.id_a AND j.id_b = u.id_b)
+             |    THEN 1 ELSE 0 END)::BIGINT AS v_jaccard,
+             |  ((CASE WHEN EXISTS (SELECT 1 FROM ex e
+             |    WHERE e.id_a = u.id_a AND e.id_b = u.id_b) THEN 1 ELSE 0 END) +
+             |   (CASE WHEN EXISTS (SELECT 1 FROM nrm n
+             |    WHERE n.id_a = u.id_a AND n.id_b = u.id_b) THEN 1 ELSE 0 END) +
+             |   (CASE WHEN EXISTS (SELECT 1 FROM jac j
+             |    WHERE j.id_a = u.id_a AND j.id_b = u.id_b) THEN 1 ELSE 0 END)
+             |  )::BIGINT AS votes
+             |FROM u ORDER BY id_a, id_b""".stripMargin)
     )
   )
 }

@@ -283,4 +283,17 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(out == Seq((1L, 3L, 2L, 99L), (5L, 2L, 5L, 7L)))
   }
+
+  test("ensembleVerdict: flags per channel, absent channels fill 0") {
+    import spark.implicits._
+    val chA = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val chB = Seq((1L, 2L), (5L, 6L), (5L, 6L)).toDF("id_a", "id_b") // dup row
+    val out = Dedup.ensembleVerdict(Seq("a" -> chA, "b" -> chB))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, 1L, 2L), // both channels
+      (3L, 4L, 1L, 0L, 1L), // a only
+      (5L, 6L, 0L, 1L, 1L) // b only, channel-internal dup collapsed
+    ))
+  }
 }
