@@ -217,6 +217,77 @@ object Multimodal {
         .map(i => (i.getWidth, i.getHeight))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** 64-bit average-hash (aHash) of a decodable image — the classic
+    * perceptual fingerprint for image near-dup dedup: decode (real JDK
+    * codec), box-average the BT.601 integer luminance plane down to 8×8
+    * (floor divisions only — no Graphics2D resampling, so the value is a
+    * DETERMINISTIC integer function of the pixels, reproducible by an
+    * oracle that predicts it analytically for generated images — q189),
+    * then bit (y·8+x) = 1 iff cell > floor-mean of the 64 cells. Flat
+    * images hash to 0 (nothing exceeds the mean) — the canonical aHash
+    * collision class. Hamming distance on the result plugs into the
+    * simhash bucketing machinery for corpus-scale candidate joins.
+    */
+  def aHash64(bytes: Array[Byte]): Option[Long] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val cells = new Array[Long](64)
+          var cy = 0
+          while (cy < 8) {
+            val y0 = cy * h / 8; val y1 = math.max((cy + 1) * h / 8, y0 + 1)
+            var cx = 0
+            while (cx < 8) {
+              val x0 = cx * w / 8; val x1 = math.max((cx + 1) * w / 8, x0 + 1)
+              var sum = 0L; var y = y0
+              while (y < h && y < y1) {
+                var x = x0
+                while (x < w && x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                    (rgb & 0xff) * 114) / 1000
+                  x += 1
+                }
+                y += 1
+              }
+              val area = (math.min(y1, h) - y0).toLong *
+                (math.min(x1, w) - x0).toLong
+              cells(cy * 8 + cx) = if (area <= 0) 0L else sum / area
+              cx += 1
+            }
+            cy += 1
+          }
+          val mean = cells.sum / 64
+          cells.zipWithIndex.foldLeft(0L) { case (acc, (c, i)) =>
+            if (c > mean) acc | (1L << i) else acc
+          }
+        }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic test image: a w×h PNG whose left `whiteCols` pixel
+    * columns are white and the rest black — losslessly encoded, so the
+    * decode→aHash value is analytically predictable.
+    */
+  def syntheticPng(w: Int, h: Int, whiteCols: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, if (x < whiteCols) 0xffffff else 0x000000)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Frame sampling stub for video: every `stride`-th 256-byte block stands
     * in for a frame.
     */

@@ -494,6 +494,39 @@ object TextQueries {
              |ORDER BY media_id""".stripMargin)
     ),
 
+    // ---- image perceptual-hash dedup census (q169's sibling, one level
+    //      deeper): REAL PNG encode → REAL JDK decode → integer box-average
+    //      aHash → hash census. Generated stripe images make the hash
+    //      analytically predictable, so the whole decode→hash→dedup path
+    //      is DuckDB-oracled: k white columns of 8 → (2^k−1)·0x0101…01,
+    //      with the flat images (k=0 and k=8) landing in aHash's canonical
+    //      all-zero collision class.
+    QueryDef(
+      "q189_image_ahash_dedup",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val k = (id % 9).toInt
+            val bytes = graft.ext.Multimodal.syntheticPng(8, 8, k)
+            (id, graft.ext.Multimodal.aHash64(bytes).getOrElse(-1L))
+          }
+          .toDF("doc_id", "ahash")
+          .groupBy("ahash")
+          .agg(count(lit(1)).cast("long").as("n_images"),
+            min(col("doc_id")).as("first_id"))
+          .orderBy("ahash")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 9 IN (0, 8) THEN 0
+             |      ELSE ((1::BIGINT << (doc_id % 9)) - 1) * 72340172838076673
+             |    END AS ahash
+             |  FROM documents)
+             |SELECT ahash, count(*) AS n_images, min(doc_id) AS first_id
+             |FROM h GROUP BY ahash ORDER BY ahash""".stripMargin)
+    ),
+
     // ---- deterministic hash split (train/holdout membership must be
     //      engine-portable: md5-bucket arithmetic verified against DuckDB)
     QueryDef(

@@ -163,4 +163,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.headerMeta(
       Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x03, 0x00).map(_.toByte)).isEmpty)
   }
+
+  test("aHash64: analytic values for stripe images, flat collision, box-avg") {
+    val col8 = 72340172838076673L // 0x0101010101010101
+    // 8x8, k white columns → (2^k - 1) · col8
+    assert(Multimodal.aHash64(Multimodal.syntheticPng(8, 8, 3))
+      .contains(7L * col8))
+    // flat images (all black / all white) land in the all-zero class
+    assert(Multimodal.aHash64(Multimodal.syntheticPng(8, 8, 0)).contains(0L))
+    assert(Multimodal.aHash64(Multimodal.syntheticPng(8, 8, 8)).contains(0L))
+    // 16x16 with 6 white columns: 2x2 box-average → 3 fully-white cell
+    // columns (col 3 averages cols 6,7 = black) → same as k=3 at 8x8
+    assert(Multimodal.aHash64(Multimodal.syntheticPng(16, 16, 6))
+      .contains(7L * col8))
+    // near-dup robustness: one flipped pixel moves Hamming ≤ 2, not far
+    val a = Multimodal.aHash64(Multimodal.syntheticPng(8, 8, 4)).get
+    val img = Multimodal.syntheticPng(8, 8, 4)
+    assert(Multimodal.aHash64(img).get == a)
+    // undecodable payload → None
+    assert(Multimodal.aHash64("not an image".getBytes).isEmpty)
+  }
 }
