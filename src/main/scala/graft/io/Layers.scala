@@ -99,6 +99,25 @@ object Layers {
     out.write.mode("overwrite").option("header", "true").csv(path)
   }
 
+  /** ORC sink/scan — the other columnar lake format Spark ships a native
+    * vectorized reader for; same pushdown/pruning behavior as parquet.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** JSON-lines sink/scan (the interchange format of most text-corpus
+    * releases). Reads with an EXPLICIT schema — inferSchema over JSON is
+    * a full extra pass and type-unstable, the same rule as S1's CSV scan.
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Catalog listing (S9): parquet objects under a directory. */
   def listParquet(spark: SparkSession, dir: String): Seq[String] = {
     val p = new Path(dir)

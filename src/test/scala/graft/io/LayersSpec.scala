@@ -94,4 +94,28 @@ class LayersSpec extends SparkSpec {
     val back = Layers.readCsv(spark, s"$dir/nation.csv", schema)
     assert(back.count() == df.count())
   }
+
+  test("orc round-trip preserves rows, schema, and pushdown") {
+    val dir = java.nio.file.Files.createTempDirectory("layers_orc").toString
+    val df = graft.queries.Q.t(spark, sfDir("0.001"), "nation")
+    Layers.writeOrc(df, s"$dir/nation.orc")
+    val back = Layers.readOrc(spark, s"$dir/nation.orc")
+    assert(back.schema == df.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      df.orderBy("n_nationkey").collect().toSeq)
+    // filter reaches the ORC scan (same pruning contract as parquet)
+    val plan = back.filter(org.apache.spark.sql.functions.col("n_nationkey") === 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_nationkey"))
+  }
+
+  test("jsonl round-trip with declared schema (no inference pass)") {
+    val dir = java.nio.file.Files.createTempDirectory("layers_jsonl").toString
+    val df = graft.queries.Q.t(spark, sfDir("0.001"), "nation")
+    Layers.writeJsonl(df, s"$dir/nation.jsonl")
+    val back = Layers.readJsonl(spark, s"$dir/nation.jsonl", df.schema)
+    assert(back.schema == df.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      df.orderBy("n_nationkey").collect().toSeq)
+  }
 }
