@@ -158,6 +158,61 @@ object Sketches {
       .orderBy("shard")
   }
 
+  /** KMV SET OPERATIONS: union/intersection cardinality estimates from
+    * two bottom-k sketches alone — the audience-overlap query at 100 TB,
+    * answered from 2·k longs instead of two key streams. Theory: the
+    * bottom-k of A∪B is contained in bottomK(A) ∪ bottomK(B), Jaccard ≈
+    * |{h ∈ U_k : h ∈ SA ∧ h ∈ SB}| / k (the minhash estimator on the
+    * union's k-sample), |A∩B| ≈ J·|A∪B|. Exact counts ride along as the
+    * certification columns (the q98/q180 harness pattern).
+    *
+    * Single global sketches use TakeOrdered (per-partition bottom-k →
+    * driver merge of k longs), never a constant-partition window.
+    */
+  def kmvSetOpsCensus(
+      keysA: DataFrame,
+      keysB: DataFrame,
+      keyCol: String,
+      k: Int = 256
+  ): DataFrame = {
+    def hashes(df: DataFrame): DataFrame =
+      df.select(Dedup.portableHash60(col(keyCol).cast("string")).as("h"))
+        .distinct()
+    def sketch(df: DataFrame): DataFrame =
+      hashes(df).orderBy("h").limit(k)
+    val sa = sketch(keysA).localCheckpoint(true)
+    val sb = sketch(keysB).localCheckpoint(true)
+    val u = sa.unionByName(sb).distinct().orderBy("h").limit(k)
+      .localCheckpoint(true)
+    val m = u.join(sa, Seq("h"), "left_semi")
+      .join(sb, Seq("h"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("_m"))
+    val uStats = u.agg(count(lit(1)).cast("long").as("_nu"),
+      max(col("h")).as("_hk"))
+    val exact = keysA.select(col(keyCol).as("_k")).distinct()
+      .withColumn("_inA", lit(1))
+      .join(keysB.select(col(keyCol).as("_k")).distinct()
+        .withColumn("_inB", lit(1)), Seq("_k"), "full_outer")
+      .agg(
+        sum(coalesce(col("_inA"), lit(0))).cast("long").as("n_a"),
+        sum(coalesce(col("_inB"), lit(0))).cast("long").as("n_b"),
+        sum(coalesce(col("_inA"), lit(0)) * coalesce(col("_inB"), lit(0)))
+          .cast("long").as("n_inter"),
+        count(lit(1)).cast("long").as("n_union"))
+    val unionEst = when(col("_nu") < k, col("_nu").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(HashSpan) /
+        col("_hk").cast("double"))
+    // Jaccard divides by the SAMPLE size: k when the union sketch is
+    // full, |U| when under-full (then m/|U| is the exact Jaccard)
+    val jacc = col("_m").cast("double") /
+      least(col("_nu"), lit(k.toLong)).cast("double")
+    exact.crossJoin(m).crossJoin(uStats)
+      .select(col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
+        round(jacc, 4).as("jaccard_est"),
+        round(jacc * unionEst, 1).as("inter_est"),
+        round(unionEst, 1).as("union_est"))
+  }
+
   // ------------------------------------------------------------ Count-Min
 
   /** Count-Min sketch certification census over the whitespace-token

@@ -20,6 +20,7 @@ object SketchQueries {
   private val BloomKh = 5
   private val CmW = 16
   private val CmD = 3
+  private val SetK = 256
 
   val defs: Seq[QueryDef] = Seq(
     // ---- KMV (k-minimum-values) distinct sketch per shard + merged
@@ -184,6 +185,63 @@ object SketchQueries {
              |  GROUP BY p.token, p.n_exact)
              |SELECT token, n_exact, cms_est, cms_est - n_exact AS overcount
              |FROM est ORDER BY n_exact DESC, token""".stripMargin)
+    ),
+
+    // ---- KMV set operations: union/intersection cardinality of two key
+    //      populations (urgent-priority vs low-priority customers) from
+    //      their bottom-k sketches alone — 2·k longs of state; exact
+    //      counts ride along as certification. The minhash-Jaccard-on-
+    //      the-union-sample estimator, fully portable-hash-oracled.
+    QueryDef(
+      "q190_kmv_set_ops",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        Sketches.kmvSetOpsCensus(
+          o.filter(col("o_orderpriority") === "1-URGENT")
+            .select("o_custkey"),
+          o.filter(col("o_orderpriority") === "5-LOW")
+            .select("o_custkey"),
+          "o_custkey", k = SetK)
+      },
+      Some(s"""WITH a AS (SELECT DISTINCT
+             |    ('0x'||substr(md5(o_custkey::VARCHAR),1,15))::BIGINT AS h
+             |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+             |b AS (SELECT DISTINCT
+             |    ('0x'||substr(md5(o_custkey::VARCHAR),1,15))::BIGINT AS h
+             |  FROM orders WHERE o_orderpriority = '5-LOW'),
+             |sa AS (SELECT h FROM a ORDER BY h LIMIT $SetK),
+             |sb AS (SELECT h FROM b ORDER BY h LIMIT $SetK),
+             |u AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+             |  ORDER BY h LIMIT $SetK),
+             |m AS (SELECT count(*)::BIGINT AS m FROM u
+             |  WHERE EXISTS (SELECT 1 FROM sa WHERE sa.h = u.h)
+             |    AND EXISTS (SELECT 1 FROM sb WHERE sb.h = u.h)),
+             |us AS (SELECT count(*)::BIGINT AS nu, max(h) AS hk FROM u),
+             |ex AS (SELECT
+             |  (SELECT count(DISTINCT o_custkey) FROM orders
+             |    WHERE o_orderpriority = '1-URGENT') AS n_a,
+             |  (SELECT count(DISTINCT o_custkey) FROM orders
+             |    WHERE o_orderpriority = '5-LOW') AS n_b,
+             |  (SELECT count(*) FROM
+             |    (SELECT DISTINCT o_custkey FROM orders
+             |      WHERE o_orderpriority = '1-URGENT') x
+             |    JOIN (SELECT DISTINCT o_custkey FROM orders
+             |      WHERE o_orderpriority = '5-LOW') y USING (o_custkey))
+             |    AS n_inter,
+             |  (SELECT count(DISTINCT o_custkey) FROM orders
+             |    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')) AS n_union),
+             |est AS (SELECT m.m,
+             |    m.m::DOUBLE / LEAST(us.nu, $SetK)::DOUBLE AS jacc,
+             |    CASE WHEN us.nu < $SetK THEN us.nu::DOUBLE
+             |      ELSE CAST(${SetK - 1} AS DOUBLE) *
+             |        CAST(1152921504606846976 AS DOUBLE) / us.hk::DOUBLE
+             |    END AS uest
+             |  FROM us, m)
+             |SELECT ex.n_a, ex.n_b, ex.n_inter, ex.n_union,
+             |  round(jacc, 4) AS jaccard_est,
+             |  round(jacc * uest, 1) AS inter_est,
+             |  round(uest, 1) AS union_est
+             |FROM ex, est""".stripMargin)
     )
   )
 }

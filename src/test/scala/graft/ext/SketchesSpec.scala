@@ -68,6 +68,30 @@ class SketchesSpec extends SparkSpec {
     assert(r.getLong(3) <= 10L, s"false positives ${r.getLong(3)}")
   }
 
+  test("kmvSetOpsCensus: under-full sketches recover EXACT set algebra") {
+    val a = (1L to 10L).toDF("k")
+    val b = (6L to 15L).toDF("k")
+    val r = Sketches.kmvSetOpsCensus(a, b, "k", k = 256).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, 10L, 5L, 15L)))
+    // sketch holds every hash → estimates collapse to the exact values
+    assert(r.getDouble(4) == math.rint(5.0 / 15.0 * 10000) / 10000)
+    assert(r.getDouble(5) == 5.0 && r.getDouble(6) == 15.0)
+  }
+
+  test("kmvSetOpsCensus: full sketches estimate within a loose band") {
+    val orders = Q.t(spark, sfDir("0.01"), "orders")
+    val r = Sketches.kmvSetOpsCensus(
+      orders.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
+      orders.filter(col("o_orderpriority") === "5-LOW").select("o_custkey"),
+      "o_custkey", k = 256).head()
+    val (inter, union) = (r.getLong(2).toDouble, r.getLong(3).toDouble)
+    assert(math.abs(r.getDouble(5) - inter) / inter < 0.3,
+      s"inter_est ${r.getDouble(5)} vs $inter")
+    assert(math.abs(r.getDouble(6) - union) / union < 0.3,
+      s"union_est ${r.getDouble(6)} vs $union")
+  }
+
   test("kmvCensusIncremental == batch kmvCensus (merge never re-reads state)") {
     val orders = Q.t(spark, sfDir("0.01"), "orders")
     val cut = to_timestamp(lit("1998-01-01"))
