@@ -527,4 +527,52 @@ object Curation {
         count(when(col("_boiler"), 1)).cast("long").as("n_removed"))
     kept
   }
+
+  /** Per-source dataset DATASHEET — the one-table corpus card a curation
+    * run publishes: volume (docs, tokens, exact median tokens), exact-dup
+    * load (docs sharing a content hash within the source), and language
+    * mix (distinct langs, deterministic top lang + its share). One scan
+    * for the volume stats, one hash-only aggregation for dups, one
+    * (source, lang) aggregation for the mix — nothing wider than hashes
+    * and counts shuffles. Fully DuckDB-oracled (q191).
+    */
+  def datasheet(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      langCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = col(sourceCol).as("source")
+    val tok = TextAnalysis.tokenCount(col(textCol))
+    val base = docs.groupBy(src)
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(tok).cast("long").as("total_tokens"),
+        round(percentile(tok, lit(0.5)), 1).as("median_tokens"))
+    val dups = docs
+      .select(src, Dedup.contentHash(Seq(textCol)).as("_h"))
+      .groupBy("source", "_h").agg(count(lit(1)).as("_n"))
+      .groupBy("source")
+      .agg(sum(when(col("_n") > 1, col("_n")).otherwise(lit(0L)))
+        .cast("long").as("dup_docs"))
+    val langs = docs.groupBy(src, col(langCol).as("_lang"))
+      .agg(count(lit(1)).as("_ln"))
+      .localCheckpoint(true) // consumed twice: n_langs + top pick
+    val nLangs = langs.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_langs"))
+    val top = langs
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("source").orderBy(desc("_ln"), asc("_lang"))))
+      .filter(col("_rn") === 1)
+      .select(col("source"), col("_lang").as("top_lang"),
+        col("_ln").as("_topn"))
+    base.join(dups, Seq("source")).join(nLangs, Seq("source"))
+      .join(top, Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("median_tokens"), col("dup_docs"), col("n_langs"),
+        col("top_lang"),
+        round(lit(100.0) * col("_topn").cast("double") /
+          col("n_docs").cast("double"), 2).as("top_lang_pct"))
+      .orderBy("source")
+  }
 }

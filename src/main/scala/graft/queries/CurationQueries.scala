@@ -682,6 +682,39 @@ object CurationQueries {
              |  round(least(CAST(n AS DOUBLE), theta), 4) AS allocated,
              |  CAST(n AS DOUBLE) <= theta AS saturated
              |FROM counts, sel ORDER BY source""".stripMargin)
+    ),
+
+    // ---- per-source dataset datasheet (the published corpus card):
+    //      volume, exact median tokens, within-source exact-dup load,
+    //      language mix with deterministic top-language pick
+    QueryDef(
+      "q191_dataset_datasheet",
+      (s, dir) =>
+        Curation.datasheet(t(s, dir, "documents"), "source", "text", "lang"),
+      Some("""WITH tok AS (SELECT source, lang, md5(text) AS h,
+             |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |      x -> x <> '')) AS BIGINT) AS nt
+             |  FROM documents),
+             |base AS (SELECT source, count(*) AS n_docs,
+             |    sum(nt)::BIGINT AS total_tokens,
+             |    round(quantile_cont(nt, 0.5), 1) AS median_tokens
+             |  FROM tok GROUP BY source),
+             |hg AS (SELECT source, h, count(*) AS n FROM tok GROUP BY 1, 2),
+             |dups AS (SELECT source,
+             |    sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS dup_docs
+             |  FROM hg GROUP BY source),
+             |lg AS (SELECT source, lang, count(*) AS ln FROM tok GROUP BY 1, 2),
+             |nl AS (SELECT source, count(*) AS n_langs FROM lg GROUP BY source),
+             |top AS (SELECT source, lang AS top_lang, ln FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY source
+             |      ORDER BY ln DESC, lang) AS rn FROM lg) WHERE rn = 1)
+             |SELECT b.source, b.n_docs, b.total_tokens, b.median_tokens,
+             |  d.dup_docs, nl.n_langs, top.top_lang,
+             |  round(CAST(100.0 AS DOUBLE) * top.ln::DOUBLE /
+             |    b.n_docs::DOUBLE, 2) AS top_lang_pct
+             |FROM base b JOIN dups d USING (source)
+             |JOIN nl USING (source) JOIN top USING (source)
+             |ORDER BY source""".stripMargin)
     )
   )
 }

@@ -265,4 +265,26 @@ class CurationSpec extends SparkSpec {
       .select("allocated", "saturated").as[(Double, Boolean)].collect()
     assert(full.forall(_._2) && full.map(_._1).sorted.toSeq == Seq(2.0, 4.0, 10.0))
   }
+
+  test("datasheet: volume, dup load, and language mix per source") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "one two three", "en"), // 3 tokens
+      ("s1", "one two three", "en"), // exact dup of the first
+      ("s1", "uno dos", "es"), // 2 tokens
+      ("s2", "a b c d", "en") // 4 tokens
+    ).toDF("source", "text", "lang")
+    val r = Curation.datasheet(docs, "source", "text", "lang")
+      .collect().map(x => x.getString(0) -> x).toMap
+    val s1 = r("s1")
+    assert(s1.getLong(1) == 3L && s1.getLong(2) == 8L) // docs, tokens
+    assert(s1.getDouble(3) == 3.0) // median of (3,3,2)
+    assert(s1.getLong(4) == 2L, "both copies count as dup load")
+    assert(s1.getLong(5) == 2L && s1.getString(6) == "en")
+    assert(s1.getDouble(7) == math.rint(200.0 / 3.0 * 100) / 100 ||
+      s1.getDouble(7) == 66.67)
+    val s2 = r("s2")
+    assert(s2.getLong(1) == 1L && s2.getLong(4) == 0L &&
+      s2.getDouble(7) == 100.0)
+  }
 }
