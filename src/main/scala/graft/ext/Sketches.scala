@@ -158,6 +158,56 @@ object Sketches {
       .orderBy("shard")
   }
 
+  /** Trailing-window distinct-count rollup from per-day KMV sketches —
+    * the "distinct users per trailing week" dashboard at 100 TB: the
+    * stored artifact is k longs PER DAY; each day's trailing estimate
+    * merges only the window's sketches (mergeability in the TIME
+    * dimension — the q178 shard proof applied to days). The raw key
+    * stream is touched once, to build the day sketches; the rollup join
+    * is days × (days·k) — dashboard-sized regardless of corpus size.
+    * Exact counts ride along as certification (they re-scan; that is
+    * the harness, not the product).
+    *
+    * Output: (day: string, n_exact, kmv_est, rel_err_pct) per active day.
+    */
+  def kmvTrailingDistinct(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      windowDays: Int = 7,
+      k: Int = 64
+  ): DataFrame = {
+    val hashes = df
+      .select(to_date(col(tsCol)).as("day"),
+        Dedup.portableHash60(col(keyCol).cast("string")).as("h"))
+      .distinct()
+    val daySk = bottomK(hashes, "day", "h", k).localCheckpoint(true)
+    val days = daySk.select("day").distinct()
+    val trailing = days.select(col("day").as("t"))
+      .join(daySk,
+        col("day").between(date_sub(col("t"), windowDays - 1), col("t")))
+      .select(col("t"), col("h")).distinct()
+    val sk = bottomK(trailing.withColumnRenamed("t", "day"), "day", "h", k)
+      .groupBy("day")
+      .agg(count(lit(1)).cast("long").as("_n_sk"), max(col("h")).as("_hk"))
+    val du = df
+      .select(to_date(col(tsCol)).as("d"), col(keyCol).as("u"))
+      .distinct()
+    val exact = days.select(col("day").as("t"))
+      .join(du, col("d").between(date_sub(col("t"), windowDays - 1), col("t")))
+      .groupBy(col("t").as("day"))
+      .agg(count_distinct(col("u")).as("n_exact"))
+    sk.join(exact, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_exact"),
+        round(kmvEstimate(col("_n_sk"), col("_hk"), k), 1).as("kmv_est"),
+        round(lit(100.0) *
+          abs(kmvEstimate(col("_n_sk"), col("_hk"), k) -
+            col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 2).as("rel_err_pct"))
+      .orderBy("day")
+  }
+
   /** KMV SET OPERATIONS: union/intersection cardinality estimates from
     * two bottom-k sketches alone — the audience-overlap query at 100 TB,
     * answered from 2·k longs instead of two key streams. Theory: the

@@ -242,6 +242,46 @@ object SketchQueries {
              |  round(jacc * uest, 1) AS inter_est,
              |  round(uest, 1) AS union_est
              |FROM ex, est""".stripMargin)
+    ),
+
+    // ---- trailing-7-day distinct users per day, answered from per-day
+    //      KMV sketches only (k longs/day of state; mergeability in the
+    //      TIME dimension). Exact counts ride along as certification.
+    QueryDef(
+      "q192_kmv_trailing_distinct",
+      (s, dir) =>
+        Sketches.kmvTrailingDistinct(t(s, dir, "events"), "ts", "user_id",
+          windowDays = 7, k = KmvK),
+      Some(s"""WITH h AS (SELECT DISTINCT ts::DATE AS day,
+             |    ('0x'||substr(md5(user_id::VARCHAR),1,15))::BIGINT AS h
+             |  FROM events),
+             |ranked AS (SELECT day, h,
+             |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+             |  FROM h),
+             |dsk AS (SELECT day, h FROM ranked WHERE rn <= $KmvK),
+             |days AS (SELECT DISTINCT day FROM dsk),
+             |tw AS (SELECT DISTINCT t.day AS day, s.h
+             |  FROM days t JOIN dsk s ON s.day BETWEEN t.day - 6 AND t.day),
+             |rw AS (SELECT day, h,
+             |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+             |  FROM tw),
+             |sk AS (SELECT day, count(*) AS n_sk, max(h) AS hk
+             |  FROM rw WHERE rn <= $KmvK GROUP BY day),
+             |du AS (SELECT DISTINCT ts::DATE AS d, user_id AS u FROM events),
+             |ex AS (SELECT t.day, count(DISTINCT du.u) AS n_exact
+             |  FROM days t JOIN du ON du.d BETWEEN t.day - 6 AND t.day
+             |  GROUP BY t.day),
+             |est AS (SELECT s.day, e.n_exact,
+             |    CASE WHEN s.n_sk < $KmvK THEN s.n_sk::DOUBLE
+             |      ELSE CAST(${KmvK - 1} AS DOUBLE) *
+             |        CAST(1152921504606846976 AS DOUBLE) / s.hk::DOUBLE
+             |    END AS kmv
+             |  FROM sk s JOIN ex e USING (day))
+             |SELECT strftime(day, '%Y-%m-%d') AS day, n_exact,
+             |  round(kmv, 1) AS kmv_est,
+             |  round(CAST(100.0 AS DOUBLE) * abs(kmv - n_exact::DOUBLE) /
+             |    n_exact::DOUBLE, 2) AS rel_err_pct
+             |FROM est ORDER BY day""".stripMargin)
     )
   )
 }

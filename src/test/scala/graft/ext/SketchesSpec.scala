@@ -92,6 +92,22 @@ class SketchesSpec extends SparkSpec {
       s"union_est ${r.getDouble(6)} vs $union")
   }
 
+  test("kmvTrailingDistinct: window union of day sketches, exact when under-full") {
+    import java.sql.Timestamp
+    val rows = ((1 to 10).map(u => (Timestamp.valueOf("2024-03-01 10:00:00"), u.toLong)) ++
+      (6 to 15).map(u => (Timestamp.valueOf("2024-03-02 10:00:00"), u.toLong)) ++
+      (1 to 3).map(u => (Timestamp.valueOf("2024-03-04 10:00:00"), u.toLong)))
+      .toDF("ts", "user_id")
+    val out = Sketches.kmvTrailingDistinct(rows, "ts", "user_id",
+      windowDays = 2, k = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    // under-full sketches → estimates are exact
+    assert(out("2024-03-01") == ((10L, 10.0)))
+    assert(out("2024-03-02") == ((15L, 15.0))) // union of days 1-2
+    assert(out("2024-03-04") == ((3L, 3.0))) // day 3 empty, window covers 3-4
+  }
+
   test("kmvCensusIncremental == batch kmvCensus (merge never re-reads state)") {
     val orders = Q.t(spark, sfDir("0.01"), "orders")
     val cut = to_timestamp(lit("1998-01-01"))
