@@ -534,6 +534,79 @@ object Similarity {
     (base.withColumn("_cell", ivfAssignQuantized(col(vecCol), cents)), cents)
   }
 
+  /** Residual quantization (RQ) encode — the third codebook family next
+    * to IVF (q72) and PQ (q80): stage 1 assigns each vector to a coarse
+    * centroid, stage 2 quantizes the RESIDUAL vq − C1[cell1] against a
+    * second codebook, halving reconstruction error at the cost of one
+    * more byte per vector. Everything is exact integer math on the
+    * quantized grid: C1 = the k1 lowest-id quantized vectors (the q72
+    * fixed-quantizer trick; production trains via
+    * [[kmeansCodebookQuantized]]), C2 = the residuals of the k2 lowest-id
+    * vectors. Output: per (cell1, cell2) census with the exact integer
+    * reconstruction error — fully DuckDB-oracled (q193).
+    *
+    * Scale shape: two broadcast codebooks inside expressions, one scan,
+    * one k1·k2-cell aggregation. The stage-2 argmin runs as the HOF fold
+    * (k2·d interpreted ops/row — the native ivf_argmin is the documented
+    * swap-in at production dims, as measured for q72).
+    */
+  def rqEncodeCensus(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k1: Int = 8,
+      k2: Int = 16
+  ): DataFrame = {
+    val vq = transform(col(vecCol),
+      x => round(x.cast("double") * 1000).cast("long"))
+    val base = df.select(col(idCol), col(vecCol), vq.as("_vq"))
+    val c1: IndexedSeq[IndexedSeq[Long]] =
+      base.orderBy(idCol).limit(k1).select("_vq").collect()
+        .map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+    def assign1(v: IndexedSeq[Long]): Int =
+      c1.zipWithIndex.map { case (c, i) =>
+        (c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.min._2
+    val c2: IndexedSeq[IndexedSeq[Long]] =
+      base.orderBy(idCol).limit(k2).select("_vq").collect()
+        .map(_.getSeq[Long](0).toIndexedSeq)
+        .map(v => v.zip(c1(assign1(v))).map { case (x, c) => x - c })
+        .toIndexedSeq
+    val cell1 = ivfAssignQuantized(col(vecCol), c1)
+    val resid = zip_with(col("_vq"),
+      element_at(typedLit(c1.map(_.toSeq).toSeq), col("_cell1").cast("int") + 1),
+      (x, c) => x - c)
+    // stage-2 argmin over long residuals (ties → lowest code)
+    val m2 = typedLit(c2.map(_.toSeq).toSeq)
+    def distTo(i: Column): Column = aggregate(
+      zip_with(col("_r"), element_at(m2, i + 1), (x, c) => (x - c) * (x - c)),
+      lit(0L), (a, x) => a + x)
+    val cell2 = aggregate(
+      sequence(lit(0), lit(k2 - 1)),
+      struct(lit(Long.MaxValue).as("d"), lit(-1L).as("i")),
+      (acc, i) => {
+        val d = distTo(i)
+        when(d < acc.getField("d"),
+          struct(d.as("d"), i.cast("long").as("i"))).otherwise(acc)
+      },
+      acc => acc.getField("i"))
+    base
+      .withColumn("_cell1", cell1)
+      .withColumn("_r", resid)
+      .withColumn("_cell2", cell2)
+      .withColumn("_err", aggregate(
+        zip_with(col("_r"),
+          element_at(m2, col("_cell2").cast("int") + 1),
+          (x, c) => (x - c) * (x - c)),
+        lit(0L), (a, x) => a + x))
+      .groupBy(col("_cell1").cast("long").as("cell1"),
+        col("_cell2").cast("long").as("cell2"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        sum(col("_err")).cast("long").as("recon_err"))
+      .orderBy("cell1", "cell2")
+  }
+
   /** Simplified silhouette over a FIXED quantized centroid set: per
     * vector, a = squared-L2 to its own (nearest) centroid, b = min
     * squared-L2 to any OTHER centroid, s = (b − a)/max(a, b) — the

@@ -619,8 +619,55 @@ object SimilarityQueries {
           nBits = SemBits, probeHamming = 1, portable = true)
       },
       Some(deconOracleSql)
+    ),
+
+    // ---- residual quantization encode (the third codebook family after
+    //      IVF/PQ): coarse cell + residual code per vector, exact integer
+    //      reconstruction error — fully oracled via the q72/q80
+    //      fixed-quantizer trick (C1 = 8 lowest-id vectors, C2 = the
+    //      residuals of the 16 lowest-id vectors).
+    QueryDef(
+      "q193_rq_encode",
+      (s, dir) =>
+        Similarity.rqEncodeCensus(t(s, dir, "embeddings"), "vec_id",
+          "embedding", dim = 64, k1 = 8, k2 = 16),
+      Some(rqOracleSql)
     )
   )
+
+  /** The q193 oracle: stage-1 argmin (q72's row_number pattern), residual
+    * lists, stage-2 argmin against the 16 lowest-id residuals, census
+    * with exact integer reconstruction error.
+    */
+  private def rqOracleSql: String = {
+    val d1 =
+      "list_sum(list_transform(generate_series(1, 64), " +
+        "j -> (q.vq[j] - c.cv[j]) * (q.vq[j] - c.cv[j])))"
+    val d2 =
+      "list_sum(list_transform(generate_series(1, 64), " +
+        "j -> (r1.rd[j] - c2.rd[j]) * (r1.rd[j] - c2.rd[j])))"
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS vq
+       |  FROM embeddings),
+       |c1 AS (SELECT vec_id AS cell, vq AS cv FROM q WHERE vec_id < 8),
+       |d1 AS (SELECT q.vec_id, q.vq, c.cell, $d1 AS dd
+       |  FROM q CROSS JOIN c1 c),
+       |a1 AS (SELECT vec_id, vq, cell FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+       |  FROM d1) WHERE rn = 1),
+       |r1 AS (SELECT a1.vec_id, a1.cell AS cell1,
+       |    list_transform(generate_series(1, 64), j -> a1.vq[j] - c.cv[j]) AS rd
+       |  FROM a1 JOIN c1 c ON c.cell = a1.cell),
+       |c2 AS (SELECT vec_id AS code, rd FROM r1 WHERE vec_id < 16),
+       |d2 AS (SELECT r1.vec_id, r1.cell1, c2.code, $d2 AS dd
+       |  FROM r1 CROSS JOIN c2),
+       |a2 AS (SELECT vec_id, cell1, code, dd FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dd, code) AS rn
+       |  FROM d2) WHERE rn = 1)
+       |SELECT cell1::BIGINT AS cell1, code::BIGINT AS cell2,
+       |  count(*) AS n_vecs, sum(dd)::BIGINT AS recon_err
+       |FROM a2 GROUP BY 1, 2 ORDER BY cell1, cell2""".stripMargin
+  }
 
   /** The q168 oracle: BOTH hard-negative paths in DuckDB — the exact
     * cross-product miner (q141's CTEs) and the multi-probe bucket channel

@@ -267,6 +267,27 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getLong(3) == 200L && r.getDouble(2) > 0.99)
   }
 
+  test("rqEncodeCensus: residual stage strictly reduces reconstruction error") {
+    val e = graft.queries.Q.t(spark, sfDir("0.01"), "embeddings")
+    val census = Similarity.rqEncodeCensus(e, "vec_id", "embedding", dim = 64)
+      .collect()
+    assert(census.map(_.getLong(2)).sum == e.count())
+    val rqErr = census.map(_.getLong(3)).sum
+    // driver recompute of the stage-1-only error (distance to the coarse
+    // centroid = the error RQ starts from)
+    val vqs = e.orderBy("vec_id")
+      .select(org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.col("embedding"),
+        x => org.apache.spark.sql.functions.round(x.cast("double") * 1000)
+          .cast("long")))
+      .collect().map(_.getSeq[Long](0).toIndexedSeq)
+    val c1 = vqs.take(8)
+    val stage1Err = vqs.map(v =>
+      c1.map(c => c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum).min).sum
+    assert(rqErr < stage1Err,
+      s"RQ err $rqErr not below stage-1 err $stage1Err")
+  }
+
   test("kmeansCodebookQuantized: snapping, convergence, empty-cell rule") {
     import spark.implicits._
     // two tight groups around (10,0) and (0,10) in quantized units —
