@@ -284,28 +284,73 @@ object Sketches {
       width: Int = 16,
       depth: Int = 3,
       topK: Int = 20
+  ): DataFrame =
+    cmCensusCore(cmCells(df, textCol, width, depth), df, textCol,
+      width, depth, topK)
+
+  /** Incrementally-maintained Count-Min census: the stored `state` grid
+    * and the `delta` batch's grid merge by CELL-WISE ADDITION (the CMS
+    * mergeability property — counters are linear), never re-reading the
+    * state's token stream. Output schema == [[countMinCensus]]; the q194
+    * oracle computes the batch form over the full data, so the hash match
+    * is the incremental≡batch proof (the q186 pattern for the second
+    * sketch family).
+    */
+  def countMinCensusIncremental(
+      state: DataFrame,
+      delta: DataFrame,
+      textCol: String,
+      width: Int = 16,
+      depth: Int = 3,
+      topK: Int = 20
   ): DataFrame = {
-    val tok = df
-      .select(explode(split(lower(col(textCol)), " ")).as("token"))
+    val merged = cmCells(state, textCol, width, depth)
+      .unionByName(cmCells(delta, textCol, width, depth))
+      .groupBy("r", "pos")
+      .agg(sum(col("cnt")).as("cnt"))
+    cmCensusCore(merged, state.unionByName(delta), textCol,
+      width, depth, topK)
+  }
+
+  /** "cm" || r || "|" || token — identical salted string both engines. */
+  private def cmPosOf(r: Column, c: Column, width: Int): Column =
+    pmod(Dedup.portableHash60(
+      concat(lit("cm"), r.cast("string"), lit("|"), c)),
+      lit(width.toLong))
+
+  private def cmTokens(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(lower(col(textCol)), " ")).as("token"))
       .filter(col("token") =!= "")
-    // "cm" || r || "|" || token — identical salted string both engines
-    def posOf(r: Column, c: Column): Column =
-      pmod(Dedup.portableHash60(
-        concat(lit("cm"), r.cast("string"), lit("|"), c)),
-        lit(width.toLong))
-    val cells = tok
+
+  /** The depth×width counter grid of a corpus — the mergeable artifact. */
+  private def cmCells(
+      df: DataFrame, textCol: String, width: Int, depth: Int): DataFrame =
+    cmTokens(df, textCol)
       .select(explode(sequence(lit(0), lit(depth - 1))).as("r"),
         col("token"))
-      .select(col("r"), posOf(col("r"), col("token")).as("pos"))
+      .select(col("r"), cmPosOf(col("r"), col("token"), width).as("pos"))
       .groupBy("r", "pos")
       .agg(count(lit(1)).as("cnt"))
-    val exact = tok.groupBy("token")
+
+  /** Shared census tail: probe the grid with the top-`topK` exact tokens
+    * of `full` (the certification harness).
+    */
+  private def cmCensusCore(
+      cells: DataFrame,
+      full: DataFrame,
+      textCol: String,
+      width: Int,
+      depth: Int,
+      topK: Int
+  ): DataFrame = {
+    val exact = cmTokens(full, textCol).groupBy("token")
       .agg(count(lit(1)).cast("long").as("n_exact"))
       .orderBy(desc("n_exact"), asc("token"))
       .limit(topK)
     val probes = exact.select(col("token"), col("n_exact"),
       explode(array((0 until depth).map(r =>
-        struct(lit(r).as("r"), posOf(lit(r), col("token")).as("pos"))): _*))
+        struct(lit(r).as("r"),
+          cmPosOf(lit(r), col("token"), width).as("pos"))): _*))
         .as("_p"))
       .select(col("token"), col("n_exact"),
         col("_p.r").as("r"), col("_p.pos").as("pos"))

@@ -89,6 +89,29 @@ object SketchQueries {
              |    n_exact::DOUBLE, 2) AS rel_err_pct
              |FROM est ORDER BY shard""".stripMargin
 
+  /** The q185/q194 oracle — the BATCH Count-Min census from raw tokens.
+    * q194 reaching this hash through the state⊕delta cell-wise merge is
+    * the mergeability/incremental-maintenance proof.
+    */
+  private def cmOracleSql: String =
+    s"""WITH tok AS (SELECT tok AS token FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS tok
+       |    FROM documents) WHERE tok <> ''),
+       |cells AS (SELECT g.r,
+       |    ('0x'||substr(md5('cm'||g.r||'|'||token),1,15))::BIGINT % $CmW AS pos,
+       |    count(*) AS cnt
+       |  FROM tok, generate_series(0, ${CmD - 1}) g(r) GROUP BY 1, 2),
+       |exact AS (SELECT token, count(*) AS n_exact FROM tok
+       |  GROUP BY token ORDER BY n_exact DESC, token LIMIT 20),
+       |probes AS (SELECT e.token, e.n_exact, g.r,
+       |    ('0x'||substr(md5('cm'||g.r||'|'||e.token),1,15))::BIGINT % $CmW AS pos
+       |  FROM exact e, generate_series(0, ${CmD - 1}) g(r)),
+       |est AS (SELECT p.token, p.n_exact, min(c.cnt)::BIGINT AS cms_est
+       |  FROM probes p JOIN cells c ON c.r = p.r AND c.pos = p.pos
+       |  GROUP BY p.token, p.n_exact)
+       |SELECT token, n_exact, cms_est, cms_est - n_exact AS overcount
+       |FROM est ORDER BY n_exact DESC, token""".stripMargin
+
   private def moreDefs: Seq[QueryDef] = Seq(
     // ---- Bloom membership pre-filter for incremental dedup: the even
     //      half of `documents` is the stored index (reduced to ≤ m int
@@ -168,23 +191,24 @@ object SketchQueries {
       (s, dir) =>
         Sketches.countMinCensus(t(s, dir, "documents"), "text",
           width = CmW, depth = CmD, topK = 20),
-      Some(s"""WITH tok AS (SELECT tok AS token FROM (
-             |    SELECT unnest(string_split(lower(text), ' ')) AS tok
-             |    FROM documents) WHERE tok <> ''),
-             |cells AS (SELECT g.r,
-             |    ('0x'||substr(md5('cm'||g.r||'|'||token),1,15))::BIGINT % $CmW AS pos,
-             |    count(*) AS cnt
-             |  FROM tok, generate_series(0, ${CmD - 1}) g(r) GROUP BY 1, 2),
-             |exact AS (SELECT token, count(*) AS n_exact FROM tok
-             |  GROUP BY token ORDER BY n_exact DESC, token LIMIT 20),
-             |probes AS (SELECT e.token, e.n_exact, g.r,
-             |    ('0x'||substr(md5('cm'||g.r||'|'||e.token),1,15))::BIGINT % $CmW AS pos
-             |  FROM exact e, generate_series(0, ${CmD - 1}) g(r)),
-             |est AS (SELECT p.token, p.n_exact, min(c.cnt)::BIGINT AS cms_est
-             |  FROM probes p JOIN cells c ON c.r = p.r AND c.pos = p.pos
-             |  GROUP BY p.token, p.n_exact)
-             |SELECT token, n_exact, cms_est, cms_est - n_exact AS overcount
-             |FROM est ORDER BY n_exact DESC, token""".stripMargin)
+      Some(cmOracleSql)
+    ),
+
+    // ---- incrementally-maintained Count-Min: the even-id half is the
+    //      stored grid, the odd-id half the delta; grids merge by
+    //      CELL-WISE ADDITION (counters are linear). Oracle = the batch
+    //      census over all documents (q185's SQL) — the hash match is the
+    //      incremental≡batch proof, the q186 pattern for sketch family 2.
+    QueryDef(
+      "q194_countmin_incremental",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Sketches.countMinCensusIncremental(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1),
+          "text", width = CmW, depth = CmD, topK = 20)
+      },
+      Some(cmOracleSql)
     ),
 
     // ---- KMV set operations: union/intersection cardinality of two key

@@ -120,6 +120,15 @@ class SketchesSpec extends SparkSpec {
     assert(inc == batch)
   }
 
+  test("countMinCensusIncremental == batch (cell-wise counter addition)") {
+    val docs = Q.t(spark, sfDir("0.01"), "documents")
+    val batch = Sketches.countMinCensus(docs, "text").collect().toSeq
+    val inc = Sketches.countMinCensusIncremental(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "text").collect().toSeq
+    assert(inc == batch)
+  }
+
   test("countMinCensus: est >= exact always; unique tokens recover exactly") {
     val docs = Seq(
       (1L, "apple apple banana  Cherry"), // double space + case folding
