@@ -323,7 +323,7 @@ object Sketches {
       .filter(col("token") =!= "")
 
   /** The depth×width counter grid of a corpus — the mergeable artifact. */
-  private def cmCells(
+  private[graft] def cmCells(
       df: DataFrame, textCol: String, width: Int, depth: Int): DataFrame =
     cmTokens(df, textCol)
       .select(explode(sequence(lit(0), lit(depth - 1))).as("r"),

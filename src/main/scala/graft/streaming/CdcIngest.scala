@@ -81,7 +81,7 @@ object CdcIngest {
   }
 
   /** Atomic pointer swap: write aside, then rename over `_latest`. */
-  private def commit(snapshotDir: String, version: String): Unit = {
+  private[streaming] def commit(snapshotDir: String, version: String): Unit = {
     val tmp = Paths.get(s"${pointerPath(snapshotDir)}.tmp")
     Files.createDirectories(Paths.get(snapshotDir))
     Files.write(tmp, version.getBytes(StandardCharsets.UTF_8))

@@ -68,6 +68,80 @@ object SketchStream {
       .write.mode("overwrite").parquet(sketchPath)
   }
 
+  /** Streaming Count-Min ingest. The instructive CONTRAST with the KMV
+    * stream above: KMV merges by set union (idempotent — replay-safe with
+    * no guard), but CMS merges by ADDITION, so a replayed batch would
+    * DOUBLE-COUNT. The grid therefore lives in the versioned-snapshot
+    * layout (CdcIngest's `v<epoch>` directories + atomic `_latest`
+    * pointer) with the scd2-style epoch replay guard: a batch whose epoch
+    * is already versioned is skipped.
+    */
+  def startCountMin(
+      rows: DataFrame,
+      textCol: String,
+      gridDir: String,
+      checkpointPath: String,
+      width: Int = 16,
+      depth: Int = 3,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    rows.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        processCountMinBatch(batch, epochId, textCol, gridDir, width, depth)
+      }
+      .start()
+
+  /** One CMS micro-batch: delta grid + stored grid → cell-wise sum →
+    * new version + pointer swap. Skips already-committed epochs.
+    */
+  def processCountMinBatch(
+      batch: DataFrame,
+      epochId: Long,
+      textCol: String,
+      gridDir: String,
+      width: Int,
+      depth: Int
+  ): Unit = {
+    if (CdcIngest.versions(gridDir).exists(_.drop(1).toLong >= epochId))
+      return // replay guard: addition is NOT idempotent
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val delta = Sketches.cmCells(batch, textCol, width, depth)
+    val merged = CdcIngest.readSnapshot(spark, gridDir) match {
+      case Some(grid) => grid.unionByName(delta)
+        .groupBy("r", "pos").agg(sum(col("cnt")).as("cnt"))
+      case None => delta
+    }
+    merged.localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$gridDir/v$epochId")
+    CdcIngest.commit(gridDir, s"v$epochId")
+  }
+
+  /** Point estimate for a token from the persisted grid: min over the
+    * depth rows of its cells (∞-free: missing cell = 0).
+    */
+  def countMinEstimate(
+      spark: SparkSession,
+      gridDir: String,
+      token: String,
+      width: Int = 16,
+      depth: Int = 3
+  ): Long =
+    CdcIngest.readSnapshot(spark, gridDir) match {
+      case None => 0L
+      case Some(grid) =>
+        val probe = spark.range(depth.toLong).toDF("r")
+          .select(col("r"),
+            pmod(graft.ext.Dedup.portableHash60(
+              concat(lit("cm"), col("r").cast("string"), lit("|"),
+                lit(token))), lit(width.toLong)).as("pos"))
+        probe.join(grid, Seq("r", "pos"), "left")
+          .agg(min(coalesce(col("cnt"), lit(0L))))
+          .head().getLong(0)
+    }
+
   /** Distinct-count estimates from a persisted sketch store:
     * (shard, kmv_est), plus the merged `~all` row.
     */

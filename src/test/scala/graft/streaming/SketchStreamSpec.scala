@@ -44,6 +44,23 @@ class SketchStreamSpec extends SparkSpec {
     assert(streamed == batch, s"stream $streamed vs batch $batch")
   }
 
+  test("streaming CMS: batches accumulate, replay guard blocks double-count") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cms_stream")
+    val gridDir = s"$base/grid"
+    val b1 = Seq((1L, "apple apple banana")).toDF("doc_id", "text")
+    val b2 = Seq((2L, "apple cherry")).toDF("doc_id", "text")
+    SketchStream.processCountMinBatch(b1, 0L, "text", gridDir, 1 << 12, 3)
+    SketchStream.processCountMinBatch(b2, 1L, "text", gridDir, 1 << 12, 3)
+    def est(t: String) =
+      SketchStream.countMinEstimate(spark, gridDir, t, 1 << 12, 3)
+    assert(est("apple") == 3L && est("banana") == 1L && est("cherry") == 1L)
+    assert(est("absent") == 0L)
+    // replayed epoch 1 must be skipped — addition is not idempotent
+    SketchStream.processCountMinBatch(b2, 1L, "text", gridDir, 1 << 12, 3)
+    assert(est("apple") == 3L, "replay double-counted")
+  }
+
   test("replaying a batch is a no-op (merge idempotence, no epoch guard)") {
     val base = java.nio.file.Files.createTempDirectory("sketch_replay")
     val skP = s"$base/sketch"
