@@ -427,4 +427,88 @@ object Sketches {
           (col("n_bloom_pass") - col("n_true_dup")).cast("double") /
           col("n_probe").cast("double"), 3).as("fp_pct"))
   }
+
+  // ------------------------------------------------------------ Histogram
+
+  /** Fixed-grid histogram sketch of `valCol` per day: bucket = clamp
+    * (⌊v/width⌋, 0, nBuckets−1). The mergeable quantile artifact — counters
+    * are linear, so per-shard grids merge by CELL-WISE ADDITION across
+    * shards AND across days (the Count-Min property applied to the value
+    * axis), and any trailing window's quantile comes from ≤ nBuckets ints
+    * per member day, never from the raw rows.
+    */
+  private[graft] def dayHistogram(
+      df: DataFrame,
+      tsCol: String,
+      valCol: String,
+      width: Double,
+      nBuckets: Int
+  ): DataFrame =
+    df.select(to_date(col(tsCol)).as("day"),
+        least(greatest(floor(col(valCol).cast("double") / lit(width)),
+          lit(0.0)), lit((nBuckets - 1).toDouble)).cast("long").as("bucket"))
+      .groupBy("day", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Trailing-window quantile rollup from per-day histogram sketches —
+    * the "P50/P90 latency per trailing week" dashboard at 100 TB. The
+    * stored artifact is ≤ nBuckets counters PER DAY (the q192 KMV pattern
+    * applied to ORDER STATISTICS); each day's trailing histogram merges
+    * only the window's grids, and the quantile readout walks the merged
+    * grid's cumulative counts with INTEGER rank math (rank = ⌈q·W⌉, the
+    * bucket's lower bound is the estimate — never a float comparison that
+    * could leak into the answer, the q125 discipline). The exact lower
+    * quantiles ride along as certification (they re-scan the window's raw
+    * rows; that is the harness, not the product — est is always within
+    * one bucket width of exact, which the spec pins).
+    *
+    * Output per active day: (day, n, p50_est, p50_exact, p90_est,
+    * p90_exact) where p50_est = lower bound of the bucket holding rank
+    * ⌈W/2⌉ and p50_exact = the rank-⌈W/2⌉ value itself.
+    */
+  def histTrailingQuantiles(
+      df: DataFrame,
+      tsCol: String,
+      valCol: String,
+      windowDays: Int = 7,
+      width: Double = 8.0,
+      nBuckets: Int = 64
+  ): DataFrame = {
+    val hist = dayHistogram(df, tsCol, valCol, width, nBuckets)
+      .localCheckpoint(true)
+    val days = hist.select("day").distinct()
+    // merge the window's day-grids cell-wise (mergeability in TIME)
+    val merged = days.select(col("day").as("t"))
+      .join(hist,
+        col("day").between(date_sub(col("t"), windowDays - 1), col("t")))
+      .groupBy("t", "bucket")
+      .agg(sum(col("cnt")).as("cnt"))
+    val totals = merged.groupBy("t").agg(sum(col("cnt")).as("w"))
+    val r50 = (col("w") + 1) / lit(2L) // integer div: ceil(W/2)
+    val r90 = (col("w") * 9 + 9) / lit(10L) // ceil(9W/10)
+    val cum = merged.join(totals, Seq("t"))
+      .withColumn("_cum", sum(col("cnt")).over(
+        Window.partitionBy("t").orderBy("bucket")))
+    def estAt(rank: Column): Column =
+      min(when(col("_cum") >= rank, col("bucket"))) * lit(width)
+    val est = cum.groupBy("t", "w")
+      .agg(estAt(floor(r50)).as("p50_est"), estAt(floor(r90)).as("p90_est"))
+    // certification: the exact rank-r values, re-scanned per window
+    val raw = df.select(to_date(col(tsCol)).as("d"),
+      col(valCol).cast("double").as("v"))
+    val ranked = days.select(col("day").as("t"))
+      .join(raw, col("d").between(date_sub(col("t"), windowDays - 1), col("t")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("t").orderBy(col("v"))))
+    val exact = ranked.join(totals, Seq("t"))
+      .filter(col("_rn") === floor(r50) || col("_rn") === floor(r90))
+      .groupBy("t", "w")
+      .agg(min(when(col("_rn") === floor(r50), col("v"))).as("p50_exact"),
+        min(when(col("_rn") === floor(r90), col("v"))).as("p90_exact"))
+    est.join(exact, Seq("t", "w"))
+      .select(date_format(col("t"), "yyyy-MM-dd").as("day"),
+        col("w").cast("long").as("n"),
+        col("p50_est"), col("p50_exact"), col("p90_est"), col("p90_exact"))
+      .orderBy("day")
+  }
 }

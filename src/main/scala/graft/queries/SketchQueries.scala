@@ -21,6 +21,8 @@ object SketchQueries {
   private val CmW = 16
   private val CmD = 3
   private val SetK = 256
+  private val HistW = 8 // histogram bucket width (value units)
+  private val HistB = 64 // histogram bucket count
 
   val defs: Seq[QueryDef] = Seq(
     // ---- KMV (k-minimum-values) distinct sketch per shard + merged
@@ -306,6 +308,57 @@ object SketchQueries {
              |  round(CAST(100.0 AS DOUBLE) * abs(kmv - n_exact::DOUBLE) /
              |    n_exact::DOUBLE, 2) AS rel_err_pct
              |FROM est ORDER BY day""".stripMargin)
+    ),
+
+    // ---- trailing-7-day P50/P90 from per-day HISTOGRAM sketches — the
+    //      third mergeable-sketch family (order statistics): counters are
+    //      linear, so day-grids merge cell-wise across the window; the
+    //      quantile readout is INTEGER rank math over the merged grid
+    //      (rank = ceil(q·W), estimate = the holding bucket's lower
+    //      bound). Exact lower quantiles ride along as certification —
+    //      they re-scan the window's raw rows (harness, not product).
+    QueryDef(
+      "q196_hist_trailing_quantiles",
+      (s, dir) =>
+        Sketches.histTrailingQuantiles(t(s, dir, "events"), "ts", "value",
+          windowDays = 7, width = HistW.toDouble, nBuckets = HistB),
+      Some(s"""WITH e AS (SELECT ts::DATE AS d, value::DOUBLE AS v FROM events),
+             |hist AS (SELECT d AS day,
+             |    CAST(least(greatest(floor(v / $HistW), 0), ${HistB - 1})
+             |      AS BIGINT) AS bucket,
+             |    count(*) AS cnt
+             |  FROM e GROUP BY 1, 2),
+             |days AS (SELECT DISTINCT day FROM hist),
+             |merged AS (SELECT t.day AS t, h.bucket, sum(h.cnt) AS cnt
+             |  FROM days t JOIN hist h ON h.day BETWEEN t.day - 6 AND t.day
+             |  GROUP BY 1, 2),
+             |tot AS (SELECT t, sum(cnt) AS w FROM merged GROUP BY 1),
+             |cum AS (SELECT m.t, m.bucket, tot.w,
+             |    sum(m.cnt) OVER (PARTITION BY m.t ORDER BY m.bucket) AS cum
+             |  FROM merged m JOIN tot ON tot.t = m.t),
+             |est AS (SELECT t, w,
+             |    min(CASE WHEN cum >= floor((w + 1) / 2) THEN bucket END)
+             |      * CAST($HistW AS DOUBLE) AS p50_est,
+             |    min(CASE WHEN cum >= floor((w * 9 + 9) / 10) THEN bucket END)
+             |      * CAST($HistW AS DOUBLE) AS p90_est
+             |  FROM cum GROUP BY t, w),
+             |ranked AS (SELECT t.day AS t, e.v,
+             |    row_number() OVER (PARTITION BY t.day ORDER BY e.v) AS rn
+             |  FROM days t JOIN e ON e.d BETWEEN t.day - 6 AND t.day),
+             |ex AS (SELECT r.t, tot.w,
+             |    min(CASE WHEN rn = floor((tot.w + 1) / 2) THEN v END)
+             |      AS p50_exact,
+             |    min(CASE WHEN rn = floor((tot.w * 9 + 9) / 10) THEN v END)
+             |      AS p90_exact
+             |  FROM ranked r JOIN tot ON tot.t = r.t
+             |  WHERE rn = floor((tot.w + 1) / 2)
+             |     OR rn = floor((tot.w * 9 + 9) / 10)
+             |  GROUP BY r.t, tot.w),
+             |o AS (SELECT est.t, est.w, p50_est, p50_exact, p90_est, p90_exact
+             |  FROM est JOIN ex ON ex.t = est.t)
+             |SELECT strftime(t, '%Y-%m-%d') AS day, CAST(w AS BIGINT) AS n,
+             |  p50_est, p50_exact, p90_est, p90_exact
+             |FROM o ORDER BY day""".stripMargin)
     )
   )
 }
