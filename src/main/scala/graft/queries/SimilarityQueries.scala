@@ -30,6 +30,7 @@ object SimilarityQueries {
     */
   private val SemBits = 4
   private val SemThreshold = 0.3
+  private val DcgQueries = 10
 
   /** PQ operating point: 8 subspaces of 8 dims, 16 codewords each.
     * (Also ABOVE `defs` — see RecallBits.)
@@ -632,6 +633,50 @@ object SimilarityQueries {
         Similarity.rqEncodeCensus(t(s, dir, "embeddings"), "vec_id",
           "embedding", dim = 64, k1 = 8, k2 = 16),
       Some(rqOracleSql)
+    ),
+
+    // ---- retrieval-quality EVAL harness over the ANN index: DCG@10 of
+    //      the multi-probe LSH k-NN join (q78 machinery) against
+    //      label-match graded relevance, with DYADIC rank discounts
+    //      2^(1-r) — every weight and cumulative ideal is an exact
+    //      decimal rendering of a power of two (the q149 trick), so DCG
+    //      sums are exact dyadic rationals in BOTH engines regardless of
+    //      summation order, and nDCG is one exact-shape division. The
+    //      metric an index tuning loop gates on, fully hash-checked.
+    QueryDef(
+      "q195_retrieval_dcg",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val topk = Similarity.knnJoin(
+          e.filter(col("vec_id") < DcgQueries), e, "vec_id", "embedding",
+          k = 10, dim = 64, nBits = SemBits, probeHamming = 1,
+          portable = true)
+        val lbl = e.select(col("vec_id"), col("label"))
+        val weights = typedLit((1 to 10).map(r => math.pow(2.0, 1 - r)))
+        val cumW = typedLit((1 to 10).map(j => 2.0 - math.pow(2.0, 1 - j)))
+        val gains = topk
+          .join(lbl.withColumnRenamed("vec_id", "q_id")
+            .withColumnRenamed("label", "_ql"), "q_id")
+          .join(lbl.withColumnRenamed("vec_id", "c_id")
+            .withColumnRenamed("label", "_cl"), "c_id")
+          .withColumn("_g",
+            when(col("_ql") === col("_cl"), lit(1L)).otherwise(lit(0L)))
+        val perQ = gains.groupBy(col("q_id"), col("_ql"))
+          .agg(sum(col("_g")).cast("long").as("n_rel_retrieved"),
+            sum(col("_g").cast("double") *
+              element_at(weights, col("rank").cast("int"))).as("dcg"))
+        val labCnt = e.groupBy("label")
+          .agg(count(lit(1)).cast("long").as("_n"))
+        perQ
+          .join(broadcast(labCnt), col("_ql") === col("label"))
+          .withColumn("n_rel", col("_n") - 1)
+          .withColumn("_idcg",
+            element_at(cumW, least(col("n_rel"), lit(10L)).cast("int")))
+          .select(col("q_id"), col("n_rel"), col("n_rel_retrieved"),
+            col("dcg"), (col("dcg") / col("_idcg")).as("ndcg"))
+          .orderBy("q_id")
+      },
+      Some(retrievalDcgOracleSql)
     )
   )
 
@@ -886,6 +931,70 @@ object SimilarityQueries {
        |      AS rank
        |  FROM sims) r
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** The q195 oracle: the q78 knn-join pipeline (quantized planes,
+    * multi-probe buckets, rounded cosine, per-query rank) at k=10 over
+    * queries vec_id < DcgQueries, then DCG with the dyadic 2^(1-r)
+    * discounts inlined as EXACT decimal literals (never runtime pow) —
+    * sum order cannot matter because every partial sum of dyadics in
+    * [2^-9, 1] is exactly representable.
+    */
+  private def retrievalDcgOracleSql: String = {
+    val bits = Similarity.quantPlanes(64, SemBits).zipWithIndex.map {
+      case (p, i) =>
+        val lst = p.mkString("[", ",", "]")
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), " +
+          s"j -> ($lst)[j] * vq[j])) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" +\n  ")
+    val masks = (0L +: (0 until SemBits).map(i => 1L << i).toSeq)
+      .mkString("[", ",", "]")
+    def d(v: Double): String = BigDecimal(v).toString
+    val wCase = (1 to 10)
+      .map(r => s"WHEN $r THEN ${d(math.pow(2.0, 1 - r))}")
+      .mkString("CASE rank ", " ", " END")
+    val cumCase = (1 to 10)
+      .map(j => s"WHEN $j THEN ${d(2.0 - math.pow(2.0, 1 - j))}")
+      .mkString("CASE least(lc.n - 1, 10) ", " ",
+        " ELSE 1.998046875 END")
+    s"""WITH vq AS (SELECT vec_id,
+       |  list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS vq
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, CAST($bits AS BIGINT) AS bucket FROM vq),
+       |probes AS (SELECT q.vec_id AS q_id, xor(q.bucket, m.m) AS bucket
+       |  FROM b q, (SELECT unnest($masks::BIGINT[]) AS m) m
+       |  WHERE q.vec_id < $DcgQueries),
+       |cand AS (SELECT p.q_id, c.vec_id AS c_id
+       |  FROM probes p JOIN b c ON c.bucket = p.bucket
+       |  WHERE c.vec_id <> p.q_id),
+       |sims AS (SELECT q_id, c_id,
+       |  round(list_sum(list_transform(range(1, len(eq.embedding) + 1),
+       |      i -> eq.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE)) /
+       |    (sqrt(list_sum(list_transform(eq.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+       |     sqrt(list_sum(list_transform(ec.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4)
+       |    AS cos_sim
+       |  FROM cand
+       |  JOIN embeddings eq ON eq.vec_id = cand.q_id
+       |  JOIN embeddings ec ON ec.vec_id = cand.c_id),
+       |topk AS (SELECT q_id, c_id, rank FROM (
+       |  SELECT q_id, c_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id)
+       |      AS rank
+       |  FROM sims) r WHERE rank <= 10),
+       |g AS (SELECT t.q_id, lq.label AS ql,
+       |    CASE WHEN lq.label = lc2.label THEN 1 ELSE 0 END AS g, t.rank
+       |  FROM topk t
+       |  JOIN embeddings lq ON lq.vec_id = t.q_id
+       |  JOIN embeddings lc2 ON lc2.vec_id = t.c_id),
+       |perq AS (SELECT q_id, ql,
+       |    CAST(sum(g) AS BIGINT) AS n_rel_retrieved,
+       |    sum(CAST(g AS DOUBLE) * CAST($wCase AS DOUBLE)) AS dcg
+       |  FROM g GROUP BY q_id, ql),
+       |lc AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
+       |SELECT q_id, CAST(lc.n - 1 AS BIGINT) AS n_rel, n_rel_retrieved,
+       |  dcg, dcg / CAST($cumCase AS DOUBLE) AS ndcg
+       |FROM perq JOIN lc ON lc.label = perq.ql
+       |ORDER BY q_id""".stripMargin
   }
 
   /** The q75 oracle: the full recall computation in DuckDB, with lshTopK's
