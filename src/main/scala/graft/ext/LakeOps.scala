@@ -186,6 +186,61 @@ object LakeOps {
     upserts.unionByName(deletes)
   }
 
+  // ------------------------------------------------- versioned time travel
+
+  /** Resolve each version's ACTIVE FILE SET from a version log of
+    * (version, action ∈ add|remove, file_id) commits — the transaction-log
+    * fold behind snapshot-isolation time travel: a file is visible AS OF
+    * version v iff it was added at some version ≤ v and not removed at any
+    * version ≤ v (a compaction rewrite is remove(olds)+add(new) in one
+    * commit; a retention delete is a bare remove). Output: one
+    * (version, file_id) row per visible file per version in the log.
+    *
+    * Scale shape: the log is METADATA — thousands of rows for a
+    * petabyte table — so the whole fold (lifespan per file, interval
+    * membership per version) is dashboard-sized and broadcastable; no
+    * data file is touched.
+    */
+  def activeFilesByVersion(log: DataFrame): DataFrame = {
+    val versions = log.select(col("version")).distinct()
+    val lifespan = log.filter(col("action") === "add")
+      .groupBy("file_id").agg(min(col("version")).as("_av"))
+      .join(log.filter(col("action") === "remove")
+          .groupBy("file_id").agg(min(col("version")).as("_rv")),
+        Seq("file_id"), "left")
+    versions.join(lifespan,
+        col("version") >= col("_av") &&
+          (col("_rv").isNull || col("version") < col("_rv")))
+      .select(col("version"), col("file_id"))
+  }
+
+  /** Time-travel CENSUS: what the table contained at every version —
+    * rows tagged with their physical `fileIdCol` join the resolved
+    * (version, file_id) manifest and aggregate per version. The data is
+    * scanned ONCE for all versions (membership is a broadcast join
+    * against the tiny manifest), never once per version; rows whose file
+    * appears in no commit (orphan/uncommitted files) are invisible, as
+    * in a real transaction log.
+    */
+  def timeTravelCensus(
+      data: DataFrame,
+      log: DataFrame,
+      fileIdCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val member = activeFilesByVersion(log).localCheckpoint(true)
+    val files = member.groupBy("version")
+      .agg(count(lit(1)).cast("long").as("n_files"))
+    val rows = data.join(broadcast(member), Seq(fileIdCol))
+      .groupBy("version")
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        graft.queries.Q.sumExact(col(valueCol)).as("total_value"))
+    files.join(rows, Seq("version"))
+      .select(col("version").cast("long").as("version"), col("n_files"),
+        col("n_rows"), col("total_value"))
+      .orderBy("version")
+  }
+
   // ------------------------------------- incremental aggregate maintenance
 
   /** Merge a delta's aggregate state into a stored aggregate state —

@@ -1136,6 +1136,68 @@ object LakeQueries {
               |  ${sqlSumExact("l_extendedprice")} AS revenue
               |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
               |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // ---- TIME TRAVEL over a versioned file log: yearly order files
+    //      committed across 4 versions — v3 is a compaction REWRITE
+    //      (remove f1996+f1997, add their merged copy: v3's census must
+    //      equal v2's, proving rewrites preserve content), v4 a retention
+    //      DELETE; f2001 exists in storage but in no commit, so it is
+    //      invisible at every version (orphan-file isolation). The oracle
+    //      folds the same log in SQL — hash equality proves the
+    //      manifest-fold semantics, not just the arithmetic.
+    QueryDef(
+      "q197_time_travel",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val base = o.withColumn("file_id",
+          concat(lit("f"), year(col("o_orderdate"))))
+        val compacted = o
+          .filter(year(col("o_orderdate")).isin(1996, 1997))
+          .withColumn("file_id", lit("fc9697"))
+        val log = s.createDataFrame(Seq(
+          (1, "add", "f1995"), (1, "add", "f1996"), (1, "add", "f1997"),
+          (2, "add", "f1998"), (2, "add", "f1999"), (2, "add", "f2000"),
+          (3, "remove", "f1996"), (3, "remove", "f1997"),
+          (3, "add", "fc9697"),
+          (4, "remove", "f1995")))
+          .toDF("version", "action", "file_id")
+        LakeOps.timeTravelCensus(base.unionByName(compacted), log,
+          "file_id", "o_totalprice")
+      },
+      Some(s"""WITH log(version, action, file_id) AS (VALUES
+              |  (1,'add','f1995'), (1,'add','f1996'), (1,'add','f1997'),
+              |  (2,'add','f1998'), (2,'add','f1999'), (2,'add','f2000'),
+              |  (3,'remove','f1996'), (3,'remove','f1997'),
+              |  (3,'add','fc9697'),
+              |  (4,'remove','f1995')),
+              |data AS (
+              |  SELECT 'f' || year(o_orderdate)::VARCHAR AS file_id,
+              |    o_totalprice
+              |  FROM orders
+              |  UNION ALL
+              |  SELECT 'fc9697', o_totalprice FROM orders
+              |  WHERE year(o_orderdate) IN (1996, 1997)),
+              |av AS (SELECT file_id, min(version) AS av FROM log
+              |  WHERE action = 'add' GROUP BY 1),
+              |rv AS (SELECT file_id, min(version) AS rv FROM log
+              |  WHERE action = 'remove' GROUP BY 1),
+              |vs AS (SELECT DISTINCT version FROM log),
+              |member AS (SELECT vs.version, av.file_id
+              |  FROM vs JOIN av ON vs.version >= av.av
+              |  LEFT JOIN rv ON rv.file_id = av.file_id
+              |  WHERE rv.rv IS NULL OR vs.version < rv.rv),
+              |f AS (SELECT version, count(*) AS n_files FROM member
+              |  GROUP BY 1),
+              |r AS (SELECT m.version, count(*) AS n_rows,
+              |    ${sqlSumExact("d.o_totalprice")} AS total_value
+              |  FROM data d JOIN member m ON m.file_id = d.file_id
+              |  GROUP BY 1)
+              |SELECT CAST(f.version AS BIGINT) AS version,
+              |  CAST(n_files AS BIGINT) AS n_files,
+              |  CAST(n_rows AS BIGINT) AS n_rows, total_value
+              |FROM f JOIN r ON r.version = f.version
+              |ORDER BY version""".stripMargin)
     )
   )
 }

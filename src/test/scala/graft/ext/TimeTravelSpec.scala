@@ -1,0 +1,48 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** LakeOps time travel: the version-log fold (add/remove → active file
+  * set per version) and the census invariants a transaction log promises —
+  * compaction rewrites preserve content, removes hide it, uncommitted
+  * files are invisible at every version.
+  */
+class TimeTravelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def log = Seq(
+    (1, "add", "a"), (1, "add", "b"),
+    (2, "add", "c"),
+    (3, "remove", "a"), (3, "remove", "b"), (3, "add", "ab"), // compaction
+    (4, "remove", "c") // retention delete
+  ).toDF("version", "action", "file_id")
+
+  test("activeFilesByVersion: adds accumulate, removes hide, rewrite swaps") {
+    val active = LakeOps.activeFilesByVersion(log)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(active == Set(
+      (1, "a"), (1, "b"),
+      (2, "a"), (2, "b"), (2, "c"),
+      (3, "ab"), (3, "c"),
+      (4, "ab")))
+  }
+
+  test("timeTravelCensus: compaction preserves rows+value; orphans invisible") {
+    // files a={1,2}, b={3}, ab={1,2,3} (the rewrite's copy), c={4},
+    // orphan z={99} committed nowhere
+    val data = Seq(
+      ("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0),
+      ("ab", 1, 10.0), ("ab", 2, 20.0), ("ab", 3, 30.0),
+      ("c", 4, 40.0), ("z", 99, 999.0)
+    ).toDF("file_id", "k", "v")
+    val out = LakeOps.timeTravelCensus(data, log, "file_id", "v")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 3L, 60.0), // a+b
+      (2L, 3L, 4L, 100.0), // +c
+      (3L, 2L, 4L, 100.0), // compacted: SAME content as v2, fewer files
+      (4L, 1L, 3L, 60.0))) // c removed
+  }
+}
