@@ -575,4 +575,49 @@ object Curation {
           col("n_docs").cast("double"), 2).as("top_lang_pct"))
       .orderBy("source")
   }
+
+  /** LENGTH-BUCKETED BATCHING plan: assign every doc to the smallest
+    * power-of-two token-length bucket (16…256), and report per bucket the
+    * padding waste and batch count a fixed `batchTokens` budget yields —
+    * plus the `~global` row (pad everything to the corpus max), whose
+    * waste is what bucketing saves. The pre-tokenization readout a
+    * training-data pipeline gates batch geometry on; all integer math
+    * (⌈·⌉ via (a+b−1) div b), one narrow aggregation over token counts.
+    */
+  def lengthBucketBatching(
+      docs: DataFrame,
+      textCol: String,
+      batchTokens: Int = 4096
+  ): DataFrame = {
+    val toks = docs.select(TextAnalysis.tokenCount(col(textCol)).as("_n"))
+    val per = toks
+      .withColumn("_b",
+        when(col("_n") <= 16, 16L).when(col("_n") <= 32, 32L)
+          .when(col("_n") <= 64, 64L).when(col("_n") <= 128, 128L)
+          .otherwise(256L))
+      .groupBy("_b")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("_n")).cast("long").as("sum_tokens"))
+      .select(concat(lit("b"), lpad(col("_b").cast("string"), 3, "0"))
+          .as("bucket_label"),
+        col("_b").as("bucket"), col("n_docs"), col("sum_tokens"))
+    val glob = toks.agg(max(col("_n")).cast("long").as("bucket"),
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("_n")).cast("long").as("sum_tokens"))
+      .select(lit("~global").as("bucket_label"), col("bucket"),
+        col("n_docs"), col("sum_tokens"))
+    per.unionByName(glob)
+      .withColumn("padded_tokens", col("n_docs") * col("bucket"))
+      .withColumn("waste_tokens", col("padded_tokens") - col("sum_tokens"))
+      .select(col("bucket_label"), col("bucket"), col("n_docs"),
+        col("sum_tokens"), col("padded_tokens"), col("waste_tokens"),
+        round(lit(100.0) * col("waste_tokens").cast("double") /
+          col("padded_tokens").cast("double"), 4).as("waste_pct"),
+        // rows/batch floored at 1: a sequence longer than the budget
+        // still ships as a singleton batch (and guards div-by-zero)
+        expr(s"(n_docs + greatest(1L, $batchTokens div bucket) - 1) div " +
+          s"greatest(1L, $batchTokens div bucket)").cast("long")
+          .as("n_batches"))
+      .orderBy("bucket_label")
+  }
 }

@@ -715,6 +715,48 @@ object CurationQueries {
              |FROM base b JOIN dups d USING (source)
              |JOIN nl USING (source) JOIN top USING (source)
              |ORDER BY source""".stripMargin)
+    ),
+
+    // ---- length-bucketed batching plan: docs → smallest power-of-two
+    //      token bucket; per bucket the padding waste and batch count a
+    //      4096-token budget yields, plus the ~global pad-to-max row the
+    //      bucketing is beating. All integer math (ceil via
+    //      (a+b−1) div b; DuckDB // truncates identically on positives).
+    QueryDef(
+      "q198_length_bucket_batching",
+      (s, dir) =>
+        Curation.lengthBucketBatching(t(s, dir, "documents"), "text",
+          batchTokens = 4096),
+      Some("""WITH tok AS (SELECT
+             |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |      x -> x <> '')) AS BIGINT) AS n
+             |  FROM documents),
+             |b AS (SELECT n,
+             |    CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+             |      WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+             |      ELSE 256 END AS bk
+             |  FROM tok),
+             |per AS (SELECT 'b' || lpad(bk::VARCHAR, 3, '0') AS bucket_label,
+             |    bk AS bucket, count(*) AS n_docs, sum(n) AS sum_tokens
+             |  FROM b GROUP BY 1, 2),
+             |gall AS (SELECT '~global' AS bucket_label, max(n) AS bucket,
+             |    count(*) AS n_docs, sum(n) AS sum_tokens
+             |  FROM tok),
+             |u AS (SELECT * FROM per UNION ALL SELECT * FROM gall),
+             |w AS (SELECT bucket_label, bucket, n_docs, sum_tokens,
+             |    n_docs * bucket AS padded_tokens,
+             |    n_docs * bucket - sum_tokens AS waste_tokens
+             |  FROM u)
+             |SELECT bucket_label, CAST(bucket AS BIGINT) AS bucket,
+             |  CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(sum_tokens AS BIGINT) AS sum_tokens,
+             |  CAST(padded_tokens AS BIGINT) AS padded_tokens,
+             |  CAST(waste_tokens AS BIGINT) AS waste_tokens,
+             |  round(CAST(100.0 AS DOUBLE) * CAST(waste_tokens AS DOUBLE) /
+             |    CAST(padded_tokens AS DOUBLE), 4) AS waste_pct,
+             |  CAST((n_docs + greatest(1, 4096 // bucket) - 1) //
+             |    greatest(1, 4096 // bucket) AS BIGINT) AS n_batches
+             |FROM w ORDER BY bucket_label""".stripMargin)
     )
   )
 }
