@@ -735,6 +735,101 @@ object EventQueries {
              |SELECT per.split, per.n_events, per.n_users, per.min_ts,
              |  per.max_ts, sh.n_shared_users
              |FROM per, sh ORDER BY split""".stripMargin)
+    ),
+
+    // ---- ROLLING-ORIGIN BACKTEST (time-series cross-validation): four
+    //      expanding-train folds over the daily revenue series, each
+    //      fitting the q119 closed-form OLS trend from DECIMAL-exact
+    //      sufficient stats and scoring the first held-out day (one
+    //      exact-shape prediction per fold — no order-dependent error
+    //      sums). The leakage-safe eval loop a forecasting pipeline runs;
+    //      everything downstream of the tiny daily aggregate is
+    //      fold-count-sized.
+    QueryDef(
+      "q199_rolling_origin_backtest",
+      (s, dir) => {
+        val dec182 = org.apache.spark.sql.types.DecimalType(18, 2)
+        val daily = t(s, dir, "events").filter(col("ts").isNotNull)
+          .select(to_date(col("ts")).as("d"),
+            col("value").cast(dec182).as("v"))
+          .groupBy("d").agg(sum(col("v")).cast(dec182).as("y"))
+        val b0 = broadcast(daily.agg(min(col("d")).as("d0")))
+        val xy = daily.crossJoin(b0)
+          .select(datediff(col("d"), col("d0")).cast("long").as("x"),
+            col("y"))
+          .localCheckpoint(true)
+        val folds = broadcast(s.range(1, 5)
+          .select(col("id").as("fold"),
+            (lit(13L) + (col("id") - 1) * 4).as("c")))
+        val st = xy.join(folds, col("x") <= col("c"))
+          .groupBy("fold").agg(
+            count(lit(1)).cast("long").as("n"),
+            sum(col("x")).cast("long").as("sx"),
+            sum(col("x") * col("x")).cast("long").as("sxx"),
+            sum(col("x").cast(org.apache.spark.sql.types.DecimalType(6, 0))
+              * col("y")).cast("double").as("sxy"),
+            sum(col("y")).cast("double").as("sy"))
+        val te = xy.join(folds, col("x") > col("c") && col("x") <= col("c") + 4)
+          .groupBy("fold").agg(
+            count(lit(1)).cast("long").as("n_test"),
+            min(col("x")).cast("long").as("test_first_x"),
+            expr("min_by(y, x)").cast("double").as("test_first_actual"))
+        val nD = col("n").cast("double")
+        val sxD = col("sx").cast("double")
+        val num = nD * col("sxy") - sxD * col("sy")
+        val den = nD * col("sxx").cast("double") - sxD * sxD
+        val slope = num / den
+        val icept = (col("sy") - slope * sxD) / nD
+        val pred = icept + slope * col("test_first_x").cast("double")
+        st.join(te, Seq("fold"))
+          .select(col("fold"), col("n").as("n_train"), col("n_test"),
+            round(slope, 8).as("slope_per_day"),
+            round(icept, 6).as("intercept"),
+            col("test_first_x"), col("test_first_actual"),
+            pred.as("test_first_pred"),
+            (col("test_first_actual") - pred).as("test_first_err"))
+          .orderBy("fold")
+      },
+      Some("""WITH e AS (SELECT ts::DATE AS d, CAST(value AS DECIMAL(18,2)) AS v
+             |  FROM events WHERE ts IS NOT NULL),
+             |daily AS (SELECT d, CAST(sum(v) AS DECIMAL(18,2)) AS y
+             |  FROM e GROUP BY 1),
+             |b0 AS (SELECT min(d) AS d0 FROM daily),
+             |xy AS (SELECT CAST(d - d0 AS BIGINT) AS x, y FROM daily, b0),
+             |folds AS (SELECT CAST(f AS BIGINT) AS fold,
+             |    CAST(13 + (f - 1) * 4 AS BIGINT) AS c
+             |  FROM generate_series(1, 4) t(f)),
+             |tr AS (SELECT fold, count(*) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(CAST(x AS DECIMAL(6,0)) * y) AS DOUBLE) AS sxy,
+             |    CAST(sum(y) AS DOUBLE) AS sy
+             |  FROM xy JOIN folds ON x <= c GROUP BY 1),
+             |te AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_test,
+             |    CAST(min(x) AS BIGINT) AS test_first_x,
+             |    CAST(min_by(y, x) AS DOUBLE) AS test_first_actual
+             |  FROM xy JOIN folds ON x > c AND x <= c + 4 GROUP BY 1),
+             |sl AS (SELECT fold, n, sx, sy,
+             |    CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS num,
+             |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den
+             |  FROM tr),
+             |o AS (SELECT s.fold, CAST(s.n AS BIGINT) AS n_train, te.n_test,
+             |    num / den AS slope,
+             |    (sy - (num / den) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+             |      AS icept,
+             |    te.test_first_x, te.test_first_actual
+             |  FROM sl s JOIN te ON te.fold = s.fold)
+             |SELECT fold, n_train, n_test,
+             |  round(slope, 8) AS slope_per_day,
+             |  round(icept, 6) AS intercept,
+             |  test_first_x, test_first_actual,
+             |  icept + slope * CAST(test_first_x AS DOUBLE)
+             |    AS test_first_pred,
+             |  test_first_actual -
+             |    (icept + slope * CAST(test_first_x AS DOUBLE))
+             |    AS test_first_err
+             |FROM o ORDER BY fold""".stripMargin)
     )
   )
 }

@@ -1141,6 +1141,57 @@ object TextQueries {
              |    WHERE j.id_a = u.id_a AND j.id_b = u.id_b) THEN 1 ELSE 0 END)
              |  )::BIGINT AS votes
              |FROM u ORDER BY id_a, id_b""".stripMargin)
+    ),
+
+    // ---- dedup THRESHOLD SWEEP: the knob-tuning readout a curation run
+    //      publishes before fixing minSim — per candidate threshold, the
+    //      surviving pair count, affected-doc count, and corpus share,
+    //      all from the ONE materialized q140 pair index (derived once
+    //      per session; the sweep itself only rescans the tiny pair set
+    //      per threshold). Left joins keep zero-pair thresholds visible.
+    QueryDef(
+      "q200_dedup_threshold_sweep",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = graft.util.Materialized.getOrBuild(pairIndexKey(s, dir))(
+          Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+            n = 3, minSim = 0.5))
+        val th = broadcast(s.createDataFrame(Seq(
+          ("0.5", 0.5), ("0.6", 0.6), ("0.7", 0.7), ("0.8", 0.8),
+          ("0.9", 0.9))).toDF("threshold", "_thr"))
+        val pt = th.join(pairs, col("jaccard_sim") >= col("_thr"), "left")
+        val nPairs = pt.groupBy("threshold")
+          .agg(count(col("id_a")).cast("long").as("n_pairs"))
+        val nDocs = pt
+          .select(col("threshold"),
+            explode(array(col("id_a"), col("id_b"))).as("_id"))
+          .groupBy("threshold")
+          .agg(countDistinct(col("_id")).cast("long").as("n_docs_in_pairs"))
+        val total = broadcast(docs.agg(count(lit(1)).cast("long").as("_nd")))
+        nPairs.join(nDocs, Seq("threshold")).crossJoin(total)
+          .select(col("threshold"), col("n_pairs"), col("n_docs_in_pairs"),
+            round(lit(100.0) * col("n_docs_in_pairs").cast("double") /
+              col("_nd").cast("double"), 4).as("pct_docs"))
+          .orderBy("threshold")
+      },
+      Some(s"""WITH $prefixGramPairCtes,
+              |th(threshold, thr) AS (VALUES ('0.5', 0.5), ('0.6', 0.6),
+              |  ('0.7', 0.7), ('0.8', 0.8), ('0.9', 0.9)),
+              |pt AS (SELECT t.threshold, p.id_a, p.id_b
+              |  FROM th t LEFT JOIN ppairs p ON p.jaccard_sim >= t.thr),
+              |np AS (SELECT threshold, CAST(count(id_a) AS BIGINT) AS n_pairs
+              |  FROM pt GROUP BY 1),
+              |nd AS (SELECT threshold,
+              |    CAST(count(DISTINCT id) AS BIGINT) AS n_docs_in_pairs
+              |  FROM (SELECT threshold, unnest([id_a, id_b]) AS id FROM pt)
+              |  GROUP BY 1),
+              |tot AS (SELECT count(*) AS ndocs FROM documents)
+              |SELECT np.threshold, np.n_pairs, nd.n_docs_in_pairs,
+              |  round(CAST(100.0 AS DOUBLE) *
+              |    CAST(nd.n_docs_in_pairs AS DOUBLE) /
+              |    CAST(tot.ndocs AS DOUBLE), 4) AS pct_docs
+              |FROM np JOIN nd USING (threshold), tot
+              |ORDER BY threshold""".stripMargin)
     )
   )
 }
