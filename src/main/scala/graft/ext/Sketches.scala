@@ -484,31 +484,48 @@ object Sketches {
       .groupBy("t", "bucket")
       .agg(sum(col("cnt")).as("cnt"))
     val totals = merged.groupBy("t").agg(sum(col("cnt")).as("w"))
-    val r50 = (col("w") + 1) / lit(2L) // integer div: ceil(W/2)
-    val r90 = (col("w") * 9 + 9) / lit(10L) // ceil(9W/10)
+    val r50 = floor((col("w") + 1) / lit(2L)) // ceil(W/2)
+    val r90 = floor((col("w") * 9 + 9) / lit(10L)) // ceil(9W/10)
     val cum = merged.join(totals, Seq("t"))
       .withColumn("_cum", sum(col("cnt")).over(
         Window.partitionBy("t").orderBy("bucket")))
-    def estAt(rank: Column): Column =
-      min(when(col("_cum") >= rank, col("bucket"))) * lit(width)
+    // per quantile: holding bucket + WITHIN-bucket rank (r − cum_below) —
+    // the q125 histogram-refinement locator, read straight off the grid
+    def target(rank: Column): Column =
+      min(when(col("_cum") >= rank,
+        struct(col("bucket"),
+          (rank - (col("_cum") - col("cnt"))).as("rib"))))
     val est = cum.groupBy("t", "w")
-      .agg(estAt(floor(r50)).as("p50_est"), estAt(floor(r90)).as("p90_est"))
-    // certification: the exact rank-r values, re-scanned per window
+      .agg(target(r50).as("_t50"), target(r90).as("_t90"))
+      .localCheckpoint(true)
+    // certification: resolve the exact rank value INSIDE the located
+    // bucket only (≈ 1/nBuckets of each window's rows ever reach a sort;
+    // the q125 refinement — never a whole-window row_number)
+    val tg = est.select(col("t"), explode(array(
+        struct(lit("p50").as("which"), col("_t50.bucket").as("bucket"),
+          col("_t50.rib").as("rib")),
+        struct(lit("p90").as("which"), col("_t90.bucket").as("bucket"),
+          col("_t90.rib").as("rib")))).as("_x"))
+      .select(col("t"), col("_x.which").as("which"),
+        col("_x.bucket").as("bucket"), col("_x.rib").as("rib"))
     val raw = df.select(to_date(col(tsCol)).as("d"),
-      col(valCol).cast("double").as("v"))
-    val ranked = days.select(col("day").as("t"))
-      .join(raw, col("d").between(date_sub(col("t"), windowDays - 1), col("t")))
+      col(valCol).cast("double").as("v"),
+      least(greatest(floor(col(valCol).cast("double") / lit(width)),
+        lit(0.0)), lit((nBuckets - 1).toDouble)).cast("long").as("bucket"))
+    val exact = broadcast(tg).join(raw,
+        tg("bucket") === raw("bucket") &&
+          col("d").between(date_sub(col("t"), windowDays - 1), col("t")))
       .withColumn("_rn", row_number().over(
-        Window.partitionBy("t").orderBy(col("v"))))
-    val exact = ranked.join(totals, Seq("t"))
-      .filter(col("_rn") === floor(r50) || col("_rn") === floor(r90))
-      .groupBy("t", "w")
-      .agg(min(when(col("_rn") === floor(r50), col("v"))).as("p50_exact"),
-        min(when(col("_rn") === floor(r90), col("v"))).as("p90_exact"))
-    est.join(exact, Seq("t", "w"))
+        Window.partitionBy("t", "which").orderBy(col("v"))))
+      .filter(col("_rn") === col("rib"))
+      .groupBy("t")
+      .agg(min(when(col("which") === "p50", col("v"))).as("p50_exact"),
+        min(when(col("which") === "p90", col("v"))).as("p90_exact"))
+    est.join(exact, Seq("t"))
       .select(date_format(col("t"), "yyyy-MM-dd").as("day"),
         col("w").cast("long").as("n"),
-        col("p50_est"), col("p50_exact"), col("p90_est"), col("p90_exact"))
+        (col("_t50.bucket") * lit(width)).as("p50_est"), col("p50_exact"),
+        (col("_t90.bucket") * lit(width)).as("p90_est"), col("p90_exact"))
       .orderBy("day")
   }
 }
