@@ -187,4 +187,46 @@ object Sampling {
         col("max_splits_per_group"))
       .orderBy("split")
   }
+
+  /** MIXTURE REWEIGHTING: per-source importance weights that reshape the
+    * observed corpus mix into a target mix (here the deterministic
+    * descending-linear target (K+1−rank)/ΣK, rank = ascending source
+    * name), plus the corpus EFFECTIVE SAMPLE SIZE (Σnw)²/(Σnw²) those
+    * weights cost — the readout a mixture-tuning loop (DoReMi-style)
+    * gates on: ESS ≪ N means the reweighting is spending most of the
+    * corpus.
+    *
+    * Scale shape: one count-by-source aggregation; everything after runs
+    * on the bounded source dimension (driver-side ascending fold for the
+    * ESS sums — order-pinned so the DuckDB twin's ordered list_sum
+    * reproduces the identical IEEE sequence, the q182/q184 pattern).
+    */
+  def mixtureReweight(docs: DataFrame, sourceCol: String): DataFrame = {
+    val per = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .localCheckpoint(true)
+    val srcs = per.select("source").collect().map(_.getString(0)).sorted
+    val k = srcs.length
+    val den = (k * (k + 1) / 2).toDouble
+    val ranks = docs.sparkSession.createDataFrame(
+      srcs.zipWithIndex.toIndexedSeq
+        .map { case (s, i) => (s, (k - i).toDouble / den) })
+      .toDF("source", "target_frac")
+    val tot = per.agg(sum(col("n_docs")).cast("long").as("_nn"))
+    val weighted = per.join(broadcast(ranks), Seq("source")).crossJoin(tot)
+      .withColumn("weight", col("target_frac") /
+        (col("n_docs").cast("double") / col("_nn").cast("double")))
+      .withColumn("eff_docs", col("n_docs").cast("double") * col("weight"))
+      .localCheckpoint(true)
+    val rows = weighted.select("source", "eff_docs", "weight")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val s1 = rows.foldLeft(0.0) { case (acc, (_, nw, _)) => acc + nw }
+    val s2 = rows.foldLeft(0.0) { case (acc, (_, nw, w)) => acc + nw * w }
+    weighted
+      .select(col("source"), col("n_docs"), col("target_frac"),
+        col("weight"), col("eff_docs"),
+        lit(s1 * s1 / s2).as("corpus_ess"))
+      .orderBy("source")
+  }
 }

@@ -528,4 +528,82 @@ object Sketches {
         (col("_t90.bucket") * lit(width)).as("p90_est"), col("p90_exact"))
       .orderBy("day")
   }
+
+  /** The ≤ nBuckets-row counter grid of a value stream — the mergeable
+    * histogram artifact (cell-wise addition, like cmCells).
+    */
+  private[graft] def histGrid(
+      df: DataFrame, valCol: String, width: Double, nBuckets: Int): DataFrame =
+    df.select(histBucket(col(valCol), width, nBuckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Bucket expression shared by the histogram family. */
+  private def histBucket(v: Column, width: Double, nBuckets: Int): Column =
+    least(greatest(floor(v.cast("double") / lit(width)), lit(0.0)),
+      lit((nBuckets - 1).toDouble)).cast("long")
+
+  /** Incrementally-maintained histogram quantile census: the stored
+    * `state` grid and the `delta` batch's grid merge by CELL-WISE
+    * ADDITION (counters are linear — the q194 Count-Min property applied
+    * to the value axis), never re-reading state values; the P50/P90
+    * readout walks the merged grid with integer ceil-ranks, and the exact
+    * certification resolves each rank INSIDE its located bucket (the
+    * q196 refinement). The oracle computes the batch form over the full
+    * stream, so the hash match is the incremental≡batch proof — the
+    * third sketch family (KMV q186, CMS q194, histogram q203) closing
+    * the mergeability matrix.
+    *
+    * Output: one row (n, p50_est, p50_exact, p90_est, p90_exact).
+    */
+  def histQuantileIncremental(
+      state: DataFrame,
+      delta: DataFrame,
+      valCol: String,
+      width: Double = 8.0,
+      nBuckets: Int = 64
+  ): DataFrame = {
+    def grid(df: DataFrame): DataFrame = histGrid(df, valCol, width, nBuckets)
+    // the merged grid is THE maintained artifact: ≤ nBuckets counter rows
+    val g = grid(state).unionByName(grid(delta))
+      .groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint(true)
+    val tot = g.agg(sum(col("cnt")).as("w"))
+    val r50 = floor((col("w") + 1) / lit(2L))
+    val r90 = floor((col("w") * 9 + 9) / lit(10L))
+    // cumulative counts WITHOUT a constant-partition window (the q186
+    // lesson): triangular self-join on the ≤ nBuckets-row grid
+    val cum = g.select(col("bucket"), col("cnt"))
+      .join(broadcast(g.select(col("bucket").as("_b2"),
+        col("cnt").as("_c2"))), col("_b2") <= col("bucket"))
+      .groupBy("bucket", "cnt")
+      .agg(sum(col("_c2")).as("_cum"))
+      .crossJoin(broadcast(tot))
+    def target(rank: Column): Column =
+      min(when(col("_cum") >= rank,
+        struct(col("bucket"),
+          (rank - (col("_cum") - col("cnt"))).as("rib"))))
+    val est = cum.groupBy("w")
+      .agg(target(r50).as("_t50"), target(r90).as("_t90"))
+      .localCheckpoint(true)
+    val tg = est.select(explode(array(
+        struct(lit("p50").as("which"), col("_t50.bucket").as("bucket"),
+          col("_t50.rib").as("rib")),
+        struct(lit("p90").as("which"), col("_t90.bucket").as("bucket"),
+          col("_t90.rib").as("rib")))).as("_x"))
+      .select(col("_x.which").as("which"), col("_x.bucket").as("bucket"),
+        col("_x.rib").as("rib"))
+    val raw = state.unionByName(delta)
+      .select(col(valCol).cast("double").as("v"),
+        histBucket(col(valCol), width, nBuckets).as("bucket"))
+    val exact = broadcast(tg).join(raw, Seq("bucket"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("which").orderBy(col("v"))))
+      .filter(col("_rn") === col("rib"))
+      .agg(min(when(col("which") === "p50", col("v"))).as("p50_exact"),
+        min(when(col("which") === "p90", col("v"))).as("p90_exact"))
+    est.crossJoin(exact)
+      .select(col("w").cast("long").as("n"),
+        (col("_t50.bucket") * lit(width)).as("p50_est"), col("p50_exact"),
+        (col("_t90.bucket") * lit(width)).as("p90_est"), col("p90_exact"))
+  }
 }

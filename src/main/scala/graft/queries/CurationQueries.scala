@@ -757,6 +757,42 @@ object CurationQueries {
              |  CAST((n_docs + greatest(1, 4096 // bucket) - 1) //
              |    greatest(1, 4096 // bucket) AS BIGINT) AS n_batches
              |FROM w ORDER BY bucket_label""".stripMargin)
+    ),
+
+    // ---- mixture REWEIGHTING + effective sample size: importance
+    //      weights reshaping the observed source mix into a
+    //      descending-linear target, ESS = (Σnw)²/(Σnw²) via the
+    //      driver-side ascending fold whose DuckDB twin is an ordered
+    //      list_sum (q182/q184 pattern) — identical IEEE sequences.
+    QueryDef(
+      "q202_mixture_reweighting",
+      (s, dir) =>
+        graft.ext.Sampling.mixtureReweight(t(s, dir, "documents"), "source"),
+      Some("""WITH src AS (SELECT source, count(*) AS n FROM documents
+             |  GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, count(*) AS k
+             |  FROM src),
+             |rk AS (SELECT source, n,
+             |    row_number() OVER (ORDER BY source) AS r
+             |  FROM src),
+             |w AS (SELECT rk.source, rk.n,
+             |    CAST(tot.k + 1 - rk.r AS DOUBLE) /
+             |      CAST((tot.k * (tot.k + 1)) // 2 AS DOUBLE) AS tf,
+             |    tot.nn
+             |  FROM rk, tot),
+             |w2 AS (SELECT source, n, tf,
+             |    tf / (CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) AS wt
+             |  FROM w),
+             |e AS (SELECT
+             |    list_sum(list(CAST(n AS DOUBLE) * wt ORDER BY source))
+             |      AS s1,
+             |    list_sum(list(CAST(n AS DOUBLE) * wt * wt ORDER BY source))
+             |      AS s2
+             |  FROM w2)
+             |SELECT source, CAST(n AS BIGINT) AS n_docs, tf AS target_frac,
+             |  wt AS weight, CAST(n AS DOUBLE) * wt AS eff_docs,
+             |  e.s1 * e.s1 / e.s2 AS corpus_ess
+             |FROM w2, e ORDER BY source""".stripMargin)
     )
   )
 }

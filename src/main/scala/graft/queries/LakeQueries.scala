@@ -1198,6 +1198,128 @@ object LakeQueries {
               |  CAST(n_rows AS BIGINT) AS n_rows, total_value
               |FROM f JOIN r ON r.version = f.version
               |ORDER BY version""".stripMargin)
+    ),
+
+    // ---- COLUMN-PROFILE DRIFT monitor between two snapshot versions
+    //      (the data-contract check a lake runs before promoting a
+    //      batch): per column, row/null/distinct counts and rendered
+    //      min/max for old vs new, plus integer drift flags. One
+    //      aggregation pass per side (all columns at once); renderings
+    //      chosen engine-portable (dates via explicit format, doubles
+    //      via round-2 → DECIMAL string, keys via long → string).
+    QueryDef(
+      "q201_profile_drift",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val cut = to_timestamp(lit("1999-01-01"))
+        def profile(df: org.apache.spark.sql.DataFrame, side: String) = {
+          def minMax(c: String,
+              render: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = Seq(
+            render(min(col(c))).as(s"_min_$c"),
+            render(max(col(c))).as(s"_max_$c"))
+          val dec = (x: org.apache.spark.sql.Column) =>
+            round(x, 2).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+              .cast("string")
+          val dt = (x: org.apache.spark.sql.Column) => date_format(x, "yyyy-MM-dd")
+          val str = (x: org.apache.spark.sql.Column) => x.cast("string")
+          val aggs =
+            count(lit(1)).cast("long").as("_n") +:
+              count_distinct(col("o_custkey")).cast("long")
+                .as("_nd_o_custkey") +:
+              count_distinct(col("o_orderstatus")).cast("long")
+                .as("_nd_o_orderstatus") +:
+              (minMax("o_custkey", str) ++ minMax("o_orderstatus", str) ++
+                minMax("o_totalprice", dec) ++ minMax("o_orderdate", dt))
+          df.agg(aggs.head, aggs.tail: _*).withColumn("_side", lit(side))
+        }
+        val both = profile(o.filter(col("o_orderdate") < cut), "old")
+          .unionByName(profile(o, "new"))
+        // melt: one row per profiled column, old/new side by side
+        val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate")
+        val long = both.select(col("_side"), col("_n"), explode(array(
+            cols.map(c => struct(lit(c).as("c"),
+              (if (c == "o_custkey" || c == "o_orderstatus")
+                col(s"_nd_$c") else lit(-1L)).as("nd"),
+              col(s"_min_$c").as("mn"), col(s"_max_$c").as("mx"))): _*))
+            .as("_x"))
+          .select(col("_side"), col("_n"), col("_x.c").as("column"),
+            col("_x.nd").as("nd"), col("_x.mn").as("mn"),
+            col("_x.mx").as("mx"))
+        val old = long.filter(col("_side") === "old")
+          .select(col("column"), col("_n").as("n_old"),
+            col("nd").as("distinct_old"), col("mn").as("min_old"),
+            col("mx").as("max_old"))
+        val neu = long.filter(col("_side") === "new")
+          .select(col("column"), col("_n").as("n_new"),
+            col("nd").as("distinct_new"), col("mn").as("min_new"),
+            col("mx").as("max_new"))
+        old.join(neu, Seq("column"))
+          .select(col("column"), col("n_old"), col("n_new"),
+            col("distinct_old"), col("distinct_new"),
+            col("min_old"), col("min_new"), col("max_old"), col("max_new"),
+            (col("distinct_old") =!= col("distinct_new")).cast("long")
+              .as("distinct_changed"),
+            (col("min_old") =!= col("min_new") ||
+              col("max_old") =!= col("max_new")).cast("long")
+              .as("range_changed"))
+          .orderBy("column")
+      },
+      Some("""WITH oldv AS (SELECT * FROM orders
+             |  WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+             |prof AS (
+             |  SELECT 'old' AS side, 'o_custkey' AS col_, count(*) AS n,
+             |    count(DISTINCT o_custkey) AS nd,
+             |    CAST(min(o_custkey) AS VARCHAR) AS mn,
+             |    CAST(max(o_custkey) AS VARCHAR) AS mx FROM oldv
+             |  UNION ALL
+             |  SELECT 'old', 'o_orderstatus', count(*),
+             |    count(DISTINCT o_orderstatus),
+             |    min(o_orderstatus), max(o_orderstatus) FROM oldv
+             |  UNION ALL
+             |  SELECT 'old', 'o_totalprice', count(*), -1,
+             |    CAST(CAST(round(min(o_totalprice), 2) AS DECIMAL(18,2))
+             |      AS VARCHAR),
+             |    CAST(CAST(round(max(o_totalprice), 2) AS DECIMAL(18,2))
+             |      AS VARCHAR) FROM oldv
+             |  UNION ALL
+             |  SELECT 'old', 'o_orderdate', count(*), -1,
+             |    strftime(min(o_orderdate), '%Y-%m-%d'),
+             |    strftime(max(o_orderdate), '%Y-%m-%d') FROM oldv
+             |  UNION ALL
+             |  SELECT 'new', 'o_custkey', count(*),
+             |    count(DISTINCT o_custkey),
+             |    CAST(min(o_custkey) AS VARCHAR),
+             |    CAST(max(o_custkey) AS VARCHAR) FROM orders
+             |  UNION ALL
+             |  SELECT 'new', 'o_orderstatus', count(*),
+             |    count(DISTINCT o_orderstatus),
+             |    min(o_orderstatus), max(o_orderstatus) FROM orders
+             |  UNION ALL
+             |  SELECT 'new', 'o_totalprice', count(*), -1,
+             |    CAST(CAST(round(min(o_totalprice), 2) AS DECIMAL(18,2))
+             |      AS VARCHAR),
+             |    CAST(CAST(round(max(o_totalprice), 2) AS DECIMAL(18,2))
+             |      AS VARCHAR) FROM orders
+             |  UNION ALL
+             |  SELECT 'new', 'o_orderdate', count(*), -1,
+             |    strftime(min(o_orderdate), '%Y-%m-%d'),
+             |    strftime(max(o_orderdate), '%Y-%m-%d') FROM orders),
+             |o AS (SELECT col_, n AS n_old, nd AS distinct_old,
+             |    mn AS min_old, mx AS max_old FROM prof WHERE side = 'old'),
+             |nw AS (SELECT col_, n AS n_new, nd AS distinct_new,
+             |    mn AS min_new, mx AS max_new FROM prof WHERE side = 'new')
+             |SELECT o.col_ AS "column",
+             |  CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+             |  CAST(distinct_old AS BIGINT) AS distinct_old,
+             |  CAST(distinct_new AS BIGINT) AS distinct_new,
+             |  min_old, min_new, max_old, max_new,
+             |  CAST(distinct_old <> distinct_new AS BIGINT)
+             |    AS distinct_changed,
+             |  CAST(min_old <> min_new OR max_old <> max_new AS BIGINT)
+             |    AS range_changed
+             |FROM o JOIN nw ON nw.col_ = o.col_
+             |ORDER BY o.col_""".stripMargin)
     )
   )
 }

@@ -359,6 +359,49 @@ object SketchQueries {
              |SELECT strftime(t, '%Y-%m-%d') AS day, CAST(w AS BIGINT) AS n,
              |  p50_est, p50_exact, p90_est, p90_exact
              |FROM o ORDER BY day""".stripMargin)
+    ),
+
+    // ---- incrementally-maintained histogram quantiles: the pre-cutoff
+    //      grid merges with the delta batch's grid by CELL-WISE ADDITION,
+    //      never re-reading state values; the oracle is the BATCH census
+    //      over all events, so the hash match is the incremental≡batch
+    //      proof for the THIRD sketch family (KMV q186, CMS q194,
+    //      histogram q203 — the mergeability matrix closed).
+    QueryDef(
+      "q203_hist_incremental",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val cut = to_timestamp(lit("2024-01-25 00:00:00"))
+        Sketches.histQuantileIncremental(
+          e.filter(col("ts") < cut), e.filter(col("ts") >= cut),
+          "value", width = HistW.toDouble, nBuckets = HistB)
+      },
+      Some(s"""WITH e AS (SELECT value::DOUBLE AS v FROM events),
+             |hist AS (SELECT
+             |    CAST(least(greatest(floor(v / $HistW), 0), ${HistB - 1})
+             |      AS BIGINT) AS bucket,
+             |    count(*) AS cnt
+             |  FROM e GROUP BY 1),
+             |tot AS (SELECT sum(cnt) AS w FROM hist),
+             |cum AS (SELECT bucket, cnt, tot.w,
+             |    sum(cnt) OVER (ORDER BY bucket) AS cum
+             |  FROM hist, tot),
+             |est AS (SELECT w,
+             |    min(CASE WHEN cum >= floor((w + 1) / 2) THEN bucket END)
+             |      * CAST($HistW AS DOUBLE) AS p50_est,
+             |    min(CASE WHEN cum >= floor((w * 9 + 9) / 10) THEN bucket END)
+             |      * CAST($HistW AS DOUBLE) AS p90_est
+             |  FROM cum GROUP BY w),
+             |rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM e),
+             |ex AS (SELECT
+             |    min(CASE WHEN rn = floor((tot.w + 1) / 2) THEN v END)
+             |      AS p50_exact,
+             |    min(CASE WHEN rn = floor((tot.w * 9 + 9) / 10) THEN v END)
+             |      AS p90_exact
+             |  FROM rk, tot)
+             |SELECT CAST(est.w AS BIGINT) AS n, p50_est, ex.p50_exact,
+             |  p90_est, ex.p90_exact
+             |FROM est, ex""".stripMargin)
     )
   )
 }

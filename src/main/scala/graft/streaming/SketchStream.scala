@@ -142,6 +142,78 @@ object SketchStream {
           .head().getLong(0)
     }
 
+  /** Streaming HISTOGRAM ingest — the third mergeable family's stream
+    * half (KMV idempotent / CMS additive / histogram additive): bucket
+    * counters merge by cell-wise ADDITION, so like CMS the grid lives in
+    * the versioned-snapshot layout with the epoch replay guard.
+    */
+  def startHistogram(
+      rows: DataFrame,
+      valCol: String,
+      gridDir: String,
+      checkpointPath: String,
+      width: Double = 8.0,
+      nBuckets: Int = 64,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    rows.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        processHistogramBatch(batch, epochId, valCol, gridDir, width, nBuckets)
+      }
+      .start()
+
+  /** One histogram micro-batch: delta grid + stored grid → cell-wise sum
+    * → new version + pointer swap. Skips already-committed epochs.
+    */
+  def processHistogramBatch(
+      batch: DataFrame,
+      epochId: Long,
+      valCol: String,
+      gridDir: String,
+      width: Double,
+      nBuckets: Int
+  ): Unit = {
+    if (CdcIngest.versions(gridDir).exists(_.drop(1).toLong >= epochId))
+      return // replay guard: addition is NOT idempotent
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val delta = Sketches.histGrid(batch, valCol, width, nBuckets)
+    val merged = CdcIngest.readSnapshot(spark, gridDir) match {
+      case Some(grid) => grid.unionByName(delta)
+        .groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
+      case None => delta
+    }
+    merged.localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$gridDir/v$epochId")
+    CdcIngest.commit(gridDir, s"v$epochId")
+  }
+
+  /** P50/P90 lower-bound estimates from the persisted grid: driver walk
+    * of the ≤ nBuckets counters with integer ceil-ranks (the q196 rank
+    * math; the grid is bounded, so the collect is a metadata read).
+    * Returns (n, p50_est, p90_est); (0, 0, 0) when no grid exists.
+    */
+  def histQuantiles(
+      spark: SparkSession,
+      gridDir: String,
+      width: Double = 8.0
+  ): (Long, Double, Double) =
+    CdcIngest.readSnapshot(spark, gridDir) match {
+      case None => (0L, 0.0, 0.0)
+      case Some(grid) =>
+        val cells = grid.orderBy("bucket")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val w = cells.map(_._2).sum
+        def estAt(rank: Long): Double = {
+          var cum = 0L
+          val hit = cells.find { case (_, c) => cum += c; cum >= rank }
+          hit.map(_._1 * width).getOrElse(0.0)
+        }
+        (w, estAt((w + 1) / 2), estAt((w * 9 + 9) / 10))
+    }
+
   /** Distinct-count estimates from a persisted sketch store:
     * (shard, kmv_est), plus the merged `~all` row.
     */

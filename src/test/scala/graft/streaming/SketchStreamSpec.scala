@@ -61,6 +61,47 @@ class SketchStreamSpec extends SparkSpec {
     assert(est("apple") == 3L, "replay double-counted")
   }
 
+  test("streaming histogram: stream grid == batch grid; replay guarded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("hist_stream")
+    val (gridDir, ckpt) = (s"$base/grid", s"$base/ckpt")
+    val ev = Q.t(spark, sfDir("0.01"), "events").select(col("value"))
+    val half1 = ev.filter(col("value") < 30.0).as[Double].collect().toSeq
+    val half2 = ev.filter(col("value") >= 30.0).as[Double].collect().toSeq
+
+    val mem = MemoryStream[Double]
+    val q = SketchStream.startHistogram(
+      mem.toDF().toDF("value"), "value", gridDir, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      mem.addData(half1: _*)
+      q.processAllAvailable()
+      mem.addData(half2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the persisted grid after two micro-batches == the batch grid
+    val streamed = spark.read
+      .parquet(s"$gridDir/${CdcIngest.latestVersion(gridDir).get}")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Sketches.histGrid(ev, "value", 8.0, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    // quantile readout agrees with the batch incremental census
+    val (n, p50, p90) = SketchStream.histQuantiles(spark, gridDir)
+    val row = Sketches.histQuantileIncremental(
+      ev.filter(col("value") < 30.0), ev.filter(col("value") >= 30.0),
+      "value").head()
+    assert(n == row.getLong(0) && p50 == row.getDouble(1) &&
+      p90 == row.getDouble(3))
+    // replayed epoch must be skipped — addition is not idempotent
+    val before = SketchStream.histQuantiles(spark, gridDir)
+    SketchStream.processHistogramBatch(
+      half2.toDF("value"), 1L, "value", gridDir, 8.0, 64)
+    assert(SketchStream.histQuantiles(spark, gridDir) == before)
+  }
+
   test("replaying a batch is a no-op (merge idempotence, no epoch guard)") {
     val base = java.nio.file.Files.createTempDirectory("sketch_replay")
     val skP = s"$base/sketch"
