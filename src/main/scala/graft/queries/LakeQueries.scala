@@ -1222,18 +1222,26 @@ object LakeQueries {
               .cast("string")
           val dt = (x: org.apache.spark.sql.Column) => date_format(x, "yyyy-MM-dd")
           val str = (x: org.apache.spark.sql.Column) => x.cast("string")
+          // distinct counts as SEPARATE narrow two-level passes — two
+          // exact count_distincts in one agg plan as an Expand that
+          // multiplies the 15M-row scan ×3 (measured 64 s vs 8 s at 100×)
           val aggs =
             count(lit(1)).cast("long").as("_n") +:
-              count_distinct(col("o_custkey")).cast("long")
-                .as("_nd_o_custkey") +:
-              count_distinct(col("o_orderstatus")).cast("long")
-                .as("_nd_o_orderstatus") +:
               (minMax("o_custkey", str) ++ minMax("o_orderstatus", str) ++
                 minMax("o_totalprice", dec) ++ minMax("o_orderdate", dt))
-          df.agg(aggs.head, aggs.tail: _*).withColumn("_side", lit(side))
+          val base = df.agg(aggs.head, aggs.tail: _*)
+          val ndc = df.select("o_custkey").distinct()
+            .agg(count(lit(1)).cast("long").as("_nd_o_custkey"))
+          val nds = df.select("o_orderstatus").distinct()
+            .agg(count(lit(1)).cast("long").as("_nd_o_orderstatus"))
+          base.crossJoin(ndc).crossJoin(nds).withColumn("_side", lit(side))
         }
+        // 2 rows; checkpointed because the melt below consumes it from
+        // BOTH the old and new branches (otherwise each branch re-runs
+        // the multi-distinct aggregation — 4 scans instead of 2)
         val both = profile(o.filter(col("o_orderdate") < cut), "old")
           .unionByName(profile(o, "new"))
+          .localCheckpoint(true)
         // melt: one row per profiled column, old/new side by side
         val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate")
