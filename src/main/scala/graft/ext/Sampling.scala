@@ -229,4 +229,58 @@ object Sampling {
         lit(s1 * s1 / s2).as("corpus_ess"))
       .orderBy("source")
   }
+
+  /** CURRICULUM MIXING SCHEDULE: per training epoch, integer token quotas
+    * per source that interpolate linearly from the NATURAL corpus mix
+    * (epoch-0 shape) to the [[mixtureReweight]] TARGET mix by the final
+    * epoch, apportioned with LARGEST-REMAINDER (Hamilton) rounding so
+    * every epoch's quotas sum to EXACTLY `budget` — the schedule a
+    * data-loader executes verbatim. Fraction e/E is an exact dyadic for
+    * E = 4, so every interpolated share is a fixed IEEE shape; the
+    * remainder ranking sorts doubles both engines order identically.
+    *
+    * Scale shape: one count-by-source pass; the schedule itself is
+    * epochs × sources rows with per-epoch windows on a real column.
+    */
+  def curriculumSchedule(
+      docs: DataFrame,
+      sourceCol: String,
+      epochs: Int = 4,
+      budget: Long = 100000L
+  ): DataFrame = {
+    val per = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .localCheckpoint(true)
+    val srcs = per.select("source").collect().map(_.getString(0)).sorted
+    val k = srcs.length
+    val den = (k * (k + 1) / 2).toDouble
+    val ranks = docs.sparkSession.createDataFrame(
+      srcs.zipWithIndex.toIndexedSeq
+        .map { case (s, i) => (s, (k - i).toDouble / den) })
+      .toDF("source", "_tgt")
+    val tot = per.agg(sum(col("n_docs")).cast("long").as("_nn"))
+    val es = docs.sparkSession.range(1, epochs + 1L)
+      .select(col("id").as("epoch"))
+    val shares = per.join(broadcast(ranks), Seq("source")).crossJoin(tot)
+      .withColumn("_nat",
+        col("n_docs").cast("double") / col("_nn").cast("double"))
+      .crossJoin(broadcast(es))
+      .withColumn("_f", col("epoch").cast("double") / lit(epochs.toDouble))
+      .withColumn("share",
+        col("_nat") + (col("_tgt") - col("_nat")) * col("_f"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("epoch")
+    val quotas = shares
+      .withColumn("_raw", lit(budget.toDouble) * col("share"))
+      .withColumn("_base", floor(col("_raw")))
+      .withColumn("_rem", col("_raw") - col("_base"))
+      .withColumn("_left", lit(budget) - sum(col("_base")).over(w))
+      .withColumn("_rk", row_number().over(
+        w.orderBy(desc("_rem"), asc("source"))))
+      .withColumn("quota_tokens",
+        (col("_base") + when(col("_rk") <= col("_left"), 1L).otherwise(0L))
+          .cast("long"))
+    quotas.select(col("epoch"), col("source"), col("share"),
+        col("quota_tokens"))
+      .orderBy("epoch", "source")
+  }
 }

@@ -793,6 +793,51 @@ object CurationQueries {
              |  wt AS weight, CAST(n AS DOUBLE) * wt AS eff_docs,
              |  e.s1 * e.s1 / e.s2 AS corpus_ess
              |FROM w2, e ORDER BY source""".stripMargin)
+    ),
+
+    // ---- CURRICULUM mixing schedule: natural→target interpolation per
+    //      epoch (e/4 is exact dyadic), integer token quotas via
+    //      LARGEST-REMAINDER apportionment — every epoch sums to exactly
+    //      the budget (SamplingSpec pins it), and the remainder ranking
+    //      is an IEEE sort both engines order identically.
+    QueryDef(
+      "q204_curriculum_schedule",
+      (s, dir) =>
+        graft.ext.Sampling.curriculumSchedule(t(s, dir, "documents"),
+          "source", epochs = 4, budget = 100000L),
+      Some("""WITH src AS (SELECT source, count(*) AS n FROM documents
+             |  GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, count(*) AS k
+             |  FROM src),
+             |rk AS (SELECT source, n,
+             |    row_number() OVER (ORDER BY source) AS r
+             |  FROM src),
+             |sh AS (SELECT rk.source,
+             |    CAST(rk.n AS DOUBLE) / CAST(tot.nn AS DOUBLE) AS nat,
+             |    CAST(tot.k + 1 - rk.r AS DOUBLE) /
+             |      CAST((tot.k * (tot.k + 1)) // 2 AS DOUBLE) AS tgt
+             |  FROM rk, tot),
+             |ep AS (SELECT CAST(e AS BIGINT) AS epoch
+             |  FROM generate_series(1, 4) t(e)),
+             |s2 AS (SELECT epoch, source,
+             |    nat + (tgt - nat) * (CAST(epoch AS DOUBLE) /
+             |      CAST(4 AS DOUBLE)) AS share
+             |  FROM sh, ep),
+             |q AS (SELECT epoch, source, share,
+             |    CAST(100000 AS DOUBLE) * share AS raw
+             |  FROM s2),
+             |q2 AS (SELECT epoch, source, share, raw, floor(raw) AS base,
+             |    raw - floor(raw) AS rem
+             |  FROM q),
+             |q3 AS (SELECT *,
+             |    100000 - sum(base) OVER (PARTITION BY epoch) AS leftv,
+             |    row_number() OVER (PARTITION BY epoch
+             |      ORDER BY rem DESC, source) AS rk2
+             |  FROM q2)
+             |SELECT epoch, source, share,
+             |  CAST(base + CASE WHEN rk2 <= leftv THEN 1 ELSE 0 END
+             |    AS BIGINT) AS quota_tokens
+             |FROM q3 ORDER BY epoch, source""".stripMargin)
     )
   )
 }
