@@ -677,6 +677,53 @@ object SimilarityQueries {
           .orderBy("q_id")
       },
       Some(retrievalDcgOracleSql)
+    ),
+
+    // ---- ANNOTATION AGREEMENT (Cohen's kappa) between the gold label
+    //      and the 1-NN-imputed label — the label-quality gate an
+    //      auto-labeling pipeline runs: po = trace/N (one division of
+    //      exact longs), pe = Σ rowᵢ·colᵢ / N² (INTEGER numerator — no
+    //      order-dependent double sums), κ = (po−pe)/(1−pe) with 1
+    //      written CAST(1 AS DOUBLE) in the twin (decimal-literal trap).
+    //      Items whose probe buckets hold no candidate drop out of the
+    //      eval identically in both engines.
+    QueryDef(
+      "q205_label_agreement_kappa",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val nn = Similarity.knnJoin(e, e, "vec_id", "embedding",
+          k = 1, dim = 64, nBits = SemBits, probeHamming = 1,
+          portable = true)
+        val lbl = e.select(col("vec_id"), col("label"))
+        val pairs = nn
+          .join(lbl.withColumnRenamed("vec_id", "q_id")
+            .withColumnRenamed("label", "_a"), "q_id")
+          .join(lbl.withColumnRenamed("vec_id", "c_id")
+            .withColumnRenamed("label", "_b"), "c_id")
+          .select(col("_a"), col("_b"))
+          .localCheckpoint(true)
+        val conf = pairs.groupBy("_a", "_b")
+          .agg(count(lit(1)).cast("long").as("_n"))
+          .localCheckpoint(true)
+        val totals = conf.agg(sum(col("_n")).cast("long").as("n_items"),
+          sum(when(col("_a") === col("_b"), col("_n")).otherwise(0L))
+            .cast("long").as("n_agree"))
+        val rows = conf.groupBy(col("_a").as("_l"))
+          .agg(sum(col("_n")).cast("long").as("_r"))
+        val cols_ = conf.groupBy(col("_b").as("_l"))
+          .agg(sum(col("_n")).cast("long").as("_c"))
+        val s2 = rows.join(cols_, Seq("_l"))
+          .agg(sum(col("_r") * col("_c")).cast("long").as("_s"))
+        totals.crossJoin(s2)
+          .select(col("n_items"), col("n_agree"),
+            (col("n_agree").cast("double") / col("n_items").cast("double"))
+              .as("po"),
+            (col("_s").cast("double") /
+              (col("n_items") * col("n_items")).cast("double")).as("pe"))
+          .select(col("n_items"), col("n_agree"), col("po"), col("pe"),
+            ((col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
+      },
+      Some(kappaOracleSql)
     )
   )
 
@@ -995,6 +1042,65 @@ object SimilarityQueries {
        |  dcg, dcg / CAST($cumCase AS DOUBLE) AS ndcg
        |FROM perq JOIN lc ON lc.label = perq.ql
        |ORDER BY q_id""".stripMargin
+  }
+
+  /** The q205 oracle: the q78 knn pipeline at k=1 over EVERY vector, then
+    * Cohen's kappa from the confusion counts with integer-exact numerators.
+    */
+  private def kappaOracleSql: String = {
+    val bits = Similarity.quantPlanes(64, SemBits).zipWithIndex.map {
+      case (p, i) =>
+        val lst = p.mkString("[", ",", "]")
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), " +
+          s"j -> ($lst)[j] * vq[j])) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" +\n  ")
+    val masks = (0L +: (0 until SemBits).map(i => 1L << i).toSeq)
+      .mkString("[", ",", "]")
+    s"""WITH vq AS (SELECT vec_id,
+       |  list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS vq
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, CAST($bits AS BIGINT) AS bucket FROM vq),
+       |probes AS (SELECT q.vec_id AS q_id, xor(q.bucket, m.m) AS bucket
+       |  FROM b q, (SELECT unnest($masks::BIGINT[]) AS m) m),
+       |cand AS (SELECT p.q_id, c.vec_id AS c_id
+       |  FROM probes p JOIN b c ON c.bucket = p.bucket
+       |  WHERE c.vec_id <> p.q_id),
+       |sims AS (SELECT q_id, c_id,
+       |  round(list_sum(list_transform(range(1, len(eq.embedding) + 1),
+       |      i -> eq.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE)) /
+       |    (sqrt(list_sum(list_transform(eq.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+       |     sqrt(list_sum(list_transform(ec.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4)
+       |    AS cos_sim
+       |  FROM cand
+       |  JOIN embeddings eq ON eq.vec_id = cand.q_id
+       |  JOIN embeddings ec ON ec.vec_id = cand.c_id),
+       |nn AS (SELECT q_id, c_id FROM (
+       |  SELECT q_id, c_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id)
+       |      AS rank
+       |  FROM sims) r WHERE rank = 1),
+       |pairs AS (SELECT la.label AS a, lb.label AS b2
+       |  FROM nn
+       |  JOIN embeddings la ON la.vec_id = nn.q_id
+       |  JOIN embeddings lb ON lb.vec_id = nn.c_id),
+       |conf AS (SELECT a, b2, count(*) AS n FROM pairs GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_items,
+       |    CAST(sum(CASE WHEN a = b2 THEN n ELSE 0 END) AS BIGINT)
+       |      AS n_agree
+       |  FROM conf),
+       |r AS (SELECT a AS l, CAST(sum(n) AS BIGINT) AS rr FROM conf
+       |  GROUP BY 1),
+       |c AS (SELECT b2 AS l, CAST(sum(n) AS BIGINT) AS cc FROM conf
+       |  GROUP BY 1),
+       |s AS (SELECT CAST(sum(rr * cc) AS BIGINT) AS ss
+       |  FROM r JOIN c USING (l)),
+       |o AS (SELECT n_items, n_agree,
+       |    CAST(n_agree AS DOUBLE) / CAST(n_items AS DOUBLE) AS po,
+       |    CAST(ss AS DOUBLE) / CAST(n_items * n_items AS DOUBLE) AS pe
+       |  FROM tot, s)
+       |SELECT n_items, n_agree, po, pe,
+       |  (po - pe) / (CAST(1 AS DOUBLE) - pe) AS kappa
+       |FROM o""".stripMargin
   }
 
   /** The q75 oracle: the full recall computation in DuckDB, with lshTopK's

@@ -774,6 +774,91 @@ object StatQueries {
              |  round(CAST(n_out AS DOUBLE)/CAST(n AS DOUBLE), 6)
              |    AS outlier_share
              |FROM o ORDER BY event_type""".stripMargin)
+    ),
+
+    // ---- SPLIT-CONFORMAL calibration: threshold = the
+    //      ⌈0.9·(n_cal+1)⌉-th smallest calibration score (exact integer
+    //      rank, the distribution-free 90% coverage guarantee), resolved
+    //      via the q196 bucket refinement — never a whole-split
+    //      row_number; coverage on the disjoint md5-hash test split is
+    //      integer counts + one division. The prediction-interval QA a
+    //      scoring pipeline gates on.
+    QueryDef(
+      "q206_conformal_coverage",
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("event_id"), col("value").cast("double").as("v"))
+          .withColumn("_cal",
+            graft.ext.Sampling.hashBucket(col("event_id")) < 50)
+          .localCheckpoint(true)
+        val cal = ev.filter(col("_cal"))
+        val test = ev.filter(!col("_cal"))
+        val grid = cal
+          .select(least(greatest(floor(col("v") / 8.0), lit(0.0)),
+            lit(63.0)).cast("long").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
+        val tot = grid.agg(sum(col("cnt")).as("_ncal"))
+        val rank = floor((col("_ncal") * 9 + 9 + 9) / lit(10.0))
+        val cum = grid.select(col("bucket"), col("cnt"))
+          .join(broadcast(grid.select(col("bucket").as("_b2"),
+            col("cnt").as("_c2"))), col("_b2") <= col("bucket"))
+          .groupBy("bucket", "cnt").agg(sum(col("_c2")).as("_cum"))
+          .crossJoin(broadcast(tot))
+        val target = cum
+          .agg(max(col("_ncal")).as("n_cal"),
+            min(when(col("_cum") >= rank,
+              struct(col("bucket"),
+                (rank - (col("_cum") - col("cnt"))).as("rib"))))
+              .as("_t"))
+          .select(col("n_cal"), col("_t.bucket").as("_tb"),
+            col("_t.rib").as("_rib"))
+          .localCheckpoint(true)
+        val thr = broadcast(target)
+          .join(cal.withColumn("bucket",
+            least(greatest(floor(col("v") / 8.0), lit(0.0)), lit(63.0))
+              .cast("long")), col("bucket") === col("_tb"))
+          .withColumn("_rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("bucket").orderBy("v")))
+          .filter(col("_rn") === col("_rib"))
+          .select(col("n_cal").cast("long").as("n_cal"),
+            col("v").as("threshold"))
+        val cov = test.crossJoin(broadcast(thr))
+          .agg(max(col("n_cal")).as("n_cal"),
+            max(col("threshold")).as("threshold"),
+            count(lit(1)).cast("long").as("n_test"),
+            sum(when(col("v") <= col("threshold"), 1L).otherwise(0L))
+              .cast("long").as("n_covered"))
+        cov.select(col("n_cal"), col("n_test"), col("threshold"),
+          col("n_covered"),
+          (col("n_covered").cast("double") / col("n_test").cast("double"))
+            .as("coverage"),
+          lit(0.9).as("target"))
+      },
+      Some("""WITH e AS (SELECT event_id, value::DOUBLE AS v FROM events
+             |  WHERE value IS NOT NULL),
+             |t2 AS (SELECT v,
+             |    (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::INT
+             |      % 100) < 50 AS cal
+             |  FROM e),
+             |calr AS (SELECT v,
+             |    row_number() OVER (ORDER BY v) AS rn,
+             |    count(*) OVER () AS n_cal
+             |  FROM t2 WHERE cal),
+             |thr AS (SELECT n_cal, v AS threshold FROM calr
+             |  WHERE rn = floor((n_cal * 9 + 9 + 9) / 10)),
+             |te AS (SELECT count(*) AS n_test,
+             |    sum(CASE WHEN t2.v <= thr.threshold THEN 1 ELSE 0 END)
+             |      AS n_cov
+             |  FROM t2, thr WHERE NOT cal)
+             |SELECT CAST(thr.n_cal AS BIGINT) AS n_cal,
+             |  CAST(te.n_test AS BIGINT) AS n_test, thr.threshold,
+             |  CAST(te.n_cov AS BIGINT) AS n_covered,
+             |  CAST(te.n_cov AS DOUBLE) / CAST(te.n_test AS DOUBLE)
+             |    AS coverage,
+             |  CAST(0.9 AS DOUBLE) AS target
+             |FROM thr, te""".stripMargin)
     )
   )
 }

@@ -78,6 +78,21 @@ object ScaleCheck {
         e.filter(col("vec_id") % 97 =!= 0), e.filter(col("vec_id") % 97 === 0),
         "vec_id", "embedding", dim = 64, threshold = 0.3, nBits = 12,
         probeHamming = 1)
+    }),
+    // q205's production operating point: 12-bit seeded-Gaussian planes
+    // (4096 buckets) for the all-pairs 1-NN label imputation — the
+    // 16-bucket oracle-friendly family would be candidate-quadratic at
+    // corpus scale
+    "x205_label_kappa_prod" -> ((s, dir) => {
+      val e = graft.queries.Q.t(s, dir, "embeddings")
+      val nn = graft.ext.Similarity.knnJoin(e, e, "vec_id", "embedding",
+        k = 1, dim = 64, nBits = 12, probeHamming = 1)
+      val lbl = e.select(col("vec_id"), col("label"))
+      nn.join(lbl.withColumnRenamed("vec_id", "q_id")
+          .withColumnRenamed("label", "_a"), "q_id")
+        .join(lbl.withColumnRenamed("vec_id", "c_id")
+          .withColumnRenamed("label", "_b"), "c_id")
+        .groupBy("_a", "_b").agg(count(lit(1)).as("n"))
     })
   )
 
