@@ -190,6 +190,37 @@ object Events {
         col("purchase_value"))
   }
 
+  /** LEFT-OUTER stream-stream attribution: the PURCHASES side is
+    * preserved — a purchase with no attributable click emits with null
+    * click fields, but only once the watermark proves no in-window click
+    * can still arrive (Structured Streaming holds outer rows in state
+    * until then; the same watermark + time-range bound that expires inner
+    * state makes the null emission safe). The organic-vs-attributed
+    * revenue split in one streaming query.
+    */
+  def attributionJoinOuter(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      window_ : String = "1 hour",
+      watermark: String = "2 hours"
+  ): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("ts").as("purchase_ts"), col("event_id").as("purchase_id"),
+      col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c, expr(
+      s"""c_user = p_user AND
+         |click_ts <= purchase_ts AND
+         |click_ts >= purchase_ts - INTERVAL $window_""".stripMargin),
+      "leftOuter")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"), col("click_ts"), col("purchase_ts"),
+        col("purchase_value"))
+  }
+
   /** Checkpointed gold-layer stream: watermarked tumbling aggregation →
     * parquet sink with exactly-once file-sink semantics. `AvailableNow`
     * drains everything currently in the source then stops — the same query

@@ -341,4 +341,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"token-side join must not sort-merge:\n$p")
   }
+
+  test("q196/q203 histogram family: every window partitions on a real " +
+    "column (bucket refinement, no whole-window sort)") {
+    Seq("q196_hist_trailing_quantiles", "q203_hist_incremental").foreach {
+      name =>
+        val windows = q(name).queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        }
+        windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+          s"$name: partition-less window (whole-window sort):\n$w"))
+    }
+  }
+
+  test("q197 time travel: the data scan meets the resolved manifest as a " +
+    "broadcast join; orders never sort-merge") {
+    val p = plan(q("q197_time_travel"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"manifest membership must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 15M-row data side must not sort-merge against 9 manifest rows:\n$p")
+  }
+
+  test("q205 kappa: the 1-NN candidate channel is a bucket equi-join — " +
+    "every condition-less join is a scalar (1-row) cross, never a " +
+    "data-sized nested loop") {
+    val joins = q("q205_label_agreement_kappa")
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.condition.isEmpty => j
+      }
+    joins.foreach { j =>
+      assert(j.left.maxRows.contains(1L) || j.right.maxRows.contains(1L),
+        s"condition-less join with neither side scalar:\n$j")
+    }
+  }
 }

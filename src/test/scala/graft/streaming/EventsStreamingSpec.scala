@@ -192,6 +192,42 @@ class EventsStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join: unattributed purchase emits null " +
+    "click once the watermark closes its window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Events.Event]
+    val purchases = MemoryStream[Events.Event]
+    val joined = Events.attributionJoinOuter(clicks.toDF(), purchases.toDF(),
+      window_ = "10 minutes", watermark = "30 minutes")
+    val q = joined.writeStream
+      .format("memory").queryName("attjoin_outer_test")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Events.Event(2, ts(5), 1, "click", 0.0))
+      purchases.addData(
+        Events.Event(100, ts(12), 1, "purchase", 9.99), // attributed
+        Events.Event(101, ts(12), 2, "purchase", 5.0)) // no click: outer
+      q.processAllAvailable()
+      // outer row for 101 cannot emit yet — a matching click could still
+      // arrive until the CLICK watermark passes its window
+      val early = spark.table("attjoin_outer_test")
+        .filter(col("purchase_id") === 101).count()
+      assert(early == 0, "outer row emitted before the watermark closed")
+      // advance BOTH watermarks far past purchase 101's join window
+      clicks.addData(Events.Event(900, ts(120), 9, "click", 0.0))
+      purchases.addData(Events.Event(901, ts(120), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      q.processAllAvailable() // no-data batch flushes outer state
+      val got = spark.table("attjoin_outer_test")
+        .select("purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(got.contains((100L, Some(2L))), s"attributed row missing: $got")
+      assert(got.contains((101L, None)),
+        s"unattributed purchase never emitted with null click: $got")
+    } finally q.stop()
+  }
+
   test("goldStream: checkpointed parquet sink with restart recovery") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("goldstream")
