@@ -838,6 +838,87 @@ object CurationQueries {
              |  CAST(base + CASE WHEN rk2 <= leftv THEN 1 ELSE 0 END
              |    AS BIGINT) AS quota_tokens
              |FROM q3 ORDER BY epoch, source""".stripMargin)
+    ),
+
+    // ---- TRAINING-PLAN capstone: the operators COMPOSE — exact dedup
+    //      (q23) → mixture reweighting (q202) → final-epoch quota
+    //      apportionment (q204) → batch math (q198), one per-source plan
+    //      table from one survivors scan. The oracle chains the same four
+    //      proven CTE blocks, so the hash pins the composition, not just
+    //      the pieces.
+    QueryDef(
+      "q207_training_plan",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        // consumed by reweight + schedule + token sums: checkpoint once
+        val survivors = graft.ext.Dedup
+          .exact(docs, "doc_id", Seq("text")).localCheckpoint(true)
+        val rw = graft.ext.Sampling.mixtureReweight(survivors, "source")
+          .select(col("source"), col("n_docs"), col("weight"))
+        val sched = graft.ext.Sampling
+          .curriculumSchedule(survivors, "source",
+            epochs = 4, budget = 100000L)
+          .filter(col("epoch") === 4)
+          .select(col("source"), col("quota_tokens"))
+        val toks = survivors.groupBy("source")
+          .agg(sum(TextAnalysis.tokenCount(col("text"))).cast("long")
+            .as("sum_tokens"))
+        rw.join(sched, Seq("source")).join(toks, Seq("source"))
+          .select(col("source"), col("n_docs"), col("sum_tokens"),
+            col("weight"), col("quota_tokens"),
+            expr("(least(quota_tokens, sum_tokens) + 4095) div 4096")
+              .cast("long").as("planned_batches"))
+          .orderBy("source")
+      },
+      Some("""WITH ranked AS (SELECT *,
+             |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+             |      AS rn
+             |  FROM documents),
+             |s0 AS (SELECT * FROM ranked WHERE rn = 1),
+             |src AS (SELECT source, count(*) AS n FROM s0 GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, count(*) AS k
+             |  FROM src),
+             |rk AS (SELECT source, n,
+             |    row_number() OVER (ORDER BY source) AS r
+             |  FROM src),
+             |w AS (SELECT rk.source, rk.n,
+             |    CAST(rk.n AS DOUBLE) / CAST(tot.nn AS DOUBLE) AS nat,
+             |    CAST(tot.k + 1 - rk.r AS DOUBLE) /
+             |      CAST((tot.k * (tot.k + 1)) // 2 AS DOUBLE) AS tf,
+             |    tot.nn
+             |  FROM rk, tot),
+             |w2 AS (SELECT source, n, nat, tf,
+             |    tf / (CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) AS wt
+             |  FROM w),
+             |sh AS (SELECT source, n, wt,
+             |    nat + (tf - nat) * (CAST(4 AS DOUBLE) / CAST(4 AS DOUBLE))
+             |      AS share
+             |  FROM w2),
+             |q AS (SELECT source, n, wt,
+             |    CAST(100000 AS DOUBLE) * share AS raw
+             |  FROM sh),
+             |q2 AS (SELECT *, floor(raw) AS base, raw - floor(raw) AS rem
+             |  FROM q),
+             |q3 AS (SELECT *,
+             |    100000 - sum(base) OVER () AS leftv,
+             |    row_number() OVER (ORDER BY rem DESC, source) AS rk2
+             |  FROM q2),
+             |qv AS (SELECT source, n, wt,
+             |    CAST(base + CASE WHEN rk2 <= leftv THEN 1 ELSE 0 END
+             |      AS BIGINT) AS quota
+             |  FROM q3),
+             |toks AS (SELECT source,
+             |    CAST(sum(len(list_filter(
+             |      regexp_split_to_array(trim(text), '\s+'),
+             |      x -> x <> ''))) AS BIGINT) AS sum_tokens
+             |  FROM s0 GROUP BY 1)
+             |SELECT qv.source, CAST(qv.n AS BIGINT) AS n_docs,
+             |  toks.sum_tokens, qv.wt AS weight,
+             |  qv.quota AS quota_tokens,
+             |  CAST((least(qv.quota, toks.sum_tokens) + 4095) // 4096
+             |    AS BIGINT) AS planned_batches
+             |FROM qv JOIN toks USING (source)
+             |ORDER BY source""".stripMargin)
     )
   )
 }
