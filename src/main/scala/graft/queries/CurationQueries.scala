@@ -919,6 +919,93 @@ object CurationQueries {
              |    AS BIGINT) AS planned_batches
              |FROM qv JOIN toks USING (source)
              |ORDER BY source""".stripMargin)
+    ),
+
+    // ---- SCHEDULE REALIZATION: the loader's half of q204 — per (epoch,
+    //      source), greedily admit docs in portable-hash order until the
+    //      cumulative token count reaches the epoch quota (prefix fill:
+    //      a doc enters iff the running sum THROUGH it stays ≤ quota).
+    //      Deterministic shuffle order + integer cumsum ⇒ byte-identical
+    //      epochs on any cluster; windows partition on (epoch, source).
+    QueryDef(
+      "q208_schedule_realization",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sched = graft.ext.Sampling
+          .curriculumSchedule(docs, "source", epochs = 4, budget = 100000L)
+          .select(col("epoch"), col("source"), col("quota_tokens"))
+        val toks = docs.select(col("source"),
+          graft.ext.Dedup.portableHash60(col("doc_id").cast("string"))
+            .as("_h"),
+          TextAnalysis.tokenCount(col("text")).as("_nt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("epoch", "source").orderBy("_h")
+        val filled = toks.join(broadcast(sched), Seq("source"))
+          .withColumn("_cum", sum(col("_nt")).over(w))
+          .filter(col("_cum") <= col("quota_tokens"))
+        filled.groupBy("epoch", "source", "quota_tokens")
+          .agg(count(lit(1)).cast("long").as("n_docs_selected"),
+            sum(col("_nt")).cast("long").as("tokens_selected"))
+          .select(col("epoch"), col("source"), col("quota_tokens"),
+            col("n_docs_selected"), col("tokens_selected"),
+            round(lit(100.0) * col("tokens_selected").cast("double") /
+              col("quota_tokens").cast("double"), 2).as("fill_pct"))
+          .orderBy("epoch", "source")
+      },
+      Some("""WITH src AS (SELECT source, count(*) AS n FROM documents
+             |  GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, count(*) AS k
+             |  FROM src),
+             |rk AS (SELECT source, n,
+             |    row_number() OVER (ORDER BY source) AS r
+             |  FROM src),
+             |sh AS (SELECT rk.source,
+             |    CAST(rk.n AS DOUBLE) / CAST(tot.nn AS DOUBLE) AS nat,
+             |    CAST(tot.k + 1 - rk.r AS DOUBLE) /
+             |      CAST((tot.k * (tot.k + 1)) // 2 AS DOUBLE) AS tgt
+             |  FROM rk, tot),
+             |ep AS (SELECT CAST(e AS BIGINT) AS epoch
+             |  FROM generate_series(1, 4) t(e)),
+             |s2 AS (SELECT epoch, source,
+             |    nat + (tgt - nat) * (CAST(epoch AS DOUBLE) /
+             |      CAST(4 AS DOUBLE)) AS share
+             |  FROM sh, ep),
+             |q AS (SELECT epoch, source,
+             |    CAST(100000 AS DOUBLE) * share AS raw
+             |  FROM s2),
+             |q2 AS (SELECT epoch, source, raw, floor(raw) AS base,
+             |    raw - floor(raw) AS rem
+             |  FROM q),
+             |q3 AS (SELECT *,
+             |    100000 - sum(base) OVER (PARTITION BY epoch) AS leftv,
+             |    row_number() OVER (PARTITION BY epoch
+             |      ORDER BY rem DESC, source) AS rk2
+             |  FROM q2),
+             |sched AS (SELECT epoch, source,
+             |    CAST(base + CASE WHEN rk2 <= leftv THEN 1 ELSE 0 END
+             |      AS BIGINT) AS quota
+             |  FROM q3),
+             |toks AS (SELECT source,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |      AS h,
+             |    CAST(len(list_filter(
+             |      regexp_split_to_array(trim(text), '\s+'),
+             |      x -> x <> '')) AS BIGINT) AS nt
+             |  FROM documents),
+             |filled AS (SELECT s.epoch, s.source, s.quota, t.nt,
+             |    sum(t.nt) OVER (PARTITION BY s.epoch, s.source
+             |      ORDER BY t.h
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM toks t JOIN sched s ON s.source = t.source),
+             |sel AS (SELECT * FROM filled WHERE cum <= quota)
+             |SELECT epoch, source, quota AS quota_tokens,
+             |  CAST(count(*) AS BIGINT) AS n_docs_selected,
+             |  CAST(sum(nt) AS BIGINT) AS tokens_selected,
+             |  round(CAST(100.0 AS DOUBLE) *
+             |    CAST(sum(nt) AS DOUBLE) / CAST(quota AS DOUBLE), 2)
+             |    AS fill_pct
+             |FROM sel GROUP BY epoch, source, quota
+             |ORDER BY epoch, source""".stripMargin)
     )
   )
 }
