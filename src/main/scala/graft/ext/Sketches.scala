@@ -537,6 +537,91 @@ object Sketches {
     df.select(histBucket(col(valCol), width, nBuckets).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
+  /** EXACT per-group TRIMMED MEAN without a whole-group sort: mean of the
+    * ranks [k+1, W−k] (k = ⌊W/10⌋ per side), computed as
+    * (S_total − S_bottomK − S_topK) / (W − 2k) where each tail sum comes
+    * from the histogram grid — full buckets outside the cut plus the
+    * within-cut-bucket prefix resolved by sorting ONLY that bucket's rows
+    * (the q196 refinement applied to PARTIAL SUMS, not just rank picks).
+    * Every value sum routes through DECIMAL(18,6): order-independent, so
+    * a tie crossing the cut contributes identically however it lands.
+    * The robust-mean readout for metrics pipelines at lake scale.
+    *
+    * Output per group: (group, n, k_trim, mean_raw, trimmed_mean).
+    */
+  def trimmedMeanByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      width: Double = 8.0,
+      nBuckets: Int = 64
+  ): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val rows = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valCol).cast("double").as("v"),
+        histBucket(col(valCol), width, nBuckets).as("bucket"))
+      .localCheckpoint(true)
+    val grid = rows.groupBy("g", "bucket")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("v").cast(dec)).cast(dec).as("s"))
+    val tot = grid.groupBy("g")
+      .agg(sum(col("cnt")).as("w"), sum(col("s")).cast(dec).as("stot"))
+    val k = floor(col("w") / lit(10.0)) // ⌊W/10⌋ per side
+    val wAsc = Window.partitionBy("g").orderBy("bucket")
+    val wDesc = Window.partitionBy("g").orderBy(desc("bucket"))
+    val cum = grid.join(tot, Seq("g"))
+      .withColumn("_ca", sum(col("cnt")).over(wAsc))
+      .withColumn("_sa", sum(col("s")).over(wAsc).cast(dec))
+      .withColumn("_cd", sum(col("cnt")).over(wDesc))
+      .withColumn("_sd", sum(col("s")).over(wDesc).cast(dec))
+    // per tail: cut bucket (FIRST from that tail's end whose cumulative
+    // count reaches k — min bucket for the low tail, max for the high),
+    // how many of its rows belong to the tail (rem), and the tail's
+    // FULL-bucket part of the sum
+    def tailStruct(cumCnt: Column, cumSum: Column) =
+      when(cumCnt >= k, struct(col("bucket"),
+        (k - (cumCnt - col("cnt"))).as("rem"),
+        (cumSum - col("s")).cast(dec).as("below")))
+    val targets = cum.groupBy("g")
+      .agg(max(col("w")).as("w"), max(col("stot")).as("stot"),
+        max(k).as("k"),
+        min(tailStruct(col("_ca"), col("_sa"))).as("_lo"),
+        max(tailStruct(col("_cd"), col("_sd"))).as("_hi"))
+      .localCheckpoint(true)
+    // resolve the within-bucket prefixes: only the two cut buckets' rows
+    // per group ever reach a sort, ~2/nBuckets of each group
+    val tg = targets.select(col("g"), explode(array(
+        struct(lit("lo").as("side"), col("_lo.bucket").as("bucket"),
+          col("_lo.rem").as("rem")),
+        struct(lit("hi").as("side"), col("_hi.bucket").as("bucket"),
+          col("_hi.rem").as("rem")))).as("_x"))
+      .select(col("g"), col("_x.side").as("side"),
+        col("_x.bucket").as("bucket"), col("_x.rem").as("rem"))
+      .filter(col("rem") > 0)
+    val inBucket = broadcast(tg).join(rows, Seq("g", "bucket"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("g", "side").orderBy(
+          when(col("side") === "lo", col("v")).otherwise(-col("v")))))
+      .filter(col("_rn") <= col("rem"))
+      .groupBy("g")
+      .agg(sum(when(col("side") === "lo", col("v").cast(dec))
+          .otherwise(lit(0).cast(dec))).cast(dec).as("_plo"),
+        sum(when(col("side") === "hi", col("v").cast(dec))
+          .otherwise(lit(0).cast(dec))).cast(dec).as("_phi"))
+    targets.join(inBucket, Seq("g"), "left")
+      .select(col("g").as(groupCol), col("w").cast("long").as("n"),
+        col("k").cast("long").as("k_trim"),
+        (col("stot").cast("double") / col("w").cast("double"))
+          .as("mean_raw"),
+        ((col("stot") - col("_lo.below") - coalesce(col("_plo"),
+            lit(0).cast(dec)) -
+          col("_hi.below") - coalesce(col("_phi"), lit(0).cast(dec)))
+          .cast("double") /
+          (col("w") - lit(2) * col("k")).cast("double"))
+          .as("trimmed_mean"))
+      .orderBy(groupCol)
+  }
+
   /** Bucket expression shared by the histogram family. */
   private def histBucket(v: Column, width: Double, nBuckets: Int): Column =
     least(greatest(floor(v.cast("double") / lit(width)), lit(0.0)),

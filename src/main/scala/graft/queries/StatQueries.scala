@@ -859,6 +859,113 @@ object StatQueries {
              |    AS coverage,
              |  CAST(0.9 AS DOUBLE) AS target
              |FROM thr, te""".stripMargin)
+    ),
+
+    // ---- MONDRIAN (group-conditional) conformal: one q206 threshold
+    //      PER event_type — the conditional-coverage guarantee a
+    //      per-class scoring pipeline actually needs (marginal coverage
+    //      hides per-group under-coverage). Same integer rank + bucket
+    //      refinement, all windows on real (group, bucket) columns.
+    QueryDef(
+      "q209_mondrian_conformal",
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("event_type").as("g"), col("event_id"),
+            col("value").cast("double").as("v"))
+          .withColumn("_cal",
+            graft.ext.Sampling.hashBucket(col("event_id")) < 50)
+          .localCheckpoint(true)
+        val cal = ev.filter(col("_cal"))
+          .withColumn("bucket",
+            least(greatest(floor(col("v") / 8.0), lit(0.0)), lit(63.0))
+              .cast("long"))
+        val grid = cal.groupBy("g", "bucket")
+          .agg(count(lit(1)).as("cnt"))
+        val tot = grid.groupBy("g").agg(sum(col("cnt")).as("_ncal"))
+        val rank = floor((col("_ncal") * 9 + 18) / lit(10.0))
+        val cum = grid.join(tot, Seq("g"))
+          .withColumn("_cum", sum(col("cnt")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("g").orderBy("bucket")))
+        val target = cum.groupBy("g")
+          .agg(max(col("_ncal")).cast("long").as("n_cal"),
+            min(when(col("_cum") >= rank,
+              struct(col("bucket"),
+                (rank - (col("_cum") - col("cnt"))).as("rib")))).as("_t"))
+          .select(col("g"), col("n_cal"), col("_t.bucket").as("bucket"),
+            col("_t.rib").as("_rib"))
+        val thr = broadcast(target).join(cal, Seq("g", "bucket"))
+          .withColumn("_rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("g", "bucket").orderBy("v")))
+          .filter(col("_rn") === col("_rib"))
+          .select(col("g"), col("n_cal"), col("v").as("threshold"))
+        ev.filter(!col("_cal")).join(broadcast(thr), Seq("g"))
+          .groupBy(col("g").as("event_type"), col("n_cal"),
+            col("threshold"))
+          .agg(count(lit(1)).cast("long").as("n_test"),
+            sum(when(col("v") <= col("threshold"), 1L).otherwise(0L))
+              .cast("long").as("n_covered"))
+          .select(col("event_type"), col("n_cal"), col("n_test"),
+            col("threshold"), col("n_covered"),
+            (col("n_covered").cast("double") / col("n_test").cast("double"))
+              .as("coverage"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type AS g, event_id, value::DOUBLE AS v
+             |  FROM events WHERE value IS NOT NULL),
+             |t2 AS (SELECT g, v,
+             |    (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::INT
+             |      % 100) < 50 AS cal
+             |  FROM e),
+             |calr AS (SELECT g, v,
+             |    row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             |    count(*) OVER (PARTITION BY g) AS n_cal
+             |  FROM t2 WHERE cal),
+             |thr AS (SELECT g, n_cal, v AS threshold FROM calr
+             |  WHERE rn = floor((n_cal * 9 + 18) / 10)),
+             |te AS (SELECT t2.g, count(*) AS n_test,
+             |    sum(CASE WHEN t2.v <= thr.threshold THEN 1 ELSE 0 END)
+             |      AS n_cov
+             |  FROM t2 JOIN thr ON thr.g = t2.g
+             |  WHERE NOT cal GROUP BY t2.g)
+             |SELECT thr.g AS event_type, CAST(thr.n_cal AS BIGINT) AS n_cal,
+             |  CAST(te.n_test AS BIGINT) AS n_test, thr.threshold,
+             |  CAST(te.n_cov AS BIGINT) AS n_covered,
+             |  CAST(te.n_cov AS DOUBLE) / CAST(te.n_test AS DOUBLE)
+             |    AS coverage
+             |FROM thr JOIN te ON te.g = thr.g
+             |ORDER BY event_type""".stripMargin)
+    ),
+
+    // ---- EXACT trimmed mean per group from the histogram grid (tail
+    //      sums = full outside buckets + within-cut-bucket prefixes, the
+    //      q196 refinement applied to PARTIAL SUMS) — the oracle computes
+    //      the bare rank-interval definition, so the hash proves the
+    //      grid decomposition. DECIMAL-routed value sums throughout.
+    QueryDef(
+      "q210_trimmed_mean",
+      (s, dir) =>
+        graft.ext.Sketches.trimmedMeanByGroup(
+          t(s, dir, "events"), "event_type", "value"),
+      Some("""WITH e AS (SELECT event_type AS g, value::DOUBLE AS v
+             |  FROM events WHERE value IS NOT NULL),
+             |r AS (SELECT g, v,
+             |    row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             |    count(*) OVER (PARTITION BY g) AS w
+             |  FROM e),
+             |p AS (SELECT g, w, floor(w / 10) AS k FROM r GROUP BY g, w),
+             |i AS (SELECT r.g, r.w, p.k,
+             |    CAST(sum(CAST(r.v AS DECIMAL(18,6)))
+             |      FILTER (r.rn > p.k AND r.rn <= r.w - p.k) AS DOUBLE)
+             |      AS sint,
+             |    CAST(sum(CAST(r.v AS DECIMAL(18,6))) AS DOUBLE) AS stot
+             |  FROM r JOIN p ON p.g = r.g GROUP BY r.g, r.w, p.k)
+             |SELECT g AS event_type, CAST(w AS BIGINT) AS n,
+             |  CAST(k AS BIGINT) AS k_trim,
+             |  stot / CAST(w AS DOUBLE) AS mean_raw,
+             |  sint / CAST(w - 2 * k AS DOUBLE) AS trimmed_mean
+             |FROM i ORDER BY event_type""".stripMargin)
     )
   )
 }
