@@ -555,6 +555,35 @@ object Sketches {
       valCol: String,
       width: Double = 8.0,
       nBuckets: Int = 64
+  ): DataFrame =
+    robustMeansByGroup(df, groupCol, valCol, width, nBuckets)
+      .select(groupCol, "n", "k_trim", "mean_raw", "trimmed_mean")
+
+  /** WINSORIZED mean companion: the k tail values per side are CLAMPED to
+    * the cut values v_(k+1) / v_(W−k) instead of dropped — same grid
+    * decomposition plus two rank PICKS resolved in the same cut buckets.
+    * Output: (group, n, k_trim, mean_raw, winsorized_mean).
+    */
+  def winsorizedMeanByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      width: Double = 8.0,
+      nBuckets: Int = 64
+  ): DataFrame =
+    robustMeansByGroup(df, groupCol, valCol, width, nBuckets)
+      .select(groupCol, "n", "k_trim", "mean_raw", "winsorized_mean")
+
+  /** Shared core for the robust means: tail SUMS (full outside buckets +
+    * within-cut-bucket prefixes) and cut-value PICKS (ranks k+1 and W−k)
+    * all resolved inside at most four located buckets per group.
+    */
+  private def robustMeansByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      width: Double,
+      nBuckets: Int
   ): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)
     val rows = df.filter(col(valCol).isNotNull)
@@ -582,43 +611,63 @@ object Sketches {
       when(cumCnt >= k, struct(col("bucket"),
         (k - (cumCnt - col("cnt"))).as("rem"),
         (cumSum - col("s")).cast(dec).as("below")))
+    // cut-value picks: rank k+1 from each end (the winsorized clamp values)
+    def pickStruct(cumCnt: Column) =
+      when(cumCnt >= k + 1, struct(col("bucket"),
+        (k + 1 - (cumCnt - col("cnt"))).as("rem")))
     val targets = cum.groupBy("g")
       .agg(max(col("w")).as("w"), max(col("stot")).as("stot"),
         max(k).as("k"),
         min(tailStruct(col("_ca"), col("_sa"))).as("_lo"),
-        max(tailStruct(col("_cd"), col("_sd"))).as("_hi"))
+        max(tailStruct(col("_cd"), col("_sd"))).as("_hi"),
+        min(pickStruct(col("_ca"))).as("_lp"),
+        max(pickStruct(col("_cd"))).as("_hp"))
       .localCheckpoint(true)
     // resolve the within-bucket prefixes: only the two cut buckets' rows
     // per group ever reach a sort, ~2/nBuckets of each group
     val tg = targets.select(col("g"), explode(array(
-        struct(lit("lo").as("side"), col("_lo.bucket").as("bucket"),
+        struct(lit("losum").as("side"), col("_lo.bucket").as("bucket"),
           col("_lo.rem").as("rem")),
-        struct(lit("hi").as("side"), col("_hi.bucket").as("bucket"),
-          col("_hi.rem").as("rem")))).as("_x"))
+        struct(lit("hisum").as("side"), col("_hi.bucket").as("bucket"),
+          col("_hi.rem").as("rem")),
+        struct(lit("lopick").as("side"), col("_lp.bucket").as("bucket"),
+          col("_lp.rem").as("rem")),
+        struct(lit("hipick").as("side"), col("_hp.bucket").as("bucket"),
+          col("_hp.rem").as("rem")))).as("_x"))
       .select(col("g"), col("_x.side").as("side"),
         col("_x.bucket").as("bucket"), col("_x.rem").as("rem"))
       .filter(col("rem") > 0)
+    val asc = col("side").isin("losum", "lopick")
     val inBucket = broadcast(tg).join(rows, Seq("g", "bucket"))
       .withColumn("_rn", row_number().over(
         Window.partitionBy("g", "side").orderBy(
-          when(col("side") === "lo", col("v")).otherwise(-col("v")))))
-      .filter(col("_rn") <= col("rem"))
+          when(asc, col("v")).otherwise(-col("v")))))
+      .filter(when(col("side").isin("losum", "hisum"),
+        col("_rn") <= col("rem")).otherwise(col("_rn") === col("rem")))
       .groupBy("g")
-      .agg(sum(when(col("side") === "lo", col("v").cast(dec))
+      .agg(sum(when(col("side") === "losum", col("v").cast(dec))
           .otherwise(lit(0).cast(dec))).cast(dec).as("_plo"),
-        sum(when(col("side") === "hi", col("v").cast(dec))
-          .otherwise(lit(0).cast(dec))).cast(dec).as("_phi"))
+        sum(when(col("side") === "hisum", col("v").cast(dec))
+          .otherwise(lit(0).cast(dec))).cast(dec).as("_phi"),
+        min(when(col("side") === "lopick", col("v"))).as("_vlo"),
+        min(when(col("side") === "hipick", col("v"))).as("_vhi"))
+    val interior =
+      col("stot") - col("_lo.below") - coalesce(col("_plo"),
+        lit(0).cast(dec)) -
+        col("_hi.below") - coalesce(col("_phi"), lit(0).cast(dec))
     targets.join(inBucket, Seq("g"), "left")
       .select(col("g").as(groupCol), col("w").cast("long").as("n"),
         col("k").cast("long").as("k_trim"),
         (col("stot").cast("double") / col("w").cast("double"))
           .as("mean_raw"),
-        ((col("stot") - col("_lo.below") - coalesce(col("_plo"),
-            lit(0).cast(dec)) -
-          col("_hi.below") - coalesce(col("_phi"), lit(0).cast(dec)))
-          .cast("double") /
+        (interior.cast("double") /
           (col("w") - lit(2) * col("k")).cast("double"))
-          .as("trimmed_mean"))
+          .as("trimmed_mean"),
+        ((interior +
+          col("k") * coalesce(col("_vlo").cast(dec), lit(0).cast(dec)) +
+          col("k") * coalesce(col("_vhi").cast(dec), lit(0).cast(dec)))
+          .cast("double") / col("w").cast("double"))
+          .as("winsorized_mean"))
       .orderBy(groupCol)
   }
 

@@ -966,6 +966,39 @@ object StatQueries {
              |  stot / CAST(w AS DOUBLE) AS mean_raw,
              |  sint / CAST(w - 2 * k AS DOUBLE) AS trimmed_mean
              |FROM i ORDER BY event_type""".stripMargin)
+    ),
+
+    // ---- winsorized companion to q210: tails CLAMPED to the cut values
+    //      v_(k+1) / v_(W−k) instead of dropped — the same grid
+    //      decomposition plus two rank picks; k·v products stay in exact
+    //      DECIMAL. Oracle = the bare definition again.
+    QueryDef(
+      "q211_winsorized_mean",
+      (s, dir) =>
+        graft.ext.Sketches.winsorizedMeanByGroup(
+          t(s, dir, "events"), "event_type", "value"),
+      Some("""WITH e AS (SELECT event_type AS g, value::DOUBLE AS v
+             |  FROM events WHERE value IS NOT NULL),
+             |r AS (SELECT g, v,
+             |    row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             |    count(*) OVER (PARTITION BY g) AS w
+             |  FROM e),
+             |p AS (SELECT g, w, floor(w / 10) AS k FROM r GROUP BY g, w),
+             |i AS (SELECT r.g, r.w, p.k,
+             |    CAST(sum(CAST(r.v AS DECIMAL(18,6)))
+             |      FILTER (r.rn > p.k AND r.rn <= r.w - p.k)
+             |      AS DECIMAL(20,6)) AS sint,
+             |    CAST(sum(CAST(r.v AS DECIMAL(18,6))) AS DOUBLE) AS stot,
+             |    min(CASE WHEN r.rn = p.k + 1 THEN r.v END) AS vlo,
+             |    min(CASE WHEN r.rn = r.w - p.k THEN r.v END) AS vhi
+             |  FROM r JOIN p ON p.g = r.g GROUP BY r.g, r.w, p.k)
+             |SELECT g AS event_type, CAST(w AS BIGINT) AS n,
+             |  CAST(k AS BIGINT) AS k_trim,
+             |  stot / CAST(w AS DOUBLE) AS mean_raw,
+             |  CAST(sint + CAST(k AS BIGINT) * CAST(vlo AS DECIMAL(18,6))
+             |      + CAST(k AS BIGINT) * CAST(vhi AS DECIMAL(18,6))
+             |    AS DOUBLE) / CAST(w AS DOUBLE) AS winsorized_mean
+             |FROM i ORDER BY event_type""".stripMargin)
     )
   )
 }

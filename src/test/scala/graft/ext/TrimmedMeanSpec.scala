@@ -50,6 +50,25 @@ class TrimmedMeanSpec extends SparkSpec {
     }
   }
 
+  test("winsorized: clamped tails match brute force; >= trimmed on " +
+    "right-heavy tails only when outliers dominate") {
+    val rnd = new scala.util.Random(13)
+    val data = (0 until 400).map(i =>
+      (s"g${i % 2}", math.floor(rnd.nextDouble() * 4000) / 10.0))
+    val out = Sketches.winsorizedMeanByGroup(data.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val k = rows.length / 10
+      val clamped = Seq.fill(k)(sorted(k)) ++
+        sorted.slice(k, rows.length - k) ++
+        Seq.fill(k)(sorted(rows.length - k - 1))
+      val expect = (clamped.map(v => BigDecimal(v).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)).sum / clamped.length).toDouble
+      assert(math.abs(out(g) - expect) < 1e-9, s"$g: ${out(g)} vs $expect")
+    }
+  }
+
   test("tiny groups (W < 10): k = 0, trimmed mean equals the raw mean") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 30.0)).toDF("g", "v")
     val out = Sketches.trimmedMeanByGroup(df, "g", "v").head()
