@@ -679,6 +679,57 @@ object SimilarityQueries {
       Some(retrievalDcgOracleSql)
     ),
 
+    // ---- INCREMENTAL IVF INDEX MAINTENANCE: new vectors are assigned
+    //      against the FROZEN quantizer and appended per cell — existing
+    //      postings are never re-read or re-assigned (the q186/q194/q203
+    //      incremental≡batch pattern applied to the ANN index). The
+    //      oracle computes the batch cell census over ALL vectors, so
+    //      the hash match proves state⊕delta assignment == full rebuild.
+    QueryDef(
+      "q212_ivf_incremental_add",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val centroids = e.filter(col("vec_id") < 8).orderBy("vec_id")
+          .select(transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long")).as("cq"))
+          .collect().map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+        def assign(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("vec_id"),
+            Similarity.ivfAssignQuantized(col("embedding"), centroids)
+              .as("cell"))
+        val cut = 250L
+        val state = assign(e.filter(col("vec_id") < cut))
+          .groupBy("cell").agg(count(lit(1)).as("n"),
+            sum(col("vec_id")).as("idsum"))
+        val delta = assign(e.filter(col("vec_id") >= cut))
+          .groupBy("cell").agg(count(lit(1)).as("n"),
+            sum(col("vec_id")).as("idsum"))
+        state.unionByName(delta)
+          .groupBy("cell")
+          .agg(sum(col("n")).cast("long").as("n_vectors"),
+            sum(col("idsum")).cast("long").as("id_checksum"))
+          .select(col("cell").cast("long").as("cell"), col("n_vectors"),
+            col("id_checksum"))
+          .orderBy("cell")
+      },
+      Some("""WITH q AS (SELECT vec_id,
+             |  list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS vq
+             |  FROM embeddings),
+             |c AS (SELECT vec_id AS cid, vq AS cq FROM q WHERE vec_id < 8),
+             |d AS (SELECT q.vec_id, c.cid,
+             |  list_sum(list_transform(generate_series(1, 64),
+             |    j -> (q.vq[j] - c.cq[j]) * (q.vq[j] - c.cq[j]))) AS dist
+             |  FROM q, c),
+             |r AS (SELECT vec_id, cid,
+             |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             |  FROM d)
+             |SELECT CAST(cid AS BIGINT) AS cell,
+             |  CAST(count(*) AS BIGINT) AS n_vectors,
+             |  CAST(sum(vec_id) AS BIGINT) AS id_checksum
+             |FROM r WHERE rn = 1
+             |GROUP BY cid ORDER BY cell""".stripMargin)
+    ),
+
     // ---- ANNOTATION AGREEMENT (Cohen's kappa) between the gold label
     //      and the 1-NN-imputed label — the label-quality gate an
     //      auto-labeling pipeline runs: po = trace/N (one division of
