@@ -730,6 +730,49 @@ object SimilarityQueries {
              |GROUP BY cid ORDER BY cell""".stripMargin)
     ),
 
+    // ---- RECALL@K CURVE: the index-tuning sweep behind q75's single
+    //      pin — recall of the multi-probe LSH knn-join at k ∈
+    //      {1,5,10,20} against per-query brute-force ground truth, all
+    //      integer hit counts + one division per k. Completes the eval
+    //      family (DCG q195, kappa q205, recall curve q213).
+    QueryDef(
+      "q213_recall_curve",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val sys = Similarity.knnJoin(
+          e.filter(col("vec_id") < DcgQueries), e, "vec_id", "embedding",
+          k = 20, dim = 64, nBits = SemBits, probeHamming = 1,
+          portable = true)
+          .select(col("q_id"), col("c_id"), col("rank").as("_sr"))
+        val qv = e.filter(col("vec_id") < DcgQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("_qv"))
+        val brute = e.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("c_id"),
+            round(Similarity.cosine(col("embedding"), col("_qv")), 4)
+              .as("_cs"))
+          .withColumn("_br", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("q_id").orderBy(desc("_cs"), asc("c_id"))))
+          .filter(col("_br") <= 20)
+        val hits = sys.join(brute.select("q_id", "c_id", "_br"),
+          Seq("q_id", "c_id"))
+        val ks = broadcast(s.createDataFrame(
+          Seq(Tuple1(1L), Tuple1(5L), Tuple1(10L), Tuple1(20L)))
+          .toDF("k"))
+        ks.join(hits, col("_sr") <= col("k") && col("_br") <= col("k"),
+            "left")
+          .groupBy("k")
+          .agg(count(col("q_id")).cast("long").as("n_hits"))
+          .select(col("k"), lit(DcgQueries.toLong).as("n_queries"),
+            col("n_hits"),
+            (col("n_hits").cast("double") /
+              (col("k") * DcgQueries).cast("double")).as("recall"))
+          .orderBy("k")
+      },
+      Some(recallCurveOracleSql)
+    ),
+
     // ---- ANNOTATION AGREEMENT (Cohen's kappa) between the gold label
     //      and the 1-NN-imputed label — the label-quality gate an
     //      auto-labeling pipeline runs: po = trace/N (one division of
@@ -1093,6 +1136,68 @@ object SimilarityQueries {
        |  dcg, dcg / CAST($cumCase AS DOUBLE) AS ndcg
        |FROM perq JOIN lc ON lc.label = perq.ql
        |ORDER BY q_id""".stripMargin
+  }
+
+  /** The q213 oracle: the q78 knn pipeline at k=20 over queries
+    * vec_id < DcgQueries, per-query brute-force top-20 ground truth, and
+    * the k-sweep of prefix-intersection hit counts.
+    */
+  private def recallCurveOracleSql: String = {
+    val bits = Similarity.quantPlanes(64, SemBits).zipWithIndex.map {
+      case (p, i) =>
+        val lst = p.mkString("[", ",", "]")
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), " +
+          s"j -> ($lst)[j] * vq[j])) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" +\n  ")
+    val masks = (0L +: (0 until SemBits).map(i => 1L << i).toSeq)
+      .mkString("[", ",", "]")
+    s"""WITH vq AS (SELECT vec_id,
+       |  list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS vq
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, CAST($bits AS BIGINT) AS bucket FROM vq),
+       |probes AS (SELECT q.vec_id AS q_id, xor(q.bucket, m.m) AS bucket
+       |  FROM b q, (SELECT unnest($masks::BIGINT[]) AS m) m
+       |  WHERE q.vec_id < $DcgQueries),
+       |cand AS (SELECT p.q_id, c.vec_id AS c_id
+       |  FROM probes p JOIN b c ON c.bucket = p.bucket
+       |  WHERE c.vec_id <> p.q_id),
+       |sims AS (SELECT q_id, c_id,
+       |  round(list_sum(list_transform(range(1, len(eq.embedding) + 1),
+       |      i -> eq.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE)) /
+       |    (sqrt(list_sum(list_transform(eq.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+       |     sqrt(list_sum(list_transform(ec.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4)
+       |    AS cos_sim
+       |  FROM cand
+       |  JOIN embeddings eq ON eq.vec_id = cand.q_id
+       |  JOIN embeddings ec ON ec.vec_id = cand.c_id),
+       |sys AS (SELECT q_id, c_id, sr FROM (
+       |  SELECT q_id, c_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id)
+       |      AS sr
+       |  FROM sims) r WHERE sr <= 20),
+       |bcos AS (SELECT q.vec_id AS q_id, e.vec_id AS c_id,
+       |  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> e.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) /
+       |    (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+       |     sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4)
+       |    AS cs
+       |  FROM embeddings e, embeddings q
+       |  WHERE q.vec_id < $DcgQueries AND e.vec_id <> q.vec_id),
+       |brute AS (SELECT q_id, c_id, br FROM (
+       |  SELECT q_id, c_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, c_id)
+       |      AS br
+       |  FROM bcos) r WHERE br <= 20),
+       |hits AS (SELECT s.q_id, s.sr, b2.br
+       |  FROM sys s JOIN brute b2 ON b2.q_id = s.q_id AND b2.c_id = s.c_id),
+       |ks(k) AS (VALUES (1), (5), (10), (20))
+       |SELECT CAST(ks.k AS BIGINT) AS k,
+       |  CAST($DcgQueries AS BIGINT) AS n_queries,
+       |  CAST(count(hits.q_id) AS BIGINT) AS n_hits,
+       |  CAST(count(hits.q_id) AS DOUBLE) /
+       |    CAST(ks.k * $DcgQueries AS DOUBLE) AS recall
+       |FROM ks LEFT JOIN hits ON hits.sr <= ks.k AND hits.br <= ks.k
+       |GROUP BY ks.k ORDER BY k""".stripMargin
   }
 
   /** The q205 oracle: the q78 knn pipeline at k=1 over EVERY vector, then
