@@ -14,12 +14,15 @@ from pathlib import Path
 import duckdb
 import pandas as pd
 
-args = [a for a in sys.argv[1:] if not a.startswith("-")]
+argv = sys.argv[1:]
 SF = "0.01"
-if "--sf" in sys.argv:
-    SF = sys.argv[sys.argv.index("--sf") + 1]
-    args = [a for a in args if a != SF]
-names = args
+if "--sf" in argv:
+    i = argv.index("--sf")
+    if i + 1 >= len(argv):
+        sys.exit("usage: spot_check.py <query>... [--sf 0.01] [--skip-verify]")
+    SF = argv[i + 1]
+    argv = argv[:i] + argv[i + 2:]  # drop the flag AND its value only
+names = [a for a in argv if not a.startswith("-")]
 SFDIR = f"/root/testdata/sf{SF}"
 OUT = Path("/tmp/spotcheck")
 

@@ -590,24 +590,32 @@ object Curation {
       batchTokens: Int = 4096
   ): DataFrame = {
     val toks = docs.select(TextAnalysis.tokenCount(col(textCol)).as("_n"))
+      .localCheckpoint(true) // consumed by the per-bucket AND ~global branch
+    // a doc longer than the top bucket CHUNKS into ⌈n/bucket⌉ segments
+    // (segs = 1 for every in-range doc), so padding waste stays ≥ 0 and
+    // batch counts reflect the real sequence rows the loader emits
     val per = toks
       .withColumn("_b",
         when(col("_n") <= 16, 16L).when(col("_n") <= 32, 32L)
           .when(col("_n") <= 64, 64L).when(col("_n") <= 128, 128L)
           .otherwise(256L))
+      .withColumn("_segs", expr("(_n + _b - 1) div _b"))
       .groupBy("_b")
       .agg(count(lit(1)).cast("long").as("n_docs"),
-        sum(col("_n")).cast("long").as("sum_tokens"))
+        sum(col("_n")).cast("long").as("sum_tokens"),
+        sum(col("_segs")).cast("long").as("_nsegs"))
       .select(concat(lit("b"), lpad(col("_b").cast("string"), 3, "0"))
           .as("bucket_label"),
-        col("_b").as("bucket"), col("n_docs"), col("sum_tokens"))
+        col("_b").as("bucket"), col("n_docs"), col("sum_tokens"),
+        col("_nsegs"))
     val glob = toks.agg(max(col("_n")).cast("long").as("bucket"),
         count(lit(1)).cast("long").as("n_docs"),
         sum(col("_n")).cast("long").as("sum_tokens"))
       .select(lit("~global").as("bucket_label"), col("bucket"),
-        col("n_docs"), col("sum_tokens"))
+        col("n_docs"), col("sum_tokens"),
+        col("n_docs").as("_nsegs")) // pad-to-max: one segment per doc
     per.unionByName(glob)
-      .withColumn("padded_tokens", col("n_docs") * col("bucket"))
+      .withColumn("padded_tokens", col("_nsegs") * col("bucket"))
       .withColumn("waste_tokens", col("padded_tokens") - col("sum_tokens"))
       .select(col("bucket_label"), col("bucket"), col("n_docs"),
         col("sum_tokens"), col("padded_tokens"), col("waste_tokens"),
@@ -615,7 +623,7 @@ object Curation {
           col("padded_tokens").cast("double"), 4).as("waste_pct"),
         // rows/batch floored at 1: a sequence longer than the budget
         // still ships as a singleton batch (and guards div-by-zero)
-        expr(s"(n_docs + greatest(1L, $batchTokens div bucket) - 1) div " +
+        expr(s"(_nsegs + greatest(1L, $batchTokens div bucket) - 1) div " +
           s"greatest(1L, $batchTokens div bucket)").cast("long")
           .as("n_batches"))
       .orderBy("bucket_label")

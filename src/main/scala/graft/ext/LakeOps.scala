@@ -203,15 +203,17 @@ object LakeOps {
     */
   def activeFilesByVersion(log: DataFrame): DataFrame = {
     val versions = log.select(col("version")).distinct()
-    val lifespan = log.filter(col("action") === "add")
-      .groupBy("file_id").agg(min(col("version")).as("_av"))
-      .join(log.filter(col("action") === "remove")
-          .groupBy("file_id").agg(min(col("version")).as("_rv")),
-        Seq("file_id"), "left")
-    versions.join(lifespan,
-        col("version") >= col("_av") &&
-          (col("_rv").isNull || col("version") < col("_rv")))
-      .select(col("version"), col("file_id"))
+    // LATEST-ACTION-WINS: visible at v iff the most recent commit ≤ v
+    // touching the file is an add — so remove→re-add cycles resurface
+    // the file, and a same-commit remove+add (a rewrite of one path)
+    // nets to add (the struct max breaks the version tie on the add).
+    versions.select(col("version").as("_v"))
+      .join(log, col("version") <= col("_v"))
+      .groupBy(col("_v"), col("file_id"))
+      .agg(max(struct(col("version"),
+        (col("action") === "add").cast("int").as("isAdd"))).as("_last"))
+      .filter(col("_last.isAdd") === 1)
+      .select(col("_v").as("version"), col("file_id"))
   }
 
   /** Time-travel CENSUS: what the table contained at every version —
@@ -235,9 +237,13 @@ object LakeOps {
       .groupBy("version")
       .agg(count(lit(1)).cast("long").as("n_rows"),
         graft.queries.Q.sumExact(col(valueCol)).as("total_value"))
-    files.join(rows, Seq("version"))
+    // LEFT join: a version whose visible files hold no rows still
+    // reports (n_rows = 0), instead of vanishing from the census;
+    // the per-version aggregate side is version-count-sized → broadcast
+    files.join(broadcast(rows), Seq("version"), "left")
       .select(col("version").cast("long").as("version"), col("n_files"),
-        col("n_rows"), col("total_value"))
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"))
       .orderBy("version")
   }
 

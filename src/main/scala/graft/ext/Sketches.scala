@@ -444,7 +444,8 @@ object Sketches {
       width: Double,
       nBuckets: Int
   ): DataFrame =
-    df.select(to_date(col(tsCol)).as("day"),
+    df.filter(col(valCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"),
         least(greatest(floor(col(valCol).cast("double") / lit(width)),
           lit(0.0)), lit((nBuckets - 1).toDouble)).cast("long").as("bucket"))
       .groupBy("day", "bucket")
@@ -508,10 +509,11 @@ object Sketches {
           col("_t90.rib").as("rib")))).as("_x"))
       .select(col("t"), col("_x.which").as("which"),
         col("_x.bucket").as("bucket"), col("_x.rib").as("rib"))
-    val raw = df.select(to_date(col(tsCol)).as("d"),
-      col(valCol).cast("double").as("v"),
-      least(greatest(floor(col(valCol).cast("double") / lit(width)),
-        lit(0.0)), lit((nBuckets - 1).toDouble)).cast("long").as("bucket"))
+    val raw = df.filter(col(valCol).isNotNull)
+      .select(to_date(col(tsCol)).as("d"),
+        col(valCol).cast("double").as("v"),
+        least(greatest(floor(col(valCol).cast("double") / lit(width)),
+          lit(0.0)), lit((nBuckets - 1).toDouble)).cast("long").as("bucket"))
     val exact = broadcast(tg).join(raw,
         tg("bucket") === raw("bucket") &&
           col("d").between(date_sub(col("t"), windowDays - 1), col("t")))
@@ -534,7 +536,8 @@ object Sketches {
     */
   private[graft] def histGrid(
       df: DataFrame, valCol: String, width: Double, nBuckets: Int): DataFrame =
-    df.select(histBucket(col(valCol), width, nBuckets).as("bucket"))
+    df.filter(col(valCol).isNotNull)
+      .select(histBucket(col(valCol), width, nBuckets).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
   /** EXACT per-group TRIMMED MEAN without a whole-group sort: mean of the
@@ -727,6 +730,7 @@ object Sketches {
       .select(col("_x.which").as("which"), col("_x.bucket").as("bucket"),
         col("_x.rib").as("rib"))
     val raw = state.unionByName(delta)
+      .filter(col(valCol).isNotNull)
       .select(col(valCol).cast("double").as("v"),
         histBucket(col(valCol), width, nBuckets).as("bucket"))
     val exact = broadcast(tg).join(raw, Seq("bucket"))

@@ -737,15 +737,17 @@ object CurationQueries {
              |      ELSE 256 END AS bk
              |  FROM tok),
              |per AS (SELECT 'b' || lpad(bk::VARCHAR, 3, '0') AS bucket_label,
-             |    bk AS bucket, count(*) AS n_docs, sum(n) AS sum_tokens
+             |    bk AS bucket, count(*) AS n_docs, sum(n) AS sum_tokens,
+             |    sum((n + bk - 1) // bk) AS nsegs
              |  FROM b GROUP BY 1, 2),
              |gall AS (SELECT '~global' AS bucket_label, max(n) AS bucket,
-             |    count(*) AS n_docs, sum(n) AS sum_tokens
+             |    count(*) AS n_docs, sum(n) AS sum_tokens,
+             |    count(*) AS nsegs
              |  FROM tok),
              |u AS (SELECT * FROM per UNION ALL SELECT * FROM gall),
-             |w AS (SELECT bucket_label, bucket, n_docs, sum_tokens,
-             |    n_docs * bucket AS padded_tokens,
-             |    n_docs * bucket - sum_tokens AS waste_tokens
+             |w AS (SELECT bucket_label, bucket, n_docs, sum_tokens, nsegs,
+             |    nsegs * bucket AS padded_tokens,
+             |    nsegs * bucket - sum_tokens AS waste_tokens
              |  FROM u)
              |SELECT bucket_label, CAST(bucket AS BIGINT) AS bucket,
              |  CAST(n_docs AS BIGINT) AS n_docs,
@@ -754,7 +756,7 @@ object CurationQueries {
              |  CAST(waste_tokens AS BIGINT) AS waste_tokens,
              |  round(CAST(100.0 AS DOUBLE) * CAST(waste_tokens AS DOUBLE) /
              |    CAST(padded_tokens AS DOUBLE), 4) AS waste_pct,
-             |  CAST((n_docs + greatest(1, 4096 // bucket) - 1) //
+             |  CAST((nsegs + greatest(1, 4096 // bucket) - 1) //
              |    greatest(1, 4096 // bucket) AS BIGINT) AS n_batches
              |FROM w ORDER BY bucket_label""".stripMargin)
     ),

@@ -1178,15 +1178,16 @@ object LakeQueries {
               |  UNION ALL
               |  SELECT 'fc9697', o_totalprice FROM orders
               |  WHERE year(o_orderdate) IN (1996, 1997)),
-              |av AS (SELECT file_id, min(version) AS av FROM log
-              |  WHERE action = 'add' GROUP BY 1),
-              |rv AS (SELECT file_id, min(version) AS rv FROM log
-              |  WHERE action = 'remove' GROUP BY 1),
               |vs AS (SELECT DISTINCT version FROM log),
-              |member AS (SELECT vs.version, av.file_id
-              |  FROM vs JOIN av ON vs.version >= av.av
-              |  LEFT JOIN rv ON rv.file_id = av.file_id
-              |  WHERE rv.rv IS NULL OR vs.version < rv.rv),
+              |member AS (SELECT version, file_id FROM (
+              |  SELECT vs.version, l.file_id,
+              |    row_number() OVER (PARTITION BY vs.version, l.file_id
+              |      ORDER BY l.version DESC,
+              |        CASE WHEN l.action = 'add' THEN 1 ELSE 0 END DESC)
+              |      AS rn,
+              |    CASE WHEN l.action = 'add' THEN 1 ELSE 0 END AS isadd
+              |  FROM vs JOIN log l ON l.version <= vs.version) t
+              |  WHERE rn = 1 AND isadd = 1),
               |f AS (SELECT version, count(*) AS n_files FROM member
               |  GROUP BY 1),
               |r AS (SELECT m.version, count(*) AS n_rows,
@@ -1195,8 +1196,9 @@ object LakeQueries {
               |  GROUP BY 1)
               |SELECT CAST(f.version AS BIGINT) AS version,
               |  CAST(n_files AS BIGINT) AS n_files,
-              |  CAST(n_rows AS BIGINT) AS n_rows, total_value
-              |FROM f JOIN r ON r.version = f.version
+              |  CAST(coalesce(n_rows, 0) AS BIGINT) AS n_rows,
+              |  coalesce(total_value, CAST(0 AS DOUBLE)) AS total_value
+              |FROM f LEFT JOIN r ON r.version = f.version
               |ORDER BY version""".stripMargin)
     ),
 

@@ -671,7 +671,11 @@ object SimilarityQueries {
           .join(broadcast(labCnt), col("_ql") === col("label"))
           .withColumn("n_rel", col("_n") - 1)
           .withColumn("_idcg",
-            element_at(cumW, least(col("n_rel"), lit(10L)).cast("int")))
+            // floor at 1: a query with a UNIQUE label (n_rel = 0) gets
+            // idcg = w_1 instead of element_at(..., 0) blowing up —
+            // mirrored by the oracle CASE's greatest()
+            element_at(cumW,
+              least(greatest(col("n_rel"), lit(1L)), lit(10L)).cast("int")))
           .select(col("q_id"), col("n_rel"), col("n_rel_retrieved"),
             col("dcg"), (col("dcg") / col("_idcg")).as("ndcg"))
           .orderBy("q_id")
@@ -1096,7 +1100,7 @@ object SimilarityQueries {
       .mkString("CASE rank ", " ", " END")
     val cumCase = (1 to 10)
       .map(j => s"WHEN $j THEN ${d(2.0 - math.pow(2.0, 1 - j))}")
-      .mkString("CASE least(lc.n - 1, 10) ", " ",
+      .mkString("CASE least(greatest(lc.n - 1, 1), 10) ", " ",
         " ELSE 1.998046875 END")
     s"""WITH vq AS (SELECT vec_id,
        |  list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS vq

