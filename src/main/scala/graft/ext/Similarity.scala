@@ -764,6 +764,170 @@ object Similarity {
         (element_at(codesCol, s + 1) + 1).cast("int")))
   }
 
+  /** PQ encode from an ALREADY-quantized `round(v·1000)` long array — lets
+    * callers materialize the quantization once and feed every per-subspace
+    * argmin (and the cell routing) from the same projected column instead
+    * of re-evaluating the transform per consumer (the q84 HOF-input rule).
+    */
+  def pqEncodeQuantized(
+      vqCol: Column,
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]
+  ): Column = {
+    val m = codebooks.length
+    val d = codebooks.head.head.length
+    array((0 until m).map { s =>
+      call_function("ivf_argmin",
+        slice(vqCol, s * d + 1, d), typedLit(codebooks(s)))
+    }: _*)
+  }
+
+  /** Symmetric-distance (SDC) tables: entry (s, a, b) = exact integer L2²
+    * between codewords a and b of subspace s — m·k² longs computed once on
+    * the driver, riding the plan as one literal. With SDC, BOTH sides of a
+    * PQ join cross the exchange as m codes (vs dim floats): the shuffle-
+    * byte budget that makes an all-corpus 1-NN feasible at lake scale.
+    */
+  def sdcTables(
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]
+  ): IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
+    codebooks.map { cb =>
+      cb.map(a => cb.map(b =>
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum))
+    }
+
+  /** SDC distance between two PQ code arrays: m table lookups, written as
+    * an explicit sum of `element_at` terms (plain codegen'd expression —
+    * no interpreted fold in the pair-scoring hot path).
+    */
+  def pqSdcDist(
+      qCodes: Column,
+      cCodes: Column,
+      tables: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]
+  ): Column = {
+    val t = typedLit(tables)
+    (0 until tables.length).map { s =>
+      element_at(element_at(element_at(t, s + 1),
+        (element_at(qCodes, s + 1) + 1).cast("int")),
+        (element_at(cCodes, s + 1) + 1).cast("int"))
+    }.reduce(_ + _)
+  }
+
+  /** The query-side IVF probe routing: the `nProbe` nearest cell ids by
+    * exact integer L2² (native `ivf_topcells`, ties to the lowest cell id).
+    */
+  def ivfProbeCells(
+      vqCol: Column,
+      centroids: IndexedSeq[IndexedSeq[Long]],
+      nProbe: Int
+  ): Column =
+    call_function("ivf_topcells", vqCol, typedLit(centroids), lit(nProbe))
+
+  /** [[ivfAssignQuantized]] from an already-quantized long array (shares a
+    * materialized `_vq` projection with [[pqEncodeQuantized]]).
+    */
+  def ivfAssignQuantizedLongs(
+      vqCol: Column, centroids: Seq[Seq[Long]]): Column =
+    call_function("ivf_argmin", vqCol, typedLit(centroids))
+
+  /** Batch k-NN join over an IVF-PQ layout — the PRODUCTION shape of the
+    * all-corpus 1-NN label-imputation channel (x205/x214): the raw-vector
+    * form ships dim floats per candidate across the bucket exchange
+    * (~25 GB at the 100× point); here the corpus crosses as (cell, m PQ
+    * codes) and the query side as (nProbe probe cells, m PQ codes) — a
+    * 64-byte-to-8-byte-class reduction on BOTH sides — and candidate
+    * scoring is symmetric-distance (SDC): m integer lookups per pair into
+    * the driver-built codeword-pair tables, never a vector.
+    *
+    * Scale shape: corpus rows land in exactly ONE cell (integer argmin);
+    * a query probes its `nProbe` nearest cells, so each (q, c) pair meets
+    * at most once — no dedup pass. k=1 ranks via groupBy + min(struct):
+    * partial aggregation consumes pairs map-side where the cell join
+    * produces them (the q141 argmax rule); k>1 uses a per-query window.
+    * Ties break (distance, then lowest c_id) identically in both engines.
+    *
+    * Quantization and cell/code assignment run off ONE materialized `_vq`
+    * projection per side (HOF-input rule). Recall < 1 by construction
+    * (coarse routing + 4-bit-per-subspace codes); PqKnnSpec pins label
+    * agreement against the exact channel the way q168/q213 pin recall.
+    */
+  def pqKnnJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: IndexedSeq[IndexedSeq[Long]],
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Long]]],
+      nProbe: Int = 2
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tables = sdcTables(codebooks)
+    def quantized(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as),
+        transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long"))
+          .as("_vq"))
+    val c = quantized(corpus, "c_id")
+      .select(col("c_id"),
+        ivfAssignQuantizedLongs(col("_vq"), centroids).as("_cell"),
+        pqEncodeQuantized(col("_vq"), codebooks).as("_ccodes"))
+      .filter(col("_cell") >= 0)
+      // single-file local inputs = one partition: spread the corpus before
+      // the cell exchange
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val q = quantized(queries, "q_id")
+      .select(col("q_id"),
+        ivfProbeCells(col("_vq"), centroids, nProbe).as("_cells"),
+        pqEncodeQuantized(col("_vq"), codebooks).as("_qcodes"))
+      .withColumn("_cell", explode(col("_cells")))
+      .drop("_cells")
+    val scored = q.join(c, Seq("_cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        pqSdcDist(col("_qcodes"), col("_ccodes"), tables).as("sdc_dist"))
+    if (k == 1) {
+      // 1-NN argmin over ~10^8 pairs: min(struct(dist, id)) has no mutable
+      // hash buffer and plans as a SortAggregate that SORTS every pair row
+      // (measured 70 of 95 s at the 100× point). When (dist, id) provably
+      // fit one long — dist bound is exact driver math over the SDC
+      // tables, id bound one metadata-cheap max() — pack them so the agg
+      // is a HashAggregate with map-side combine (order-preserving:
+      // min(packed) = lexicographic (dist, c_id)). Fall back to the
+      // struct form for out-of-range ids.
+      val maxDist = tables.map(t => t.map(_.max).max).sum
+      val maxIdRow = corpus.agg(
+        min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
+      val packable = !maxIdRow.isNullAt(0) && maxIdRow.getLong(0) >= 0 && {
+        val idBits = 64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(maxIdRow.getLong(1), 1L))
+        idBits <= 62 && maxDist <= (Long.MaxValue >> idBits)
+      }
+      if (packable) {
+        val idBits = 64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(maxIdRow.getLong(1), 1L))
+        scored.groupBy("q_id")
+          .agg(min(shiftleft(col("sdc_dist"), idBits) + col("c_id"))
+            .as("_p"))
+          .select(col("q_id"),
+            col("_p").bitwiseAND(lit((1L << idBits) - 1)).as("c_id"),
+            shiftright(col("_p"), idBits).as("sdc_dist"),
+            lit(1L).as("rank"))
+          .orderBy("q_id")
+      } else {
+        scored.groupBy("q_id")
+          .agg(min(struct(col("sdc_dist"), col("c_id"))).as("_m"))
+          .select(col("q_id"), col("_m.c_id").as("c_id"),
+            col("_m.sdc_dist").as("sdc_dist"), lit(1L).as("rank"))
+          .orderBy("q_id")
+      }
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(asc("sdc_dist"), asc("c_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .orderBy("q_id", "rank")
+    }
+  }
+
   /** IVF index: KMeans coarse quantizer; rows tagged with their centroid id.
     * At lake scale, write the table partitioned by `_ivf_cluster` so a probe
     * prunes partitions at the source.

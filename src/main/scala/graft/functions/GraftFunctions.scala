@@ -68,6 +68,20 @@ object GraftFunctions {
       }
     ),
     (
+      "ivf_topcells",
+      new ExpressionInfo(classOf[IvfTopCells].getName, "ivf_topcells"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "ivf_topcells takes (quantized_vec, centroids, nProbe)")
+        val nProbe = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"ivf_topcells nProbe must be an integer literal, got $other")
+        }
+        IvfTopCells(args.head, VectorOps.foldableLongMatrix(args(1)), nProbe)
+      }
+    ),
+    (
       "mode_det",
       new ExpressionInfo(classOf[DeterministicMode].getName, "mode_det"),
       (args: Seq[Expression]) => {

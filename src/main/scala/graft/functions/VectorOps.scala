@@ -243,3 +243,141 @@ case class IvfArgMin(child: Expression, centroids: IndexedSeq[IndexedSeq[Long]])
   override protected def withNewChildInternal(newChild: Expression): IvfArgMin =
     copy(child = newChild)
 }
+
+/** `ivf_topcells(quantized_vec, centroids, nProbe)` — the `nProbe` nearest
+  * centroid indices by exact integer squared-L2 over `round(v·1000)`-
+  * quantized longs, ordered by (distance ASC, index ASC) — the multi-cell
+  * IVF probe routing for batch ANN joins ([[graft.ext.Similarity.pqKnnJoin]]).
+  * Ties break to the LOWEST index (insertion uses strict `<` against each
+  * slot, and indices are visited ascending). Degenerate inputs: length
+  * mismatch or a null element → EMPTY array (so a downstream `explode`
+  * yields no probe rows); null array → null.
+  */
+@ExpressionDescription(
+  usage = "_FUNC_(vec, centroids, nProbe) - nProbe nearest-centroid indices.")
+case class IvfTopCells(
+    child: Expression,
+    centroids: IndexedSeq[IndexedSeq[Long]],
+    nProbe: Int
+) extends UnaryExpression {
+
+  require(centroids.nonEmpty, "need at least one centroid")
+  require(centroids.forall(_.size == centroids.head.size),
+    "centroids must share one dimension")
+  require(nProbe >= 1 && nProbe <= centroids.size,
+    "nProbe must be in [1, #centroids]")
+
+  private val k = centroids.size
+  private val dim = centroids.head.size
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ivf_topcells expects array<bigint> (quantized), got ${t.catalogString}")
+  }
+
+  @transient private lazy val flat: Array[Long] = {
+    val a = new Array[Long](k * dim)
+    var c = 0
+    while (c < k) {
+      var j = 0
+      while (j < dim) { a(c * dim + j) = centroids(c)(j); j += 1 }
+      c += 1
+    }
+    a
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var bad = n != dim
+    var j = 0
+    while (!bad && j < n) { if (v.isNullAt(j)) bad = true; j += 1 }
+    if (bad)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Long](0))
+    val bd = new Array[Long](nProbe)
+    val bi = new Array[Long](nProbe)
+    java.util.Arrays.fill(bd, Long.MaxValue)
+    java.util.Arrays.fill(bi, -1L)
+    var c = 0
+    while (c < k) {
+      var d = 0L
+      var i = 0
+      while (i < dim) {
+        val t = v.getLong(i) - flat(c * dim + i)
+        d += t * t
+        i += 1
+      }
+      // strict < keeps earlier (lower) indices ahead on distance ties
+      var p = nProbe
+      while (p > 0 && d < bd(p - 1)) p -= 1
+      if (p < nProbe) {
+        var q = nProbe - 1
+        while (q > p) { bd(q) = bd(q - 1); bi(q) = bi(q - 1); q -= 1 }
+        bd(p) = d
+        bi(p) = c.toLong
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bi)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCentroids", flat, "long[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val bad = ctx.freshName("bad")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val q = ctx.freshName("q")
+      val bd = ctx.freshName("bd")
+      val bi = ctx.freshName("bi")
+      s"""
+         |boolean $bad = $v.numElements() != $dim;
+         |for (int $j = 0; !$bad && $j < $dim; $j++) {
+         |  if ($v.isNullAt($j)) $bad = true;
+         |}
+         |if ($bad) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[0]);
+         |} else {
+         |  long[] $bd = new long[$nProbe];
+         |  long[] $bi = new long[$nProbe];
+         |  java.util.Arrays.fill($bd, Long.MAX_VALUE);
+         |  java.util.Arrays.fill($bi, -1L);
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    long $d = 0L;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      long $t = $v.getLong($i) - $cRef[$c * $dim + $i];
+         |      $d += $t * $t;
+         |    }
+         |    int $p = $nProbe;
+         |    while ($p > 0 && $d < $bd[$p - 1]) $p--;
+         |    if ($p < $nProbe) {
+         |      for (int $q = $nProbe - 1; $q > $p; $q--) {
+         |        $bd[$q] = $bd[$q - 1]; $bi[$q] = $bi[$q - 1];
+         |      }
+         |      $bd[$p] = $d;
+         |      $bi[$p] = (long) $c;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bi);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override def toString: String =
+    s"ivf_topcells($child, <${k}x$dim centroids>, $nProbe)"
+  override def sql: String =
+    s"ivf_topcells(${child.sql}, <${k}x$dim centroids>, $nProbe)"
+
+  override protected def withNewChildInternal(newChild: Expression): IvfTopCells =
+    copy(child = newChild)
+}

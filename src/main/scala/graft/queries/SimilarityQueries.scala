@@ -792,38 +792,75 @@ object SimilarityQueries {
         val nn = Similarity.knnJoin(e, e, "vec_id", "embedding",
           k = 1, dim = 64, nBits = SemBits, probeHamming = 1,
           portable = true)
-        val lbl = e.select(col("vec_id"), col("label"))
-        val pairs = nn
-          .join(lbl.withColumnRenamed("vec_id", "q_id")
-            .withColumnRenamed("label", "_a"), "q_id")
-          .join(lbl.withColumnRenamed("vec_id", "c_id")
-            .withColumnRenamed("label", "_b"), "c_id")
-          .select(col("_a"), col("_b"))
-          .localCheckpoint(true)
-        val conf = pairs.groupBy("_a", "_b")
-          .agg(count(lit(1)).cast("long").as("_n"))
-          .localCheckpoint(true)
-        val totals = conf.agg(sum(col("_n")).cast("long").as("n_items"),
-          sum(when(col("_a") === col("_b"), col("_n")).otherwise(0L))
-            .cast("long").as("n_agree"))
-        val rows = conf.groupBy(col("_a").as("_l"))
-          .agg(sum(col("_n")).cast("long").as("_r"))
-        val cols_ = conf.groupBy(col("_b").as("_l"))
-          .agg(sum(col("_n")).cast("long").as("_c"))
-        val s2 = rows.join(cols_, Seq("_l"))
-          .agg(sum(col("_r") * col("_c")).cast("long").as("_s"))
-        totals.crossJoin(s2)
-          .select(col("n_items"), col("n_agree"),
-            (col("n_agree").cast("double") / col("n_items").cast("double"))
-              .as("po"),
-            (col("_s").cast("double") /
-              (col("n_items") * col("n_items")).cast("double")).as("pe"))
-          .select(col("n_items"), col("n_agree"), col("po"), col("pe"),
-            ((col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
+        kappaFromNn(e, nn)
       },
       Some(kappaOracleSql)
+    ),
+
+    // ---- PRODUCTION-SHAPE 1-NN label agreement: the SAME kappa table as
+    //      q205 fed from the IVF-PQ channel (pqKnnJoin) — coarse cells
+    //      route each query to its 2 nearest of 8 fixed-quantizer cells,
+    //      candidates rank by symmetric PQ distance (m integer lookups
+    //      into driver-built codeword-pair tables); only codes and cell
+    //      ids cross the exchanges, never a vector. Every step is exact
+    //      integer math with a DuckDB twin → the whole production path
+    //      (routing, codes, SDC, 1-NN ties, kappa) hash-matches. PqKnnSpec
+    //      pins agreement vs the exact brute-force channel.
+    QueryDef(
+      "q214_pq_knn_kappa",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val centroids = e.filter(col("vec_id") < 8).orderBy("vec_id")
+          .select(transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long")).as("cq"))
+          .collect().map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+        val cbs = Similarity.pqCodebooksFixed(e, "vec_id", "embedding",
+          dim = 64, m = PqM, kCodes = PqK)
+        val nn = Similarity.pqKnnJoin(e, e, "vec_id", "embedding",
+          k = 1, centroids, cbs, nProbe = 2)
+        kappaFromNn(e, nn)
+      },
+      Some(pqKappaOracleSql)
     )
   )
+
+  /** Cohen's kappa between the gold label and the 1-NN-imputed label — the
+    * shared tail of q205/q214: any (q_id, c_id) pair set joins the label
+    * table twice, the confusion table is checkpointed once, and po/pe/κ
+    * are single divisions of integer-exact numerators.
+    */
+  private def kappaFromNn(
+      e: org.apache.spark.sql.DataFrame,
+      nn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val lbl = e.select(col("vec_id"), col("label"))
+    val pairs = nn
+      .join(lbl.withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("label", "_a"), "q_id")
+      .join(lbl.withColumnRenamed("vec_id", "c_id")
+        .withColumnRenamed("label", "_b"), "c_id")
+      .select(col("_a"), col("_b"))
+      .localCheckpoint(true)
+    val conf = pairs.groupBy("_a", "_b")
+      .agg(count(lit(1)).cast("long").as("_n"))
+      .localCheckpoint(true)
+    val totals = conf.agg(sum(col("_n")).cast("long").as("n_items"),
+      sum(when(col("_a") === col("_b"), col("_n")).otherwise(0L))
+        .cast("long").as("n_agree"))
+    val rows = conf.groupBy(col("_a").as("_l"))
+      .agg(sum(col("_n")).cast("long").as("_r"))
+    val cols_ = conf.groupBy(col("_b").as("_l"))
+      .agg(sum(col("_n")).cast("long").as("_c"))
+    val s2 = rows.join(cols_, Seq("_l"))
+      .agg(sum(col("_r") * col("_c")).cast("long").as("_s"))
+    totals.crossJoin(s2)
+      .select(col("n_items"), col("n_agree"),
+        (col("n_agree").cast("double") / col("n_items").cast("double"))
+          .as("po"),
+        (col("_s").cast("double") /
+          (col("n_items") * col("n_items")).cast("double")).as("pe"))
+      .select(col("n_items"), col("n_agree"), col("po"), col("pe"),
+        ((col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
+  }
 
   /** The q193 oracle: stage-1 argmin (q72's row_number pattern), residual
     * lists, stage-2 argmin against the 16 lowest-id residuals, census
@@ -1239,28 +1276,77 @@ object SimilarityQueries {
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id)
        |      AS rank
        |  FROM sims) r WHERE rank = 1),
-       |pairs AS (SELECT la.label AS a, lb.label AS b2
-       |  FROM nn
-       |  JOIN embeddings la ON la.vec_id = nn.q_id
-       |  JOIN embeddings lb ON lb.vec_id = nn.c_id),
-       |conf AS (SELECT a, b2, count(*) AS n FROM pairs GROUP BY 1, 2),
-       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_items,
-       |    CAST(sum(CASE WHEN a = b2 THEN n ELSE 0 END) AS BIGINT)
-       |      AS n_agree
-       |  FROM conf),
-       |r AS (SELECT a AS l, CAST(sum(n) AS BIGINT) AS rr FROM conf
-       |  GROUP BY 1),
-       |c AS (SELECT b2 AS l, CAST(sum(n) AS BIGINT) AS cc FROM conf
-       |  GROUP BY 1),
-       |s AS (SELECT CAST(sum(rr * cc) AS BIGINT) AS ss
-       |  FROM r JOIN c USING (l)),
-       |o AS (SELECT n_items, n_agree,
-       |    CAST(n_agree AS DOUBLE) / CAST(n_items AS DOUBLE) AS po,
-       |    CAST(ss AS DOUBLE) / CAST(n_items * n_items AS DOUBLE) AS pe
-       |  FROM tot, s)
-       |SELECT n_items, n_agree, po, pe,
-       |  (po - pe) / (CAST(1 AS DOUBLE) - pe) AS kappa
-       |FROM o""".stripMargin
+       |$kappaTailSql""".stripMargin
+  }
+
+  /** Shared kappa tail (q205/q214): confusion table from any `nn` CTE of
+    * (q_id, c_id) pairs, po/pe/κ from integer-exact numerators.
+    */
+  private def kappaTailSql: String =
+    """pairs AS (SELECT la.label AS a, lb.label AS b2
+      |  FROM nn
+      |  JOIN embeddings la ON la.vec_id = nn.q_id
+      |  JOIN embeddings lb ON lb.vec_id = nn.c_id),
+      |conf AS (SELECT a, b2, count(*) AS n FROM pairs GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_items,
+      |    CAST(sum(CASE WHEN a = b2 THEN n ELSE 0 END) AS BIGINT)
+      |      AS n_agree
+      |  FROM conf),
+      |r AS (SELECT a AS l, CAST(sum(n) AS BIGINT) AS rr FROM conf
+      |  GROUP BY 1),
+      |c AS (SELECT b2 AS l, CAST(sum(n) AS BIGINT) AS cc FROM conf
+      |  GROUP BY 1),
+      |s AS (SELECT CAST(sum(rr * cc) AS BIGINT) AS ss
+      |  FROM r JOIN c USING (l)),
+      |o AS (SELECT n_items, n_agree,
+      |    CAST(n_agree AS DOUBLE) / CAST(n_items AS DOUBLE) AS po,
+      |    CAST(ss AS DOUBLE) / CAST(n_items * n_items AS DOUBLE) AS pe
+      |  FROM tot, s)
+      |SELECT n_items, n_agree, po, pe,
+      |  (po - pe) / (CAST(1 AS DOUBLE) - pe) AS kappa
+      |FROM o""".stripMargin
+
+  /** The q214 oracle: IVF-PQ 1-NN in DuckDB — fixed 8-cell routing (q82's
+    * assign CTE, extended to rn<=2 probe cells per query), PQ codes (the
+    * shared chosen CTE), SDC distances recomputed from the codebook-pair
+    * table (16·16·8 subspace L2²s — the twin RECOMPUTES what Spark ships
+    * as a driver literal), 1-NN ties (dist, c_id), then the shared kappa
+    * tail.
+    */
+  private def pqKappaOracleSql: String = {
+    val d = 64 / PqM
+    s"""WITH ${pqChosenCtes},
+       |c8 AS (SELECT vec_id AS cid, vq AS cq FROM vq WHERE vec_id < 8),
+       |cdist AS (SELECT v.vec_id, c.cid,
+       |    list_sum(list_transform(generate_series(1, 64),
+       |      j -> (v.vq[j] - c.cq[j]) * (v.vq[j] - c.cq[j]))) AS cd,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      list_sum(list_transform(generate_series(1, 64),
+       |        j -> (v.vq[j] - c.cq[j]) * (v.vq[j] - c.cq[j]))), c.cid) AS rn
+       |  FROM vq v, c8 c),
+       |assign AS (SELECT vec_id, cid AS cell FROM cdist WHERE rn = 1),
+       |qprobe AS (SELECT vec_id AS q_id, cid AS cell FROM cdist
+       |  WHERE rn <= 2),
+       |cand AS (SELECT p.q_id, a.vec_id AS c_id
+       |  FROM qprobe p JOIN assign a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.q_id),
+       |sdct AS (SELECT sub.s_idx, a.c AS ca, b.c AS cb2,
+       |    CAST(list_sum(list_transform(range(1, ${d + 1}),
+       |      j -> (a.vq[sub.s_idx * $d + j] - b.vq[sub.s_idx * $d + j]) *
+       |           (a.vq[sub.s_idx * $d + j] - b.vq[sub.s_idx * $d + j])))
+       |      AS BIGINT) AS dd
+       |  FROM cb a, cb b, (SELECT unnest(range(0, $PqM)) AS s_idx) sub),
+       |dist AS (SELECT cand.q_id, cand.c_id, CAST(sum(t.dd) AS BIGINT) AS dist
+       |  FROM cand
+       |  JOIN chosen qch ON qch.vec_id = cand.q_id
+       |  JOIN chosen cch ON cch.vec_id = cand.c_id AND cch.s_idx = qch.s_idx
+       |  JOIN sdct t ON t.s_idx = qch.s_idx AND t.ca = qch.c AND t.cb2 = cch.c
+       |  GROUP BY 1, 2),
+       |nn AS (SELECT q_id, c_id FROM (
+       |  SELECT q_id, c_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rank
+       |  FROM dist) z WHERE rank = 1),
+       |$kappaTailSql""".stripMargin
   }
 
   /** The q75 oracle: the full recall computation in DuckDB, with lshTopK's

@@ -93,6 +93,27 @@ object ScaleCheck {
         .join(lbl.withColumnRenamed("vec_id", "c_id")
           .withColumnRenamed("label", "_b"), "c_id")
         .groupBy("_a", "_b").agg(count(lit(1)).as("n"))
+    }),
+    // x205's FIX (VERDICT r4 #1): the same all-corpus 1-NN + kappa table
+    // fed from the IVF-PQ channel — 512 coarse cells (fixed-rule
+    // centroids), nProbe 2, SDC over 8 int8-class codes per row: only
+    // cells + codes cross the exchanges (vs x205's ~25 GB of raw vectors)
+    "x214_label_kappa_pq" -> ((s, dir) => {
+      val e = graft.queries.Q.t(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 512).orderBy("vec_id")
+        .select(transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("cq"))
+        .collect().map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+      val cbs = graft.ext.Similarity.pqCodebooksFixed(
+        e, "vec_id", "embedding", dim = 64, m = 8, kCodes = 16)
+      val nn = graft.ext.Similarity.pqKnnJoin(e, e, "vec_id", "embedding",
+        k = 1, centroids, cbs, nProbe = 2)
+      val lbl = e.select(col("vec_id"), col("label"))
+      nn.join(lbl.withColumnRenamed("vec_id", "q_id")
+          .withColumnRenamed("label", "_a"), "q_id")
+        .join(lbl.withColumnRenamed("vec_id", "c_id")
+          .withColumnRenamed("label", "_b"), "c_id")
+        .groupBy("_a", "_b").agg(count(lit(1)).as("n"))
     })
   )
 
