@@ -508,18 +508,34 @@ object Dedup {
 
   /** Fuzzy record linkage (entity resolution): pairs (left, right) whose
     * strings are within `maxDist` edits, found WITHOUT a cartesian
-    * product via MULTI-PASS BLOCKING — candidates must agree on
-    * (prefix `blockLen`, length band) OR (suffix `blockLen`, length
-    * band). A single edit cannot change both the first and the last
-    * `blockLen` characters of a string longer than 2·blockLen+maxDist,
-    * so recall is exact for maxDist = 1 on such strings; the expensive
-    * `levenshtein` verify runs only on blocked candidates.
+    * product.
     *
-    * Scale design: two equi-joins on the block key (hash-partitioned;
-    * block sizes bound the fan-out), union, distinct, then verify —
-    * the classic blocking-then-matching shape every entity-resolution
-    * pipeline uses at scale. The length band rides the join as an
-    * inequality on two small ints (post-shuffle filter, no explosion).
+    * For `maxDist = 1` the candidate channel is DELETION-SIGNATURE
+    * blocking (the SymSpell/FastSS construction): each string explodes
+    * into the xxhash64 of itself and of each single-character deletion
+    * (len+1 8-byte signatures); two strings within one edit ALWAYS share
+    * a signature (equal → the identity sig; deletion/insertion → the
+    * deleted form; substitution → deleting the substituted position from
+    * both), so recall is exact for EVERY length and EVERY value
+    * distribution — unlike prefix blocking, which degenerates into
+    * quadratic blocks when a corpus shares few distinct prefixes (the
+    * q134 part-name profile: 8 distinct 3-char prefixes → 23.7M
+    * candidates; signatures → ~the matched set). A hash collision can
+    * only ADD a candidate (killed by the verify), never lose one.
+    *
+    * Scale shape: every signature exchange moves (id, 8-byte hash)
+    * longs; candidates dedup as bare (id_l, id_r) pairs; strings join
+    * back by id only for the surviving pairs, and the bounded
+    * `levenshtein` verify runs map-side on that joined output.
+    *
+    * For `maxDist >= 2` (k-deletion neighborhoods would fan out
+    * combinatorially) the channel is MULTI-PASS BLOCKING — candidates
+    * must agree on (prefix `blockLen`, length band) OR (suffix
+    * `blockLen`, length band); `maxDist` edits cannot change both the
+    * first and the last `blockLen` characters of a string longer than
+    * 2·blockLen+maxDist. Each pass verifies INSIDE the pass (map-side
+    * on the join output), so the full candidate stream never crosses an
+    * exchange; the distinct shuffles only matched pairs.
     */
   def fuzzyLinkPairs(
       left: DataFrame,
@@ -531,25 +547,47 @@ object Dedup {
       maxDist: Int = 1,
       blockLen: Int = 3
   ): DataFrame = {
-    val l = left.select(col(leftId).as("id_l"), col(leftStr).as("s_l"),
-      length(col(leftStr)).as("len_l"))
-    val r = right.select(col(rightId).as("id_r"), col(rightStr).as("s_r"),
-      length(col(rightStr)).as("len_r"))
-    def pass(key: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-      l.withColumn("_bk", key(col("s_l")))
-        .join(r.withColumn("_bk", key(col("s_r"))), "_bk")
-        .filter(abs(col("len_l") - col("len_r")) <= maxDist)
-        .select("id_l", "s_l", "id_r", "s_r")
-    val byPrefix = pass(s => substring(s, 1, blockLen))
-    val bySuffix = pass(s => substring(s, -blockLen, blockLen))
-    byPrefix.unionByName(bySuffix)
-      .distinct()
-      // bounded levenshtein: O(len·(2k+1)) banded DP with early exit
-      // instead of the full O(len²) table — returns -1 above the bound,
-      // and the true distance (identical to the unbounded form) within
-      // it, so the kept rows and their edit_distance values are unchanged
+    // bounded levenshtein: O(len·(2k+1)) banded DP with early exit
+    // instead of the full O(len²) table — returns -1 above the bound,
+    // and the true distance (identical to the unbounded form) within
+    // it, so the kept rows and their edit_distance values are unchanged
+    def verify(cands: DataFrame) = cands
       .withColumn("edit_distance", levenshtein(col("s_l"), col("s_r"), maxDist))
       .filter(col("edit_distance") =!= -1)
+    val par = left.sparkSession.sparkContext.defaultParallelism
+    if (maxDist == 1) {
+      val lt = left.select(col(leftId).as("id_l"), col(leftStr).as("s_l"))
+      val rt = right.select(col(rightId).as("id_r"), col(rightStr).as("s_r"))
+      // sig i=0 is the string itself; i>=1 deletes character i. Hashed at
+      // the scan, so every downstream exchange moves (id, long) only.
+      def sigs(t: DataFrame, id: String, s: String) =
+        t.repartition(par)
+          .select(col(id),
+            transform(sequence(lit(0), length(col(s))), i =>
+              xxhash64(when(i === 0, col(s)).otherwise(concat(
+                col(s).substr(lit(1), i - 1),
+                col(s).substr(i + 1, length(col(s)) - i))))).as("_sigs"))
+          .select(col(id), explode(col("_sigs")).as("_sig"))
+      val cand = sigs(lt, "id_l", "s_l")
+        .join(sigs(rt, "id_r", "s_r"), "_sig")
+        .select("id_l", "id_r")
+        .distinct()
+      verify(cand.join(lt, "id_l").join(rt, "id_r"))
+        .select("id_l", "s_l", "id_r", "s_r", "edit_distance")
+    } else {
+      val l = left.select(col(leftId).as("id_l"), col(leftStr).as("s_l"),
+        length(col(leftStr)).as("len_l"))
+      val r = right.select(col(rightId).as("id_r"), col(rightStr).as("s_r"),
+        length(col(rightStr)).as("len_r"))
+      def pass(key: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        l.withColumn("_bk", key(col("s_l")))
+          .join(r.withColumn("_bk", key(col("s_r"))), "_bk")
+          .filter(abs(col("len_l") - col("len_r")) <= maxDist)
+          .select("id_l", "s_l", "id_r", "s_r")
+      val byPrefix = verify(pass(s => substring(s, 1, blockLen)))
+      val bySuffix = verify(pass(s => substring(s, -blockLen, blockLen)))
+      byPrefix.unionByName(bySuffix).distinct()
+    }
   }
 
   /** Prefix-filtered set-similarity self-join (the SSJoin/PPJoin candidate

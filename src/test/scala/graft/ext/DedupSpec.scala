@@ -187,6 +187,42 @@ class DedupSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("fuzzyLinkPairs: no exchange carries an UNVERIFIED candidate pair " +
+    "(both strings only cross a shuffle alongside edit_distance)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case q: QueryStageExec => shuffles(q.plan)
+      case s: ShuffleExchangeExec => Seq(s) ++ s.children.flatMap(shuffles)
+      case o => o.children.flatMap(shuffles)
+    }
+    // ids LEAD the strings so prefix blocks stay diverse (a shared literal
+    // prefix would make one quadratic block); broadcast is disabled so the
+    // block joins actually plan their exchanges
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val right = spark.range(0, 5000)
+        .selectExpr("id AS rid", "concat(id, '_abcdefgh')  AS rs")
+      val left = spark.range(0, 5000)
+        .selectExpr("id AS lid", "concat(id, '_abcdefg') AS ls") // tail del
+      val pairs = Dedup.fuzzyLinkPairs(left, "lid", "ls", right, "rid", "rs")
+      assert(pairs.count() > 0)
+      val unverified = shuffles(pairs.queryExecution.executedPlan)
+        .filter { s =>
+          val names = s.output.map(_.name)
+          names.contains("s_l") && names.contains("s_r") &&
+            !names.contains("edit_distance")
+        }
+      assert(unverified.isEmpty,
+        s"unverified pair crossed an exchange: ${unverified.map(_.output.map(_.name))}")
+      // sanity: the verified-pair dedup exchange IS present (not broadcast away)
+      assert(shuffles(pairs.queryExecution.executedPlan).nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("containmentPairs finds snippet-in-document that Jaccard misses") {
     import spark.implicits._
     val docs = Seq(
