@@ -11,11 +11,15 @@ import graft.queries.Q._
   */
 object TextQueries {
 
-  /** Registry key for the q140-produced / q143-consumed verified pair
-    * index (session + sf dir + the gram/threshold operating point).
+  /** Logical key for the q140-produced / q143-consumed verified pair
+    * index (sf dir + gram/threshold operating point + version token —
+    * bump "v1" if prefixJaccardPairs semantics ever change, or delete
+    * /tmp/graft_artifacts). Producer persists it to the lake
+    * (Materialized.putPersistent), so consumers compose from COLD START
+    * (a fresh session reads the parquet artifact instead of re-deriving).
     */
-  private def pairIndexKey(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    graft.util.Materialized.key(s, dir, "prefix_jaccard_pairs", "n=3", "minSim=0.5")
+  private def pairIndexParts(dir: String): Seq[String] =
+    Seq(dir, "prefix_jaccard_pairs", "n=3", "minSim=0.5", "v1")
 
   /** q171 window width, q172 winnow width. ABOVE `defs` — the oracle SQL
     * interpolates them eagerly while `defs` is constructed (the q75
@@ -951,7 +955,7 @@ object TextQueries {
         // pair set as a materialized artifact for downstream policy stages
         // (q143) — the pipeline derives pairs ONCE, like a production
         // curation run that persists this table (the q74 index pattern)
-        graft.util.Materialized.put(pairIndexKey(s, dir),
+        graft.util.Materialized.putPersistent(s, pairIndexParts(dir),
           Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
             n = 3, minSim = 0.5)),
       Some(s"""WITH $prefixGramPairCtes
@@ -971,7 +975,7 @@ object TextQueries {
         // consuming stage: reuse q140's materialized pair index (derive it
         // only if the producer never ran in this session) — identical rows
         // either way, so the oracle hash is path-independent
-        val pairs = graft.util.Materialized.getOrBuild(pairIndexKey(s, dir))(
+        val pairs = graft.util.Materialized.getOrBuildPersistent(s, pairIndexParts(dir))(
           Dedup.prefixJaccardPairs(docs, "doc_id", "text",
             n = 3, minSim = 0.5))
         Dedup.canonicalPerCluster(docs, "doc_id", "n_chars", pairs)
@@ -1006,7 +1010,7 @@ object TextQueries {
       "q173_source_dup_profile",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val pairs = graft.util.Materialized.getOrBuild(pairIndexKey(s, dir))(
+        val pairs = graft.util.Materialized.getOrBuildPersistent(s, pairIndexParts(dir))(
           Dedup.prefixJaccardPairs(docs, "doc_id", "text",
             n = 3, minSim = 0.5))
         val ends = pairs.select(col("id_a").as("doc_id"))
@@ -1104,7 +1108,7 @@ object TextQueries {
         }
         val exact = pairsOn(Dedup.contentHash(Seq("text")))
         val norm = pairsOn(TextAnalysis.fingerprintMd5(col("text")))
-        val jac = graft.util.Materialized.getOrBuild(pairIndexKey(s, dir))(
+        val jac = graft.util.Materialized.getOrBuildPersistent(s, pairIndexParts(dir))(
           Dedup.prefixJaccardPairs(docs, "doc_id", "text",
             n = 3, minSim = 0.5))
         Dedup.ensembleVerdict(Seq(
@@ -1153,7 +1157,7 @@ object TextQueries {
       "q200_dedup_threshold_sweep",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val pairs = graft.util.Materialized.getOrBuild(pairIndexKey(s, dir))(
+        val pairs = graft.util.Materialized.getOrBuildPersistent(s, pairIndexParts(dir))(
           Dedup.prefixJaccardPairs(docs, "doc_id", "text",
             n = 3, minSim = 0.5))
         val th = broadcast(s.createDataFrame(Seq(
