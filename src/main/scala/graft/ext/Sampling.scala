@@ -205,6 +205,11 @@ object Sampling {
     val per = docs.groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).cast("long").as("n_docs"))
       .localCheckpoint(true)
+    // explicit dirty-bronze contract (ADVICE r4): a null source would NPE
+    // the driver-side sort and could never equi-join its rank back
+    require(per.filter(col("source").isNull).isEmpty,
+      s"mixtureReweight: null values in source column '$sourceCol' — " +
+        "clean or filter the corpus first")
     val srcs = per.select("source").collect().map(_.getString(0)).sorted
     val k = srcs.length
     val den = (k * (k + 1) / 2).toDouble
@@ -251,6 +256,9 @@ object Sampling {
     val per = docs.groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).cast("long").as("n_docs"))
       .localCheckpoint(true)
+    require(per.filter(col("source").isNull).isEmpty,
+      s"curriculumSchedule: null values in source column '$sourceCol' — " +
+        "clean or filter the corpus first")
     val srcs = per.select("source").collect().map(_.getString(0)).sorted
     val k = srcs.length
     val den = (k * (k + 1) / 2).toDouble

@@ -589,7 +589,10 @@ object Sketches {
       nBuckets: Int
   ): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)
-    val rows = df.filter(col(valCol).isNotNull)
+    // null groups drop explicitly (ADVICE r4): a null g would survive the
+    // grid/targets aggregation but the equi-join back would lose its
+    // cut-bucket rows, silently zeroing that group's trimmed mean
+    val rows = df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).as("g"), col(valCol).cast("double").as("v"),
         histBucket(col(valCol), width, nBuckets).as("bucket"))
       .localCheckpoint(true)

@@ -940,8 +940,12 @@ object CurationQueries {
           graft.ext.Dedup.portableHash60(col("doc_id").cast("string"))
             .as("_h"),
           TextAnalysis.tokenCount(col("text")).as("_nt"))
+        // explicit ROWS frame: the default RANGE frame would hand hash-tie
+        // peers one shared cum value while the oracle pins ROWS (ADVICE r4)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("epoch", "source").orderBy("_h")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
         val filled = toks.join(broadcast(sched), Seq("source"))
           .withColumn("_cum", sum(col("_nt")).over(w))
           .filter(col("_cum") <= col("quota_tokens"))

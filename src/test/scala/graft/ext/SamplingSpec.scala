@@ -114,6 +114,21 @@ class SamplingSpec extends SparkSpec {
     assert(essU < 30.0)
   }
 
+  test("mixtureReweight / curriculumSchedule fail fast on a null source " +
+    "(explicit dirty-bronze contract, not a driver NPE)") {
+    import spark.implicits._
+    val dirty = (Seq.fill(5)("a") ++ Seq(null.asInstanceOf[String]))
+      .toDF("source")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.mixtureReweight(dirty, "source")
+    }
+    assert(e1.getMessage.contains("null values in source column"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.curriculumSchedule(dirty, "source")
+    }
+    assert(e2.getMessage.contains("null values in source column"))
+  }
+
   test("curriculumSchedule: every epoch's quotas sum to exactly the budget") {
     import spark.implicits._
     val docs = (Seq.fill(7)("a") ++ Seq.fill(5)("b") ++ Seq.fill(1)("c"))

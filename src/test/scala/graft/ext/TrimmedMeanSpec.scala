@@ -75,4 +75,16 @@ class TrimmedMeanSpec extends SparkSpec {
     assert(out.getLong(2) == 0L)
     assert(math.abs(out.getDouble(3) - out.getDouble(4)) < 1e-12)
   }
+
+  test("null groups drop explicitly; surviving groups' means unchanged " +
+    "(a null g must not zero its within-bucket prefix sums)") {
+    val clean = (1 to 40).map(i => ("a", i.toDouble)).toDF("g", "v")
+    val dirty = clean.unionByName(
+      (1 to 40).map(i => (null.asInstanceOf[String], i * 100.0))
+        .toDF("g", "v"))
+    val cleanRows = Sketches.trimmedMeanByGroup(clean, "g", "v").collect()
+    val dirtyRows = Sketches.trimmedMeanByGroup(dirty, "g", "v").collect()
+    assert(dirtyRows.map(_.getString(0)).toSet == Set("a"))
+    assert(cleanRows.toSeq == dirtyRows.toSeq)
+  }
 }
