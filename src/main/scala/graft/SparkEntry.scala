@@ -48,7 +48,8 @@ object SparkEntry {
     "q26_simhash_pairs" -> "hash-seeded (portable twin: q68)",
     "q33_ann_lsh_topk" -> "hash-seeded (recall pinned by q75)",
     "q34_embedding_near_dups" -> "hash-seeded (bucket twin: q70)",
-    "q40_monte_carlo_scenarios" -> "stochastic (expectation twin: q65)",
+    "q40_monte_carlo_scenarios" ->
+      "stochastic (expectation twin: q65; portable-RNG simulation twin: q215)",
     "q41_bootstrap_ci" -> "stochastic (unit-weight twin: q66)",
     "q42_factor_loadings" -> "driver-ML EM (moments twin: q71)",
     "q46_curation_pipeline" -> "hash-seeded minhash stage (exact-prefix twin: q67)",

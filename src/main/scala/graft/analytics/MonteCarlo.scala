@@ -81,6 +81,96 @@ object MonteCarlo {
       .drop("ord")
   }
 
+  /** PORTABLE-RNG Monte Carlo: the same simulation STRUCTURE as
+    * [[simulate]] (per-(draw, scenario) variates, scenario dim cross-join,
+    * one distributed plan) with every random draw replaced by a
+    * deterministic engine-portable stream, so the SIMULATION ITSELF — not
+    * just its expectation ([[scenarioExpectations]]) — hash-matches a
+    * DuckDB twin (q215):
+    *
+    *  - uniforms: the portable md5 hash (q68-q73 family) of
+    *    "mc|ord|draw|j" keys, u = (h+1)/2^60 — exact dyadics both engines;
+    *  - normals: Irwin–Hall(12) (Σ₁²¹ u − 6: variance exactly 1, mean 0) —
+    *    a fixed left-associated chain of 12 uniform adds, the identical
+    *    IEEE sequence in both engines, ZERO libm calls;
+    *  - draws quantized to integer centi-units (floor(sim·100)): per-
+    *    scenario sums are exact longs / width-37 decimals, so mean and
+    *    population std are ORDER-INDEPENDENT — partitioning can never
+    *    change the answer — and the final readouts are fixed-shape IEEE
+    *    doubles (raw, unrounded: engines agree bit-for-bit, the
+    *    q147/q148 pattern);
+    *  - the congestion threshold compares as an integer (centi-units of
+    *    the 2dp-rounded 75th percentile) so no float boundary can flip.
+    *
+    * Production keeps [[simulate]]'s `randn` (better tail behavior, native
+    * codegen); this variant is the oracle-checkable twin of the whole
+    * sampled path.
+    */
+  def simulatePortable(
+      spark: SparkSession,
+      df: DataFrame,
+      nSimulations: Int = 10000,
+      trafficCol: Option[String] = None
+  ): DataFrame = {
+    import graft.queries.Q
+    import org.apache.spark.sql.Column
+    val tc = trafficCol.getOrElse(trafficColumn(df))
+    // base mean as DOUBLE division of an EXACT decimal sum by an exact
+    // count — the decimal-division scale rules differ between engines,
+    // but casting identical exact operands and dividing in IEEE doubles
+    // is bit-identical everywhere
+    val stats = df.agg(
+      Q.sumExact(col(tc), 6).as("_S"),
+      count(col(tc)).as("_n"),
+      percentile(col(tc), lit(0.75)).as("thr"))
+    import spark.implicits._
+    val dim = scenarios.zipWithIndex
+      .map { case (s, i) =>
+        (i, s.scenario, s.description, s.scenarioMult * s.trafficMult,
+          s.accidentFactor)
+      }
+      .toDF("ord", "scenario", "description", "mult", "accident_factor")
+    val two60 = lit(1152921504606846976L).cast("double")
+    def u(j: Int): Column =
+      (graft.ext.Dedup.portableHash60(
+        concat(lit("mc|"), col("ord").cast("string"), lit("|"),
+          col("id").cast("string"), lit("|"), lit(j.toString)))
+        + lit(1L)).cast("double") / two60
+    val ih = (1 to 12).map(u).reduce(_ + _) - lit(6.0)
+    val baseD = col("_S").cast("double") / col("_n").cast("double")
+    val sim = ih * (lit(VolatilityFactor) * baseD) + baseD * col("mult")
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val sims = spark.range(nSimulations.toLong)
+      .crossJoin(broadcast(dim))
+      .crossJoin(broadcast(stats))
+      .select(col("ord"), col("scenario"), col("description"),
+        floor(sim * lit(100.0)).cast("long").as("simc"),
+        (u(0) < lit(BaseAccidentRate) * col("accident_factor")).as("acc"),
+        floor(round(col("thr"), 2) * lit(100.0)).cast("long").as("thrc"),
+        round(col("thr"), 2).as("thr2"))
+    val nD = lit(nSimulations.toDouble)
+    val meanC = col("_s1").cast("double") / nD
+    sims
+      .groupBy("ord", "scenario", "description")
+      .agg(sum(col("simc")).as("_s1"),
+        sum(col("simc").cast(dec18) * col("simc").cast(dec18)).as("_s2"),
+        sum(when(col("simc") > col("thrc"), 1L).otherwise(0L)).as("_nc"),
+        sum(when(col("acc"), 1L).otherwise(0L)).as("_na"),
+        max(col("thr2")).as("threshold_used"))
+      .select(col("ord"), col("scenario"), col("description"),
+        (meanC / lit(100.0)).as("mean_traffic"),
+        (sqrt(col("_s2").cast("double") / nD - meanC * meanC) / lit(100.0))
+          .as("traffic_std"),
+        (col("_nc").cast("double") * lit(100.0) / nD)
+          .as("congestion_prob_high"),
+        (col("_na").cast("double") * lit(100.0) / nD)
+          .as("accident_risk_high"),
+        col("threshold_used"),
+        lit(nSimulations.toLong).as("n_simulations"))
+      .orderBy("ord")
+      .drop("ord")
+  }
+
   /** 4-row result: scenario, description, mean_traffic, traffic_std,
     * congestion_prob_high, accident_risk_high, threshold_used, n_simulations.
     */

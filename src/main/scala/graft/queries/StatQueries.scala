@@ -46,6 +46,73 @@ object StatQueries {
       }
     ),
 
+    // ---- F1 fully sampled AND oracled: the portable-RNG Monte Carlo —
+    //      md5-stream uniforms, Irwin–Hall(12) normals (exact unit
+    //      variance, zero libm), centi-unit integer draws so the
+    //      per-scenario moments are order-independent exact sums, raw
+    //      fixed-shape double readouts. The whole SIMULATION hash-matches
+    //      DuckDB (the q40 stochastic row's missing half; q65 covers the
+    //      expectations)
+    QueryDef(
+      "q215_monte_carlo_portable",
+      (s, dir) =>
+        MonteCarlo.simulatePortable(s, t(s, dir, "orders"),
+          trafficCol = Some("o_totalprice")),
+      Some {
+        val values = MonteCarlo.scenarios.zipWithIndex.map { case (sc, i) =>
+          s"($i, '${sc.scenario}', '${sc.description}', " +
+            s"CAST(${sc.scenarioMult} AS DOUBLE)*CAST(${sc.trafficMult} AS DOUBLE), " +
+            s"CAST(${sc.accidentFactor} AS DOUBLE))"
+        }.mkString(",\n")
+        def uu(j: String) =
+          s"""CAST(('0x' || substr(md5('mc|' || CAST(d.ord AS VARCHAR) || '|' ||
+             |      CAST(r.id AS VARCHAR) || '|' || '$j'), 1, 15))::BIGINT
+             |      + 1 AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)""".stripMargin
+        val ihSum = (1 to 12).map(j => s"(${uu(j.toString)})").mkString("\n + ")
+        s"""WITH s AS (SELECT
+           |    CAST(${sqlSumExact("o_totalprice", 6)} AS DOUBLE)
+           |      / CAST(count(o_totalprice) AS DOUBLE) AS base,
+           |  quantile_cont(o_totalprice, 0.75) AS thr FROM orders),
+           |d(ord, scenario, description, mult, af) AS (VALUES
+           |$values),
+           |sims AS (
+           |  SELECT d.ord, d.scenario, d.description,
+           |    CAST(floor((($ihSum - CAST(6.0 AS DOUBLE))
+           |        * (CAST(0.18 AS DOUBLE) * s.base)
+           |        + s.base * d.mult) * CAST(100.0 AS DOUBLE))
+           |      AS BIGINT) AS simc,
+           |    ((${uu("0")}) < CAST(0.025 AS DOUBLE) * d.af) AS acc,
+           |    CAST(floor(round(s.thr, 2) * CAST(100.0 AS DOUBLE)) AS BIGINT)
+           |      AS thrc,
+           |    round(s.thr, 2) AS thr2
+           |  FROM range(0, 10000) r(id), d, s),
+           |g AS (
+           |  SELECT ord, scenario, description,
+           |    CAST(sum(simc) AS BIGINT) AS s1,
+           |    sum(CAST(simc AS DECIMAL(18,0)) * CAST(simc AS DECIMAL(18,0)))
+           |      AS s2,
+           |    CAST(sum(CASE WHEN simc > thrc THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS nc,
+           |    CAST(sum(CASE WHEN acc THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           |    max(thr2) AS threshold_used
+           |  FROM sims GROUP BY 1, 2, 3)
+           |SELECT scenario, description,
+           |  CAST(s1 AS DOUBLE) / CAST(10000 AS DOUBLE) / CAST(100.0 AS DOUBLE)
+           |    AS mean_traffic,
+           |  sqrt(CAST(s2 AS DOUBLE) / CAST(10000 AS DOUBLE)
+           |      - (CAST(s1 AS DOUBLE) / CAST(10000 AS DOUBLE))
+           |        * (CAST(s1 AS DOUBLE) / CAST(10000 AS DOUBLE)))
+           |    / CAST(100.0 AS DOUBLE) AS traffic_std,
+           |  CAST(nc AS DOUBLE) * CAST(100.0 AS DOUBLE) / CAST(10000 AS DOUBLE)
+           |    AS congestion_prob_high,
+           |  CAST(na AS DOUBLE) * CAST(100.0 AS DOUBLE) / CAST(10000 AS DOUBLE)
+           |    AS accident_risk_high,
+           |  threshold_used,
+           |  CAST(10000 AS BIGINT) AS n_simulations
+           |FROM g ORDER BY ord""".stripMargin
+      }
+    ),
+
     // ---- F3 hardened: unit-weight bootstrap — every replicate mean IS the
     //      column mean, flowing through the real statsRow/percentile path;
     //      fully deterministic, so oracled (the stochastic q41 rides on the

@@ -38,6 +38,31 @@ class AnalyticsGoldenSpec extends SparkSpec {
     }
   }
 
+  test("portable-RNG monte carlo: same tolerance band as the randn path " +
+    "vs the reference golden (the q215 twin runs the REAL simulation)") {
+    val result = MonteCarlo.simulatePortable(spark, merged).collect()
+    assert(result.length == 4)
+    val goldenRows = spark.read.parquet(golden("monte_carlo_scenarios.parquet"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(result.head.getAs[Double]("threshold_used") == 12754.5)
+    result.foreach { r =>
+      val g = goldenRows(r.getString(0))
+      val base = 11506.65
+      val mcSe = 0.18 * base / math.sqrt(10000)
+      assert(math.abs(r.getAs[Double]("mean_traffic") -
+        g.getAs[Double]("mean_traffic")) < 6 * mcSe,
+        s"${r.getString(0)} mean ${r.getAs[Double]("mean_traffic")}")
+      // Irwin–Hall(12) has unit variance like the Gaussian: std must land
+      // in the same 5% band around the golden
+      assert(math.abs(r.getAs[Double]("traffic_std") -
+        g.getAs[Double]("traffic_std")) < 0.05 * g.getAs[Double]("traffic_std"))
+      assert(math.abs(r.getAs[Double]("congestion_prob_high") -
+        g.getAs[Double]("congestion_prob_high")) < 3.0)
+      assert(math.abs(r.getAs[Double]("accident_risk_high") -
+        g.getAs[Double]("accident_risk_high")) < 1.5)
+    }
+  }
+
   test("bootstrap: CI structure and estimates against golden") {
     val result = Bootstrap(spark, merged).collect()
       .map(r => r.getString(0) -> r).toMap
