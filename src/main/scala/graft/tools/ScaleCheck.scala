@@ -94,6 +94,13 @@ object ScaleCheck {
           .withColumnRenamed("label", "_b"), "c_id")
         .groupBy("_a", "_b").agg(count(lit(1)).as("n"))
     }),
+    // q77's production operating point: 12-bit seeded-Gaussian planes —
+    // the 16-bucket oracle-friendly family is candidate-quadratic at
+    // corpus scale (264 s at 100×, SCALE_r05)
+    "x77_semantic_dedup_prod" -> ((s, dir) =>
+      graft.ext.Similarity.semanticDedup(
+        graft.queries.Q.t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.3, nBits = 12)),
     // x205's FIX (VERDICT r4 #1): the same all-corpus 1-NN + kappa table
     // fed from the IVF-PQ channel — 512 coarse cells (fixed-rule
     // centroids), nProbe 2, SDC over 8 int8-class codes per row: only

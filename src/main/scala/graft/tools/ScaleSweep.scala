@@ -1,0 +1,129 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The consolidated 100× scale sweep (VERDICT r4 #5): one run, one JSON
+  * artifact (`SCALE_r{N}.json`) with per-query seconds at the replicated
+  * 100× point for every headline operator family — so scale claims live
+  * in a committed measurement, not PERF.md prose.
+  *
+  * Pair-OUTPUT operators (q24/q46/q138/q140/q143/q200) are answer-
+  * quadratic under synthetic N× replication (N(N−1)/2 output rows per
+  * base duplicate) and are measured at their honest 10× point, in a
+  * separate JSON section — the q46 precedent. Composition consumers run
+  * AFTER their producer (q140 → q143/q200), matching bench semantics.
+  *
+  * Usage: runMain graft.tools.ScaleSweep [outJson] [scale100Dir] [scale10Dir]
+  */
+object ScaleSweep {
+
+  /** 100×-replicated sweep set: every headline family represented. */
+  val at100: Seq[String] = Seq(
+    // core relational
+    "q01_pricing_summary", "q04_regional_revenue", "q05_dedup_keep_first",
+    "q13_window_funcs", "q15_monthly_revenue",
+    // exact dedup + text
+    "q22_exact_dup_census", "q23_exact_dedup_keep_first", "q27_token_counts",
+    "q79_decontamination", "q84_repetition_rules", "q87_bm25_topk",
+    "q102_chunk_documents", "q134_record_linkage", "q136_boilerplate_segments",
+    "q142_bigram_lm_surprisal",
+    // similarity / ANN / graph. Excluded oracle-scale forms whose 100×
+    // channel is an x-extra: q205 (16-bucket candidate-quadratic,
+    // "sf-scale parity only" — x205/x214) and q168 (its oracle embeds
+    // the EXACT miner for the recall pin — x141)
+    "q78_knn_join", "q99_pagerank", "q181_kmeans_codebook",
+    "q212_ivf_incremental_add", "q213_recall_curve",
+    // lake ops
+    "q90_cdc_merge", "q96_compaction_plan", "q97_incremental_agg",
+    "q103_interval_join", "q110_anomaly_zscore", "q116_scd2_dimension",
+    "q150_incremental_join_refresh", "q187_salted_join", "q197_time_travel",
+    // sketches / stats
+    "q178_kmv_distinct", "q179_bloom_prefilter", "q180_hll_certification",
+    "q185_countmin_census", "q196_hist_trailing_quantiles",
+    "q201_profile_drift", "q203_hist_incremental", "q206_conformal_coverage",
+    "q210_trimmed_mean", "q215_monte_carlo_portable",
+    // sampling / training plan
+    "q121_priority_sample", "q167_groupsafe_split", "q175_epoch_shuffle",
+    "q177_temporal_split", "q198_length_bucket_batching",
+    "q204_curriculum_schedule", "q207_training_plan",
+    "q208_schedule_realization",
+    // production operating points (ScaleCheck extras)
+    "x77_semantic_dedup_prod", "x141_hard_negatives_lsh",
+    "x151_equal_freq_binning_approx", "x183_semantic_decon_prod",
+    "x205_label_kappa_prod", "x214_label_kappa_pq",
+    // the one candidate-quadratic oracle point measured at 100× — LAST,
+    // so its ~80 GB of shuffle debris can't crowd later queries' spills
+    "q77_semantic_dedup")
+
+  /** Answer-quadratic pair-output and blocked-quadratic verify ops:
+    * honest 10× point (q46 precedent; q141's exact cross-product argmax
+    * is the documented verify stage — its 400M-pair map-side sort at
+    * 100× spills past the sandbox disk — and its 100× scale channel is
+    * x141/x214). */
+  val at10: Seq[String] = Seq(
+    "q24_jaccard_pairs", "q46_curation_pipeline", "q138_containment_pairs",
+    "q140_prefix_jaccard_pairs", "q141_hard_negatives",
+    "q143_canonical_selection", "q200_dedup_threshold_sweep")
+
+  private def queryOf(n: String): (SparkSession, String) => DataFrame =
+    ScaleCheck.extras.getOrElse(n, SparkEntry.queries(n))
+
+  private def jsonNum(d: Double): String = f"$d%.2f"
+
+  def main(args: Array[String]): Unit = {
+    val outJson = args.headOption.getOrElse("SCALE_r05.json")
+    val dir100 = args.drop(1).headOption.getOrElse("/tmp/graft_scale100")
+    val dir10 = args.drop(2).headOption.getOrElse("/tmp/graft_scale10")
+    val spark = GraftSession.quiet(GraftSession.local("scale-sweep"))
+    ScaleCheck.replicate(spark, "/root/testdata/sf0.1", dir100, 100)
+    ScaleCheck.replicate(spark, "/root/testdata/sf0.1", dir10, 10)
+
+    def sweep(names: Seq[String], dir: String, label: String): Seq[(String, Double)] = {
+      // warm-up at sf0.1 compiles plans + JIT outside the timed pass
+      names.foreach { n =>
+        queryOf(n)(spark, "/root/testdata/sf0.1")
+          .write.format("noop").mode("overwrite").save()
+      }
+      names.map { n =>
+        val t0 = System.nanoTime()
+        queryOf(n)(spark, dir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[$label] $n: $dt%.2f s")
+        // 55 consecutive 100× queries in ONE session accumulate shuffle
+        // files until the ContextCleaner GCs their dependencies — without
+        // this the q77 quadratic point's ~80 GB of shuffle stays on disk
+        // and a later sort hits SPILL_OUT_OF_MEMORY (first sweep attempt
+        // died at q141 with the disk full)
+        System.gc()
+        Thread.sleep(300)
+        n -> dt
+      }
+    }
+
+    val loadBefore = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val r100 = sweep(at100, dir100, "x100")
+    val r10 = sweep(at10, dir10, "x10")
+    val loadAfter = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+    def obj(rs: Seq[(String, Double)]): String =
+      rs.map { case (n, t) => s""""$n": ${jsonNum(t)}""" }.mkString(", ")
+    val json =
+      s"""{"metric": "scale_sweep_sec", "unit": "sec",
+         | "factor100": {${obj(r100)}},
+         | "factor10_pair_output": {${obj(r10)}},
+         | "total_100x_sec": ${jsonNum(r100.map(_._2).sum)},
+         | "total_10x_sec": ${jsonNum(r10.map(_._2).sum)},
+         | "loadavg_before": ${jsonNum(loadBefore)},
+         | "loadavg_after": ${jsonNum(loadAfter)},
+         | "n_queries": ${r100.size + r10.size}}""".stripMargin
+        .replace("\n", "")
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      json.getBytes("UTF-8"))
+    println(s"[sweep] wrote $outJson")
+    spark.stop()
+  }
+}

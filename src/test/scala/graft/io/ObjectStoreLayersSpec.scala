@@ -10,14 +10,21 @@ import graft.SparkSpec
   * [[Mock3FileSystem]]). The reference uploads local files to MinIO and
   * mirrors them to HDFS; here the same movements run scheme-to-scheme
   * through the Hadoop FS API.
+  *
+  * The SAME round-trip also runs against a REAL s3a:// endpoint when the
+  * environment provides one (`GRAFT_S3A_TEST_ENDPOINT` + bucket +
+  * credentials — e.g. a MinIO from the reference's compose file). In the
+  * zero-egress sandbox that test reports CANCELED, not deleted: the code
+  * path exists and is one env var away from exercising the reference's
+  * actual deployment surface.
   */
 class ObjectStoreLayersSpec extends SparkSpec {
 
-  test("Layers round-trips bronze→silver→gold through a foreign FS scheme") {
-    spark.sparkContext.hadoopConfiguration
-      .set("fs.mock3.impl", classOf[Mock3FileSystem].getName)
-    val tmp = Files.createTempDirectory("mock3lake").toString
-    val lake = LakePaths(s"mock3://$tmp") // mock3:///… (empty authority)
+  /** The shared Layers round-trip: DDL → CSV+parquet writes → declared-
+    * schema read-back → catalog listing → copy out and back in.
+    */
+  private def roundTrip(root: String, scheme: String): Unit = {
+    val lake = LakePaths(root)
 
     // S8 bucket/namespace DDL on the foreign scheme
     Layers.ensure(spark, lake.bronze(""))
@@ -40,12 +47,12 @@ class ObjectStoreLayersSpec extends SparkSpec {
     assert(Layers.readParquet(spark, lake.silver("clean.parquet")).count() == 100)
 
     // S9 catalog listing sees the parquet object, with the scheme intact
-    val listed = Layers.listParquet(spark, s"mock3://$tmp/silver")
+    val listed = Layers.listParquet(spark, s"$root/silver")
     assert(listed.exists(_.endsWith("clean.parquet")))
-    assert(listed.forall(_.startsWith("mock3:")))
+    assert(listed.forall(_.startsWith(scheme + ":")))
 
     // S6: object store → local (the reference's HDFS mirror direction)
-    val localDst = Files.createTempDirectory("mock3dst").toString
+    val localDst = Files.createTempDirectory(s"${scheme}dst").toString
     assert(Layers.copy(spark, lake.silver("clean.parquet"),
       s"file:$localDst/clean.parquet"))
     assert(spark.read.parquet(s"$localDst/clean.parquet").count() == 100)
@@ -55,8 +62,37 @@ class ObjectStoreLayersSpec extends SparkSpec {
       lake.gold("promoted.parquet")))
     assert(Layers.readParquet(spark, lake.gold("promoted.parquet"))
       .count() == 100)
+  }
+
+  test("Layers round-trips bronze→silver→gold through a foreign FS scheme") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mock3.impl", classOf[Mock3FileSystem].getName)
+    val tmp = Files.createTempDirectory("mock3lake").toString
+    roundTrip(s"mock3://$tmp", "mock3") // mock3:///… (empty authority)
 
     // writes landed under the scheme's backing root, not the default FS
     assert(new java.io.File(s"$tmp/silver/clean.parquet").exists())
+  }
+
+  test("Layers round-trips on a REAL s3a:// endpoint " +
+    "(env-gated: GRAFT_S3A_TEST_ENDPOINT/_BUCKET/_ACCESS_KEY/_SECRET_KEY)") {
+    val endpoint = sys.env.get("GRAFT_S3A_TEST_ENDPOINT")
+    val bucket = sys.env.get("GRAFT_S3A_TEST_BUCKET")
+    assume(endpoint.isDefined && bucket.isDefined,
+      "no S3-API endpoint in this environment (zero-egress sandbox) — " +
+        "the mock3 test covers the surface; point " +
+        "GRAFT_S3A_TEST_ENDPOINT/_BUCKET at a MinIO/s3mock to enable")
+    assume(
+      scala.util.Try(Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem"))
+        .isSuccess,
+      "hadoop-aws not on the classpath — add it to run the s3a round-trip")
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.endpoint", endpoint.get)
+    hc.set("fs.s3a.path.style.access", "true") // MinIO-style addressing
+    sys.env.get("GRAFT_S3A_TEST_ACCESS_KEY")
+      .foreach(hc.set("fs.s3a.access.key", _))
+    sys.env.get("GRAFT_S3A_TEST_SECRET_KEY")
+      .foreach(hc.set("fs.s3a.secret.key", _))
+    roundTrip(s"s3a://${bucket.get}/graft-it", "s3a")
   }
 }
