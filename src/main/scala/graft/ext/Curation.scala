@@ -70,11 +70,14 @@ object Curation {
     *  - `dup_bigram_frac`: 1 − distinct bigrams / total bigrams
     *  - `keep`: the composite filter decision
     *
-    * Scale shape: everything except `top_word_frac` is computed SCAN-SIDE
-    * with array expressions (zero shuffle); only (id, word) counts shuffle
-    * for the top-word statistic, and those rows are words, never documents.
-    * All ratios are single exact-operand double divisions, so the DuckDB
-    * twin reproduces them bit-exactly.
+    * Scale shape: EVERY metric is computed SCAN-SIDE — the top-word
+    * statistic runs through the native [[graft.functions.TopTokenCount]]
+    * expression (one O(tokens) hash-count pass per row, called from
+    * whole-stage codegen), so the operator has ZERO exchanges. The
+    * explode→groupBy×2→join formulation it replaces shuffled one row per
+    * TOKEN (100M rows at the 100× point) for a statistic that is local to
+    * each document. All ratios are single exact-operand double divisions,
+    * so the DuckDB twin reproduces them bit-exactly.
     */
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // materialize the token and bigram arrays ONCE per row: every metric
@@ -92,16 +95,10 @@ object Curation {
       size(array_distinct(toks)).cast("long").as("n_distinct_words"),
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("_chars"),
       size(bigrams).cast("long").as("_n_bigrams"),
-      size(array_distinct(bigrams)).cast("long").as("_n_distinct_bigrams")
+      size(array_distinct(bigrams)).cast("long").as("_n_distinct_bigrams"),
+      call_function("top_token_count", toks).as("_top_cnt")
     )
-    val topWord = withArrays
-      .select(col(idCol), explode(toks).as("_w"))
-      .groupBy(col(idCol), col("_w"))
-      .agg(count(lit(1)).as("_c"))
-      .groupBy(col(idCol))
-      .agg(max(col("_c")).cast("long").as("_top_cnt"))
     val m = scan
-      .join(topWord, Seq(idCol), "left")
       .withColumn("mean_word_len",
         when(col("n_words") === 0, lit(0.0))
           .otherwise(round(col("_chars").cast("double") / col("n_words"), 6)))

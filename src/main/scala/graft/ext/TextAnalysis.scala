@@ -236,8 +236,14 @@ object TextAnalysis {
     *
     * Scale shape: the EVAL side (small by nature) collapses to a distinct
     * gram-hash set and broadcasts; the corpus streams scan-side through
-    * gram explode → hash → broadcast-join → per-doc count. Corpus text
+    * gram-hash explode → broadcast-join → per-doc count. Corpus text
     * never shuffles — only matched 8-byte hashes reach the aggregation.
+    * Gram hashing runs through the native
+    * [[graft.functions.WordGramHashes]] expression (each token hashed
+    * once, windows combined by a polynomial roll, dedup in-row) — the
+    * composable gram-STRING form materialized ~30 bytes per window inside
+    * an interpreted higher-order function, which at 98M corpus grams was
+    * most of the operator's 100× wall (21.8 → see PERF round 5).
     * Set `broadcastBench = false` for an eval set too big to broadcast
     * (falls back to a shuffle join on the gram hash). The overlap COUNT is
     * hash-function-independent (any collision needs ~1e-15 odds), which is
@@ -252,13 +258,14 @@ object TextAnalysis {
       minOverlap: Int = 1,
       broadcastBench: Boolean = true
   ): DataFrame = {
-    val benchGrams = bench
-      .select(explode(Dedup.wordNgrams(col(textCol), ngramWords)).as("_g"))
-      .select(xxhash64(col("_g")).as("_gram")).distinct()
+    def gramHashes(df: DataFrame, cols: Column*): DataFrame = df
+      .select(cols :+ tokens(col(textCol)).as("_t"): _*)
+      .select(cols :+ explode(
+        call_function("word_gram_hashes", col("_t"), lit(ngramWords)))
+        .as("_gram"): _*)
+    val benchGrams = gramHashes(bench).distinct()
     val bg = if (broadcastBench) broadcast(benchGrams) else benchGrams
-    corpus
-      .select(col(idCol), explode(Dedup.wordNgrams(col(textCol), ngramWords)).as("_g"))
-      .select(col(idCol), xxhash64(col("_g")).as("_gram"))
+    gramHashes(corpus, col(idCol))
       .join(bg, Seq("_gram"))
       .groupBy(idCol)
       .agg(count(lit(1)).cast("long").as("n_overlap"))

@@ -52,6 +52,27 @@ object GraftFunctions {
       }
     ),
     (
+      "top_token_count",
+      new ExpressionInfo(classOf[TopTokenCount].getName, "top_token_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "top_token_count takes 1 argument")
+        TopTokenCount(args.head)
+      }
+    ),
+    (
+      "word_gram_hashes",
+      new ExpressionInfo(classOf[WordGramHashes].getName, "word_gram_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_gram_hashes takes (tokens, n)")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_gram_hashes n must be an integer literal, got $other")
+        }
+        WordGramHashes(args.head, n)
+      }
+    ),
+    (
       "srp_bucket",
       new ExpressionInfo(classOf[SrpBucket].getName, "srp_bucket"),
       (args: Seq[Expression]) => {

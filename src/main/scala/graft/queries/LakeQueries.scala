@@ -1091,14 +1091,21 @@ object LakeQueries {
         val li = t(s, dir, "lineitem")
           .select(col("l_orderkey").as("k"), col("l_extendedprice"),
             col("l_linenumber"))
-        // INDEPENDENT delta predicates (key-based vs linenumber-based) so
-        // all three delta joins of the identity carry rows
-        val oldL = orders.filter(col("k") % 10 =!= 0)
-        val dL = orders.filter(col("k") % 10 === 0)
-        val oldR = li.filter(col("l_linenumber") % 3 =!= 0).drop("l_linenumber")
-        val dR = li.filter(col("l_linenumber") % 3 === 0).drop("l_linenumber")
+        // INDEPENDENT delta predicates (key-based vs linenumber×key-based)
+        // so all three delta joins of the identity carry rows — and SMALL
+        // ones (2% / ~1.7%): the operator's contract is append-only
+        // DELTAS, and its broadcast-the-delta plan is only honest when
+        // |Δ| ≪ |base| (the original %10 / %3 split broadcast a third of
+        // lineitem). The oracle stays the full batch join either way.
+        val oldL = orders.filter(col("k") % 50 =!= 0)
+        val dL = orders.filter(col("k") % 50 === 0)
+        val rIsDelta = col("l_linenumber") % 3 === 0 && col("k") % 20 === 0
+        val oldR = li.filter(!rIsDelta).drop("l_linenumber")
+        val dR = li.filter(rIsDelta).drop("l_linenumber")
+        // the stored-view rebuild (jOld) is the demo's batch part: probe
+        // hash-join it (no SMJ sorts on the 40M-row side)
         val refreshed = LakeOps.incrementalJoinRefresh(
-          oldL.join(oldR, "k"), oldL, dL, oldR, dR, "k")
+          oldL.hint("SHUFFLE_HASH").join(oldR, "k"), oldL, dL, oldR, dR, "k")
         refreshed.groupBy("o_orderpriority")
           .agg(count(lit(1)).cast("long").as("n_rows"),
             sumExact(col("l_extendedprice")).as("revenue"),
@@ -1122,8 +1129,19 @@ object LakeQueries {
     QueryDef(
       "q187_salted_join",
       (s, dir) => {
+        // SHUFFLE_HASH on the salted big side: the (key, salt) join
+        // otherwise plans an SMJ that sorts BOTH the 60M lineitem rows and
+        // the ×8-replicated orders side (120M rows at 100×); building the
+        // hash on the salted side streams the replicated dim unsorted.
+        // (A dictionary-encode of the priority string before replication
+        // was measured and REJECTED: the broadcast dict subtree re-runs
+        // its 15M-row distinct per consumer, 25 → 45 s. The ×salts
+        // replication itself is the op's documented cost — the AQE
+        // adjudication in SkewJoinCompareSpec is the cheaper path when
+        // the runtime can re-plan.)
         val li = t(s, dir, "lineitem")
           .withColumnRenamed("l_orderkey", "o_orderkey")
+          .hint("SHUFFLE_HASH")
         val o = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
         LakeOps.saltedJoin(li, o, "o_orderkey",
             rowIdCols = Seq("o_orderkey", "l_linenumber"), salts = 8)
