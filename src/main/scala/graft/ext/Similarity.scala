@@ -1265,4 +1265,58 @@ object Similarity {
         round(col("_b._cs"), 4).as("cos_sim"))
       .orderBy("vec_id")
   }
+
+  /** Embedding CENTROID DRIFT between two corpus snapshots, per group:
+    * the monitor a training pipeline runs when the embedding model (or
+    * the corpus mix) changes — per group it reports both snapshot sizes
+    * and the cosine between the group's mean vectors. cos(c₁, c₂) is
+    * SCALE-INVARIANT, so it equals the cosine of the component SUM
+    * vectors — no division by n ever happens, and with components
+    * quantized to integer `quantScale`-units the sums are exact
+    * order-independent longs: dot/norm cross-products run in
+    * DECIMAL(18,0)² = width-37 exact arithmetic (the house decimal-width
+    * rule), and the single readout is a fixed-shape double expression —
+    * which is what makes the q216 DuckDB twin hash-exact.
+    *
+    * Scale shape: one posexplode + (group, j) partial-aggregated sum per
+    * snapshot — shuffled rows are |groups|·dim counters, never vectors —
+    * then a |groups|·dim join and a |groups|-row readout. Null groups and
+    * null vectors are dropped (monitoring contract: a group must exist in
+    * BOTH snapshots to have a drift number — inner join, mirroring the
+    * oracle).
+    */
+  def centroidDrift(
+      v1: DataFrame,
+      v2: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      quantScale: Int = 1000
+  ): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def sums(df: DataFrame, tag: String): DataFrame = df
+      .filter(col(groupCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(groupCol).cast("long").as("_g"),
+        posexplode(col(vecCol)).as(Seq("_j", "_v")))
+      .groupBy("_g", "_j")
+      .agg(sum(round(col("_v").cast("double") * quantScale).cast("long"))
+        .cast(DecimalType(18, 0)).as(s"_s$tag"))
+    def counts(df: DataFrame, name: String): DataFrame = df
+      .filter(col(groupCol).isNotNull && col(vecCol).isNotNull)
+      .groupBy(col(groupCol).cast("long").as("_g"))
+      .agg(count(lit(1)).cast("long").as(name))
+    val cross = sums(v1, "1").join(sums(v2, "2"), Seq("_g", "_j"))
+      .groupBy("_g")
+      .agg(sum(col("_s1") * col("_s2")).as("_dot"),
+        sum(col("_s1") * col("_s1")).as("_a2"),
+        sum(col("_s2") * col("_s2")).as("_b2"))
+    cross
+      .join(counts(v1, "n_v1"), Seq("_g"))
+      .join(counts(v2, "n_v2"), Seq("_g"))
+      .select(col("_g").as(groupCol), col("n_v1"), col("n_v2"),
+        when(col("_a2") === 0 || col("_b2") === 0, lit(0.0))
+          .otherwise(col("_dot").cast("double") /
+            (sqrt(col("_a2").cast("double")) * sqrt(col("_b2").cast("double"))))
+          .as("centroid_cos"))
+      .orderBy(groupCol)
+  }
 }

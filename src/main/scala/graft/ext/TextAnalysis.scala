@@ -257,20 +257,44 @@ object TextAnalysis {
       ngramWords: Int = 8,
       minOverlap: Int = 1,
       broadcastBench: Boolean = true
+  ): DataFrame =
+    contaminationAgainstGrams(corpus,
+      benchGramHashes(bench, textCol, ngramWords), idCol, textCol,
+      ngramWords, minOverlap, broadcastBench)
+
+  /** The eval set collapsed to its distinct gram-hash column `_gram` —
+    * the reusable half of [[contamination]] (a streaming gate builds it
+    * once and checks every micro-batch against it).
+    */
+  def benchGramHashes(
+      bench: DataFrame, textCol: String, ngramWords: Int): DataFrame =
+    gramHashes(bench, textCol, ngramWords).distinct()
+
+  /** [[contamination]] against an already-built gram-hash set. */
+  def contaminationAgainstGrams(
+      corpus: DataFrame,
+      benchGrams: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngramWords: Int = 8,
+      minOverlap: Int = 1,
+      broadcastBench: Boolean = true
   ): DataFrame = {
-    def gramHashes(df: DataFrame, cols: Column*): DataFrame = df
-      .select(cols :+ tokens(col(textCol)).as("_t"): _*)
-      .select(cols :+ explode(
-        call_function("word_gram_hashes", col("_t"), lit(ngramWords)))
-        .as("_gram"): _*)
-    val benchGrams = gramHashes(bench).distinct()
     val bg = if (broadcastBench) broadcast(benchGrams) else benchGrams
-    gramHashes(corpus, col(idCol))
+    gramHashes(corpus, textCol, ngramWords, col(idCol))
       .join(bg, Seq("_gram"))
       .groupBy(idCol)
       .agg(count(lit(1)).cast("long").as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
   }
+
+  private def gramHashes(
+      df: DataFrame, textCol: String, ngramWords: Int,
+      cols: Column*): DataFrame = df
+    .select(cols :+ tokens(col(textCol)).as("_t"): _*)
+    .select(cols :+ explode(
+      call_function("word_gram_hashes", col("_t"), lit(ngramWords)))
+      .as("_gram"): _*)
 
   /** Full per-document metrics table. */
   def metrics(df: DataFrame, textCol: String = "text"): DataFrame = {

@@ -821,6 +821,68 @@ object SimilarityQueries {
         kappaFromNn(e, nn)
       },
       Some(pqKappaOracleSql)
+    ),
+
+    // ---- EMBEDDING CENTROID DRIFT: per-label cosine between the mean
+    //      vectors of two corpus snapshots (even/odd vec_id halves stand
+    //      in for model-v1/model-v2 exports) — the monitor run after an
+    //      embedding-model swap. cos is scale-invariant so it is computed
+    //      on integer-quantized component SUMS (never a mean): exact
+    //      order-independent longs into width-37 DECIMAL cross-products,
+    //      one fixed-shape double readout. Shuffles carry |groups|·dim
+    //      counters, never vectors.
+    QueryDef(
+      "q216_centroid_drift",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.centroidDrift(
+          e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+          "label", "embedding")
+      },
+      Some(centroidDriftOracleSql)
+    ),
+
+    // ---- MEAN RECIPROCAL RANK of label-relevant retrieval over the
+    //      brute-force ranking (the q213 eval-harness query set): rank of
+    //      the first same-label candidate per query, reciprocal ranks
+    //      rounded to 6 dp and summed as DECIMAL (order-independent), the
+    //      MRR one exact-shape division. Completes the retrieval-eval
+    //      family (DCG q195, recall q213, kappa q205/q214).
+    QueryDef(
+      "q217_retrieval_mrr",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qv = e.filter(col("vec_id") < DcgQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("_qv"),
+            col("label").as("_ql"))
+        val ranked = e.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("_ql"), col("vec_id").as("c_id"),
+            col("label").as("_cl"),
+            round(Similarity.cosine(col("embedding"), col("_qv")), 4).as("_cs"))
+          .withColumn("_r", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("q_id").orderBy(desc("_cs"), asc("c_id"))))
+        val firstRel = ranked.filter(col("_cl") === col("_ql"))
+          .groupBy("q_id").agg(min(col("_r")).cast("long").as("first_rel_rank"))
+        val perQ = qv.select(col("q_id"))
+          .join(firstRel, Seq("q_id"), "left")
+          .withColumn("first_rel_rank",
+            coalesce(col("first_rel_rank"), lit(0L)))
+          .withColumn("_rrd",
+            when(col("first_rel_rank") === 0, lit(0.0))
+              .otherwise(round(lit(1.0).cast("double") /
+                col("first_rel_rank").cast("double"), 6))
+              .cast(DecimalType(10, 6)))
+        val tot = broadcast(perQ.agg(sum(col("_rrd")).as("_srr"),
+          count(lit(1)).cast("long").as("_nq")))
+        perQ.crossJoin(tot)
+          .select(col("q_id"), col("first_rel_rank"),
+            col("_rrd").cast("double").as("reciprocal_rank"),
+            (col("_srr").cast("double") / col("_nq").cast("double")).as("mrr"))
+          .orderBy("q_id")
+      },
+      Some(mrrOracleSql)
     )
   )
 
@@ -1183,6 +1245,71 @@ object SimilarityQueries {
     * vec_id < DcgQueries, per-query brute-force top-20 ground truth, and
     * the k-sweep of prefix-intersection hit counts.
     */
+  /** q216: centroid drift on quantized component sums — cos scale-
+    * invariance lets both engines stay in exact integer/DECIMAL math up
+    * to one fixed-shape double readout. DuckDB sums cast ::DECIMAL(18,0)
+    * BEFORE the cross-multiply (the sum(BIGINT)→HUGEINT trap), and the
+    * ver split uses vec_id % 2 on non-negative ids (no // sign trap).
+    */
+  private def centroidDriftOracleSql: String =
+    s"""WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS g,
+       |  list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS vq
+       |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+       |s AS (SELECT g, vec_id % 2 AS ver, r.j,
+       |    CAST(sum(vq[r.j]) AS DECIMAL(18,0)) AS sj
+       |  FROM q, range(1, 65) r(j) GROUP BY 1, 2, 3),
+       |x AS (SELECT a.g,
+       |    sum(a.sj * b.sj) AS dot,
+       |    sum(a.sj * a.sj) AS a2,
+       |    sum(b.sj * b.sj) AS b2
+       |  FROM s a JOIN s b ON a.g = b.g AND a.j = b.j
+       |  WHERE a.ver = 0 AND b.ver = 1
+       |  GROUP BY a.g),
+       |c AS (SELECT g, vec_id % 2 AS ver, CAST(count(*) AS BIGINT) AS n
+       |  FROM q GROUP BY 1, 2)
+       |SELECT x.g AS label, c0.n AS n_v1, c1.n AS n_v2,
+       |  CASE WHEN x.a2 = 0 OR x.b2 = 0 THEN CAST(0 AS DOUBLE)
+       |       ELSE CAST(x.dot AS DOUBLE) /
+       |         (sqrt(CAST(x.a2 AS DOUBLE)) * sqrt(CAST(x.b2 AS DOUBLE)))
+       |  END AS centroid_cos
+       |FROM x
+       |JOIN c c0 ON c0.g = x.g AND c0.ver = 0
+       |JOIN c c1 ON c1.g = x.g AND c1.ver = 1
+       |ORDER BY label""".stripMargin
+
+  /** q217: MRR over the brute-force label-relevant ranking — the bcos/
+    * ranking CTEs mirror q213's (sequential-fold cosine, 4-dp rounding,
+    * (cs DESC, c_id) tie-break); reciprocal ranks rounded to 6 dp and
+    * summed as DECIMAL so the MRR numerator is order-independent.
+    */
+  private def mrrOracleSql: String =
+    s"""WITH bcos AS (SELECT q.vec_id AS q_id, q.label AS ql,
+       |  e.vec_id AS c_id, e.label AS cl,
+       |  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> e.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) /
+       |    (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+       |     sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4)
+       |    AS cs
+       |  FROM embeddings e, embeddings q
+       |  WHERE q.vec_id < $DcgQueries AND e.vec_id <> q.vec_id),
+       |ranked AS (SELECT q_id, ql, c_id, cl,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, c_id) AS r
+       |  FROM bcos),
+       |fr AS (SELECT q_id, CAST(min(r) AS BIGINT) AS frr
+       |  FROM ranked WHERE cl = ql GROUP BY q_id),
+       |per AS (SELECT q.vec_id AS q_id,
+       |  coalesce(fr.frr, 0) AS first_rel_rank,
+       |  CAST(CASE WHEN coalesce(fr.frr, 0) = 0 THEN CAST(0 AS DOUBLE)
+       |       ELSE round(CAST(1 AS DOUBLE) / CAST(fr.frr AS DOUBLE), 6)
+       |  END AS DECIMAL(10,6)) AS rrd
+       |  FROM embeddings q LEFT JOIN fr ON fr.q_id = q.vec_id
+       |  WHERE q.vec_id < $DcgQueries),
+       |tot AS (SELECT sum(rrd) AS srr, CAST(count(*) AS BIGINT) AS nq FROM per)
+       |SELECT per.q_id, CAST(per.first_rel_rank AS BIGINT) AS first_rel_rank,
+       |  CAST(per.rrd AS DOUBLE) AS reciprocal_rank,
+       |  CAST(tot.srr AS DOUBLE) / CAST(tot.nq AS DOUBLE) AS mrr
+       |FROM per CROSS JOIN tot ORDER BY q_id""".stripMargin
+
   private def recallCurveOracleSql: String = {
     val bits = Similarity.quantPlanes(64, SemBits).zipWithIndex.map {
       case (p, i) =>

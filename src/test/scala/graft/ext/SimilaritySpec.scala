@@ -324,4 +324,38 @@ class SimilaritySpec extends SparkSpec {
       dd, "vec_id", "embedding", dim = 2, k = 3, iters = 3)
     assert(ce.length == 3 && ce.contains(IndexedSeq(10L, 0L)))
   }
+
+  test("centroidDrift: hand-computed cosines, null groups, one-sided groups") {
+    import spark.implicits._
+    // group 1: v1 sums to (2000, 0), v2 sums to (0, 3000) → cos 0
+    // group 2: v1 (1000, 1000), v2 (2000, 2000) → cos 1
+    // group 3: only in v1 → dropped (inner-join contract)
+    // null group rows dropped
+    val v1 = Seq(
+      (Some(1), Array(1f, 0f)), (Some(1), Array(1f, 0f)),
+      (Some(2), Array(1f, 1f)),
+      (Some(3), Array(1f, 0f)),
+      (None, Array(9f, 9f))
+    ).toDF("label", "embedding")
+    val v2 = Seq(
+      (Some(1), Array(0f, 1f)), (Some(1), Array(0f, 1f)), (Some(1), Array(0f, 1f)),
+      (Some(2), Array(2f, 2f))
+    ).toDF("label", "embedding")
+    val out = Similarity.centroidDrift(v1, v2, "label", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.length === 2)
+    assert(out(0)._1 === 1L && out(0)._2 === 2L && out(0)._3 === 3L)
+    assert(math.abs(out(0)._4) < 1e-12, "orthogonal centroids → cos 0")
+    assert(out(1)._1 === 2L && math.abs(out(1)._4 - 1.0) < 1e-12,
+      "parallel centroids → cos 1 (scale-invariance)")
+  }
+
+  test("centroidDrift: zero-vector group reads 0, not NaN") {
+    import spark.implicits._
+    val v1 = Seq((1, Array(0f, 0f))).toDF("label", "embedding")
+    val v2 = Seq((1, Array(1f, 1f))).toDF("label", "embedding")
+    val out = Similarity.centroidDrift(v1, v2, "label", "embedding").collect()
+    assert(out.length === 1 && out(0).getDouble(3) === 0.0)
+  }
 }
