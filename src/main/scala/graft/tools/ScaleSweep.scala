@@ -34,6 +34,7 @@ object ScaleSweep {
     // the EXACT miner for the recall pin — x141)
     "q78_knn_join", "q99_pagerank", "q181_kmeans_codebook",
     "q212_ivf_incremental_add", "q213_recall_curve",
+    "q216_centroid_drift", "q217_retrieval_mrr",
     // lake ops
     "q90_cdc_merge", "q96_compaction_plan", "q97_incremental_agg",
     "q103_interval_join", "q110_anomaly_zscore", "q116_scd2_dimension",
@@ -108,11 +109,32 @@ object ScaleSweep {
     val loadAfter = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
+    // ISOLATED adjudication (the Bench queries_isolated methodology): a
+    // 60+-query single-session sweep accumulates page-cache dilution and
+    // shuffle-debris pressure that inflates the LATE heavy queries 1.5-2×
+    // — re-time the slowest ones in a FRESH SparkSession so the artifact
+    // carries both the in-sweep number and the quiet-box number.
+    spark.stop()
+    val slowest = r100.sortBy(-_._2).take(8).map(_._1)
+    val spark2 = GraftSession.quiet(GraftSession.local("scale-sweep-iso"))
+    val rIso = slowest.map { n =>
+      queryOf(n)(spark2, "/root/testdata/sf0.1")
+        .write.format("noop").mode("overwrite").save()
+      System.gc()
+      val t0 = System.nanoTime()
+      queryOf(n)(spark2, dir100).write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[x100-iso] $n: $dt%.2f s")
+      System.gc()
+      n -> dt
+    }
+
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (n, t) => s""""$n": ${jsonNum(t)}""" }.mkString(", ")
     val json =
       s"""{"metric": "scale_sweep_sec", "unit": "sec",
          | "factor100": {${obj(r100)}},
+         | "factor100_isolated": {${obj(rIso)}},
          | "factor10_pair_output": {${obj(r10)}},
          | "total_100x_sec": ${jsonNum(r100.map(_._2).sum)},
          | "total_10x_sec": ${jsonNum(r10.map(_._2).sum)},
@@ -124,6 +146,6 @@ object ScaleSweep {
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       json.getBytes("UTF-8"))
     println(s"[sweep] wrote $outJson")
-    spark.stop()
+    spark2.stop()
   }
 }
