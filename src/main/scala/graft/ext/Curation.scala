@@ -70,33 +70,41 @@ object Curation {
     *  - `dup_bigram_frac`: 1 − distinct bigrams / total bigrams
     *  - `keep`: the composite filter decision
     *
-    * Scale shape: EVERY metric is computed SCAN-SIDE — the top-word
-    * statistic runs through the native [[graft.functions.TopTokenCount]]
-    * expression (one O(tokens) hash-count pass per row, called from
-    * whole-stage codegen), so the operator has ZERO exchanges. The
-    * explode→groupBy×2→join formulation it replaces shuffled one row per
-    * TOKEN (100M rows at the 100× point) for a statistic that is local to
-    * each document. All ratios are single exact-operand double divisions,
-    * so the DuckDB twin reproduces them bit-exactly.
+    * Scale shape: EVERY metric is computed SCAN-SIDE in TWO native
+    * passes over the token array — [[graft.functions.TokenStats]] (one
+    * hash-count loop → n_words/n_distinct/chars/top_cnt) and
+    * [[graft.functions.WordGramHashes]] at n=2 (distinct-bigram count,
+    * hash-family-independent) — so the operator has ZERO exchanges and
+    * no interpreted HOFs. The explode→groupBy×2→join formulation this
+    * replaces shuffled one row per TOKEN (100M rows at the 100× point)
+    * for a statistic local to each document, and the composable
+    * array-expression form materialized distinct-copy and bigram-string
+    * arrays per row. All ratios are single exact-operand double
+    * divisions, so the DuckDB twin reproduces them bit-exactly.
     */
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // materialize the token and bigram arrays ONCE per row: every metric
-    // below references the attribute, so the split/filter/transform work is
-    // not re-inlined into each consumer (CollapseProject keeps non-cheap
-    // aliases used here; inlining them made the op O(tokens²) per doc)
+    // materialize the token array ONCE per row (CollapseProject keeps
+    // non-cheap aliases; inlining tokens() into each consumer made the
+    // op O(tokens²) per doc)
     val withArrays = df
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_t"))
-      .withColumn("_bg", bigramsFromTokens(col("_t")))
     val toks = col("_t")
-    val bigrams = col("_bg")
     val scan = withArrays.select(
       col(idCol),
-      size(toks).cast("long").as("n_words"),
-      size(array_distinct(toks)).cast("long").as("n_distinct_words"),
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("_chars"),
-      size(bigrams).cast("long").as("_n_bigrams"),
-      size(array_distinct(bigrams)).cast("long").as("_n_distinct_bigrams"),
-      call_function("top_token_count", toks).as("_top_cnt")
+      call_function("token_stats", toks).as("_ts"),
+      // wordNgrams n=2 semantics: < 2 tokens → no bigrams
+      when(size(toks) < 2, lit(0L))
+        .otherwise((size(toks) - 1).cast("long")).as("_n_bigrams"),
+      when(size(toks) < 2, lit(0L))
+        .otherwise(size(call_function("word_gram_hashes", toks, lit(2)))
+          .cast("long")).as("_n_distinct_bigrams")
+    ).select(
+      col(idCol),
+      col("_ts.n_words").as("n_words"),
+      col("_ts.n_distinct").as("n_distinct_words"),
+      col("_ts.chars").as("_chars"),
+      col("_ts.top_cnt").as("_top_cnt"),
+      col("_n_bigrams"), col("_n_distinct_bigrams")
     )
     val m = scan
       .withColumn("mean_word_len",

@@ -15,17 +15,21 @@ object TextAnalysis {
   def tokens(c: Column): Column =
     filter(split(trim(c), "\\s+"), t => t =!= "")
 
-  /** Token count (long). */
+  /** Token count (long) — the native one-scan counter (no token-array
+    * materialization; see [[graft.functions.TextPieceCounts]]). Same
+    * value as `size(tokens(c))`, which the q27 oracle's regex form pins.
+    */
   def tokenCount(c: Column): Column =
-    size(tokens(c)).cast("long")
+    call_function("text_piece_counts", c).getField("n_tokens")
 
   /** BPE-ish subword count estimate: alpha runs, single digits, punctuation
     * marks each count as one piece — a cheap, deterministic stand-in for a
-    * real tokenizer's piece count.
+    * real tokenizer's piece count. Native one-scan counter; the regex
+    * alternation `[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]` remains the oracle-side
+    * definition.
     */
   def bpeishTokenCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
-      .cast("long")
+    call_function("text_piece_counts", c).getField("n_pieces")
 
   /** Character-class ratios for quality scoring. */
   def alphaRatio(c: Column): Column = classRatio(c, "[^a-zA-Z]")

@@ -60,6 +60,22 @@ object GraftFunctions {
       }
     ),
     (
+      "text_piece_counts",
+      new ExpressionInfo(classOf[TextPieceCounts].getName, "text_piece_counts"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "text_piece_counts takes 1 argument")
+        TextPieceCounts(args.head)
+      }
+    ),
+    (
+      "token_stats",
+      new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "token_stats takes 1 argument")
+        TokenStats(args.head)
+      }
+    ),
+    (
       "word_gram_hashes",
       new ExpressionInfo(classOf[WordGramHashes].getName, "word_gram_hashes"),
       (args: Seq[Expression]) => {
