@@ -40,6 +40,39 @@ object Curation {
       regexp_replace(acc, re, s"[${cat.toUpperCase}]")
     }
 
+  /** k-ANONYMITY / l-DIVERSITY census over a quasi-identifier tuple: one
+    * row per equivalence class (the distinct QI combination) with its
+    * size, its count of distinct sensitive values, and the two release
+    * gates — `k_anonymous` (size ≥ k: the class cannot single out fewer
+    * than k individuals) and `l_diverse` (≥ l distinct sensitive values:
+    * the class does not reveal the sensitive attribute even when joined).
+    * The privacy audit a curation pipeline runs before releasing
+    * aggregate or record-level exports; classes failing either gate are
+    * the rows to suppress or generalize.
+    *
+    * Scale shape: one partial-aggregated groupBy on the QI tuple (counts
+    * shuffle, rows do not) with a single exact count_distinct (one
+    * distinct per agg — the q201 multi-distinct Expand trap does not
+    * arise). Null QI values form their own class, matching SQL GROUP BY
+    * in both engines.
+    */
+  def kAnonymityCensus(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensitiveCol: String,
+      k: Int,
+      l: Int
+  ): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        countDistinct(col(sensitiveCol)).cast("long").as("n_sensitive"))
+      .withColumn("k_anonymous", col("n_rows") >= k)
+      .withColumn("l_diverse", col("n_sensitive") >= l)
+      .orderBy(qiCols.map(c => asc_nulls_first(c)): _*)
+  }
+
   // ------------------------------------------- repetition (Gopher rules) ---
 
   /** Non-distinct word bigrams ("w1 w2" strings); empty/1-token texts give

@@ -1012,6 +1012,38 @@ object CurationQueries {
              |    AS fill_pct
              |FROM sel GROUP BY epoch, source, quota
              |ORDER BY epoch, source""".stripMargin)
+    ),
+
+    // ---- k-ANONYMITY / l-DIVERSITY release audit: equivalence classes of
+    //      the (segment, nation) quasi-identifier over customers, with the
+    //      banded account balance as the sensitive attribute — class size
+    //      ≥ k and ≥ l distinct sensitive values gate a privacy-safe
+    //      export. Counts shuffle, rows don't; one exact distinct per agg.
+    QueryDef(
+      "q218_k_anonymity_audit",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(col("c_mktsegment"),
+            col("c_nationkey").cast("long").as("c_nationkey"),
+            floor(col("c_acctbal") / lit(1000.0).cast("double"))
+              .cast("long").as("_band"))
+        Curation.kAnonymityCensus(c,
+          Seq("c_mktsegment", "c_nationkey"), "_band", k = 50, l = 5)
+      },
+      Some("""SELECT c_mktsegment,
+             |  CAST(c_nationkey AS BIGINT) AS c_nationkey,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(DISTINCT CAST(floor(c_acctbal /
+             |    CAST(1000.0 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+             |    AS n_sensitive,
+             |  count(*) >= 50 AS k_anonymous,
+             |  CAST(count(DISTINCT CAST(floor(c_acctbal /
+             |    CAST(1000.0 AS DOUBLE)) AS BIGINT)) AS BIGINT) >= 5
+             |    AS l_diverse
+             |FROM customer
+             |GROUP BY c_mktsegment, c_nationkey
+             |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST"""
+        .stripMargin)
     )
   )
 }
