@@ -344,25 +344,33 @@ object TextAnalysis {
       lowP: Double = 0.01
   ): DataFrame = {
     val d = lit(0.5)
+    // token IDENTITY is the xxhash64 of the token for every grouping and
+    // join below — counts are identical up to a 64-bit collision (the
+    // q140 "any consistent identity" precedent) and the LM-build shuffles
+    // move (long, long) keys instead of word strings; the probabilities
+    // and all per-doc outputs are hash-independent, which is what keeps
+    // the string-gram DuckDB oracle valid.
     val toks = df.select(col(idCol), tokens(lower(col(textCol))).as("_t"))
     val bg = toks
       .filter(size(col("_t")) >= 2)
       .select(col(idCol), col("_t"), explode(sequence(lit(1), size(col("_t")) - 1)).as("_i"))
-      .select(col(idCol), element_at(col("_t"), col("_i")).as("w1"),
-        element_at(col("_t"), col("_i") + 1).as("w2"))
-    val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("_c12"))
-    val ctx = big.groupBy("w1")
+      .select(col(idCol),
+        xxhash64(element_at(col("_t"), col("_i"))).as("h1"),
+        xxhash64(element_at(col("_t"), col("_i") + 1)).as("h2"))
+    val big = bg.groupBy("h1", "h2").agg(count(lit(1)).as("_c12"))
+    val ctx = big.groupBy("h1")
       .agg(sum(col("_c12")).as("_c1"), count(lit(1)).as("_n1p"))
-    val uni = toks.select(explode(col("_t")).as("w2"))
-      .groupBy("w2").agg(count(lit(1)).as("_c2"))
+    val uni = toks.select(explode(col("_t")).as("_w"))
+      .select(xxhash64(col("_w")).as("h2"))
+      .groupBy("h2").agg(count(lit(1)).as("_c2"))
     val total = broadcast(uni.agg(sum(col("_c2")).as("_tot")))
-    val lm = big.join(ctx, "w1").join(uni, "w2").crossJoin(total)
-      .select(col("w1"), col("w2"),
+    val lm = big.join(ctx, "h1").join(uni, "h2").crossJoin(total)
+      .select(col("h1"), col("h2"),
         (((col("_c12").cast("double") - d)
           + d * col("_n1p").cast("double")
             * (col("_c2").cast("double") / col("_tot").cast("double")))
           / col("_c1").cast("double")).as("_p"))
-    bg.join(broadcast(lm), Seq("w1", "w2"))
+    bg.join(broadcast(lm), Seq("h1", "h2"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).cast("long").as("n_bigrams"),

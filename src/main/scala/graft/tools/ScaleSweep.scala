@@ -48,7 +48,7 @@ object ScaleSweep {
     "q121_priority_sample", "q167_groupsafe_split", "q175_epoch_shuffle",
     "q177_temporal_split", "q198_length_bucket_batching",
     "q204_curriculum_schedule", "q207_training_plan",
-    "q208_schedule_realization",
+    "q208_schedule_realization", "q218_k_anonymity_audit",
     // production operating points (ScaleCheck extras)
     "x77_semantic_dedup_prod", "x141_hard_negatives_lsh",
     "x151_equal_freq_binning_approx", "x183_semantic_decon_prod",
