@@ -183,6 +183,61 @@ object Similarity {
           call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))))
   }
 
+  /** Deterministic hot-bucket skew split for the SRP bucket joins.
+    *
+    * A clustered corpus concentrates a large share of candidate pairs in a
+    * few hot buckets; whether AQE's skew-join split fires on those
+    * partitions then depends on COMPRESSED map-output sizes sitting near
+    * `skewedPartitionThresholdInBytes` — measured as a literal coin flip on
+    * the x141 channel (12.6 / 44 / 104 s across three identical runs).
+    * This helper makes the split a deterministic part of the PLAN instead:
+    * histogram the probe (exploded, larger) side per bucket, split every
+    * bucket holding more than `threshold` probe rows into
+    * ceil(n/threshold) salt groups keyed by the probe id's xxhash64, and
+    * replicate only the candidate side's hot-bucket rows across the
+    * groups. Each (probe, candidate) pair still meets exactly once — the
+    * probe's salt group is a function of the probe row, and the candidate
+    * copy carrying that salt is unique — so the join OUTPUT multiset is
+    * identical (SaltedBucketJoinSpec pins this); only the partitioning of
+    * the work changes. Replication cost is bounded: candidate rows are
+    * copied only for hot buckets, ×(hot-bucket probe rows / threshold).
+    *
+    * `threshold <= 0` (the oracle-path default) or no hot buckets → the
+    * plain equi-join, byte-for-byte the old plan.
+    */
+  private def saltedBucketJoin(
+      probes: DataFrame,
+      cands: DataFrame,
+      bucketCol: String,
+      probeIdCol: String,
+      threshold: Int
+  ): DataFrame = {
+    if (threshold <= 0) probes.join(cands, Seq(bucketCol))
+    else {
+      val hot = probes
+        .filter(col(bucketCol).isNotNull)
+        .groupBy(col(bucketCol))
+        .agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > threshold)
+        .select(col(bucketCol).cast("long"),
+          ceil(col("_n").cast("double") / threshold).cast("int").as("_ns"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getInt(1))
+        .toMap
+      if (hot.isEmpty) probes.join(cands, Seq(bucketCol))
+      else {
+        def nsOf(b: Column): Column =
+          coalesce(element_at(typedLit(hot), b.cast("long")), lit(1))
+        val p = probes.withColumn("_salt",
+          pmod(xxhash64(col(probeIdCol)), nsOf(col(bucketCol)).cast("long"))
+            .cast("int"))
+        val c = cands.withColumn("_salt",
+          explode(sequence(lit(0), nsOf(col(bucketCol)) - 1)))
+        p.join(c, Seq(bucketCol, "_salt")).drop("_salt")
+      }
+    }
+  }
+
   /** ANN top-k via LSH: restrict the scan to the query's bucket (plus, with
     * `probeHamming` > 0, every bucket within that Hamming distance — standard
     * multi-probe LSH: an SRP bit flips most easily on the planes the query
@@ -246,7 +301,8 @@ object Similarity {
       nBits: Int = 12,
       probeHamming: Int = 1,
       seed: Long = 42L,
-      portable: Boolean = false
+      portable: Boolean = false,
+      saltBucketsAbove: Int = 0
   ): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= 1,
       "probe masks are enumerated; Hamming 0 or 1 supported")
@@ -260,12 +316,14 @@ object Similarity {
       .withColumn("_bucket",
         explode(array(masks.map(m => col("_qbucket").bitwiseXOR(lit(m))): _*)))
       .drop("_qbucket")
+    // the salted join replans the hot buckets deterministically; output
+    // multiset unchanged, so rank/window results are identical
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       .withColumn("_bucket", bucketOf(col("c_vec")))
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(desc("cos_sim"), asc("c_id"))
-    q.join(c, Seq("_bucket"))
+    saltedBucketJoin(q, c, "_bucket", "q_id", saltBucketsAbove)
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         round(cosine(col("q_vec"), col("c_vec")), 4).as("cos_sim"))
@@ -1228,7 +1286,8 @@ object Similarity {
       nBits: Int = 8,
       probeHamming: Int = 1,
       seed: Long = 42L,
-      portable: Boolean = false
+      portable: Boolean = false,
+      saltBucketsAbove: Int = 0
   ): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= 1,
       "probe masks are enumerated; Hamming 0 or 1 supported")
@@ -1253,7 +1312,9 @@ object Similarity {
       .withColumn("_bucket", bucketOf(col("_vb")))
       // single-file local inputs = one partition: spread the bucket join
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-    anchors.join(cands, Seq("_bucket"))
+    // map-side struct-max partial agg means the salted split's extra
+    // (bucket, salt) groups merge for free at the final aggregation
+    saltedBucketJoin(anchors, cands, "_bucket", "vec_id", saltBucketsAbove)
       .filter(col("label") =!= col("hard_neg_label"))
       .withColumn("_cs", cosine(col("_va"), col("_vb")))
       .groupBy(col("vec_id"), col("label"))

@@ -59,10 +59,14 @@ object ScaleCheck {
     * whose 100× line the exact q141 cross product cannot produce.
     */
   val extras: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // saltBucketsAbove: deterministic hot-bucket split — without it, wall
+    // time was an AQE skew-split coin flip (12.6 / 44 / 104 s across three
+    // identical runs; see PERF.md x141 diagnosis)
     "x141_hard_negatives_lsh" -> ((s, dir) =>
       graft.ext.Similarity.hardNegativesLsh(
         graft.queries.Q.t(s, dir, "embeddings"), "vec_id", "embedding",
-        "label", dim = 64, nBits = 12, probeHamming = 1)),
+        "label", dim = 64, nBits = 12, probeHamming = 1,
+        saltBucketsAbove = 65536)),
     // q151's lake boundary pass: approx_percentile sketch instead of the
     // exact percentile whose final merge buffers the whole column
     "x151_equal_freq_binning_approx" -> ((s, dir) =>
@@ -86,7 +90,8 @@ object ScaleCheck {
     "x205_label_kappa_prod" -> ((s, dir) => {
       val e = graft.queries.Q.t(s, dir, "embeddings")
       val nn = graft.ext.Similarity.knnJoin(e, e, "vec_id", "embedding",
-        k = 1, dim = 64, nBits = 12, probeHamming = 1)
+        k = 1, dim = 64, nBits = 12, probeHamming = 1,
+        saltBucketsAbove = 65536)
       val lbl = e.select(col("vec_id"), col("label"))
       nn.join(lbl.withColumnRenamed("vec_id", "q_id")
           .withColumnRenamed("label", "_a"), "q_id")
