@@ -327,4 +327,129 @@ object FeaturePrep {
       )
       .orderBy("category")
   }
+
+  /** Isotonic (PAVA) calibration of a [0,1) score against a binary label,
+    * computed on the score-bin grid: the monotone-nondecreasing fit that
+    * minimizes weighted squared error over the binned empirical rates —
+    * what sklearn's IsotonicRegression produces when fed the binned
+    * (confidence, accuracy) reliability points, and the standard
+    * post-hoc calibrator a quality-classifier pipeline trains (q154's
+    * reliability diagram is the INPUT here; this emits the repaired,
+    * monotone curve next to it).
+    *
+    * Pool-adjacent-violators is computed CLOSED-FORM via the minimax
+    * identity  iso(i) = max_{j≤i} min_{k≥i} rate(j..k)  over bin
+    * intervals — no iteration, no driver loop. Every interval rate is a
+    * single division of two exact integer sums (label counts), so both
+    * engines produce bit-identical doubles and the min/max lattice
+    * matches exactly — which is what makes the q219 oracle hash-check.
+    *
+    * Scale shape: ONE partial-aggregated scan collapses the corpus to
+    * ≤ nBins rows; the O(nBins³) minimax runs entirely on broadcast
+    * copies of that constant-size grid (the q203 triangular-join
+    * pattern) — nothing downstream of the first aggregate depends on
+    * corpus size.
+    */
+  def isotonicCalibration(
+      df: DataFrame,
+      scoreCol: Column,
+      labelCol: Column,
+      nBins: Int = 10
+  ): DataFrame = {
+    val bin = least(floor(scoreCol * lit(nBins.toDouble)).cast(LongType),
+      lit(nBins - 1L))
+    val grid = df
+      .select(bin.as("bin"), labelCol.cast("int").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(col("y")).cast(LongType).as("pos"))
+    // prefix sums over the tiny grid: triangular broadcast self-join
+    // (never a constant-partition window — the q178 trap)
+    val g2 = grid.select(col("bin").as("b2"), col("n").as("n2"),
+      col("pos").as("p2"))
+    val prefix = grid
+      .join(broadcast(g2), col("b2") <= col("bin"))
+      .groupBy("bin", "n", "pos")
+      .agg(sum(col("n2")).cast(LongType).as("cum_n"),
+        sum(col("p2")).cast(LongType).as("cum_pos"))
+    // interval sums for every bin pair j ≤ k, from the prefix table
+    val pj = prefix.select(col("bin").as("j"),
+      (col("cum_n") - col("n")).as("before_n"),
+      (col("cum_pos") - col("pos")).as("before_pos"))
+    val pk = prefix.select(col("bin").as("k"), col("cum_n"), col("cum_pos"))
+    val intervals = pj
+      .join(broadcast(pk), col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        (d(col("cum_pos") - col("before_pos")) /
+          d(col("cum_n") - col("before_n"))).as("rate"))
+    // iso(i) = max over j ≤ i of (min over k ≥ i of rate(j..k))
+    val bins = grid.select(col("bin").as("i"))
+    val inner = intervals
+      .join(broadcast(bins), col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy("i", "j")
+      .agg(min(col("rate")).as("mrate"))
+      .groupBy("i")
+      .agg(max(col("mrate")).as("iso"))
+    grid
+      .join(broadcast(inner), col("bin") === col("i"))
+      .select(col("bin"), col("n"), col("pos").as("n_pos"),
+        round(d(col("pos")) / d(col("n")), 6).as("raw_rate"),
+        round(col("iso"), 6).as("iso_rate"))
+      .orderBy("bin")
+  }
+
+  /** Murphy decomposition of the Brier score on the score-bin grid:
+    * brier = reliability − resolution + uncertainty, plus the exact
+    * (unbinned) Brier mean — the one-row scorecard for a probabilistic
+    * quality classifier. Counts stay integers; per-row and per-bin double
+    * contributions are rounded to fixed decimals and DECIMAL-routed
+    * before summation, so every sum is order-independent and the final
+    * readout is a fixed-shape IEEE expression (the q147/q154 discipline).
+    *
+    * Scale shape: one partial-aggregated scan to ≤ nBins rows plus one
+    * global 1-row aggregate; the decomposition itself runs on the
+    * broadcast grid.
+    */
+  def brierDecomposition(
+      df: DataFrame,
+      scoreCol: Column,
+      labelCol: Column,
+      nBins: Int = 10
+  ): DataFrame = {
+    val bin = least(floor(scoreCol * lit(nBins.toDouble)).cast(LongType),
+      lit(nBins - 1L))
+    val y = labelCol.cast("int")
+    val sqErr = (scoreCol - y.cast("double")) * (scoreCol - y.cast("double"))
+    val grid = df
+      .select(bin.as("bin"), scoreCol.as("score"), y.as("y"),
+        sqErr.as("sq"))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(col("y")).cast(LongType).as("pos"),
+        sum(round(col("score"), 6).cast(DecimalType(18, 6))).as("sconf"),
+        sum(round(col("sq"), 9).cast(DecimalType(18, 9))).as("ssq"))
+    val tot = broadcast(grid.agg(
+      sum(col("n")).cast(LongType).as("nn"),
+      sum(col("pos")).cast(LongType).as("pp"),
+      sum(col("ssq")).cast(DecimalType(28, 9)).as("tsq")))
+    val ybar = d(col("pp")) / d(col("nn"))
+    val pbarB = d(col("sconf")) / d(col("n"))
+    val ybarB = d(col("pos")) / d(col("n"))
+    val relC = d(col("n")) * (pbarB - ybarB) * (pbarB - ybarB)
+    val resC = d(col("n")) * (ybarB - ybar) * (ybarB - ybar)
+    grid
+      .crossJoin(tot)
+      .groupBy("nn", "pp", "tsq")
+      .agg(
+        sum(round(relC, 9).cast(DecimalType(28, 9))).as("rel"),
+        sum(round(resC, 9).cast(DecimalType(28, 9))).as("res"))
+      .select(
+        col("nn").as("n"),
+        round(d(col("pp")) / d(col("nn")), 6).as("base_rate"),
+        round((d(col("pp")) / d(col("nn"))) *
+          (lit(1.0) - d(col("pp")) / d(col("nn"))), 6).as("uncertainty"),
+        round(d(col("rel")) / d(col("nn")), 6).as("reliability"),
+        round(d(col("res")) / d(col("nn")), 6).as("resolution"),
+        round(d(col("tsq")) / d(col("nn")), 6).as("brier"))
+  }
 }

@@ -519,4 +519,86 @@ object Summary {
     rows.toDF("table_name", "n_files", "n_rows", "compressed_bytes",
       "uncompressed_bytes", "plan_est_bytes")
   }
+
+  /** Dominant eigenvector/eigenvalue of the columns' correlation matrix by
+    * POWER ITERATION — the first principal direction of the numeric
+    * columns without any sklearn/ML dependency (the spectral readout next
+    * to q44's matrix; [[FactorAnalysisEM]] stays the full factor model).
+    *
+    * Engine-portable by construction (the q184 driver-side-iteration
+    * discipline): the ONE distributed pass collects exact DECIMAL-routed
+    * sufficient statistics (count, per-column sums, pairwise product sums
+    * — order-independent, so partitioning cannot perturb them); every
+    * correlation entry is then one fixed-shape IEEE expression over those
+    * exact operands (never an engine corr() accumulator), and the
+    * `iters` matvec+normalize steps run ascending-index left-associated
+    * folds that a DuckDB recursive CTE replays verbatim — q220
+    * hash-checks components AND eigenvalue with zero tolerance. Rows with
+    * a null in any column are dropped (complete-case, both engines).
+    *
+    * Scale shape: one partial-aggregated scan (k + k(k+1)/2 + 1 exact
+    * aggregates) to a single row; the k×k iteration is driver-side math
+    * on that row (k is the column count — tens at most).
+    */
+  def dominantEigen(
+      spark: SparkSession,
+      df: DataFrame,
+      cols: Seq[String],
+      iters: Int = 16,
+      decScale: Int = 2
+  ): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val k = cols.length
+    val dec = DecimalType(18, decScale)
+    val complete = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    val pairs = for { i <- 0 until k; j <- i until k } yield (i, j)
+    val aggs =
+      count(lit(1)).cast(LongType).as("_n") +:
+        (cols.map(c => sum(col(c).cast(dec)).as(s"_s$c")) ++
+          pairs.map { case (i, j) =>
+            sum((col(cols(i)).cast(dec) * col(cols(j)).cast(dec)))
+              .as(s"_p${i}_$j")
+          })
+    val row = complete.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0).toDouble
+    val s = Array.tabulate(k)(i => row.getDecimal(1 + i).doubleValue())
+    val pIdx = pairs.zipWithIndex.toMap
+    val p = Array.tabulate(k, k) { (i, j) =>
+      val key = if (j >= i) (i, j) else (j, i)
+      row.getDecimal(1 + k + pIdx(key)).doubleValue()
+    }
+    // corr(i,j) as ONE fixed-shape double expression over exact operands —
+    // the DuckDB twin writes the identical expression text
+    val m = Array.tabulate(k, k) { (i, j) =>
+      (n * p(i)(j) - s(i) * s(j)) /
+        (math.sqrt(n * p(i)(i) - s(i) * s(i)) *
+          math.sqrt(n * p(j)(j) - s(j) * s(j)))
+    }
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(k) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < k) { acc += m(i)(j) * v(j); j += 1 } // ascending-j fold
+        acc
+      }
+    def nrm(r: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < k) { acc += r(i) * r(i); i += 1 }
+      math.sqrt(acc)
+    }
+    var v = Array.fill(k)(1.0)
+    (0 until iters).foreach { _ =>
+      val r = matvec(v)
+      val d = nrm(r)
+      v = r.map(_ / d)
+    }
+    val lambda = nrm(matvec(v))
+    val out = cols.zipWithIndex.map { case (c, i) => Row(c, v(i), lambda) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      StructType(Seq(StructField("index", StringType),
+        StructField("loading", DoubleType),
+        StructField("eigenvalue", DoubleType))))
+  }
 }

@@ -73,6 +73,50 @@ object Curation {
       .orderBy(qiCols.map(c => asc_nulls_first(c)): _*)
   }
 
+  /** GENERALIZATION LADDER for k-anonymity: given an ordered sequence of
+    * increasingly coarse quasi-identifier projections (the domain
+    * generalization hierarchy — e.g. exact balance → balance/100 →
+    * balance/1000 → dropped), audit every level in one query and mark the
+    * FIRST level whose minimum equivalence-class size reaches `k` — the
+    * release decision ([[kAnonymityCensus]] is the per-class drill-down
+    * at whatever level this picks). Per level it reports the class count,
+    * the minimum class size, and the suppression cost (rows living in
+    * classes below `k` — what you'd have to drop to release at that
+    * level WITHOUT generalizing further).
+    *
+    * Scale shape: one partial-aggregated groupBy per ladder level (each
+    * shuffles only its class-key tuples + counts, never rows), reduced to
+    * one row per level; the "first level that meets k" marking is a
+    * broadcast of the 1-row minimum over the ≤|levels|-row result. Levels
+    * are independent scans and pipeline in one job.
+    */
+  def anonymizationLadder(
+      df: DataFrame,
+      levels: Seq[(String, Seq[Column])],
+      k: Int
+  ): DataFrame = {
+    require(levels.nonEmpty, "need at least one generalization level")
+    val perLevel = levels.zipWithIndex.map { case ((name, qi), idx) =>
+      df.groupBy(qi: _*)
+        .agg(count(lit(1)).cast("long").as("_sz"))
+        .agg(
+          count(lit(1)).cast("long").as("n_classes"),
+          min(col("_sz")).cast("long").as("min_class_size"),
+          coalesce(sum(when(col("_sz") < k, col("_sz"))), lit(0L))
+            .cast("long").as("rows_below_k"))
+        .select(lit(idx.toLong).as("level"), lit(name).as("level_name"),
+          col("n_classes"), col("min_class_size"), col("rows_below_k"),
+          (col("min_class_size") >= k).as("meets_k"))
+    }
+    val ladder = perLevel.reduce(_.unionByName(_))
+    val first = broadcast(ladder.filter(col("meets_k"))
+      .agg(coalesce(min(col("level")), lit(-1L)).as("_first")))
+    ladder.crossJoin(first)
+      .withColumn("chosen", col("level") === col("_first"))
+      .drop("_first")
+      .orderBy("level")
+  }
+
   // ------------------------------------------- repetition (Gopher rules) ---
 
   /** Non-distinct word bigrams ("w1 w2" strings); empty/1-token texts give

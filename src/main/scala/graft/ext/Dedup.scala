@@ -273,6 +273,51 @@ object Dedup {
     aggregate(zip_with(a, b, (x, y) => (x === y).cast("int")),
       lit(0), (acc, m) => acc + m).cast("double") / size(a)
 
+  /** The LSH banding S-CURVE planning table: candidate probability
+    * p = 1 − (1 − s^r)^b over a Jaccard-similarity grid for each (bands,
+    * rows-per-band) split of the signature — the analytic curve that
+    * decides the banding before any corpus pass (every b·r split of the
+    * same `nHashes` signature costs the same index, but trades recall at
+    * low s against candidate volume). `candidate_majority` marks p ≥ 0.5,
+    * whose s-crossing is the effective similarity threshold of the
+    * banding ((1/b)^(1/r) in closed form).
+    *
+    * Engine-portable by construction: both exponents must be powers of
+    * two so s^r and (1−s^r)^b evaluate as SQUARING CHAINS — fixed-shape
+    * IEEE multiplications with zero libm calls (the q149 exact-dyadics
+    * family; pow() would not hash-match across engines). Grid points are
+    * i/gridN single divisions. A constant-size planning table — no input
+    * data, no shuffle.
+    */
+  def lshBandingCurve(
+      spark: org.apache.spark.sql.SparkSession,
+      nHashes: Int = 64,
+      bandsOptions: Seq[Int] = Seq(4, 8, 16, 32),
+      gridN: Int = 20
+  ): DataFrame = {
+    def isPow2(x: Int): Boolean = x > 0 && (x & (x - 1)) == 0
+    require(isPow2(nHashes), "nHashes must be a power of two")
+    bandsOptions.foreach(b => require(isPow2(b) && b < nHashes,
+      s"bands=$b must be a power of two dividing nHashes"))
+    val grid = spark.range(1, gridN.toLong)
+      .select((col("id").cast("double") / lit(gridN.toDouble)).as("s"))
+    val perConfig = bandsOptions.map { b =>
+      val r = nHashes / b
+      def square(c: Column, times: Int): Column =
+        (0 until times).foldLeft(c)((acc, _) => acc * acc)
+      val log2 = (x: Int) => java.lang.Integer.numberOfTrailingZeros(x)
+      val sr = square(col("s"), log2(r))
+      val miss = square(lit(1.0) - sr, log2(b))
+      grid.select(
+        lit(b.toLong).as("bands"),
+        lit((nHashes / b).toLong).as("rows_per_band"),
+        round(col("s"), 2).as("s"),
+        round(lit(1.0) - miss, 6).as("p_candidate"),
+        (lit(1.0) - miss >= 0.5).as("candidate_majority"))
+    }
+    perConfig.reduce(_.unionByName(_)).orderBy("bands", "s")
+  }
+
   /** Incremental near-dup detection of a NEW batch against an EXISTING
     * corpus represented ONLY by its stored signature index — the
     * steady-state ingest shape at lake scale: the historical corpus is one

@@ -1044,6 +1044,61 @@ object CurationQueries {
              |GROUP BY c_mktsegment, c_nationkey
              |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST"""
         .stripMargin)
-    )
+    ),
+
+    // ---- GENERALIZATION LADDER companion to q218: audit the whole domain
+    //      hierarchy for the (segment, nation, balance) quasi-identifier
+    //      in one query and mark the first level meeting k=25 — the
+    //      release decision, with per-level suppression cost. One
+    //      partial-agg groupBy per level (class keys + counts shuffle,
+    //      rows never); the marking broadcasts a 1-row minimum.
+    QueryDef(
+      "q221_anonymization_ladder",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val nation = col("c_nationkey").cast("long")
+        val seg = col("c_mktsegment")
+        val bal = col("c_acctbal").cast("double")
+        Curation.anonymizationLadder(c,
+          Seq(
+            "balance_exact" -> Seq(seg, nation, bal),
+            "balance_100" ->
+              Seq(seg, nation, floor(bal / lit(100.0).cast("double"))),
+            "balance_1000" ->
+              Seq(seg, nation, floor(bal / lit(1000.0).cast("double"))),
+            "drop_balance" -> Seq(seg, nation),
+            "segment_only" -> Seq(seg)),
+          k = 25)
+      },
+      Some {
+        val levels = Seq(
+          ("balance_exact",
+            "c_mktsegment, CAST(c_nationkey AS BIGINT), CAST(c_acctbal AS DOUBLE)"),
+          ("balance_100",
+            "c_mktsegment, CAST(c_nationkey AS BIGINT), floor(CAST(c_acctbal AS DOUBLE) / CAST(100.0 AS DOUBLE))"),
+          ("balance_1000",
+            "c_mktsegment, CAST(c_nationkey AS BIGINT), floor(CAST(c_acctbal AS DOUBLE) / CAST(1000.0 AS DOUBLE))"),
+          ("drop_balance", "c_mktsegment, CAST(c_nationkey AS BIGINT)"),
+          ("segment_only", "c_mktsegment"))
+        val perLevel = levels.zipWithIndex.map { case ((nm, keys), i) =>
+          s"""a$i AS (SELECT CAST($i AS BIGINT) AS level,
+             |  '$nm' AS level_name,
+             |  CAST(count(*) AS BIGINT) AS n_classes,
+             |  CAST(min(sz) AS BIGINT) AS min_class_size,
+             |  CAST(coalesce(sum(sz) FILTER (WHERE sz < 25), 0) AS BIGINT)
+             |    AS rows_below_k,
+             |  min(sz) >= 25 AS meets_k
+             |FROM (SELECT count(*) AS sz FROM customer GROUP BY $keys))"""
+            .stripMargin
+        }.mkString(",\n")
+        val union = levels.indices.map(i => s"SELECT * FROM a$i")
+          .mkString(" UNION ALL ")
+        s"""WITH $perLevel,
+           |u AS ($union),
+           |fl AS (SELECT coalesce(min(level) FILTER (WHERE meets_k), -1)
+           |  AS _first FROM u)
+           |SELECT u.*, u.level = fl._first AS chosen
+           |FROM u, fl ORDER BY level""".stripMargin
+      })
   )
 }

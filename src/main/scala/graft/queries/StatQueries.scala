@@ -1066,6 +1066,199 @@ object StatQueries {
              |      + CAST(k AS BIGINT) * CAST(vhi AS DECIMAL(18,6))
              |    AS DOUBLE) / CAST(w AS DOUBLE) AS winsorized_mean
              |FROM i ORDER BY event_type""".stripMargin)
-    )
+    ),
+
+    // ---- isotonic (PAVA) calibration of the q154 en-confidence score:
+    //      closed-form minimax on the bin grid (no iteration) — every
+    //      interval rate is one division of exact integer sums, so the
+    //      whole min/max lattice hash-matches across engines
+    QueryDef(
+      "q219_isotonic_calibration",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ntok = graft.ext.TextAnalysis.tokenCount(col("text"))
+        val hits = graft.ext.TextAnalysis.langScore(col("text"), "en")
+        val score = when(ntok === 0, lit(0.0))
+          .otherwise(least(
+            lit(5.0) * hits.cast("double") / ntok.cast("double"), lit(1.0)))
+        graft.analytics.FeaturePrep.isotonicCalibration(
+          docs, score, coalesce(col("lang"), lit("")) === "en")
+      },
+      Some("""WITH f AS (
+             |  SELECT coalesce(lang, '') = 'en' AS y,
+             |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |      x -> x <> '')) AS ntok,
+             |    len(regexp_extract_all(lower(text),
+             |      '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS hits
+             |  FROM documents),
+             |s AS (SELECT y, CASE WHEN ntok = 0 THEN CAST(0.0 AS DOUBLE)
+             |    ELSE least(CAST(5.0 AS DOUBLE)*CAST(hits AS DOUBLE)
+             |      /CAST(ntok AS DOUBLE), CAST(1.0 AS DOUBLE)) END AS score
+             |  FROM s0),
+             |b AS (SELECT
+             |    least(CAST(floor(score*CAST(10.0 AS DOUBLE)) AS BIGINT), 9)
+             |      AS bin, CAST(y AS INT) AS yi FROM s),
+             |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(yi) AS BIGINT) AS pos FROM b GROUP BY bin),
+             |pre AS (SELECT g.bin, g.n, g.pos,
+             |    CAST(sum(g2.n) AS BIGINT) AS cum_n,
+             |    CAST(sum(g2.pos) AS BIGINT) AS cum_pos
+             |  FROM g JOIN g g2 ON g2.bin <= g.bin GROUP BY 1, 2, 3),
+             |iv AS (SELECT pj.bin AS j, pk.bin AS k,
+             |    CAST(pk.cum_pos - (pj.cum_pos - pj.pos) AS DOUBLE)
+             |      / CAST(pk.cum_n - (pj.cum_n - pj.n) AS DOUBLE) AS rate
+             |  FROM pre pj JOIN pre pk ON pj.bin <= pk.bin),
+             |mn AS (SELECT gi.bin AS i, iv.j, min(rate) AS mrate
+             |  FROM iv JOIN g gi ON iv.j <= gi.bin AND iv.k >= gi.bin
+             |  GROUP BY 1, 2),
+             |iso AS (SELECT i, max(mrate) AS iso FROM mn GROUP BY 1)
+             |SELECT g.bin, g.n, g.pos AS n_pos,
+             |  round(CAST(g.pos AS DOUBLE)/CAST(g.n AS DOUBLE), 6)
+             |    AS raw_rate,
+             |  round(iso, 6) AS iso_rate
+             |FROM g JOIN iso ON iso.i = g.bin ORDER BY g.bin"""
+        .stripMargin
+        .replace("FROM s0)", "FROM f)"))),
+
+    // ---- Murphy decomposition of the Brier score for the same score:
+    //      brier = reliability − resolution + uncertainty; counts stay
+    //      integers, bin contributions DECIMAL-routed (q147/q154 shapes)
+    QueryDef(
+      "q222_brier_decomposition",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ntok = graft.ext.TextAnalysis.tokenCount(col("text"))
+        val hits = graft.ext.TextAnalysis.langScore(col("text"), "en")
+        val score = when(ntok === 0, lit(0.0))
+          .otherwise(least(
+            lit(5.0) * hits.cast("double") / ntok.cast("double"), lit(1.0)))
+        graft.analytics.FeaturePrep.brierDecomposition(
+          docs, score, coalesce(col("lang"), lit("")) === "en")
+      },
+      Some("""WITH f AS (
+             |  SELECT coalesce(lang, '') = 'en' AS y,
+             |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |      x -> x <> '')) AS ntok,
+             |    len(regexp_extract_all(lower(text),
+             |      '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS hits
+             |  FROM documents),
+             |s AS (SELECT CAST(y AS INT) AS yi,
+             |    CASE WHEN ntok = 0 THEN CAST(0.0 AS DOUBLE)
+             |    ELSE least(CAST(5.0 AS DOUBLE)*CAST(hits AS DOUBLE)
+             |      /CAST(ntok AS DOUBLE), CAST(1.0 AS DOUBLE)) END AS score
+             |  FROM f),
+             |b AS (SELECT
+             |    least(CAST(floor(score*CAST(10.0 AS DOUBLE)) AS BIGINT), 9)
+             |      AS bin, score, yi,
+             |    (score - CAST(yi AS DOUBLE))*(score - CAST(yi AS DOUBLE))
+             |      AS sq FROM s),
+             |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(yi) AS BIGINT) AS pos,
+             |    sum(CAST(round(score, 6) AS DECIMAL(18,6))) AS sconf,
+             |    sum(CAST(round(sq, 9) AS DECIMAL(18,9))) AS ssq
+             |  FROM b GROUP BY bin),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+             |    CAST(sum(pos) AS BIGINT) AS pp,
+             |    CAST(sum(ssq) AS DECIMAL(28,9)) AS tsq FROM g),
+             |c AS (SELECT nn, pp, tsq,
+             |    sum(CAST(round(CAST(n AS DOUBLE)
+             |      * (CAST(sconf AS DOUBLE)/CAST(n AS DOUBLE)
+             |         - CAST(pos AS DOUBLE)/CAST(n AS DOUBLE))
+             |      * (CAST(sconf AS DOUBLE)/CAST(n AS DOUBLE)
+             |         - CAST(pos AS DOUBLE)/CAST(n AS DOUBLE)), 9)
+             |      AS DECIMAL(28,9))) AS rel,
+             |    sum(CAST(round(CAST(n AS DOUBLE)
+             |      * (CAST(pos AS DOUBLE)/CAST(n AS DOUBLE)
+             |         - CAST(pp AS DOUBLE)/CAST(nn AS DOUBLE))
+             |      * (CAST(pos AS DOUBLE)/CAST(n AS DOUBLE)
+             |         - CAST(pp AS DOUBLE)/CAST(nn AS DOUBLE)), 9)
+             |      AS DECIMAL(28,9))) AS res
+             |  FROM g, tot GROUP BY nn, pp, tsq)
+             |SELECT nn AS n,
+             |  round(CAST(pp AS DOUBLE)/CAST(nn AS DOUBLE), 6) AS base_rate,
+             |  round((CAST(pp AS DOUBLE)/CAST(nn AS DOUBLE))
+             |    *(CAST(1.0 AS DOUBLE)
+             |      - CAST(pp AS DOUBLE)/CAST(nn AS DOUBLE)), 6)
+             |    AS uncertainty,
+             |  round(CAST(rel AS DOUBLE)/CAST(nn AS DOUBLE), 6)
+             |    AS reliability,
+             |  round(CAST(res AS DOUBLE)/CAST(nn AS DOUBLE), 6)
+             |    AS resolution,
+             |  round(CAST(tsq AS DOUBLE)/CAST(nn AS DOUBLE), 6) AS brier
+             |FROM c""".stripMargin)),
+
+    // ---- dominant eigenvector of the text-feature correlation matrix by
+    //      power iteration: ONE exact sufficient-stats scan; the 16
+    //      matvec+normalize steps are driver-side fixed-shape folds that
+    //      the oracle replays with a recursive CTE — raw doubles, zero
+    //      tolerance (the q184 driver-iteration family, now spectral)
+    QueryDef(
+      "q220_dominant_eigen",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = graft.ext.TextAnalysis.tokens(col("text"))
+        val feats = docs
+          .filter(col("text").isNotNull)
+          .select(
+            length(col("text")).cast("long").as("n_chars"),
+            graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+            size(array_distinct(toks)).cast("long").as("n_distinct"),
+            regexp_count(col("text"), lit("[0-9]")).cast("long")
+              .as("n_digits"))
+        Summary.dominantEigen(s, feats,
+          Seq("n_chars", "n_tokens", "n_distinct", "n_digits"),
+          iters = 16, decScale = 0)
+      },
+      Some {
+        val toksSql =
+          "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+        val feats = Seq(
+          "n_chars" -> "CAST(length(text) AS BIGINT)",
+          "n_tokens" -> s"CAST(len($toksSql) AS BIGINT)",
+          "n_distinct" -> s"CAST(len(list_distinct($toksSql)) AS BIGINT)",
+          "n_digits" -> "CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)")
+        val k = feats.length
+        val pairs = for { i <- 0 until k; j <- i until k } yield (i, j)
+        val featSel = feats
+          .map { case (nm, ex) => s"$ex AS $nm" }.mkString(", ")
+        val statSel = (Seq("CAST(count(*) AS BIGINT) AS n") ++
+          feats.zipWithIndex.map { case ((nm, _), i) =>
+            s"CAST(sum(CAST($nm AS DECIMAL(18,0))) AS DOUBLE) AS s$i" } ++
+          pairs.map { case (i, j) =>
+            s"CAST(sum(CAST(${feats(i)._1} AS DECIMAL(18,0))" +
+              s" * CAST(${feats(j)._1} AS DECIMAL(18,0))) AS DOUBLE)" +
+              s" AS p${i}_$j" }).mkString(", ")
+        def pRef(i: Int, j: Int) = if (j >= i) s"p${i}_$j" else s"p${j}_$i"
+        val nD = "CAST(n AS DOUBLE)"
+        def mExpr(i: Int, j: Int) =
+          s"($nD*${pRef(i, j)} - s$i*s$j) / " +
+            s"(sqrt($nD*${pRef(i, i)} - s$i*s$i)" +
+            s" * sqrt($nD*${pRef(j, j)} - s$j*s$j))"
+        val mSel = (for { i <- 0 until k; j <- 0 until k }
+          yield s"${mExpr(i, j)} AS m${i}_$j").mkString(", ")
+        def rExpr(i: Int) =
+          (0 until k).map(j => s"m${i}_$j*v$j").mkString(" + ")
+        val nrm = "sqrt(" +
+          (0 until k).map(i => s"(${rExpr(i)})*(${rExpr(i)})")
+            .mkString(" + ") + ")"
+        val stepSel = (0 until k)
+          .map(i => s"(${rExpr(i)}) / $nrm AS v$i").mkString(", ")
+        val initSel = (0 until k)
+          .map(i => s"CAST(1.0 AS DOUBLE) AS v$i").mkString(", ")
+        val outRows = feats.zipWithIndex.map { case ((nm, _), i) =>
+          s"SELECT '$nm' AS index, v$i AS loading, eigenvalue FROM fin, lam"
+        }.mkString(" UNION ALL ")
+        s"""WITH RECURSIVE feats AS (
+           |  SELECT $featSel FROM documents WHERE text IS NOT NULL),
+           |st AS (SELECT $statSel FROM feats),
+           |m AS (SELECT $mSel FROM st),
+           |it AS (
+           |  SELECT 0 AS step, $initSel
+           |  UNION ALL
+           |  SELECT step + 1, $stepSel FROM it, m WHERE step < 16),
+           |fin AS (SELECT * FROM it WHERE step = 16),
+           |lam AS (SELECT $nrm AS eigenvalue FROM fin, m)
+           |$outRows ORDER BY index""".stripMargin
+      })
   )
 }

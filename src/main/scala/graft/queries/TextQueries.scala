@@ -1196,6 +1196,42 @@ object TextQueries {
               |    CAST(tot.ndocs AS DOUBLE), 4) AS pct_docs
               |FROM np JOIN nd USING (threshold), tot
               |ORDER BY threshold""".stripMargin)
-    )
+    ),
+
+    // ---- the LSH banding S-curve planning table: candidate probability
+    //      1−(1−s^r)^b for every power-of-two split of the 64-hash
+    //      signature, via SQUARING CHAINS (zero libm; the q149 exact-
+    //      dyadics discipline). Constant-size — decides q25/q74's banding
+    //      before any corpus pass.
+    QueryDef(
+      "q223_lsh_banding_curve",
+      (s, _) => graft.ext.Dedup.lshBandingCurve(s),
+      Some {
+        val configs = Seq(4, 8, 16, 32).map(b => (b, 64 / b))
+        def log2(x: Int): Int = java.lang.Integer.numberOfTrailingZeros(x)
+        // s^r and (1 − s^r)^b as squaring-chain CTEs: each step exposes
+        // (s, x) / (s, y), one squaring per step, names unique per config
+        val perConfig = configs.map { case (b, r) =>
+          val srSteps = (0 until log2(r)).map(t =>
+            s"x${t + 1}_$b AS (SELECT s, x * x AS x FROM x${t}_$b)")
+          val missSteps = (0 until log2(b)).map(t =>
+            s"y${t + 1}_$b AS (SELECT s, y * y AS y FROM y${t}_$b)")
+          val chain = Seq(
+            s"grid_$b AS (SELECT CAST(range AS DOUBLE) " +
+              s"/ CAST(20.0 AS DOUBLE) AS s FROM range(1, 20))",
+            s"x0_$b AS (SELECT s, s AS x FROM grid_$b)") ++ srSteps ++ Seq(
+            s"y0_$b AS (SELECT s, CAST(1.0 AS DOUBLE) - x AS y " +
+              s"FROM x${log2(r)}_$b)") ++ missSteps
+          val last = s"y${log2(b)}_$b"
+          (chain.mkString(",\n"),
+            s"SELECT CAST($b AS BIGINT) AS bands, " +
+              s"CAST($r AS BIGINT) AS rows_per_band, round(s, 2) AS s, " +
+              s"round(CAST(1.0 AS DOUBLE) - y, 6) AS p_candidate, " +
+              s"(CAST(1.0 AS DOUBLE) - y) >= CAST(0.5 AS DOUBLE) " +
+              s"AS candidate_majority FROM $last")
+        }
+        s"WITH ${perConfig.map(_._1).mkString(",\n")}\n" +
+          s"${perConfig.map(_._2).mkString(" UNION ALL ")} ORDER BY bands, s"
+      })
   )
 }
