@@ -75,6 +75,62 @@ object Graph {
     ranks
   }
 
+  /** Synchronous LABEL-PROPAGATION community detection over an undirected
+    * edge list, fixed `rounds`: every node starts as its own label; each
+    * round every node adopts the most frequent label among its neighbors,
+    * ties broken to the LOWEST label (the deterministic variant of
+    * Raghavan et al. 2007 — synchronous sweeps + total tie order make the
+    * result engine-reproducible, unlike the randomized-order original).
+    * Complements [[Dedup.connectedComponents]] (which merges everything
+    * reachable): LPA splits dense regions joined by thin bridges.
+    *
+    * Returns (node, community) for every node; isolated endpoints cannot
+    * occur (every node is on an edge by construction).
+    *
+    * Scale shape: per round, ONE equi-join of the directed edge list
+    * against the current (node, label) table, one (node, label) count
+    * aggregate, and a per-node struct-max argmax over the already-reduced
+    * count table — every shuffle moves (long, long, count) rows only,
+    * never adjacency lists. The struct max runs on the post-aggregation
+    * table (≤ one row per distinct neighbor label per node), not the raw
+    * pair stream, so the q141/x214 SortAggregate hazard does not bite.
+    * Lineage truncates per round with localCheckpoint (the pageRank
+    * pattern).
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int = 3
+  ): DataFrame = {
+    val s = col(srcCol).cast("long")
+    val d = col(dstCol).cast("long")
+    val canon = edges
+      .select(least(s, d).as("a"), greatest(s, d).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    val adj = canon
+      .select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(canon.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint(true)
+    var labels = adj.select(col("node")).distinct()
+      .select(col("node"), col("node").as("community"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = adj
+        .join(labels.select(col("node").as("nbr"),
+          col("community").as("nl")), "nbr")
+        .groupBy(col("node"), col("nl"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        // argmax (count desc, label asc) as a map-side max of struct
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("nl")).as("m"))).as("_b"))
+        .select(col("node"), (-col("_b.m")).cast("long").as("community"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Exact triangle census over an undirected edge list: node/edge counts,
     * wedge (open-path) count, triangle count, and the global clustering
     * coefficient 3·triangles / wedges.

@@ -524,4 +524,74 @@ object LakeOps {
       .unionByName(oldLeft.join(broadcast(deltaRight), usingKey))
       .unionByName(broadcast(deltaLeft).join(broadcast(deltaRight), usingKey))
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment: key k goes to
+    * argmax over shards s of hash(k ":" s), ties to the LOWEST shard.
+    * The consistent-placement scheme for 100-TB lake layout: growing
+    * N → N+1 shards moves ONLY the keys whose new winner is the NEW
+    * shard — an expected 1/(N+1) of the data — with zero coordination
+    * state (no ring, no lookup table to persist).
+    *
+    * `portable = true` swaps xxhash64 for the md5-derived
+    * [[Dedup.portableHash60]] so the full assignment — and the minimal-
+    * movement property itself — is DuckDB-hash-checkable (q225 proves
+    * `moved_in = 0` for every pre-existing shard through the oracle
+    * gate); production keeps xxhash64 (faster, full 64-bit spread).
+    * The argmax is a greatest() over nShards scan-side hash columns —
+    * pure codegen, no explode, no join.
+    */
+  def rendezvousShard(
+      keyCol: Column,
+      nShards: Int,
+      portable: Boolean = false
+  ): Column = {
+    require(nShards >= 1 && nShards <= 64, "shard count out of range")
+    def h(s: Int): Column = {
+      val tagged = concat(keyCol.cast("string"), lit(s":" + s))
+      if (portable) Dedup.portableHash60(tagged) else xxhash64(tagged)
+    }
+    val hs = (0 until nShards).map(h)
+    val m =
+      if (hs.length == 1) hs.head else greatest(hs: _*)
+    // first shard attaining the max wins (ties → lowest s)
+    (0 until nShards)
+      .foldRight(lit(null).cast("long")) { (s, acc) =>
+        when(h(s) === m, lit(s.toLong)).otherwise(acc)
+      }
+  }
+
+  /** Reshard census for an N → N+1 rendezvous scale-out: per NEW shard,
+    * the row counts under the old and new layouts and how many rows moved
+    * IN from a different old shard. Rendezvous guarantees moved_in = 0
+    * for every shard except the new one — the minimal-movement theorem,
+    * which the q225 oracle hash-verifies from raw keys.
+    *
+    * Scale shape: both assignments are computed scan-side in the same
+    * pass (2·N+1 hash evaluations per row, all codegen); ONE count
+    * aggregate on (shard_after) + one on (shard_before), joined on ≤ N+1
+    * rows. Rows never shuffle — only per-shard counters do.
+    */
+  def rendezvousReshardCensus(
+      df: DataFrame,
+      idCol: String,
+      nShardsBefore: Int,
+      portable: Boolean = false
+  ): DataFrame = {
+    val assigned = df.select(
+      rendezvousShard(col(idCol), nShardsBefore, portable).as("before"),
+      rendezvousShard(col(idCol), nShardsBefore + 1, portable).as("after"))
+    val after = assigned
+      .groupBy(col("after").as("shard"))
+      .agg(count(lit(1)).cast("long").as("n_after"),
+        coalesce(sum(when(col("before") =!= col("after"), 1L)), lit(0L))
+          .cast("long").as("moved_in"))
+    val before = assigned
+      .groupBy(col("before").as("shard"))
+      .agg(count(lit(1)).cast("long").as("n_before"))
+    after
+      .join(before, Seq("shard"), "left")
+      .select(col("shard"), coalesce(col("n_before"), lit(0L)).as("n_before"),
+        col("n_after"), col("moved_in"))
+      .orderBy("shard")
+  }
 }

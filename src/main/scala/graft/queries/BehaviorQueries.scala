@@ -407,8 +407,70 @@ object BehaviorQueries {
           itemOut = "supp_key")
       },
       Some(bradleyTerryOracleSql)
+    ),
+
+    // ---- deterministic synchronous label propagation on the Q1-1995
+    //      co-purchase graph (q162's edges): 3 sweeps, most-frequent
+    //      neighbor label, ties to the lowest — community census. The
+    //      oracle unrolls the 3 rounds; counts stay integers throughout
+    QueryDef(
+      "q224_label_propagation",
+      (s, dir) => {
+        val ords = t(s, dir, "orders")
+          .filter(col("o_orderdate").cast("date")
+            .between("1995-01-01", "1995-03-31"))
+          .select(col("o_orderkey"))
+        val items = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(ords, col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_partkey")
+          .distinct()
+        val x = items.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
+        val y = items.select(col("l_orderkey").as("k"), col("l_partkey").as("pb"))
+        val pairs = x.join(y, Seq("k")).filter(col("pa") < col("pb"))
+          .select(col("pa").as("src"), col("pb").as("dst"))
+        graft.ext.Graph.labelPropagation(pairs, "src", "dst", rounds = 3)
+          .groupBy("community")
+          .agg(count(lit(1)).cast("long").as("n_members"))
+          .orderBy("community")
+      },
+      Some(labelPropagationOracleSql)
     )
   )
+
+  /** The q224 oracle: the same co-purchase edge set as q162, then 3
+    * unrolled synchronous LPA rounds — per round a (node, label) count and
+    * a (count DESC, label ASC) argmax via row_number, mirroring the
+    * engine's struct-max exactly.
+    */
+  private def labelPropagationOracleSql: String = {
+    val sb = new StringBuilder(
+      """WITH ords AS (SELECT o_orderkey FROM orders
+        |    WHERE CAST(o_orderdate AS DATE)
+        |      BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'),
+        |items AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+        |  FROM lineitem JOIN ords ON l_orderkey = o_orderkey),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM items x JOIN items y USING (k) WHERE x.p < y.p),
+        |adj AS (SELECT a AS node, b AS nbr FROM e
+        |  UNION ALL SELECT b, a FROM e),
+        |r0 AS (SELECT DISTINCT node, node AS community FROM adj),"""
+        .stripMargin)
+    for (k <- 1 to 3)
+      sb ++= s"""
+                |c$k AS (SELECT adj.node, l.community AS nl,
+                |    CAST(count(*) AS BIGINT) AS c
+                |  FROM adj JOIN r${k - 1} l ON l.node = adj.nbr
+                |  GROUP BY 1, 2),
+                |r$k AS (SELECT node, nl AS community FROM (
+                |    SELECT node, nl, row_number()
+                |      OVER (PARTITION BY node ORDER BY c DESC, nl) AS rn
+                |    FROM c$k) WHERE rn = 1),""".stripMargin
+    sb.toString.stripSuffix(",") +
+      """
+        |SELECT community, CAST(count(*) AS BIGINT) AS n_members
+        |FROM r3 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** The q184 oracle: 3 unrolled MM iterations; each denominator is a
     * `list_sum` over the ascending-j list — the exact fold order the

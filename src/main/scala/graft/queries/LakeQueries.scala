@@ -1348,6 +1348,43 @@ object LakeQueries {
              |    AS range_changed
              |FROM o JOIN nw ON nw.col_ = o.col_
              |ORDER BY o.col_""".stripMargin)
-    )
+    ),
+
+    // ---- rendezvous (HRW) reshard census, 8 → 9 shards: per new shard
+    //      the old/new row counts and rows moved in from another shard —
+    //      the hash gate PROVES minimal movement (moved_in = 0 everywhere
+    //      except the new shard). Portable md5 hash family; production
+    //      uses xxhash64. All assignment work is scan-side codegen.
+    QueryDef(
+      "q225_rendezvous_reshard",
+      (s, dir) =>
+        graft.ext.LakeOps.rendezvousReshardCensus(
+          t(s, dir, "documents"), "doc_id", nShardsBefore = 8,
+          portable = true),
+      Some {
+        def h(sd: Int) =
+          s"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$sd'), 1, 15))::BIGINT AS h$sd"
+        val hCols = (0 to 8).map(h).mkString(", ")
+        def m(n: Int) =
+          s"greatest(${(0 until n).map(i => s"h$i").mkString(", ")})"
+        def pick(n: Int, mName: String) =
+          "CASE " + (0 until n)
+            .map(i => s"WHEN h$i = $mName THEN CAST($i AS BIGINT)")
+            .mkString(" ") + " END"
+        s"""WITH h AS (SELECT $hCols FROM documents),
+           |hm AS (SELECT *, ${m(8)} AS mb, ${m(9)} AS ma FROM h),
+           |a AS (SELECT ${pick(8, "mb")} AS before,
+           |    ${pick(9, "ma")} AS after FROM hm),
+           |af AS (SELECT after AS shard, CAST(count(*) AS BIGINT) AS n_after,
+           |    CAST(coalesce(sum(CASE WHEN before <> after THEN 1 END), 0)
+           |      AS BIGINT) AS moved_in
+           |  FROM a GROUP BY 1),
+           |bf AS (SELECT before AS shard, CAST(count(*) AS BIGINT)
+           |    AS n_before FROM a GROUP BY 1)
+           |SELECT af.shard, CAST(coalesce(bf.n_before, 0) AS BIGINT)
+           |    AS n_before, af.n_after, af.moved_in
+           |FROM af LEFT JOIN bf USING (shard) ORDER BY af.shard"""
+          .stripMargin
+      })
   )
 }

@@ -109,4 +109,32 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(edges, "src", "dst", k = 5).count() == 0)
     assert(Graph.kCore(edges, "src", "dst", k = 1).count() == 7)
   }
+
+  test("labelPropagation separates two cliques joined by one bridge") {
+    // K4 {0..3} — bridge 3-10 — K4 {10..13}: CC would merge everything;
+    // LPA must keep two communities (min label wins within each clique)
+    val k4a = for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)
+    val k4b = for { a <- 10L to 13L; b <- 10L to 13L if a < b } yield (a, b)
+    val edges = (k4a ++ k4b ++ Seq((3L, 10L))).toDF("src", "dst")
+    val comm = Graph.labelPropagation(edges, "src", "dst", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(comm.size == 8)
+    val cA = (0L to 3L).map(comm).toSet
+    val cB = (10L to 13L).map(comm).toSet
+    assert(cA.size == 1, s"clique A fragmented: $cA")
+    assert(cB.size == 1, s"clique B fragmented: $cB")
+    assert(cA != cB, "bridge must not merge the cliques")
+  }
+
+  test("labelPropagation: star is deterministic incl. the known bipartite oscillation") {
+    // star: hub 5, leaves 1..4. Synchronous LPA oscillates on bipartite
+    // structures: odd rounds → leaves hold 5 / hub holds 1 (min of the
+    // leaf tie), even rounds → the reverse. Fixed rounds make the result
+    // deterministic — this pins the exact phase for rounds = 3
+    val edges = (1L to 4L).map(l => (5L, l)).toDF("src", "dst")
+    val comm = Graph.labelPropagation(edges, "src", "dst", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 4L).forall(comm(_) == 5L))
+    assert(comm(5L) == 1L)
+  }
 }

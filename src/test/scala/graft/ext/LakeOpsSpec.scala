@@ -340,4 +340,28 @@ class LakeOpsSpec extends SparkSpec {
     val plan = refreshed.queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan)
   }
+
+  test("rendezvous reshard moves only keys won by the new shard") {
+    import spark.implicits._
+    val keys = (1L to 5000L).toDF("id")
+    val census = LakeOps
+      .rendezvousReshardCensus(keys, "id", nShardsBefore = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(census.length == 9)
+    // the minimal-movement theorem: moved_in = 0 except on the new shard
+    census.filter(_._1 < 8).foreach { case (s, _, _, moved) =>
+      assert(moved == 0L, s"shard $s gained rows on scale-out")
+    }
+    val newShard = census.find(_._1 == 8L).get
+    assert(newShard._4 == newShard._3 && newShard._2 == 0L)
+    // expected movement ≈ 1/9 of keys; allow wide tolerance
+    assert(newShard._3 > 5000 / 9 / 2 && newShard._3 < 5000 / 9 * 2)
+    // conservation of rows
+    assert(census.map(_._3).sum == 5000L && census.map(_._2).sum == 5000L)
+    // portable hash family obeys the same theorem (the oracle path)
+    val port = LakeOps
+      .rendezvousReshardCensus(keys, "id", 8, portable = true)
+      .as[(Long, Long, Long, Long)].collect()
+    port.filter(_._1 < 8).foreach(r => assert(r._4 == 0L))
+  }
 }
