@@ -370,4 +370,67 @@ object Graph {
           col("n_wedges").cast("double"), 6).as("transitivity")
       )
   }
+
+  /** Common-neighbor link prediction: rank the NON-edges of an undirected
+    * graph by how many neighbors the two endpoints share (plus the Jaccard
+    * normalization cn / (deg_a + deg_b − cn)) and return the top-k — the
+    * classic "which parts will co-sell next quarter" candidate generator.
+    *
+    * Input: canonical edges with src < dst; duplicates are removed unless
+    * `assumeDistinct` (a repeated edge would double-count every wedge
+    * through it — the q228 co-purchase builder emits one pair per shared
+    * order).
+    *
+    * Scale shape: the wedge stream (pairs of neighbors around each center)
+    * is Σ deg² rows, but it is CONSUMED map-side — groupBy(a,b) partial-
+    * aggregates each center's pairs where they are generated (the q141
+    * argmax pattern), so the exchange carries one row per CANDIDATE pair,
+    * not per wedge. Existing edges leave via a long-pair anti-join; top-k
+    * plans as TakeOrderedAndProject. No orientation trick applies to OPEN
+    * wedges (the center is fixed), so a hub with degree d contributes d²
+    * wedges — `maxDegree` is the production dial that drops super-hub
+    * centers (cap 0 = exact, the oracle point).
+    */
+  def commonNeighborTopK(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      topK: Int,
+      maxDegree: Long = 0L,
+      assumeDistinct: Boolean = false
+  ): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    // a repeated (a,b) input edge would double-count every wedge through
+    // it — dedup unless the caller already did (pageRank's flag pattern)
+    val e = if (assumeDistinct) e0 else e0.distinct().localCheckpoint(true)
+    val adj = e.select(col("a").as("ctr"), col("b").as("nbr"))
+      .union(e.select(col("b").as("ctr"), col("a").as("nbr")))
+    val deg = adj.groupBy("ctr").agg(count(lit(1)).cast("long").as("deg"))
+    val adjD =
+      if (maxDegree > 0)
+        adj.join(deg.filter(col("deg") <= maxDegree), Seq("ctr"))
+          .select("ctr", "nbr")
+      else adj
+    val x = adjD.select(col("ctr"), col("nbr").as("na"))
+    val y = adjD.select(col("ctr"), col("nbr").as("nb"))
+    val cn = x.join(y, Seq("ctr"))
+      .filter(col("na") < col("nb"))
+      .groupBy(col("na").as("a"), col("nb").as("b"))
+      .agg(count(lit(1)).cast("long").as("cn"))
+    // rank by cn BEFORE the degree lookups: the cut is a
+    // TakeOrderedAndProject over the candidate stream, and the k surviving
+    // rows broadcast into the degree joins (never the reverse)
+    val top = cn.join(e, Seq("a", "b"), "left_anti")
+      .orderBy(desc("cn"), asc("a"), asc("b"))
+      .limit(topK)
+    broadcast(top)
+      .join(deg.select(col("ctr").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("ctr").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(col("a"), col("b"), col("cn"), col("deg_a"), col("deg_b"),
+        (col("cn").cast("double") /
+          (col("deg_a") + col("deg_b") - col("cn")).cast("double"))
+          .as("jaccard"))
+      .orderBy(desc("cn"), asc("a"), asc("b"))
+  }
 }

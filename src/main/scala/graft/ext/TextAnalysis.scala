@@ -463,4 +463,66 @@ object TextAnalysis {
         (col("score") > 0).cast("long").as("predicted_target"))
       .orderBy("doc_id")
   }
+
+  /** Concat-then-chunk packing census — the GPT-style pretraining packer
+    * (concatenate documents in a deterministic order, cut every
+    * `chunkTokens` tokens) audited per shard: how many chunks the shard
+    * yields, how many documents straddle a chunk boundary (and how many
+    * boundaries in total they cross), and the fraction that land intact
+    * inside a single chunk. Complements [[packSequences]] (first-fit packs,
+    * no doc splitting) with the no-padding concatenation layout.
+    *
+    * Determinism/scale shape: shard = hash(id) mod `nShards`, order within
+    * a shard = (hash, id) — the classic distributed prefix-sum layout. The
+    * running token offset is a per-shard ROWS window, so each shard is one
+    * sorted task (the packer's inherent sequentiality); pick nShards ≈ the
+    * cluster's core count and every other step is scan-side or a tiny
+    * nShards-row aggregate. No global window, no driver pass.
+    *
+    * `portable=true` swaps xxhash64 for the md5-derived 60-bit hash so the
+    * whole layout (shard, order, offsets, boundary census) is
+    * DuckDB-checkable (q226); production uses the faster xxhash64 family.
+    *
+    * @param df one row per document; `tokenCol` = its token count (long)
+    */
+  def concatChunkCensus(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      nShards: Int,
+      chunkTokens: Long,
+      portable: Boolean = false
+  ): DataFrame = {
+    require(nShards > 0 && chunkTokens > 0, "nShards and chunkTokens must be positive")
+    val h =
+      if (portable) Dedup.portableHash60(col(idCol).cast("string"))
+      else xxhash64(col(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_shard")
+      .orderBy(col("_h"), col("_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol).as("_id"), col(tokenCol).cast("long").as("_tok"),
+        h.as("_h"))
+      .withColumn("_shard", pmod(col("_h"), lit(nShards.toLong)))
+      .withColumn("_cb", coalesce(sum(col("_tok")).over(w), lit(0L)))
+      // first / last chunk index the doc's tokens land in; an empty doc
+      // sits "at" its offset and crosses nothing
+      .withColumn("_fc", expr(s"_cb div $chunkTokens"))
+      .withColumn("_lc",
+        when(col("_tok") === 0, col("_fc"))
+          .otherwise(expr(s"(_cb + _tok - 1) div $chunkTokens")))
+      .withColumn("_cross", col("_lc") - col("_fc"))
+      .groupBy(col("_shard").as("shard"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("_tok")).cast("long").as("tok_total"),
+        expr(s"(sum(_tok) + ${chunkTokens - 1}) div $chunkTokens")
+          .cast("long").as("n_chunks"),
+        sum((col("_cross") > 0).cast("long")).cast("long").as("boundary_docs"),
+        sum(col("_cross")).cast("long").as("total_crossings"))
+      .withColumn("intact_frac",
+        round((col("n_docs") - col("boundary_docs")).cast("double") /
+          col("n_docs").cast("double"), 6))
+      .orderBy("shard")
+  }
 }

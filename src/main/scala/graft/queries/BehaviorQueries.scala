@@ -435,6 +435,56 @@ object BehaviorQueries {
           .orderBy("community")
       },
       Some(labelPropagationOracleSql)
+    ),
+
+    // ---- common-neighbor link prediction on the same Q1-1995 co-purchase
+    //      graph: top-20 NON-edges by shared-neighbor count (+ Jaccard
+    //      normalization) — "which parts will co-sell next". Wedge pairs
+    //      partial-aggregate map-side (q141 pattern); the k survivors
+    //      broadcast into the degree lookups, never the reverse
+    QueryDef(
+      "q228_link_prediction",
+      (s, dir) => {
+        val ords = t(s, dir, "orders")
+          .filter(col("o_orderdate").cast("date")
+            .between("1995-01-01", "1995-03-31"))
+          .select(col("o_orderkey"))
+        val items = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(ords, col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_partkey")
+          .distinct()
+        val x = items.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
+        val y = items.select(col("l_orderkey").as("k"), col("l_partkey").as("pb"))
+        val pairs = x.join(y, Seq("k")).filter(col("pa") < col("pb"))
+          .select(col("pa").as("src"), col("pb").as("dst"))
+        graft.ext.Graph.commonNeighborTopK(pairs, "src", "dst", topK = 20)
+      },
+      Some("""WITH ords AS (SELECT o_orderkey FROM orders
+             |    WHERE CAST(o_orderdate AS DATE)
+             |      BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'),
+             |items AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+             |  FROM lineitem JOIN ords ON l_orderkey = o_orderkey),
+             |e AS (SELECT DISTINCT CAST(x.p AS BIGINT) AS a,
+             |    CAST(y.p AS BIGINT) AS b
+             |  FROM items x JOIN items y USING (k) WHERE x.p < y.p),
+             |adj AS (SELECT a AS ctr, b AS nbr FROM e
+             |  UNION ALL SELECT b, a FROM e),
+             |deg AS (SELECT ctr, CAST(count(*) AS BIGINT) AS deg
+             |  FROM adj GROUP BY 1),
+             |cn AS (SELECT x.nbr AS a, y.nbr AS b,
+             |    CAST(count(*) AS BIGINT) AS cn
+             |  FROM adj x JOIN adj y ON x.ctr = y.ctr AND x.nbr < y.nbr
+             |  GROUP BY 1, 2),
+             |cand AS (SELECT cn.a, cn.b, cn.cn FROM cn
+             |  ANTI JOIN e ON cn.a = e.a AND cn.b = e.b),
+             |top AS (SELECT * FROM cand ORDER BY cn DESC, a, b LIMIT 20)
+             |SELECT t.a, t.b, t.cn, da.deg AS deg_a, db.deg AS deg_b,
+             |  CAST(t.cn AS DOUBLE) / CAST(da.deg + db.deg - t.cn AS DOUBLE)
+             |    AS jaccard
+             |FROM top t JOIN deg da ON da.ctr = t.a
+             |  JOIN deg db ON db.ctr = t.b
+             |ORDER BY t.cn DESC, t.a, t.b""".stripMargin)
     )
   )
 

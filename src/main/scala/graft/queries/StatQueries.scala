@@ -1259,6 +1259,68 @@ object StatQueries {
            |fin AS (SELECT * FROM it WHERE step = 16),
            |lam AS (SELECT $nrm AS eigenvalue FROM fin, m)
            |$outRows ORDER BY index""".stripMargin
-      })
+      }),
+
+    // ---- Krippendorff's alpha (nominal) over a simulated 3-rater panel:
+    //      rater r skips a doc when md5(doc:m:r) % 7 = 0 (missing data)
+    //      and miscodes it to upper(lang) when md5(doc:v:r) % 10 = 0 —
+    //      the multi-rater/missing-data agreement statistic Cohen's kappa
+    //      (q205) cannot express. All sufficient statistics are integers
+    //      (a2 = 2·coincidence diagonal, exact for ≤3 raters); one double
+    //      division at the end, mirrored shape-for-shape in the twin
+    QueryDef(
+      "q227_krippendorff_alpha",
+      (s, dir) => {
+        val langs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        val ratings = langs
+          .withColumn("rater", explode(sequence(lit(0), lit(2))))
+          .withColumn("_hm", graft.ext.Dedup.portableHash60(
+            concat(col("doc_id").cast("string"), lit(":m"),
+              col("rater").cast("string"))))
+          .filter(pmod(col("_hm"), lit(7L)) =!= 0)
+          .withColumn("_hv", graft.ext.Dedup.portableHash60(
+            concat(col("doc_id").cast("string"), lit(":v"),
+              col("rater").cast("string"))))
+          .withColumn("cat",
+            when(pmod(col("_hv"), lit(10L)) === 0, upper(col("lang")))
+              .otherwise(col("lang")))
+        graft.ext.Preference.krippendorffAlpha(ratings, "doc_id", "cat")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, lang, range AS rater
+             |  FROM documents, range(0, 3)),
+             |k AS (SELECT doc_id, rater, lang,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':m' ||
+             |      CAST(rater AS VARCHAR)), 1, 15))::BIGINT AS hm,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v' ||
+             |      CAST(rater AS VARCHAR)), 1, 15))::BIGINT AS hv
+             |  FROM r),
+             |rt AS (SELECT doc_id AS u,
+             |    CASE WHEN hv % 10 = 0 THEN upper(lang) ELSE lang END AS c
+             |  FROM k WHERE hm % 7 <> 0),
+             |uc AS (SELECT u, c, CAST(count(*) AS BIGINT) AS nuc
+             |  FROM rt GROUP BY 1, 2),
+             |pu AS (SELECT u, CAST(sum(nuc) AS BIGINT) AS mu,
+             |    CAST(sum(nuc * (nuc - 1)) AS BIGINT) AS sp
+             |  FROM uc GROUP BY 1 HAVING sum(nuc) >= 2),
+             |pua AS (SELECT u, mu, (2 * sp) // (mu - 1) AS a2u FROM pu),
+             |cuc AS (SELECT uc.* FROM uc JOIN pua USING (u)),
+             |mg AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+             |    sum(CAST(nc AS DECIMAL(18,0)) * CAST(nc AS DECIMAL(18,0)))
+             |      AS sncsq
+             |  FROM (SELECT c, CAST(sum(nuc) AS BIGINT) AS nc
+             |        FROM cuc GROUP BY 1)),
+             |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+             |    CAST(sum(mu) AS BIGINT) AS n_ratings,
+             |    CAST(sum(a2u) AS BIGINT) AS a2 FROM pua)
+             |SELECT n_units, n_ratings, n_categories, a2,
+             |  CAST(1.0 AS DOUBLE) -
+             |    CAST(CAST(n_ratings - 1 AS DECIMAL(18,0)) *
+             |         CAST(2 * n_ratings - a2 AS DECIMAL(18,0)) AS DOUBLE) /
+             |    (CAST(CAST(n_ratings AS DECIMAL(18,0)) *
+             |          CAST(n_ratings AS DECIMAL(18,0)) - sncsq AS DOUBLE)
+             |     * 2) AS alpha
+             |FROM tt, mg""".stripMargin)
+    )
   )
 }

@@ -1232,6 +1232,51 @@ object TextQueries {
         }
         s"WITH ${perConfig.map(_._1).mkString(",\n")}\n" +
           s"${perConfig.map(_._2).mkString(" UNION ALL ")} ORDER BY bands, s"
-      })
+      }),
+
+    // ---- concat-then-chunk packing census (GPT-style pretraining packer):
+    //      shard by portable hash, order by (hash, id), running token
+    //      offset = per-shard ROWS window (distributed prefix sum), then
+    //      per shard the chunk count and the boundary-straddling census.
+    //      The hash gate pins the whole layout — shard assignment, packing
+    //      order, offsets and crossings — not just the totals
+    QueryDef(
+      "q226_concat_chunk_packing",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        graft.ext.TextAnalysis.concatChunkCensus(
+          toks, "doc_id", "n_tok", nShards = 8, chunkTokens = 256,
+          portable = true)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |      x -> x <> '')) AS BIGINT) AS n_tok,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |      AS h
+             |  FROM documents),
+             |s AS (SELECT doc_id, n_tok, h, h % 8 AS shard FROM tok),
+             |c AS (SELECT shard, n_tok,
+             |    coalesce(sum(n_tok) OVER (PARTITION BY shard
+             |      ORDER BY h, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+             |  FROM s),
+             |d AS (SELECT shard, n_tok, cb, cb // 256 AS fc,
+             |    CASE WHEN n_tok = 0 THEN cb // 256
+             |         ELSE (cb + n_tok - 1) // 256 END AS lc
+             |  FROM c)
+             |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS tok_total,
+             |  CAST((sum(n_tok) + 255) // 256 AS BIGINT) AS n_chunks,
+             |  CAST(coalesce(sum(CASE WHEN lc > fc THEN 1 END), 0) AS BIGINT)
+             |    AS boundary_docs,
+             |  CAST(sum(lc - fc) AS BIGINT) AS total_crossings,
+             |  round(CAST(count(*) -
+             |      coalesce(sum(CASE WHEN lc > fc THEN 1 END), 0) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS intact_frac
+             |FROM d GROUP BY shard ORDER BY shard""".stripMargin)
+    )
   )
 }

@@ -137,4 +137,43 @@ class GraphSpec extends SparkSpec {
     assert((1L to 4L).forall(comm(_) == 5L))
     assert(comm(5L) == 1L)
   }
+
+  test("commonNeighborTopK: hand-computed wedges, edges excluded, dup-safe") {
+    // triangle 1-2-3 plus 1-4, 4-5: non-edges with a common neighbor are
+    // (2,4)/(3,4) via 1 and (1,5) via 4 — each cn=1; edge (2,3) excluded
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val top = Graph.commonNeighborTopK(edges, "src", "dst", topK = 10)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    val asMap = top.map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(asMap.keySet == Set((1L, 5L), (2L, 4L), (3L, 4L)))
+    // deg(2)=2, deg(4)=2, cn=1 → jaccard 1/3
+    assert(asMap((2L, 4L)) == ((1L, 2L, 2L)))
+    val j24 = top.find(r => (r._1, r._2) == ((2L, 4L))).get._6
+    assert(math.abs(j24 - 1.0 / 3.0) < 1e-12)
+    // duplicated input edges must not double-count wedges
+    val dup = Graph.commonNeighborTopK(
+      edges.union(edges), "src", "dst", topK = 10)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(dup.map(r => (r._1, r._2, r._3)).toSet ==
+      top.map(r => (r._1, r._2, r._3)).toSet)
+    // ranking: adding 6 adjacent to 2 and 4 lifts (2,4) to cn=2 via {1,6}
+    // AND creates (1,6) with cn=2 via {2,4}; the (cn desc, a, b) tie-break
+    // puts (1,6) first
+    val more = edges.union(Seq((2L, 6L), (4L, 6L)).toDF("src", "dst"))
+    val top2 = Graph.commonNeighborTopK(more, "src", "dst", topK = 2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(top2.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1L, 6L, 2L), (2L, 4L, 2L)))
+  }
+
+  test("commonNeighborTopK: maxDegree drops super-hub centers") {
+    // star around 0 (degree 4) — every leaf pair is a candidate via 0;
+    // capping below the hub degree leaves no wedge centers at all
+    val edges = (1L to 4L).map(i => (0L, i)).toDF("src", "dst")
+    assert(Graph.commonNeighborTopK(edges, "src", "dst", 10).count() == 6)
+    assert(
+      Graph.commonNeighborTopK(edges, "src", "dst", 10, maxDegree = 3)
+        .count() == 0)
+  }
 }

@@ -41,4 +41,34 @@ class PreferenceSpec extends SparkSpec {
       .select("item").as[Long].collect().toSeq
     assert(order.head == 10L) // 5/7 vs 4/7 win rate vs the common opponent
   }
+
+  test("krippendorffAlpha: hand-computed mixed panel = 0.5") {
+    // u1 {a,a}, u2 {a,b}, u3 {b,b,b}, u4 {a} (dropped: <2 ratings).
+    // A2 = 4+0+6 = 10, n = 7, marginals a=3 b=4 → Σnc² = 25.
+    // alpha = 1 − (n−1)(2n−A2)/(2(n²−Σnc²)) = 1 − 6·4/48 = 0.5
+    val ratings = Seq(
+      (1L, "a"), (1L, "a"),
+      (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (3L, "b"),
+      (4L, "a")
+    ).toDF("unit", "cat")
+    val r = Preference.krippendorffAlpha(ratings, "unit", "cat")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(r == ((3L, 7L, 2L, 10L, 0.5)))
+  }
+
+  test("krippendorffAlpha: perfect agreement = 1, refuses inexact panels") {
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("unit", "cat")
+    val r = Preference.krippendorffAlpha(perfect, "unit", "cat")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(r._5 == 1.0)
+    // a 4-rater unit with counts {2,1,1}: 2·Σn(n−1) = 4 not divisible by
+    // m−1 = 3 — the operator must throw, not silently round
+    val inexact = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "c"))
+      .toDF("unit", "cat")
+    assertThrows[IllegalArgumentException] {
+      Preference.krippendorffAlpha(inexact, "unit", "cat").collect()
+    }
+  }
 }

@@ -92,6 +92,36 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(first == again)
   }
 
+  test("concatChunkCensus: hand-computed boundary crossings") {
+    import spark.implicits._
+    // one shard, equal-sized docs → the census is layout-order-invariant:
+    // offsets 0/100/200 against 150-token chunks — only the middle doc
+    // straddles a boundary; an empty doc crosses nothing
+    val docs = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 0L))
+      .toDF("id", "n_tok")
+    val r = TextAnalysis
+      .concatChunkCensus(docs, "id", "n_tok", nShards = 1, chunkTokens = 150)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+    assert(r.length == 1)
+    val (shard, nDocs, tok, chunks, bdocs, cross, intact) = r.head
+    assert(shard == 0L && nDocs == 4L && tok == 300L && chunks == 2L)
+    assert(bdocs == 1L && cross == 1L)
+    assert(intact == 0.75)
+    // a document wider than several chunks crosses each boundary it spans
+    val wide = Seq((1L, 400L)).toDF("id", "n_tok")
+    val w = TextAnalysis
+      .concatChunkCensus(wide, "id", "n_tok", nShards = 1, chunkTokens = 150)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().head
+    assert(w._4 == 3L && w._5 == 1L && w._6 == 2L)
+    // shard totals partition the corpus for any shard count
+    val many = (1L to 100L).map(i => (i, i % 7)).toDF("id", "n_tok")
+    val census = TextAnalysis
+      .concatChunkCensus(many, "id", "n_tok", nShards = 8, chunkTokens = 10)
+    val agg = census.agg(sum("n_docs"), sum("tok_total")).head()
+    assert(agg.getLong(0) == 100L)
+    assert(agg.getLong(1) == (1L to 100L).map(_ % 7).sum)
+  }
+
   test("planted junk and duplicates are removed, clean prose kept") {
     import spark.implicits._
     val prose = "the quick brown fox jumps over the lazy dog and then " +
