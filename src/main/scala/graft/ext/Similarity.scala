@@ -332,6 +332,74 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Label-noise detection by neighborhood disagreement (the confident-
+    * learning heuristic): score every labeled point by the fraction of its
+    * k nearest neighbors (bucketed [[knnJoin]], never all-pairs) carrying a
+    * DIFFERENT label, flag it suspect when a strict majority disagree, and
+    * return the per-label census — the "which class's labels are dirty"
+    * readout that drives relabeling queues.
+    *
+    * Scale shape: the kNN channel is the q78 machinery (SRP buckets +
+    * multi-probe, one equi-join); the two label lookups join at (q_id) /
+    * (c_id) grain on the k·N pair rows — long + label only, never vectors;
+    * the census is a tiny per-label aggregate. Points whose probe buckets
+    * hold no other vector simply go unscored (n_scored counts them out) —
+    * the honest recall trade of the bucketed channel.
+    */
+  def labelNoiseByNeighbors(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      dim: Int,
+      nBits: Int = 12,
+      probeHamming: Int = 1,
+      seed: Long = 42L,
+      portable: Boolean = false,
+      saltBucketsAbove: Int = 0
+  ): DataFrame = {
+    val knn = knnJoin(df, df, idCol, vecCol, k, dim, nBits, probeHamming,
+      seed, portable, saltBucketsAbove)
+    labelNoiseCensus(knn, df, idCol, labelCol)
+  }
+
+  /** The label-noise census over ANY (q_id, c_id) neighbor pair set — the
+    * shared tail of q229 (bucketed-kNN channel) and the IVF-PQ production
+    * channel (x214's code-only recipe at k=5): only longs + labels cross
+    * its exchanges regardless of how the pairs were mined.
+    */
+  def labelNoiseCensus(
+      pairs: DataFrame,
+      labeled: DataFrame,
+      idCol: String,
+      labelCol: String
+  ): DataFrame = {
+    val lab = labeled.select(col(idCol).as("_lid"), col(labelCol).as("_lab"))
+    val per = pairs
+      .join(lab.select(col("_lid").as("q_id"), col("_lab").as("label_q")),
+        Seq("q_id"))
+      .join(lab.select(col("_lid").as("c_id"), col("_lab").as("label_c")),
+        Seq("c_id"))
+      .groupBy("q_id", "label_q")
+      .agg(count(lit(1)).cast("long").as("n_nbrs"),
+        sum((col("label_c") =!= col("label_q")).cast("long"))
+          .cast("long").as("n_disagree"))
+      .withColumn("suspect",
+        (col("n_disagree") * 2 > col("n_nbrs")).cast("long"))
+    per.groupBy(col("label_q").as("label"))
+      .agg(count(lit(1)).cast("long").as("n_scored"),
+        sum(col("suspect")).cast("long").as("n_suspect"),
+        sum(col("n_disagree")).cast("long").as("_sd"),
+        sum(col("n_nbrs")).cast("long").as("_sn"))
+      .select(col("label"), col("n_scored"), col("n_suspect"),
+        round(col("n_suspect").cast("double") /
+          col("n_scored").cast("double"), 6).as("suspect_rate"),
+        round(col("_sd").cast("double") /
+          col("_sn").cast("double"), 6).as("disagree_rate"))
+      .orderBy("label")
+  }
+
   /** Embedding-level near-duplicate DEDUP: bucket (SRP LSH) → verify
     * (rounded cosine ≥ threshold) → connect (min-label components over the
     * verified pairs) → keep the LOWEST id of each cluster. The transitive

@@ -883,6 +883,21 @@ object SimilarityQueries {
           .orderBy("q_id")
       },
       Some(mrrOracleSql)
+    ),
+
+    // ---- label-noise detection (confident-learning heuristic): per label,
+    //      how many points have a strict MAJORITY of their k=5 bucketed
+    //      nearest neighbors carrying a different label. The q78 kNN
+    //      machinery end-to-end — the oracle re-derives buckets, probes,
+    //      ranks, then the disagreement census
+    QueryDef(
+      "q229_label_noise_knn",
+      (s, dir) =>
+        Similarity.labelNoiseByNeighbors(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+          k = 5, dim = 64, nBits = SemBits, probeHamming = 1,
+          portable = true),
+      Some(labelNoiseOracleSql)
     )
   )
 
@@ -1175,6 +1190,61 @@ object SimilarityQueries {
        |      AS rank
        |  FROM sims) r
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** The q229 oracle: the q78 knn-join pipeline over ALL points at k=5,
+    * then per-point neighbor-label disagreement and the per-label suspect
+    * census (strict majority = 2·n_disagree > n_nbrs, integers only until
+    * the two rounded rate divisions).
+    */
+  private def labelNoiseOracleSql: String = {
+    val bits = Similarity.quantPlanes(64, SemBits).zipWithIndex.map {
+      case (p, i) =>
+        val lst = p.mkString("[", ",", "]")
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), " +
+          s"j -> ($lst)[j] * vq[j])) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" +\n  ")
+    val masks = (0L +: (0 until SemBits).map(i => 1L << i).toSeq)
+      .mkString("[", ",", "]")
+    s"""WITH vq AS (SELECT vec_id,
+       |  list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS vq
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, CAST($bits AS BIGINT) AS bucket FROM vq),
+       |probes AS (SELECT q.vec_id AS q_id, xor(q.bucket, m.m) AS bucket
+       |  FROM b q, (SELECT unnest($masks::BIGINT[]) AS m) m),
+       |cand AS (SELECT p.q_id, c.vec_id AS c_id
+       |  FROM probes p JOIN b c ON c.bucket = p.bucket
+       |  WHERE c.vec_id <> p.q_id),
+       |sims AS (SELECT q_id, c_id,
+       |  round(list_sum(list_transform(range(1, len(eq.embedding) + 1),
+       |      i -> eq.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE)) /
+       |    (sqrt(list_sum(list_transform(eq.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+       |     sqrt(list_sum(list_transform(ec.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4)
+       |    AS cos_sim
+       |  FROM cand
+       |  JOIN embeddings eq ON eq.vec_id = cand.q_id
+       |  JOIN embeddings ec ON ec.vec_id = cand.c_id),
+       |topk AS (SELECT q_id, c_id FROM (
+       |  SELECT q_id, c_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id)
+       |      AS rank
+       |  FROM sims) r WHERE rank <= 5),
+       |per AS (SELECT t.q_id, lq.label AS label_q,
+       |    CAST(count(*) AS BIGINT) AS n_nbrs,
+       |    CAST(coalesce(sum(CASE WHEN lc.label <> lq.label THEN 1 END), 0)
+       |      AS BIGINT) AS n_disagree
+       |  FROM topk t
+       |  JOIN embeddings lq ON lq.vec_id = t.q_id
+       |  JOIN embeddings lc ON lc.vec_id = t.c_id
+       |  GROUP BY 1, 2)
+       |SELECT label_q AS label, CAST(count(*) AS BIGINT) AS n_scored,
+       |  CAST(coalesce(sum(CASE WHEN 2 * n_disagree > n_nbrs THEN 1 END), 0)
+       |    AS BIGINT) AS n_suspect,
+       |  round(CAST(coalesce(sum(CASE WHEN 2 * n_disagree > n_nbrs THEN 1 END),
+       |      0) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS suspect_rate,
+       |  round(CAST(sum(n_disagree) AS DOUBLE) / CAST(sum(n_nbrs) AS DOUBLE),
+       |    6) AS disagree_rate
+       |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** The q195 oracle: the q78 knn-join pipeline (quantized planes,

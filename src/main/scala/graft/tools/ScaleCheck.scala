@@ -106,6 +106,29 @@ object ScaleCheck {
       graft.ext.Similarity.semanticDedup(
         graft.queries.Q.t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.3, nBits = 12)),
+    // q229's production operating point: 12-bit planes + hot-bucket salt
+    // for the k=5 neighborhood scoring (the 16-bucket oracle family is the
+    // q77-style candidate-quadratic point; keep it out of 100× sweeps)
+    "x229_label_noise_prod" -> ((s, dir) =>
+      graft.ext.Similarity.labelNoiseByNeighbors(
+        graft.queries.Q.t(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", k = 5, dim = 64, nBits = 12, probeHamming = 1,
+        saltBucketsAbove = 65536)),
+    // x229's raw-vector bucket exchange is its wall-clock (the x205
+    // disease): the IVF-PQ code channel (x214's recipe at k=5) feeds the
+    // same census with only cells + int8-class codes crossing exchanges
+    "x230_label_noise_pq" -> ((s, dir) => {
+      val e = graft.queries.Q.t(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 512).orderBy("vec_id")
+        .select(transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("cq"))
+        .collect().map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+      val cbs = graft.ext.Similarity.pqCodebooksFixed(
+        e, "vec_id", "embedding", dim = 64, m = 8, kCodes = 16)
+      val nn = graft.ext.Similarity.pqKnnJoin(e, e, "vec_id", "embedding",
+        k = 5, centroids, cbs, nProbe = 2)
+      graft.ext.Similarity.labelNoiseCensus(nn, e, "vec_id", "label")
+    }),
     // x205's FIX (VERDICT r4 #1): the same all-corpus 1-NN + kappa table
     // fed from the IVF-PQ channel — 512 coarse cells (fixed-rule
     // centroids), nProbe 2, SDC over 8 int8-class codes per row: only

@@ -162,4 +162,27 @@ class PqKnnSpec extends SparkSpec {
     assert(wide.isEmpty,
       s"vector column crossed an exchange: ${wide.map(_.output.map(_.name))}")
   }
+
+  test("label-noise census over the PQ channel flags exactly the planted " +
+    "mislabels (the x230 production shape)") {
+    import spark.implicits._
+    // flip three points to the next class: their k=5 in-cluster neighbors
+    // all disagree; everyone else keeps a clean majority
+    val flipped = Set(17L, 53L, 91L)
+    val noisy = clustered.withColumn("label",
+      when(col("vec_id").isInCollection(flipped),
+        (col("label") + 1) % 10).otherwise(col("label")))
+    val nn = Similarity.pqKnnJoin(noisy, noisy, "vec_id", "embedding",
+      k = 5, centroids, codebooks, nProbe = 2)
+    val census = Similarity.labelNoiseCensus(nn, noisy, "vec_id", "label")
+      .as[(Int, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // planted labels: 17 (c7→8), 53 (c3→4), 91 (c1→2)
+    val expected = Map(8 -> 1L, 4 -> 1L, 2 -> 1L).withDefaultValue(0L)
+    (0 to 9).foreach { l =>
+      assert(census(l)._3 == expected(l),
+        s"label $l suspects ${census(l)._3} != ${expected(l)}")
+    }
+    assert(census.values.map(_._2).sum == 400L) // every point scored
+  }
 }

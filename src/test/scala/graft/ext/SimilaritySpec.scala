@@ -358,4 +358,30 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.centroidDrift(v1, v2, "label", "embedding").collect()
     assert(out.length === 1 && out(0).getDouble(3) === 0.0)
   }
+
+  test("labelNoiseByNeighbors flags exactly the planted mislabeled point") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes; point 5 sits IN cluster A but
+    // carries cluster B's label → all 5 of its neighbors disagree
+    def axis(i: Int, jitter: Float) =
+      Array.fill(8)(0f).updated(i, 1f).updated(7, jitter)
+    val rows =
+      (0L to 4L).map(id => (id, axis(0, id * 0.001f), "a")) ++
+        Seq((5L, axis(0, 0.005f), "b")) ++
+        (6L to 11L).map(id => (id, axis(1, id * 0.001f), "b"))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val census = Similarity.labelNoiseByNeighbors(
+      df, "vec_id", "embedding", "label", k = 5, dim = 8, nBits = 3,
+      portable = true)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(census("a")._3 == 0L)
+    assert(census("b")._3 == 1L)
+    // and the suspect is point 5 specifically: every neighbor disagrees
+    val knn = Similarity.knnJoin(df, df, "vec_id", "embedding", k = 5,
+      dim = 8, nBits = 3, portable = true)
+    val nbrs5 = knn.filter(col("q_id") === 5L).select("c_id")
+      .as[Long].collect().toSet
+    assert(nbrs5.subsetOf(Set(0L, 1L, 2L, 3L, 4L)) && nbrs5.size == 5)
+  }
 }
