@@ -247,6 +247,56 @@ object LakeOps {
       .orderBy("version")
   }
 
+  /** Vacuum/retention plan — the "which files can physically go" decision
+    * behind a transaction-log table's VACUUM: with the last
+    * `retainVersions` versions retained (time travel must keep working for
+    * them), a file is deletable iff it is visible in NONE of them. Removed-
+    * then-recompacted files age out (the q197 rewrite), while a file
+    * removed only in versions NEWER than the retention horizon stays
+    * pinned by the older retained snapshot.
+    *
+    * Output: the full file manifest with the deletable verdict plus the
+    * reclaim census (rows/value the delete frees). Scale shape: the log is
+    * metadata-sized, so retained-version resolution and the visibility
+    * fold ([[activeFilesByVersion]]) are broadcast-sized; the DATA is
+    * touched once, by a broadcast membership join, only to price the
+    * reclaim.
+    */
+  def vacuumPlan(
+      data: DataFrame,
+      log: DataFrame,
+      fileIdCol: String,
+      valueCol: String,
+      retainVersions: Int
+  ): DataFrame = {
+    require(retainVersions >= 1, "must retain at least the current version")
+    // last R distinct versions: TakeOrdered on the metadata-sized log —
+    // never a constant-partition window
+    val retained = log.select(col("version")).distinct()
+      .orderBy(desc("version")).limit(retainVersions)
+    val visibleRetained = activeFilesByVersion(log)
+      .join(broadcast(retained), Seq("version"), "left_semi")
+      .select(col("file_id")).distinct()
+    val verdicts = log.groupBy("file_id")
+      .agg(max(col("version")).cast("long").as("last_action_version"))
+      .join(visibleRetained.withColumn("_keep", lit(1L)), Seq("file_id"),
+        "left")
+      .select(col("file_id"), col("last_action_version"),
+        (coalesce(col("_keep"), lit(0L)) === 0).cast("long").as("deletable"))
+    // per-file totals: one data scan, file-count-sized result; orphan
+    // files (in data, never committed) drop at the verdict join below —
+    // the timeTravelCensus invisibility rule
+    val reclaim = data
+      .groupBy(col(fileIdCol).as("file_id"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        graft.queries.Q.sumExact(col(valueCol)).as("total_value"))
+    verdicts.join(broadcast(reclaim), Seq("file_id"), "left")
+      .select(col("file_id"), col("deletable"), col("last_action_version"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"))
+      .orderBy("file_id")
+  }
+
   // ------------------------------------- incremental aggregate maintenance
 
   /** Merge a delta's aggregate state into a stored aggregate state —

@@ -464,6 +464,64 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary coverage cutoff — "how many vocabulary entries cover ≥ p
+    * of the token stream" (the tokenizer-vocab sizing decision), for a
+    * RATIONAL p = coverNum/coverDen so the cutoff predicate stays in
+    * integers end to end.
+    *
+    * Never a global window over the vocabulary: tokens aggregate to a
+    * count-of-counts GRID (O(√T) distinct frequencies), the grid gets
+    * cumulative masses via a triangular broadcast self-join (the q203
+    * rule), and the boundary frequency class is resolved in closed form —
+    * every token inside one class contributes the same count, so the
+    * within-class take is pure integer arithmetic, no token-level order
+    * needed (the q125/q196 refinement, one level coarser).
+    *
+    * Integer ranges: predicates multiply masses by coverDen (≤ 20 here) —
+    * exact in int64 for token streams up to ~4.6·10¹⁷.
+    *
+    * Output (one row): total_tokens, distinct_tokens, vocab_size,
+    * covered_tokens, boundary_count, oov_rate. Empty corpus → empty frame.
+    */
+  def vocabCoverage(
+      df: DataFrame,
+      textCol: String,
+      coverNum: Long = 19,
+      coverDen: Long = 20
+  ): DataFrame = {
+    require(coverNum > 0 && coverDen > 0 && coverNum < coverDen,
+      "coverage must be a proper fraction")
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("_tok"))
+      .groupBy("_tok").agg(count(lit(1)).cast("long").as("_n"))
+    val grid = counts.groupBy("_n")
+      .agg(count(lit(1)).cast("long").as("_k"))
+      .select(col("_n"), col("_k"), (col("_n") * col("_k")).as("_mass"))
+      .localCheckpoint(true)
+    val tot = broadcast(grid.agg(sum(col("_mass")).cast("long").as("_t"),
+      sum(col("_k")).cast("long").as("_d")))
+    val above = grid.as("a")
+      .join(broadcast(grid.as("b")), col("b._n") > col("a._n"), "left")
+      .groupBy(col("a._n").as("_bn"), col("a._mass").as("_bmass"))
+      .agg(coalesce(sum(col("b._mass")), lit(0L)).as("_mAbove"),
+        coalesce(sum(col("b._k")), lit(0L)).as("_kAbove"))
+    val need = col("_t") * coverNum
+    above.crossJoin(tot)
+      .filter(col("_mAbove") * coverDen < need &&
+        (col("_mAbove") + col("_bmass")) * coverDen >= need)
+      // within the boundary class every token adds _bn: smallest j with
+      // coverDen·(mAbove + j·bn) ≥ coverNum·T, as an integer ceil
+      .withColumn("_j", expr(
+        s"(_t * $coverNum - _mAbove * $coverDen + _bn * $coverDen - 1) " +
+          s"div (_bn * $coverDen)"))
+      .select(col("_t").as("total_tokens"), col("_d").as("distinct_tokens"),
+        (col("_kAbove") + col("_j")).as("vocab_size"),
+        (col("_mAbove") + col("_j") * col("_bn")).as("covered_tokens"),
+        col("_bn").as("boundary_count"),
+        round((col("_t") - col("_mAbove") - col("_j") * col("_bn"))
+          .cast("double") / col("_t").cast("double"), 6).as("oov_rate"))
+  }
+
   /** Concat-then-chunk packing census — the GPT-style pretraining packer
     * (concatenate documents in a deterministic order, cut every
     * `chunkTokens` tokens) audited per shard: how many chunks the shard

@@ -1385,6 +1385,73 @@ object LakeQueries {
            |    AS n_before, af.n_after, af.moved_in
            |FROM af LEFT JOIN bf USING (shard) ORDER BY af.shard"""
           .stripMargin
-      })
+      }),
+
+    // ---- VACUUM plan over the q197 transaction log, retention = last 2
+    //      versions: f1996/f1997 (compacted away at v3, invisible in both
+    //      retained snapshots) are deletable; f1995, removed only at v4,
+    //      stays PINNED by the retained v3 snapshot — the hash gate proves
+    //      the retention rule, not just the happy path
+    QueryDef(
+      "q230_vacuum_plan",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val base = o.withColumn("file_id",
+          concat(lit("f"), year(col("o_orderdate"))))
+        val compacted = o
+          .filter(year(col("o_orderdate")).isin(1996, 1997))
+          .withColumn("file_id", lit("fc9697"))
+        val log = s.createDataFrame(Seq(
+          (1, "add", "f1995"), (1, "add", "f1996"), (1, "add", "f1997"),
+          (2, "add", "f1998"), (2, "add", "f1999"), (2, "add", "f2000"),
+          (3, "remove", "f1996"), (3, "remove", "f1997"),
+          (3, "add", "fc9697"),
+          (4, "remove", "f1995")))
+          .toDF("version", "action", "file_id")
+        LakeOps.vacuumPlan(base.unionByName(compacted), log,
+          "file_id", "o_totalprice", retainVersions = 2)
+      },
+      Some(s"""WITH log(version, action, file_id) AS (VALUES
+              |  (1,'add','f1995'), (1,'add','f1996'), (1,'add','f1997'),
+              |  (2,'add','f1998'), (2,'add','f1999'), (2,'add','f2000'),
+              |  (3,'remove','f1996'), (3,'remove','f1997'),
+              |  (3,'add','fc9697'),
+              |  (4,'remove','f1995')),
+              |data AS (
+              |  SELECT 'f' || year(o_orderdate)::VARCHAR AS file_id,
+              |    o_totalprice
+              |  FROM orders
+              |  UNION ALL
+              |  SELECT 'fc9697', o_totalprice FROM orders
+              |  WHERE year(o_orderdate) IN (1996, 1997)),
+              |vs AS (SELECT DISTINCT version FROM log),
+              |member AS (SELECT version, file_id FROM (
+              |  SELECT vs.version, l.file_id,
+              |    row_number() OVER (PARTITION BY vs.version, l.file_id
+              |      ORDER BY l.version DESC,
+              |        CASE WHEN l.action = 'add' THEN 1 ELSE 0 END DESC)
+              |      AS rn,
+              |    CASE WHEN l.action = 'add' THEN 1 ELSE 0 END AS isadd
+              |  FROM vs JOIN log l ON l.version <= vs.version) t
+              |  WHERE rn = 1 AND isadd = 1),
+              |ret AS (SELECT version FROM vs ORDER BY version DESC LIMIT 2),
+              |vis AS (SELECT DISTINCT file_id FROM member
+              |  WHERE version IN (SELECT version FROM ret)),
+              |verdicts AS (SELECT file_id,
+              |    CAST(max(version) AS BIGINT) AS last_action_version
+              |  FROM log GROUP BY 1),
+              |rc AS (SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+              |    ${sqlSumExact("o_totalprice")} AS total_value
+              |  FROM data GROUP BY 1)
+              |SELECT v.file_id,
+              |  CAST(CASE WHEN vis.file_id IS NULL THEN 1 ELSE 0 END
+              |    AS BIGINT) AS deletable,
+              |  last_action_version,
+              |  CAST(coalesce(rc.n_rows, 0) AS BIGINT) AS n_rows,
+              |  coalesce(rc.total_value, CAST(0 AS DOUBLE)) AS total_value
+              |FROM verdicts v LEFT JOIN vis USING (file_id)
+              |  LEFT JOIN rc USING (file_id)
+              |ORDER BY v.file_id""".stripMargin)
+    )
   )
 }

@@ -1277,6 +1277,42 @@ object TextQueries {
              |      coalesce(sum(CASE WHEN lc > fc THEN 1 END), 0) AS DOUBLE)
              |    / CAST(count(*) AS DOUBLE), 6) AS intact_frac
              |FROM d GROUP BY shard ORDER BY shard""".stripMargin)
+    ),
+
+    // ---- tokenizer-vocab sizing: smallest vocabulary covering ≥ 95% of
+    //      the token stream. The engine resolves the cutoff on the
+    //      count-of-counts GRID (no global vocab window — q125/q196
+    //      refinement one level coarser); the oracle is the bare
+    //      definition, a full-vocab cumulative window. Equal hash =
+    //      the grid decomposition is exact
+    QueryDef(
+      "q231_vocab_coverage",
+      (s, dir) =>
+        graft.ext.TextAnalysis.vocabCoverage(
+          t(s, dir, "documents"), "text", coverNum = 19, coverDen = 20),
+      Some("""WITH tok AS (
+             |  SELECT unnest(list_filter(
+             |    regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))
+             |    AS token
+             |  FROM documents),
+             |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+             |  FROM tok GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt,
+             |    CAST(count(*) AS BIGINT) AS d FROM c),
+             |o AS (SELECT n,
+             |    sum(n) OVER (ORDER BY n DESC, token
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    row_number() OVER (ORDER BY n DESC, token) AS rk
+             |  FROM c),
+             |hit AS (SELECT rk, cum, n FROM o, t
+             |  WHERE 20 * cum >= 19 * tt ORDER BY rk LIMIT 1)
+             |SELECT t.tt AS total_tokens, t.d AS distinct_tokens,
+             |  CAST(hit.rk AS BIGINT) AS vocab_size,
+             |  CAST(hit.cum AS BIGINT) AS covered_tokens,
+             |  CAST(hit.n AS BIGINT) AS boundary_count,
+             |  round(CAST(t.tt - hit.cum AS DOUBLE) / CAST(t.tt AS DOUBLE), 6)
+             |    AS oov_rate
+             |FROM t, hit""".stripMargin)
     )
   )
 }

@@ -32,13 +32,16 @@ object ScaleSweep {
     // channel is an x-extra: q205 (16-bucket candidate-quadratic,
     // "sf-scale parity only" — x205/x214) and q168 (its oracle embeds
     // the EXACT miner for the recall pin — x141)
+    // (q229's oracle point is the same 16-bucket candidate-quadratic
+    // family as q205 — its 100× channels are x229/x230)
     "q78_knn_join", "q99_pagerank", "q181_kmeans_codebook",
     "q212_ivf_incremental_add", "q213_recall_curve",
-    "q216_centroid_drift", "q217_retrieval_mrr",
+    "q216_centroid_drift", "q217_retrieval_mrr", "q228_link_prediction",
     // lake ops
     "q90_cdc_merge", "q96_compaction_plan", "q97_incremental_agg",
     "q103_interval_join", "q110_anomaly_zscore", "q116_scd2_dimension",
     "q150_incremental_join_refresh", "q187_salted_join", "q197_time_travel",
+    "q230_vacuum_plan",
     // sketches / stats
     "q178_kmv_distinct", "q179_bloom_prefilter", "q180_hll_certification",
     "q185_countmin_census", "q196_hist_trailing_quantiles",
@@ -49,10 +52,13 @@ object ScaleSweep {
     "q177_temporal_split", "q198_length_bucket_batching",
     "q204_curriculum_schedule", "q207_training_plan",
     "q208_schedule_realization", "q218_k_anonymity_audit",
+    "q226_concat_chunk_packing", "q227_krippendorff_alpha",
+    "q231_vocab_coverage",
     // production operating points (ScaleCheck extras)
     "x77_semantic_dedup_prod", "x141_hard_negatives_lsh",
     "x151_equal_freq_binning_approx", "x183_semantic_decon_prod",
     "x205_label_kappa_prod", "x214_label_kappa_pq",
+    "x229_label_noise_prod", "x230_label_noise_pq",
     // the one candidate-quadratic oracle point measured at 100× — LAST,
     // so its ~80 GB of shuffle debris can't crowd later queries' spills
     "q77_semantic_dedup")

@@ -72,4 +72,31 @@ class TimeTravelSpec extends SparkSpec {
       (3L, 2L, 4L, 100.0), // compacted: SAME content as v2, fewer files
       (4L, 1L, 3L, 60.0))) // c removed
   }
+
+  test("vacuumPlan: retention pins files visible in ANY retained version, " +
+    "re-adds resurface, orphans invisible") {
+    val vlog = Seq(
+      (1, "add", "fA"), (1, "add", "fB"),
+      (2, "remove", "fA"),
+      (3, "add", "fA"), // re-add: fA must resurface
+      (4, "remove", "fB")
+    ).toDF("version", "action", "file_id")
+    val data = Seq(
+      ("fA", 10.0), ("fA", 10.0), ("fB", 5.0),
+      ("fZ", 99.0) // orphan: never committed → absent from the plan
+    ).toDF("file_id", "value")
+    def plan(retain: Int) =
+      LakeOps.vacuumPlan(data, vlog, "file_id", "value", retain)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // retention 1 (v4 only): fA visible (re-added at 3), fB removed → gone
+    val r1 = plan(1)
+    assert(r1.keySet == Set("fA", "fB"))
+    assert(r1("fA") == ((0L, 3L, 2L, 20.0)))
+    assert(r1("fB") == ((1L, 4L, 1L, 5.0)))
+    // retention 2 (v3, v4): fB is visible at v3 → PINNED despite the v4
+    // remove
+    assert(plan(2)("fB")._1 == 0L)
+  }
 }

@@ -122,6 +122,24 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(agg.getLong(1) == (1L to 100L).map(_ % 7).sum)
   }
 
+  test("vocabCoverage: hand-computed grid cutoff, boundary class partial") {
+    import spark.implicits._
+    // counts a:4 b:2 c:1 d:1, T=8; 3/4 coverage needs cum ≥ 6 → {a, b}:
+    // boundary class is count 2, one token taken from it
+    val docs = Seq("a a a a b b c d").toDF("text")
+    val r = TextAnalysis.vocabCoverage(docs, "text", coverNum = 3,
+      coverDen = 4)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    assert(r == ((8L, 4L, 2L, 6L, 2L, 0.25)))
+    // 19/20 coverage needs cum ≥ 7.6 → the whole vocab, oov 0
+    val full = TextAnalysis.vocabCoverage(docs, "text")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    assert(full._3 == 4L && full._6 == 0.0)
+    // empty corpus → empty frame, not a crash
+    assert(TextAnalysis.vocabCoverage(Seq.empty[String].toDF("text"), "text")
+      .collect().isEmpty)
+  }
+
   test("planted junk and duplicates are removed, clean prose kept") {
     import spark.implicits._
     val prose = "the quick brown fox jumps over the lazy dog and then " +
