@@ -12,10 +12,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `GraftFunctions.register(spark)` for an already-built session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // runs in the operator-optimization batch, BEFORE Spark's
+    // RewriteDistinctAggregates lowers multi-distinct plans to Expand
+    ext.injectOptimizerRule(_ => graft.plans.SplitDistinctAggregates)
+  }
 }
 
 object GraftFunctions {

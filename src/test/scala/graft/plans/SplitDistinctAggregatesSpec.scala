@@ -1,0 +1,104 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{ExpandExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+
+/** The injected SplitDistinctAggregates rule (the q201 Expand-trap fix
+  * generalized): global multi-distinct aggregates split into narrow
+  * cross-joined branches; everything outside the conservative scope is
+  * left to Spark's RewriteDistinctAggregates.
+  */
+class SplitDistinctAggregatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def expands(p: SparkPlan): Seq[ExpandExec] = p match {
+    case a: AdaptiveSparkPlanExec => expands(a.executedPlan)
+    case q: QueryStageExec => expands(q.plan)
+    case e: ExpandExec => Seq(e) ++ e.children.flatMap(expands)
+    case o => o.children.flatMap(expands)
+  }
+
+  private def hasExpand(df: DataFrame): Boolean = {
+    df.write.format("noop").mode("overwrite").save()
+    expands(df.queryExecution.executedPlan).nonEmpty
+  }
+
+  private lazy val base = Seq(
+    (1L, "x", 10.0), (1L, "y", 20.0), (2L, "x", 30.0),
+    (2L, "x", 40.0), (3L, "z", 50.0)
+  ).toDF("k", "s", "v")
+
+  test("global multi-distinct splits: no Expand, values exact") {
+    val df = base.agg(
+      count_distinct(col("k")).as("dk"),
+      count_distinct(col("s")).as("ds"),
+      count(lit(1)).cast("long").as("n"),
+      sum(col("v")).as("sv"))
+    assert(!hasExpand(df), "multi-distinct global agg still plans an Expand")
+    val r = df.as[(Long, Long, Long, Double)].collect().head
+    assert(r == ((3L, 3L, 5L, 150.0)))
+  }
+
+  test("scalar shells (casts) around a single distinct agg still split") {
+    val df = base.agg(
+      count_distinct(col("k")).cast("double").as("dk"),
+      count_distinct(col("s")).as("ds"))
+    assert(!hasExpand(df))
+    val r = df.as[(Double, Long)].collect().head
+    assert(r == ((3.0, 3L)))
+  }
+
+  test("out-of-scope shapes are left to Spark (Expand remains)") {
+    // grouped multi-distinct: the n-way key join is a different trade
+    assert(hasExpand(base.groupBy("k")
+      .agg(count_distinct(col("s")), count_distinct(col("v")))))
+    // cross-aggregate arithmetic inside one output column stays fused
+    assert(hasExpand(base.agg(
+      (count_distinct(col("k")) + count_distinct(col("s"))).as("both"))))
+  }
+
+  test("single distinct set and non-deterministic children are untouched") {
+    // one distinct set → Spark's two-stage plan, no split needed: the rule
+    // must not fire (still no Expand here — just assert correctness)
+    val single = base.agg(count_distinct(col("k")).as("dk"),
+      count(lit(1)).cast("long").as("n"))
+    assert(single.as[(Long, Long)].collect().head == ((3L, 5L)))
+    // a non-deterministic child must not be duplicated across branches:
+    // the Expand plan (one evaluation of rand) must survive. A parquet
+    // scan child keeps the shape SCAN-SHAPED (so determinism is the guard
+    // that blocks) and keeps ConvertToLocalRelation from freezing rand
+    // into literal rows first (frozen rows WOULD be legal to split —
+    // verified: on a bare local relation the fold runs before this rule)
+    val nonDet = spark.read.parquet(s"${sfDir()}/documents.parquet")
+      .withColumn("r", rand(7))
+      .agg(count_distinct(col("doc_id")).as("dk"),
+        count_distinct(col("r")).as("dr"))
+    assert(hasExpand(nonDet))
+    // a join below the aggregate is out of scope even when deterministic:
+    // duplicating it per branch could cost more than the Expand
+    val joined = base.as("l").join(base.as("r"), Seq("k"))
+      .agg(count_distinct(col("l.s")).as("ds"),
+        count_distinct(col("r.v")).as("dv"))
+    assert(hasExpand(joined))
+  }
+
+  test("null columns and empty input keep global-aggregate semantics") {
+    val withNulls = Seq((Some(1L), Option.empty[String]),
+      (None, Some("a")), (Some(1L), Some("a"))).toDF("k", "s")
+    val r = withNulls.agg(
+      count_distinct(col("k")).as("dk"),
+      count_distinct(col("s")).as("ds"),
+      count(lit(1)).cast("long").as("n"))
+      .as[(Long, Long, Long)].collect().head
+    assert(r == ((1L, 1L, 3L)))
+    val empty = base.filter(col("k") < 0).agg(
+      count_distinct(col("k")).as("dk"),
+      count_distinct(col("s")).as("ds"),
+      min(col("v")).as("mn"))
+    val e = empty.collect().head
+    assert(e.getLong(0) == 0L && e.getLong(1) == 0L && e.isNullAt(2))
+  }
+}
