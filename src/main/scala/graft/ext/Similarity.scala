@@ -1010,41 +1010,51 @@ object Similarity {
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         pqSdcDist(col("_qcodes"), col("_ccodes"), tables).as("sdc_dist"))
-    if (k == 1) {
-      // 1-NN argmin over ~10^8 pairs: min(struct(dist, id)) has no mutable
-      // hash buffer and plans as a SortAggregate that SORTS every pair row
-      // (measured 70 of 95 s at the 100× point). When (dist, id) provably
-      // fit one long — dist bound is exact driver math over the SDC
-      // tables, id bound one metadata-cheap max() — pack them so the agg
-      // is a HashAggregate with map-side combine (order-preserving:
-      // min(packed) = lexicographic (dist, c_id)). Fall back to the
-      // struct form for out-of-range ids.
-      val maxDist = tables.map(t => t.map(_.max).max).sum
-      val maxIdRow = corpus.agg(
-        min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
-      val packable = !maxIdRow.isNullAt(0) && maxIdRow.getLong(0) >= 0 && {
-        val idBits = 64 - java.lang.Long.numberOfLeadingZeros(
-          math.max(maxIdRow.getLong(1), 1L))
-        idBits <= 62 && maxDist <= (Long.MaxValue >> idBits)
-      }
-      if (packable) {
-        val idBits = 64 - java.lang.Long.numberOfLeadingZeros(
-          math.max(maxIdRow.getLong(1), 1L))
-        scored.groupBy("q_id")
-          .agg(min(shiftleft(col("sdc_dist"), idBits) + col("c_id"))
-            .as("_p"))
-          .select(col("q_id"),
-            col("_p").bitwiseAND(lit((1L << idBits) - 1)).as("c_id"),
-            shiftright(col("_p"), idBits).as("sdc_dist"),
-            lit(1L).as("rank"))
-          .orderBy("q_id")
-      } else {
-        scored.groupBy("q_id")
-          .agg(min(struct(col("sdc_dist"), col("c_id"))).as("_m"))
-          .select(col("q_id"), col("_m.c_id").as("c_id"),
-            col("_m.sdc_dist").as("sdc_dist"), lit(1L).as("rank"))
-          .orderBy("q_id")
-      }
+    // (dist, id)-packing: min/top-k over ~10^8 pair rows via window or
+    // min(struct(...)) has no mutable hash buffer and plans as a
+    // SortAggregate/WindowExec that SORTS every pair row (measured 70 of
+    // 95 s at the 100× point). When (dist, id) provably fit one long —
+    // dist bound is exact driver math over the SDC tables, id bound one
+    // metadata-cheap max() — pack them so the per-key reduction is a
+    // HashAggregate with map-side combine (order-preserving:
+    // smallest packed = lexicographic (dist, c_id)). Fall back to the
+    // struct-min / window forms for out-of-range ids.
+    val maxDist = tables.map(t => t.map(_.max).max).sum
+    val maxIdRow = corpus.agg(
+      min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
+    val idBits = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(if (maxIdRow.isNullAt(1)) 1L else maxIdRow.getLong(1), 1L))
+    val packable = !maxIdRow.isNullAt(0) && maxIdRow.getLong(0) >= 0 &&
+      idBits <= 62 && maxDist <= (Long.MaxValue >> idBits)
+    if (packable && k == 1) {
+      scored.groupBy("q_id")
+        .agg(min(shiftleft(col("sdc_dist"), idBits) + col("c_id"))
+          .as("_p"))
+        .select(col("q_id"),
+          col("_p").bitwiseAND(lit((1L << idBits) - 1)).as("c_id"),
+          shiftright(col("_p"), idBits).as("sdc_dist"),
+          lit(1L).as("rank"))
+        .orderBy("q_id")
+    } else if (packable) {
+      // k > 1: the bounded native top-k aggregate (TopKLongs) — ≤ k longs
+      // per key per map partition cross the exchange, no candidate sort
+      // anywhere (the window form shuffles AND sorts every pair row)
+      scored.groupBy("q_id")
+        .agg(graft.functions.GraftFunctions
+          .topKLongs(shiftleft(col("sdc_dist"), idBits) + col("c_id"), k)
+          .as("_ps"))
+        .select(col("q_id"), posexplode(col("_ps")).as(Seq("_r0", "_p")))
+        .select(col("q_id"),
+          col("_p").bitwiseAND(lit((1L << idBits) - 1)).as("c_id"),
+          shiftright(col("_p"), idBits).as("sdc_dist"),
+          (col("_r0") + 1).cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    } else if (k == 1) {
+      scored.groupBy("q_id")
+        .agg(min(struct(col("sdc_dist"), col("c_id"))).as("_m"))
+        .select(col("q_id"), col("_m.c_id").as("c_id"),
+          col("_m.sdc_dist").as("sdc_dist"), lit(1L).as("rank"))
+        .orderBy("q_id")
     } else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("q_id").orderBy(asc("sdc_dist"), asc("c_id"))

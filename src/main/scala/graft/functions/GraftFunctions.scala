@@ -154,6 +154,19 @@ object GraftFunctions {
       }
     ),
     (
+      "top_k_longs",
+      new ExpressionInfo(classOf[TopKLongs].getName, "top_k_longs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "top_k_longs takes (col, k)")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"top_k_longs k must be an integer literal, got $other")
+        }
+        TopKLongs(args.head, k).toAggregateExpression()
+      }
+    ),
+    (
       "bloom_might_contain",
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
@@ -169,6 +182,11 @@ object GraftFunctions {
   /** Column-API form of the deterministic-tie mode aggregate. */
   def modeDet(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function("mode_det", c)
+
+  /** Column-API form of the bounded smallest-k aggregate over longs. */
+  def topKLongs(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("top_k_longs", c,
+      org.apache.spark.sql.functions.lit(k))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, info, builder) =>

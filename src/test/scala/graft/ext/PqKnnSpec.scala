@@ -163,6 +163,29 @@ class PqKnnSpec extends SparkSpec {
       s"vector column crossed an exchange: ${wide.map(_.output.map(_.name))}")
   }
 
+  test("pqKnnJoin k>1 plans as a codegen HashAggregate — no window sort, " +
+    "no ObjectHashAggregate fallback") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => Seq(q) ++ nodes(q.plan)
+      case o => Seq(o) ++ o.children.flatMap(nodes)
+    }
+    val nn = Similarity.pqKnnJoin(clustered, clustered, "vec_id", "embedding",
+      k = 5, centroids, codebooks, nProbe = 2)
+    nn.write.format("noop").mode("overwrite").save()
+    val all = nodes(nn.queryExecution.executedPlan)
+    assert(!all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec]),
+      "k>1 still plans a window")
+    assert(!all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]),
+      "TopKLongs fell back to ObjectHashAggregate")
+    assert(all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.aggregate.HashAggregateExec]))
+  }
+
   test("label-noise census over the PQ channel flags exactly the planted " +
     "mislabels (the x230 production shape)") {
     import spark.implicits._
