@@ -321,15 +321,59 @@ object Similarity {
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       .withColumn("_bucket", bucketOf(col("c_vec")))
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(desc("cos_sim"), asc("c_id"))
-    saltedBucketJoin(q, c, "_bucket", "q_id", saltBucketsAbove)
+    val scored = saltedBucketJoin(q, c, "_bucket", "q_id", saltBucketsAbove)
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         round(cosine(col("q_vec"), col("c_vec")), 4).as("cos_sim"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy("q_id", "rank")
+    // (sim, id)-packing into the bounded top-k aggregate (the pqKnnJoin
+    // recipe): cos_sim is round(·, 4), so 10000·cos is an exact integer in
+    // [-10000, 10000] and (10000 − that) a nonnegative sort key; when ids
+    // fit the remaining bits the per-query top-k is a codegen HashAggregate
+    // with map-side combine instead of a window that shuffles AND SORTS
+    // every candidate pair. Unpacking k/10000.0 reproduces round(·, 4)'s
+    // double bit-for-bit (both are the nearest double to the same decimal).
+    val idType = corpus.schema(corpus.schema.fieldIndex(idCol)).dataType
+    val integralId = idType match {
+      case _: org.apache.spark.sql.types.IntegerType |
+          _: org.apache.spark.sql.types.LongType |
+          _: org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    val maxIdRow =
+      if (integralId)
+        corpus.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long"))
+          .head()
+      else null
+    val idBits =
+      if (maxIdRow != null && !maxIdRow.isNullAt(1))
+        64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(maxIdRow.getLong(1), 1L))
+      else 64
+    // k ≤ 16: the bounded aggregate's merge identity is O(k²) expression
+    // nodes — larger k falls back to the window form
+    val packable = k <= 16 && maxIdRow != null && !maxIdRow.isNullAt(0) &&
+      maxIdRow.getLong(0) >= 0 && idBits <= 47 // 20001 sim keys need 15 bits
+    if (packable) {
+      val simKey = (lit(10000L) - round(col("cos_sim") * 10000).cast("long"))
+      scored.groupBy("q_id")
+        .agg(graft.functions.GraftFunctions
+          .topKLongs(shiftleft(simKey, idBits) + col("c_id"), k).as("_ps"))
+        .select(col("q_id"), posexplode(col("_ps")).as(Seq("_r0", "_p")))
+        .select(col("q_id"),
+          col("_p").bitwiseAND(lit((1L << idBits) - 1)).cast(idType)
+            .as("c_id"),
+          ((lit(10000L) - shiftright(col("_p"), idBits)).cast("double") /
+            lit(10000.0)).as("cos_sim"),
+          (col("_r0") + 1).cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(desc("cos_sim"), asc("c_id"))
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .orderBy("q_id", "rank")
+    }
   }
 
   /** Label-noise detection by neighborhood disagreement (the confident-
@@ -1025,7 +1069,8 @@ object Similarity {
     val idBits = 64 - java.lang.Long.numberOfLeadingZeros(
       math.max(if (maxIdRow.isNullAt(1)) 1L else maxIdRow.getLong(1), 1L))
     val packable = !maxIdRow.isNullAt(0) && maxIdRow.getLong(0) >= 0 &&
-      idBits <= 62 && maxDist <= (Long.MaxValue >> idBits)
+      idBits <= 62 && maxDist < (Long.MaxValue >> idBits) &&
+      (k == 1 || k <= 16) // TopKLongs merge is O(k²) expression nodes
     if (packable && k == 1) {
       scored.groupBy("q_id")
         .agg(min(shiftleft(col("sdc_dist"), idBits) + col("c_id"))
