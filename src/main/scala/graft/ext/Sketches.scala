@@ -72,6 +72,63 @@ object Sketches {
     when(nSketch < k, nSketch.cast("double"))
       .otherwise(lit((k - 1).toDouble) * lit(HashSpan) / hk.cast("double"))
 
+  /** Sketch-driven JOIN CARDINALITY estimate — the "how big is this join,
+    * should it broadcast, how many reducers" planning decision answered
+    * WITHOUT running the join: per-key count profiles (one aggregation
+    * pass per side) plus ONE KMV key sample over the distinct union of
+    * keys. With D̂ the KMV union-distinct estimate and S the k sampled
+    * keys (uniform over keys, since the hash order is independent of the
+    * counts), Σ_keys cL·cR ≈ (D̂/|S|)·Σ_{key∈S} cL·cR. Keys present on one
+    * side only contribute 0 to both sums — the estimator stays unbiased
+    * over the union.
+    *
+    * The exact control value is the per-key count aggregate
+    * Σ cL·cR (never materialized pairs), so even the certification side
+    * is linear. Portable md5 hash family → the whole row, estimate
+    * included, is DuckDB-hash-checkable (q232). The sample is a
+    * TakeOrdered (orderBy h, limit k) — metadata-sized, no global window.
+    */
+  def joinCardinalityEstimate(
+      left: DataFrame,
+      leftKey: String,
+      right: DataFrame,
+      rightKey: String,
+      k: Int
+  ): DataFrame = {
+    val cl = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).cast("long").as("cl"))
+    val cr = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("key"))
+      .agg(count(lit(1)).cast("long").as("cr"))
+    val unionKeys = cl.select("key").union(cr.select("key")).distinct()
+      .localCheckpoint(true)
+    val samp = unionKeys
+      .withColumn("h", Dedup.portableHash60(col("key").cast("string")))
+      .orderBy("h").limit(k)
+    val sampStats = samp
+      .join(cl, Seq("key"), "left").join(cr, Seq("key"), "left")
+      .agg(count(lit(1)).cast("long").as("sampled_keys"),
+        max(col("h")).as("_hk"),
+        sum(coalesce(col("cl"), lit(0L)) * coalesce(col("cr"), lit(0L)))
+          .cast("long").as("_ps"))
+    val exact = cl.join(cr, Seq("key"))
+      .agg(sum(col("cl") * col("cr")).cast("long").as("exact_join_rows"))
+    val du = unionKeys.agg(count(lit(1)).cast("long")
+      .as("union_distinct_exact"))
+    sampStats.crossJoin(broadcast(exact)).crossJoin(broadcast(du))
+      .withColumn("union_distinct_est",
+        kmvEstimate(col("sampled_keys"), col("_hk"), k))
+      .withColumn("est_join_rows",
+        (col("union_distinct_est") / col("sampled_keys").cast("double")) *
+          col("_ps").cast("double"))
+      .select(col("exact_join_rows"), col("union_distinct_exact"),
+        col("sampled_keys"), col("union_distinct_est"),
+        col("est_join_rows"),
+        ((col("est_join_rows") - col("exact_join_rows").cast("double")) /
+          col("exact_join_rows").cast("double")).as("rel_err"))
+  }
+
   /** Per-shard KMV distinct-count estimates plus a merged all-shards row
     * (shard `~all`), each certified against the exact distinct count.
     * The merged row is computed FROM THE SHARD SKETCHES (union → distinct

@@ -55,6 +55,51 @@ object SketchQueries {
           "o_orderpriority", "o_custkey", k = KmvK)
       },
       Some(kmvOracleSql)
+    ),
+
+    // ---- sketch-driven join-size estimation: the lineitem⋈lineitem-on-
+    //      partkey cardinality (the "is this join about to explode /
+    //      should it broadcast" planner input) estimated from per-key
+    //      count profiles + one KMV key sample — the join itself never
+    //      runs, and the hash gate pins estimate AND control exactly
+    QueryDef(
+      "q232_join_cardinality_sketch",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        graft.ext.Sketches.joinCardinalityEstimate(
+          li, "l_partkey", li, "l_partkey", k = 256)
+      },
+      Some("""WITH cl AS (SELECT l_partkey AS key,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+             |u AS (SELECT DISTINCT key FROM cl),
+             |hh AS (SELECT key,
+             |    ('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT
+             |      AS h
+             |  FROM u),
+             |s AS (SELECT key, h FROM hh ORDER BY h LIMIT 256),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(max(s.h) AS BIGINT) AS hk,
+             |    CAST(sum(cl.c * cl.c) AS BIGINT) AS ps
+             |  FROM s JOIN cl USING (key)),
+             |ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_rows,
+             |    CAST(count(*) AS BIGINT) AS du FROM cl),
+             |d AS (SELECT st.n, st.ps,
+             |    CASE WHEN st.n < 256 THEN CAST(st.n AS DOUBLE)
+             |         ELSE CAST(255 AS DOUBLE) *
+             |              CAST(1152921504606846976 AS DOUBLE) /
+             |              CAST(st.hk AS DOUBLE) END AS de
+             |  FROM st),
+             |e AS (SELECT n, de,
+             |    (de / CAST(n AS DOUBLE)) * CAST(ps AS DOUBLE) AS est
+             |  FROM d)
+             |SELECT ex.exact_rows AS exact_join_rows,
+             |  ex.du AS union_distinct_exact,
+             |  e.n AS sampled_keys, e.de AS union_distinct_est,
+             |  e.est AS est_join_rows,
+             |  (e.est - CAST(ex.exact_rows AS DOUBLE)) /
+             |    CAST(ex.exact_rows AS DOUBLE) AS rel_err
+             |FROM ex, e""".stripMargin)
     )
   ) ++ moreDefs
 

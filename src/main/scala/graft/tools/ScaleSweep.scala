@@ -47,6 +47,7 @@ object ScaleSweep {
     "q185_countmin_census", "q196_hist_trailing_quantiles",
     "q201_profile_drift", "q203_hist_incremental", "q206_conformal_coverage",
     "q210_trimmed_mean", "q215_monte_carlo_portable",
+    "q232_join_cardinality_sketch",
     // sampling / training plan
     "q121_priority_sample", "q167_groupsafe_split", "q175_epoch_shuffle",
     "q177_temporal_split", "q198_length_bucket_batching",

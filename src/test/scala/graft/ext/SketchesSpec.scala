@@ -156,4 +156,31 @@ class SketchesSpec extends SparkSpec {
     val r = Sketches.bloomPrefilterCensus(index, probe, "doc_id", "text").head()
     assert(r.getLong(0) == 1L && !r.isNullAt(2) && r.getLong(3) >= 0L)
   }
+
+  test("joinCardinalityEstimate: under-full sample is exact; subsample " +
+    "lands within a sane band") {
+    import spark.implicits._
+    // left counts: k1×3, k2×2, k3×1; right: k1×2, k3×4, k9×5 (k9 left-only
+    // on the right) → exact join rows = 3·2 + 1·4 = 10
+    val l = Seq(1L, 1L, 1L, 2L, 2L, 3L).toDF("k")
+    val r = (Seq.fill(2)(1L) ++ Seq.fill(4)(3L) ++ Seq.fill(5)(9L)).toDF("k")
+    val full = Sketches.joinCardinalityEstimate(l, "k", r, "k", k = 100)
+      .head()
+    assert(full.getLong(0) == 10L) // exact_join_rows
+    assert(full.getLong(1) == 4L) // union {1,2,3,9}
+    assert(full.getLong(2) == 4L) // under-full sample holds every key
+    assert(full.getDouble(3) == 4.0) // D-hat = sample size when under-full
+    assert(full.getDouble(4) == 10.0) // estimate collapses to exact
+    assert(full.getDouble(5) == 0.0)
+    // a genuine subsample on a larger skewed profile: estimate within 3×
+    val rng = new scala.util.Random(5)
+    val big = (1 to 20000).map(_ => math.abs(rng.nextInt(2000)).toLong + 1)
+      .toDF("k")
+    val est = Sketches.joinCardinalityEstimate(big, "k", big, "k", k = 256)
+      .head()
+    val exact = est.getLong(0).toDouble
+    val guess = est.getDouble(4)
+    assert(guess > exact / 3 && guess < exact * 3,
+      s"estimate $guess vs exact $exact")
+  }
 }
