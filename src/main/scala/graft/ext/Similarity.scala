@@ -1363,18 +1363,34 @@ object Similarity {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val cands = valid.select(col(idCol).as("hard_neg_id"),
       col(vecCol).as("_vb"), col(labelCol).as("hard_neg_label"))
-    anchors.crossJoin(broadcast(cands))
-      .filter(col("label") =!= col("hard_neg_label"))
+    hardestPerAnchor(
+      anchors.crossJoin(broadcast(cands))
+        .filter(col("label") =!= col("hard_neg_label")),
+      cands.select("hard_neg_id", "hard_neg_label"))
+  }
+
+  /** Shared argmax tail of [[hardNegatives]]/[[hardNegativesLsh]]: the
+    * per-anchor hardest negative via the PRIMITIVE-buffer argmax
+    * ([[graft.functions.ArgMaxTiedLow]]) — a codegen HashAggregate with
+    * map-side combine (max(struct(…)) has no hash buffer and plans as a
+    * SortAggregate that sorts the whole pair stream; q141's 400M-row sort
+    * was 84 s at 10× and spilled past disk at 100×). The negative's label
+    * re-joins on the winning id afterwards (one broadcast join against
+    * the id→label table — the price of primitive buffers).
+    */
+  private def hardestPerAnchor(
+      pairs: DataFrame,
+      labels: DataFrame
+  ): DataFrame =
+    pairs
       .withColumn("_cs", cosine(col("_va"), col("_vb")))
       .groupBy(col("vec_id"), col("label"))
-      .agg(max(struct(col("_cs"), negate(col("hard_neg_id")).as("_nid"),
-        col("hard_neg_label").as("_nl"))).as("_b"))
-      .select(col("vec_id"), col("label"),
-        negate(col("_b._nid")).as("hard_neg_id"),
-        col("_b._nl").as("hard_neg_label"),
-        round(col("_b._cs"), 4).as("cos_sim"))
+      .agg(graft.functions.GraftFunctions.argMaxTiedLow(
+        col("_cs"), col("hard_neg_id").cast("long")).as("_b"))
+      .join(broadcast(labels), col("_b.id") === col("hard_neg_id"))
+      .select(col("vec_id"), col("label"), col("hard_neg_id"),
+        col("hard_neg_label"), round(col("_b.ord"), 4).as("cos_sim"))
       .orderBy("vec_id")
-  }
 
   /** LAKE-SCALE hard-negative mining: the candidate set comes from the
     * multi-probe SRP bucket join (the q78 knnJoin channel) instead of the
@@ -1435,19 +1451,12 @@ object Similarity {
       .withColumn("_bucket", bucketOf(col("_vb")))
       // single-file local inputs = one partition: spread the bucket join
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-    // map-side struct-max partial agg means the salted split's extra
+    // map-side argmax partial agg means the salted split's extra
     // (bucket, salt) groups merge for free at the final aggregation
-    saltedBucketJoin(anchors, cands, "_bucket", "vec_id", saltBucketsAbove)
-      .filter(col("label") =!= col("hard_neg_label"))
-      .withColumn("_cs", cosine(col("_va"), col("_vb")))
-      .groupBy(col("vec_id"), col("label"))
-      .agg(max(struct(col("_cs"), negate(col("hard_neg_id")).as("_nid"),
-        col("hard_neg_label").as("_nl"))).as("_b"))
-      .select(col("vec_id"), col("label"),
-        negate(col("_b._nid")).as("hard_neg_id"),
-        col("_b._nl").as("hard_neg_label"),
-        round(col("_b._cs"), 4).as("cos_sim"))
-      .orderBy("vec_id")
+    hardestPerAnchor(
+      saltedBucketJoin(anchors, cands, "_bucket", "vec_id", saltBucketsAbove)
+        .filter(col("label") =!= col("hard_neg_label")),
+      cands.select("hard_neg_id", "hard_neg_label"))
   }
 
   /** Embedding CENTROID DRIFT between two corpus snapshots, per group:

@@ -167,6 +167,14 @@ object GraftFunctions {
       }
     ),
     (
+      "arg_max_tied_low",
+      new ExpressionInfo(classOf[ArgMaxTiedLow].getName, "arg_max_tied_low"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "arg_max_tied_low takes (ord, id)")
+        ArgMaxTiedLow(args.head, args(1)).toAggregateExpression()
+      }
+    ),
+    (
       "bloom_might_contain",
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
@@ -187,6 +195,11 @@ object GraftFunctions {
   def topKLongs(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function("top_k_longs", c,
       org.apache.spark.sql.functions.lit(k))
+
+  /** Column-API form of the primitive-buffer argmax (ties to lowest id). */
+  def argMaxTiedLow(ord: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("arg_max_tied_low", ord, id)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, info, builder) =>
