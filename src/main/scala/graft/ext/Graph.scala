@@ -122,10 +122,13 @@ object Graph {
           col("community").as("nl")), "nbr")
         .groupBy(col("node"), col("nl"))
         .agg(count(lit(1)).cast("long").as("c"))
-        // argmax (count desc, label asc) as a map-side max of struct
+        // argmax (count desc, label asc) via the primitive-buffer
+        // aggregate — a codegen HashAggregate per round, never a
+        // SortAggregate (counts < 2^53 are exact as doubles)
         .groupBy("node")
-        .agg(max(struct(col("c"), (-col("nl")).as("m"))).as("_b"))
-        .select(col("node"), (-col("_b.m")).cast("long").as("community"))
+        .agg(graft.functions.GraftFunctions.argMaxTiedLow(
+          col("c").cast("double"), col("nl")).as("_b"))
+        .select(col("node"), col("_b.id").as("community"))
         .localCheckpoint(true)
     }
     labels

@@ -591,12 +591,15 @@ object Similarity {
       .withColumn("cos_sim", round(cosine(col(vecCol), col("_e_vec")), 4))
       .filter(graft.util.PlanHints.noPushdown(col("cos_sim") >= threshold))
       .groupBy(idCol)
+      // primitive-buffer argmax (ties to the lowest eval id) keeps this a
+      // codegen HashAggregate — max(struct(…)) would SortAggregate the
+      // whole hit stream (the q141 lesson)
       .agg(count(lit(1)).cast("long").as("n_eval_hits"),
-        max(struct(col("cos_sim").as("s"), (-col("_eval_id")).as("nid")))
-          .as("_best"))
+        graft.functions.GraftFunctions.argMaxTiedLow(
+          col("cos_sim"), col("_eval_id").cast("long")).as("_best"))
       .select(col(idCol), col("n_eval_hits"),
-        col("_best.s").as("best_sim"),
-        (-col("_best.nid")).cast("long").as("best_eval_id"))
+        col("_best.ord").as("best_sim"),
+        col("_best.id").as("best_eval_id"))
       .orderBy(idCol)
   }
 
