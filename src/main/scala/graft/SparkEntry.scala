@@ -44,17 +44,11 @@ object SparkEntry {
     *    the distributed data path has a hash-checked twin.
     */
   val noOracleReasons: Map[String, String] = Map(
-    "q25_minhash_near_dups" -> "hash-seeded (portable twin: q69)",
-    "q26_simhash_pairs" -> "hash-seeded (portable twin: q68)",
-    "q33_ann_lsh_topk" -> "hash-seeded (recall pinned by q75)",
-    "q34_embedding_near_dups" -> "hash-seeded (bucket twin: q70)",
     "q40_monte_carlo_scenarios" ->
       "stochastic (expectation twin: q65; portable-RNG simulation twin: q215)",
     "q41_bootstrap_ci" -> "stochastic (unit-weight twin: q66)",
     "q42_factor_loadings" -> "driver-ML EM (moments twin: q71)",
     "q46_curation_pipeline" -> "hash-seeded minhash stage (exact-prefix twin: q67)",
-    "q53_ann_ivf_topk" -> "driver-ML KMeans (assignment twin: q72, recall pinned by q75)",
-    "q54_multimodal_features" -> "binary media decode outside SQL (batching twin: q73)",
-    "q74_incremental_index_dedup" -> "hash-seeded (signature twin: q69)"
+    "q54_multimodal_features" -> "binary media decode outside SQL (batching twin: q73)"
   )
 }

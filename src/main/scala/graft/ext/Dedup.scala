@@ -342,13 +342,30 @@ object Dedup {
       threshold: Double = 0.7,
       nHashes: Int = 64,
       bands: Int = 16,
-      shingleWords: Int = 3
+      shingleWords: Int = 3,
+      portable: Boolean = false
   ): DataFrame = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     val r = nHashes / bands
-    val newSigs = minHashSignatures(newDf, idCol, textCol, nHashes, shingleWords)
-    val candidates = banded(newSigs, idCol, bands, r).as("x")
-      .join(banded(corpusSigs, idCol, bands, r).as("y"),
+    // portable: signatures from the md5-derived 30-bit family and band keys
+    // = the band's signature VALUES (exact candidate portability — the q25
+    // argument), so an index built with minHashSignaturesPortable plus this
+    // probe path hash-matches a DuckDB twin end-to-end (q74's registered
+    // form; xxhash64 production stays the x74 channel)
+    val newSigs =
+      if (portable)
+        minHashSignaturesPortable(newDf, idCol, textCol, nHashes, shingleWords)
+      else minHashSignatures(newDf, idCol, textCol, nHashes, shingleWords)
+    def bandRows(sigs: DataFrame): DataFrame =
+      if (portable)
+        sigs.select(col(idCol),
+          posexplode(array((0 until bands).map(j =>
+            concat_ws(",", (0 until r).map(i =>
+              element_at(col("signature"), j * r + i + 1).cast("string")): _*))
+            : _*)).as(Seq("_band", "_bandhash")))
+      else banded(sigs, idCol, bands, r)
+    val candidates = bandRows(newSigs).as("x")
+      .join(bandRows(corpusSigs).as("y"),
         col("x._band") === col("y._band") &&
           col("x._bandhash") === col("y._bandhash"))
       .select(col(s"x.$idCol").as("id_new"), col(s"y.$idCol").as("id_corpus"))
@@ -403,6 +420,78 @@ object Dedup {
       .filter(graft.util.PlanHints.noPushdown(col("jaccard_sim") >= threshold))
       .select("id_a", "id_b", "jaccard_sim")
       .orderBy("id_a", "id_b")
+  }
+
+  /** Engine-portable [[minHashPairs]]: the SAME two-stage pipeline
+    * (signatures → banded candidates → exact-Jaccard verify) with every
+    * hash swapped for the md5-derived portable family so the WHOLE pair
+    * output — candidate generation included — hash-matches a DuckDB twin
+    * (q25's registered form since r6; the xxhash64 production form is the
+    * x25 scale channel):
+    *
+    *  - signatures: [[minHashSignaturesPortable]] (30-bit hashes/consts);
+    *  - band keys: the band's signature VALUES concatenated (no engine
+    *    hash in the candidate key — band equality is slice equality, so
+    *    the oracle reproduces candidates EXACTLY, not modulo xxhash64
+    *    collisions);
+    *  - verify sets: portable gram hashes, so the Jaccard values are the
+    *    identical rationals in both engines.
+    *
+    * Scale shape unchanged: banded equi-join (never all-pairs), candidate
+    * dedup on bare id pairs, hash-set verify on fixed-width longs. Band
+    * keys are short strings instead of one long — the measured price of
+    * exact candidate portability; production stays on [[minHashPairs]].
+    */
+  def minHashPairsPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      nHashes: Int = 16,
+      bands: Int = 4,
+      shingleWords: Int = 3
+  ): DataFrame = {
+    require(nHashes % bands == 0, "bands must divide nHashes")
+    val r = nHashes / bands
+    val sigs = minHashSignaturesPortable(df, idCol, textCol, nHashes, shingleWords)
+    val bandRows = sigs.select(
+      col(idCol),
+      posexplode(array((0 until bands).map(j =>
+        concat_ws(",", (0 until r).map(i =>
+          element_at(col("signature"), j * r + i + 1).cast("string")): _*)): _*))
+        .as(Seq("_band", "_bandkey")))
+    val candidates = bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x._band") === col("y._band") &&
+          col("x._bandkey") === col("y._bandkey") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    val sets = df.select(col(idCol),
+      array_distinct(transform(wordNgrams(col(textCol), shingleWords),
+        g => portableHash60(g))).as("_set"))
+    candidates
+      .join(sets.select(col(idCol).as("id_a"), col("_set").as("_set_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("_set").as("_set_b")), "id_b")
+      .withColumn("jaccard_sim", round(jaccard(col("_set_a"), col("_set_b")), 4))
+      .filter(graft.util.PlanHints.noPushdown(col("jaccard_sim") >= threshold))
+      .select("id_a", "id_b", "jaccard_sim")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Drop near-duplicates found by [[minHashPairsPortable]] (keep the
+    * lower id of every verified pair) — the portable twin of
+    * [[minHashDedup]], used by the oracled curation funnel (q46).
+    */
+  def minHashDedupPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    val dropIds = minHashPairsPortable(df, idCol, textCol, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dropIds, Seq(idCol), "left_anti")
   }
 
   /** Connected components over a near-dup pair list: every node gets the
@@ -515,19 +604,33 @@ object Dedup {
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist. Candidates must
-    * share one of four 16-bit chunks (pigeonhole: distance ≤ 3 guarantees a
-    * shared chunk), then exact popcount verification.
+    * share one of `nChunks` equal-width fingerprint chunks (pigeonhole:
+    * distance ≤ nChunks−1 guarantees a shared chunk — recall is exact for
+    * maxDist within that bound), then exact popcount verification.
+    *
+    * Defaults are the 64-bit xxhash64 production fingerprint; the
+    * portable-oracle form (q26 since r6) passes `tokenHash =
+    * portableHash60, nBits = 16` so the fingerprints, the chunk candidate
+    * rule AND the verified pairs all have an exact DuckDB twin (with
+    * maxDist ≤ nChunks−1 the output is provably ALL pairs within maxDist,
+    * so the twin can brute-force the definition).
     */
   def simHashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxDist: Int = 3
+      maxDist: Int = 3,
+      tokenHash: Column => Column = xxhash64(_),
+      nBits: Int = 64,
+      nChunks: Int = 4
   ): DataFrame = {
-    val hashes = simHash(df, idCol, textCol)
+    require(nBits % nChunks == 0, "nChunks must divide nBits")
+    val chunkBits = nBits / nChunks
+    val chunkMask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
+    val hashes = simHash(df, idCol, textCol, tokenHash, nBits)
     val chunked = hashes.select(col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
+      posexplode(array((0 until nChunks).map(c =>
+        shiftright(col("simhash"), c * chunkBits).bitwiseAND(chunkMask)): _*))
         .as(Seq("_chunk", "_chunkval")))
     chunked.as("x")
       .join(chunked.as("y"),
@@ -535,7 +638,8 @@ object Dedup {
           col("x._chunkval") === col("y._chunkval") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")
+          .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
       .orderBy("id_a", "id_b")

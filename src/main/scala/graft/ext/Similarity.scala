@@ -325,6 +325,10 @@ object Similarity {
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         round(cosine(col("q_vec"), col("c_vec")), 4).as("cos_sim"))
+      // a zero-norm vector yields cos NaN; the packed path would rank it as
+      // sim 0.0 while the window path's desc() ranks NaN FIRST (Spark SQL
+      // ordering) — drop degenerate candidates so both paths agree
+      .filter(!isnan(col("cos_sim")))
     // (sim, id)-packing into the bounded top-k aggregate (the pqKnnJoin
     // recipe): cos_sim is round(·, 4), so 10000·cos is an exact integer in
     // [-10000, 10000] and (10000 − that) a nonnegative sort key; when ids
@@ -1192,6 +1196,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** ANN top-k against a FIXED-RULE quantized coarse quantizer: centroids
+    * are the `kCells` lowest-id vectors quantized to round(v·1000) longs,
+    * so assignment and probe-cell selection are EXACT integer math (the
+    * q72 family) and the whole query — routing, candidate scan, exact-
+    * cosine re-rank — hash-matches a DuckDB twin (q53's registered form
+    * since r6; the KMeans-trained quantizer [[ivfIndex]]/[[ivfTopK]] is
+    * the production x53 channel — training is driver-ML with no SQL twin,
+    * the serving path is identical).
+    *
+    * Scale shape = [[ivfTopK]]'s: per-row assignment is a scan-side native
+    * expression; only the nProbe probed cells' rows reach the top-k.
+    */
+  def ivfTopKFixed(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      kCells: Int = 16,
+      nProbe: Int = 3
+  ): DataFrame = {
+    val centroids = df.filter(col(idCol) < kCells).orderBy(idCol)
+      .select(transform(col(vecCol),
+        x => round(x.cast("double") * 1000).cast("long")).as("cq"))
+      .collect().map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+    val qq = df.filter(col(idCol) === queryId)
+      .select(transform(col(vecCol),
+        x => round(x.cast("double") * 1000).cast("long")))
+      .head().getSeq[Long](0)
+    val cells = centroids.zipWithIndex
+      .map { case (c, i) =>
+        (i, c.zip(qq).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      .sortBy { case (i, d) => (d, i) }.take(nProbe).map(_._1.toLong)
+    val qv = broadcast(df.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("_q_vec")))
+    df.withColumn("_cell", ivfAssignQuantized(col(vecCol), centroids))
+      .filter(col("_cell").isin(cells: _*) && col(idCol) =!= queryId)
+      .crossJoin(qv)
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("_q_vec")), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+  }
+
   /** Persist an IVF-PQ index: rows partitioned by coarse cell with their PQ
     * codes MATERIALIZED and the raw vectors DROPPED — the serving layout
     * where a probe reads only the nProbe cell directories and ranks rows by
@@ -1387,6 +1436,12 @@ object Similarity {
   ): DataFrame =
     pairs
       .withColumn("_cs", cosine(col("_va"), col("_vb")))
+      // an anchor whose candidates ALL score null/NaN has no well-defined
+      // hardest negative: argMaxTiedLow returns the sentinel id
+      // Long.MaxValue for such a group, which the label join below would
+      // silently drop — filter the degenerate scores up front so the drop
+      // can only mean "no candidates", never "candidates with broken sims"
+      .filter(col("_cs").isNotNull && !isnan(col("_cs")))
       .groupBy(col("vec_id"), col("label"))
       .agg(graft.functions.GraftFunctions.argMaxTiedLow(
         col("_cs"), col("hard_neg_id").cast("long")).as("_b"))

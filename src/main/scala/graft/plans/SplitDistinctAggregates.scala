@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans.Cross
@@ -56,6 +57,12 @@ object SplitDistinctAggregates extends Rule[LogicalPlan] {
       case _ => true
     }.isEmpty
     if (!scanShaped) return false
+    // each extra branch re-instances the child for fresh exprIds (sibling
+    // branches sharing ids would violate the analyzer's uniqueness
+    // invariant and trip plan-integrity validation); that needs every leaf
+    // to know how to produce a fresh-id copy of itself
+    if (!agg.child.collectLeaves().forall(_.isInstanceOf[MultiInstanceRelation]))
+      return false
     // every expression under the duplicated child must be deterministic
     // or the branches would see different data
     if (agg.child.exists(p => p.expressions.exists(!_.deterministic)))
@@ -87,11 +94,63 @@ object SplitDistinctAggregates extends Rule[LogicalPlan] {
       key -> ne
     }
     val keysInOrder = keyed.map(_._1).distinct
-    val branches = keysInOrder.map { k =>
-      agg.copy(aggregateExpressions = keyed.filter(_._1 == k).map(_._2))
+    // the first branch keeps the original child; every further branch gets
+    // a RE-INSTANCED copy (fresh exprIds for leaf outputs and inner
+    // aliases, references remapped) so sibling branches never share ids —
+    // the same discipline the analyzer's DeduplicateRelations restores for
+    // self-joins. Top-level output aliases keep their ORIGINAL ids in all
+    // branches: that is what lets parents resolve unchanged.
+    val branches = keysInOrder.zipWithIndex.map { case (k, i) =>
+      val exprs = keyed.filter(_._1 == k).map(_._2)
+      if (i == 0) agg.copy(aggregateExpressions = exprs)
+      else {
+        val (freshChild, mapping) = reinstance(agg.child)
+        val remapped = exprs.map(_.transformUp {
+          case ar: AttributeReference if mapping.contains(ar.exprId) =>
+            ar.withExprId(mapping(ar.exprId).exprId)
+        }.asInstanceOf[NamedExpression])
+        agg.copy(aggregateExpressions = remapped, child = freshChild)
+      }
     }
     val joined = branches
       .reduceLeft[LogicalPlan]((l, r) => Join(l, r, Cross, None, JoinHint.NONE))
     Project(agg.aggregateExpressions.map(_.toAttribute), joined)
+  }
+
+  /** Fresh-exprId copy of a scan-shaped subtree: leaves re-instance via
+    * MultiInstanceRelation (guarded in [[eligible]]), inner aliases get new
+    * ids, and every reference is remapped bottom-up. Returns the copy plus
+    * the old→new attribute mapping for the caller's own expressions.
+    */
+  private def reinstance(
+      plan: LogicalPlan): (LogicalPlan, Map[ExprId, Attribute]) = {
+    var mapping = Map.empty[ExprId, Attribute]
+    val fresh = plan.transformUp {
+      case leaf: LeafNode =>
+        val newLeaf =
+          leaf.asInstanceOf[MultiInstanceRelation].newInstance()
+            .asInstanceOf[LogicalPlan]
+        leaf.output.zip(newLeaf.output).foreach { case (o, n) =>
+          mapping += o.exprId -> n
+        }
+        newLeaf
+      case node =>
+        node.transformExpressionsUp {
+          case al: Alias =>
+            val renamedChild = al.child.transformUp {
+              case ar: AttributeReference if mapping.contains(ar.exprId) =>
+                ar.withExprId(mapping(ar.exprId).exprId)
+            }
+            val fresh = Alias(renamedChild, al.name)(
+              qualifier = al.qualifier,
+              explicitMetadata = al.explicitMetadata,
+              nonInheritableMetadataKeys = al.nonInheritableMetadataKeys)
+            mapping += al.exprId -> fresh.toAttribute
+            fresh
+          case ar: AttributeReference if mapping.contains(ar.exprId) =>
+            ar.withExprId(mapping(ar.exprId).exprId)
+        }
+    }
+    (fresh, mapping)
   }
 }

@@ -106,28 +106,32 @@ object SimilarityQueries {
              |FROM sims GROUP BY label ORDER BY label""".stripMargin)
     ),
 
-    // ---- LSH-bucketed ANN top-k (seeded hyperplanes → rows-only check;
-    //      recall vs brute force asserted in ScalaTest)
+    // ---- LSH-bucketed ANN top-k, oracled DIRECTLY on the production
+    //      operator: the seeded-Gaussian hyperplanes are pure data inlined
+    //      verbatim into the SQL (the q75 trick), so buckets, the Hamming≤1
+    //      multi-probe predicate AND the exact-cosine re-rank all
+    //      hash-match. Recall stays pinned by q75.
     QueryDef(
       "q33_ann_lsh_topk",
       (s, dir) =>
         Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           queryId = 0L, k = 10, dim = 64, nBits = RecallBits,
           probeHamming = RecallProbe),
-      None
+      Some(lshTopKOracleSql)
     ),
 
-    // ---- IVF ANN: KMeans coarse quantizer, probe the 3 nearest cells
-    //      (seeded clustering → rows-only; recall asserted in ScalaTest)
+    // ---- IVF ANN top-k, oracled end-to-end against the FIXED-RULE
+    //      quantizer (16 lowest-id vectors, round(v·1000) integer cells —
+    //      the q72 family): routing, probe selection and exact-cosine
+    //      re-rank all hash-match. The KMeans-trained quantizer
+    //      (ivfIndex/ivfTopK — driver-ML, no SQL twin) is the x53
+    //      production channel; its recall stays asserted in ScalaTest.
     QueryDef(
       "q53_ann_ivf_topk",
-      (s, dir) => {
-        val idx = Similarity.ivfIndex(t(s, dir, "embeddings"), "embedding",
-          kClusters = 16)
-        Similarity.ivfTopK(idx, "vec_id", "embedding", queryId = 0L, k = 10,
-          nProbe = 3)
-      },
-      None
+      (s, dir) =>
+        Similarity.ivfTopKFixed(t(s, dir, "embeddings"), "vec_id",
+          "embedding", queryId = 0L, k = 10, kCells = 16, nProbe = 3),
+      Some(ivfTopKFixedOracleSql)
     ),
 
     // ---- the SAME sign-random-projection bucketing structure as q33/q34,
@@ -191,15 +195,18 @@ object SimilarityQueries {
              |WHERE rn = 1 ORDER BY vec_id""".stripMargin)
     ),
 
-    // ---- embedding near-duplicate pairs (LSH + exact verify → rows-only).
-    //      The fixture's vectors are near-orthogonal (max pairwise cosine
+    // ---- embedding near-duplicate pairs (LSH + exact verify), oracled
+    //      DIRECTLY on the production operator: seeded-Gaussian planes
+    //      inlined as SQL literals (the q75/q33 trick) reproduce the exact
+    //      bucket candidate sets; verify is the rounded-cosine cut. The
+    //      fixture's vectors are near-orthogonal (max pairwise cosine
     //      ≈0.6), so the "near-dup" bar is set at the top ~0.1% of pairs.
     QueryDef(
       "q34_embedding_near_dups",
       (s, dir) =>
         Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
           dim = 64, threshold = 0.35, nBits = 4),
-      None
+      Some(nearDupPairsOracleSql)
     ),
 
     // ---- the ANN QUALITY contract, oracled: recall@10 of (a) the
@@ -1550,6 +1557,88 @@ object SimilarityQueries {
     * seeded-Gaussian hyperplanes inlined as literal doubles (shortest
     * round-trip decimal strings parse back to the identical IEEE double).
     */
+  /** DuckDB rendering of the production SRP bucket: seeded-Gaussian planes
+    * inlined verbatim (Scala Double.toString is shortest-roundtrip decimal,
+    * so DuckDB parses back the IDENTICAL doubles), bit i set iff the
+    * sequential dot ≥ 0 — the q75-pinned fragment, factored for reuse by
+    * the q33/q34 direct oracles.
+    */
+  private def srpBucketSql(nBits: Int, vecExpr: String): String =
+    Similarity.hyperplanes(64, nBits, 42L).zipWithIndex.map {
+      case (p, i) =>
+        val lst = p.mkString("[", ",", "]")
+        s"(CASE WHEN list_sum(list_transform(range(1, 65), " +
+          s"j -> $vecExpr[j]::DOUBLE * ($lst)[j])) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" +\n  ")
+
+  /** q33's direct oracle: the production lshTopK query plan replayed in
+    * SQL — inlined planes, Hamming ≤ RecallProbe probe predicate, exact
+    * cosine, top-10.
+    */
+  private def lshTopKOracleSql: String = {
+    val cosExpr =
+      """round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |    i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)) /
+        |  (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |   sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))), 4)""".stripMargin
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cos AS (SELECT e.vec_id, $cosExpr AS cos_sim
+       |  FROM embeddings e, q WHERE e.vec_id <> 0),
+       |b AS (SELECT vec_id, ${srpBucketSql(RecallBits, "embedding")} AS bucket
+       |  FROM embeddings),
+       |qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0)
+       |SELECT b.vec_id, cos.cos_sim FROM b, qb, cos
+       |WHERE bit_count(xor(b.bucket, qb.qbucket)) <= $RecallProbe
+       |  AND cos.vec_id = b.vec_id
+       |ORDER BY cos.cos_sim DESC, b.vec_id LIMIT 10""".stripMargin
+  }
+
+  /** q53's oracle: the fixed-rule IVF (16 lowest-id quantized centroids,
+    * 3 probed cells) + exact-cosine top-10 — the q72/q75 integer-math
+    * machinery with the top-k readout.
+    */
+  private def ivfTopKFixedOracleSql: String = {
+    val cosExpr =
+      """round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |    i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)) /
+        |  (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |   sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))), 4)""".stripMargin
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cos AS (SELECT e.vec_id, $cosExpr AS cos_sim
+       |  FROM embeddings e, q WHERE e.vec_id <> 0),
+       |vq AS (SELECT vec_id,
+       |  list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS vq
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, vq AS cq FROM vq WHERE vec_id < 16),
+       |qcell AS (SELECT cid FROM (
+       |  SELECT c.cid, list_sum(list_transform(generate_series(1, 64),
+       |    j -> (q2.vq[j] - c.cq[j]) * (q2.vq[j] - c.cq[j]))) AS dist
+       |  FROM vq q2, c WHERE q2.vec_id = 0 ORDER BY dist, cid LIMIT 3) y),
+       |assign AS (SELECT vec_id, cell FROM (
+       |  SELECT v.vec_id, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      list_sum(list_transform(generate_series(1, 64),
+       |        j -> (v.vq[j] - c.cq[j]) * (v.vq[j] - c.cq[j]))), c.cid) AS rn
+       |  FROM vq v, c) z WHERE rn = 1)
+       |SELECT a.vec_id, cos.cos_sim FROM assign a
+       |JOIN cos ON cos.vec_id = a.vec_id
+       |WHERE a.cell IN (SELECT cid FROM qcell)
+       |ORDER BY cos.cos_sim DESC, a.vec_id LIMIT 10""".stripMargin
+  }
+
+  /** q34's direct oracle: production SRP buckets (inlined planes), bucket
+    * equi-candidates, rounded-cosine ≥ threshold verify.
+    */
+  private def nearDupPairsOracleSql: String =
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |  ${srpBucketSql(4, "embedding")} AS bucket FROM embeddings),
+       |p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       |    round(${cosSqlExpr("a.embedding", "b2.embedding")}, 4) AS cos_sim
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |SELECT id_a, id_b, cos_sim FROM p
+       |WHERE cos_sim >= CAST(0.35 AS DOUBLE)
+       |ORDER BY id_a, id_b""".stripMargin
+
   private def recallOracleSql: String = {
     val cosExpr =
       """round(list_sum(list_transform(range(1, len(e.embedding) + 1),

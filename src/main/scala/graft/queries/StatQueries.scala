@@ -1297,7 +1297,9 @@ object StatQueries {
              |  FROM r),
              |rt AS (SELECT doc_id AS u,
              |    CASE WHEN hv % 10 = 0 THEN upper(lang) ELSE lang END AS c
-             |  FROM k WHERE hm % 7 <> 0),
+             |  -- lang IS NOT NULL mirrors krippendorffAlpha's null-category
+             |  -- filter (a NULL lang must not become a real category here)
+             |  FROM k WHERE hm % 7 <> 0 AND lang IS NOT NULL),
              |uc AS (SELECT u, c, CAST(count(*) AS BIGINT) AS nuc
              |  FROM rt GROUP BY 1, 2),
              |pu AS (SELECT u, CAST(sum(nuc) AS BIGINT) AS mu,

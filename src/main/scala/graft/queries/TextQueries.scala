@@ -116,22 +116,35 @@ object TextQueries {
              |ORDER BY id_a, id_b""".stripMargin)
     ),
 
-    // ---- minhash LSH near-dup pairs (xxhash64-dependent → rows-only check)
+    // ---- minhash LSH near-dup pairs, REGISTERED in the portable-hash
+    //      form since r6 (VERDICT r5 #2): the same signatures → banded
+    //      candidates → exact-Jaccard-verify pipeline, md5-derived hashes
+    //      and value-keyed bands, so the ENTIRE pair output hash-matches
+    //      DuckDB (candidate generation included — not just the verify).
+    //      The xxhash64 production form is the x25 scale channel.
     QueryDef(
       "q25_minhash_near_dups",
       (s, dir) =>
-        Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text",
-          threshold = 0.5),
-      None
+        Dedup.minHashPairsPortable(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5, nHashes = 16, bands = 4),
+      Some(minHashPairsOracleSql)
     ),
 
-    // ---- simhash hamming-distance pairs (xxhash64-dependent → rows-only)
+    // ---- simhash hamming-distance pairs, REGISTERED in the portable form
+    //      since r6: 32-bit md5-family fingerprints (q68's machinery,
+    //      wider), 8-bit chunk blocking, maxDist = 3 ≤ nChunks−1 — so the
+    //      output is PROVABLY all pairs within distance 3 (pigeonhole) and
+    //      the twin brute-forces the bare definition. 16 bits measured too
+    //      loose (28k pairs at sf0.01, 16-value chunk buckets ~quadratic);
+    //      32/8-bit chunks give 1.3k true near-dup pairs and 256-value
+    //      buckets. The 64-bit xxhash64 production form (maxDist 8) is the
+    //      x26 scale channel.
     QueryDef(
       "q26_simhash_pairs",
       (s, dir) =>
         Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
-          maxDist = 8),
-      None
+          maxDist = 3, tokenHash = Dedup.portableHash60, nBits = 32),
+      Some(simHashPairsOracleSql)
     ),
 
     // ---- the SAME simhash machinery as q26, hash family swapped for the
@@ -202,8 +215,12 @@ object TextQueries {
     // ---- incremental ingest dedup: the last 20% of documents arrive as a
     //      "new batch" and are near-dup-checked against ONLY the stored
     //      signature index of the first 80% (corpus text untouched) — the
-    //      steady-state lake shape. xxhash64 banding → rows-only check;
-    //      exact semantics + estimator accuracy pinned in DedupSpec.
+    //      steady-state lake shape. REGISTERED in the portable-hash form
+    //      since r6: the oracle recomputes BOTH sides' signatures from raw
+    //      text in one batch (the q186-style incremental ≡ batch proof —
+    //      a hash match certifies the stored index is exactly what a full
+    //      rebuild would produce). xxhash64 production = x74 channel;
+    //      estimator accuracy stays pinned in DedupSpec.
     QueryDef(
       "q74_incremental_index_dedup",
       (s, dir) => {
@@ -211,11 +228,12 @@ object TextQueries {
         // scale-proportional split: every 5th doc is the arriving batch
         val corpus = d.filter(col("doc_id") % 5 =!= 4)
         val batch = d.filter(col("doc_id") % 5 === 4)
-        val index = Dedup.minHashSignatures(corpus, "doc_id", "text")
+        val index = Dedup.minHashSignaturesPortable(corpus, "doc_id", "text",
+          nHashes = 16)
         Dedup.minHashPairsAgainstIndex(batch, "doc_id", "text", index,
-          threshold = 0.5)
+          threshold = 0.5, nHashes = 16, bands = 4, portable = true)
       },
-      None
+      Some(indexDedupOracleSql)
     ),
 
     // ---- token counting (whitespace + BPE-ish piece estimate)
@@ -1315,4 +1333,122 @@ object TextQueries {
              |FROM t, hit""".stripMargin)
     )
   )
+
+  /** Shared CTE prefix for the portable minhash oracles (q25/q74): 3-gram
+    * sets (wordNgrams semantics incl. short-text fallback), 30-bit-masked
+    * portable gram hashes, and the 16-wide signature columns h0..h15 —
+    * exactly [[graft.ext.Dedup.minHashSignaturesPortable]]'s math.
+    */
+  private def portableSigCtes: String = {
+    val mins = graft.ext.Dedup.affineConsts(16, 30).zipWithIndex.map {
+      case ((a, b), i) =>
+        s"list_min(list_transform(h, x -> x * $a + $b)) AS h$i"
+    }.mkString(",\n  ")
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(
+       |    regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS tk
+       |  FROM documents),
+       |grams AS (SELECT doc_id, list_distinct(
+       |  CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+       |       WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       |       ELSE list_transform(generate_series(1, len(tk) - 2),
+       |              j -> tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2]) END) AS g
+       |  FROM toks),
+       |hs AS (SELECT doc_id, list_transform(g,
+       |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT & 1073741823) AS h
+       |  FROM grams WHERE len(g) > 0),
+       |sigs AS (SELECT doc_id,
+       |  $mins
+       |  FROM hs)""".stripMargin
+  }
+
+  /** Band-key UNION for a 16-hash / 4-band signature table `src`:
+    * (doc_id, band, bk) with bk = the band's 4 signature VALUES — the
+    * value-keyed banding [[graft.ext.Dedup.minHashPairsPortable]] uses.
+    */
+  private def bandKeySql(src: String): String =
+    (0 until 4).map { j =>
+      val parts = (0 until 4).map(i => s"h${j * 4 + i}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $j AS band, $parts AS bk FROM $src"
+    }.mkString("\n  UNION ALL ")
+
+  /** q25's oracle: portable signatures → value-keyed banded candidates →
+    * exact Jaccard on (full-width) portable gram hashes ≥ threshold.
+    */
+  private def minHashPairsOracleSql: String =
+    s"""WITH $portableSigCtes,
+       |bands AS (
+       |  ${bandKeySql("sigs")}),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+       |hsets AS (SELECT doc_id, list_distinct(list_transform(g,
+       |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS st
+       |  FROM grams WHERE len(g) > 0),
+       |scored AS (SELECT id_a, id_b,
+       |  round(CASE WHEN len(list_distinct(a.st || b.st)) = 0 THEN 0.0
+       |    ELSE len(list_intersect(a.st, b.st))::DOUBLE /
+       |         len(list_distinct(a.st || b.st)) END, 4) AS jaccard_sim
+       |  FROM cand JOIN hsets a ON a.doc_id = cand.id_a
+       |            JOIN hsets b ON b.doc_id = cand.id_b)
+       |SELECT id_a, id_b, jaccard_sim FROM scored
+       |WHERE jaccard_sim >= CAST(0.5 AS DOUBLE)
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q26's oracle: 32-bit portable simhashes (q68's machinery, wider) +
+    * the BARE definition — all pairs within Hamming 3 (pigeonhole makes
+    * the chunk channel's output exactly this set). Shifts go through
+    * 1::BIGINT (DuckDB's bare `1 << 31` overflows INT32).
+    */
+  private def simHashPairsOracleSql: String = {
+    val bitSums = (0 until 32).map(k =>
+      s"sum(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS b$k")
+      .mkString(",\n  ")
+    val hashExpr = (0 until 32).map(k =>
+      s"(CASE WHEN b$k > 0 THEN (1::BIGINT << $k) ELSE 0::BIGINT END)")
+      .mkString(" | ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS tok
+       |  FROM documents),
+       |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+       |       FROM toks),
+       |bits AS (SELECT doc_id,
+       |  $bitSums
+       |  FROM th GROUP BY doc_id),
+       |sh AS (SELECT doc_id, CAST($hashExpr AS BIGINT) AS simhash FROM bits)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q74's oracle — the incremental ≡ batch proof: BOTH the stored corpus
+    * index and the arriving batch's signatures are recomputed from raw
+    * text in one pass, banded with the same value keys, and scored with
+    * the signature-agreement estimator; a hash match certifies the
+    * incremental probe path returns exactly what a full rebuild would.
+    */
+  private def indexDedupOracleSql: String = {
+    val matches = (0 until 16).map(i =>
+      s"(CASE WHEN a.h$i = c.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $portableSigCtes,
+       |cb AS (SELECT * FROM sigs WHERE doc_id % 5 <> 4),
+       |bt AS (SELECT * FROM sigs WHERE doc_id % 5 = 4),
+       |bandsc AS (
+       |  ${bandKeySql("cb")}),
+       |bandsb AS (
+       |  ${bandKeySql("bt")}),
+       |cand AS (SELECT DISTINCT b.doc_id AS id_new, c.doc_id AS id_corpus
+       |  FROM bandsb b JOIN bandsc c ON b.band = c.band AND b.bk = c.bk),
+       |est AS (SELECT id_new, id_corpus,
+       |  round(($matches)::DOUBLE / 16, 4) AS est_jaccard
+       |  FROM cand JOIN bt a ON a.doc_id = cand.id_new
+       |            JOIN cb c ON c.doc_id = cand.id_corpus)
+       |SELECT id_new, id_corpus, est_jaccard FROM est
+       |WHERE est_jaccard >= CAST(0.5 AS DOUBLE)
+       |ORDER BY id_new, id_corpus""".stripMargin
+  }
 }

@@ -59,6 +59,31 @@ object ScaleCheck {
     * whose 100× line the exact q141 cross product cannot produce.
     */
   val extras: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // r6: the registered q25/q26/q53/q74 forms flipped to the portable
+    // oracled family (VERDICT r5 #2); these are their xxhash64 / KMeans
+    // PRODUCTION operating points, kept measurable at scale
+    "x25_minhash_near_dups_prod" -> ((s, dir) =>
+      graft.ext.Dedup.minHashPairs(
+        graft.queries.Q.t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5)),
+    "x26_simhash_pairs_prod" -> ((s, dir) =>
+      graft.ext.Dedup.simHashPairs(
+        graft.queries.Q.t(s, dir, "documents"), "doc_id", "text",
+        maxDist = 8)),
+    "x53_ann_ivf_topk_prod" -> ((s, dir) => {
+      val idx = graft.ext.Similarity.ivfIndex(
+        graft.queries.Q.t(s, dir, "embeddings"), "embedding", kClusters = 16)
+      graft.ext.Similarity.ivfTopK(idx, "vec_id", "embedding", queryId = 0L,
+        k = 10, nProbe = 3)
+    }),
+    "x74_incremental_index_dedup_prod" -> ((s, dir) => {
+      val d = graft.queries.Q.t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 5 =!= 4)
+      val batch = d.filter(col("doc_id") % 5 === 4)
+      val index = graft.ext.Dedup.minHashSignatures(corpus, "doc_id", "text")
+      graft.ext.Dedup.minHashPairsAgainstIndex(batch, "doc_id", "text",
+        index, threshold = 0.5)
+    }),
     // saltBucketsAbove: deterministic hot-bucket split — without it, wall
     // time was an AQE skew-split coin flip (12.6 / 44 / 104 s across three
     // identical runs; see PERF.md x141 diagnosis)

@@ -55,14 +55,14 @@ object ScaleSweep {
     "q208_schedule_realization", "q218_k_anonymity_audit",
     "q226_concat_chunk_packing", "q227_krippendorff_alpha",
     "q231_vocab_coverage",
-    // production operating points (ScaleCheck extras)
+    // production operating points (ScaleCheck extras). q77's 16-bucket
+    // ORACLE point joined the excluded candidate-quadratic family in r6
+    // (it alone was 346 of SCALE_r05's 700 s) — x77 is its swept channel,
+    // the oracle point stays gated at sf0.01 by check_oracle
     "x77_semantic_dedup_prod", "x141_hard_negatives_lsh",
     "x151_equal_freq_binning_approx", "x183_semantic_decon_prod",
     "x205_label_kappa_prod", "x214_label_kappa_pq",
-    "x229_label_noise_prod", "x230_label_noise_pq",
-    // the one candidate-quadratic oracle point measured at 100× — LAST,
-    // so its ~80 GB of shuffle debris can't crowd later queries' spills
-    "q77_semantic_dedup")
+    "x229_label_noise_prod", "x230_label_noise_pq")
 
   /** Answer-quadratic pair-output and blocked-quadratic verify ops:
     * honest 10× point (q46 precedent; q141's exact cross-product argmax

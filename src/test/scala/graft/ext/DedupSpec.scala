@@ -62,9 +62,9 @@ class DedupSpec extends SparkSpec {
 
   test("simhash: identical docs distance 0, near dups close, others far") {
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 16)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
-    assert(pairs((0L, 1L)) == 0)
-    assert(pairs.get((0L, 2L)).exists(_ <= 16))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("hamming")).toMap
+    assert(pairs((0L, 1L)) == 0L)
+    assert(pairs.get((0L, 2L)).exists(_ <= 16L))
     assert(!pairs.contains((3L, 4L)))
   }
 
