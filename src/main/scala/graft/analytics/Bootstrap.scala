@@ -173,6 +173,118 @@ object Bootstrap {
     toDF(spark, rows)
   }
 
+  /** P(X ≤ k) for Poisson(1), k = 0..7 — the inverse-CDF table shared by
+    * the RDD bootstrap loop and the portable column-expression form (whose
+    * DuckDB oracle inlines the SAME literals; Scala's Double.toString is
+    * shortest-roundtrip decimal, so both engines parse back the identical
+    * doubles).
+    */
+  val PoissonCdf: Array[Double] = Array(0.36787944117144233, 0.7357588823428847,
+    0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+    0.9994058151824183, 0.9999167588507119, 0.9999832794316678)
+
+  /** ENGINE-PORTABLE distributed Poisson bootstrap — q41's registered form
+    * since r6 (VERDICT r5 #1): the same single-pass all-columns×replicates
+    * shape as [[poisson]], with every random draw replaced by a
+    * deterministic cross-engine stream so the WHOLE bootstrap — weights,
+    * replicate means, CI readout — hash-matches a DuckDB twin:
+    *
+    *  - per-row seed: portable md5 hash of "bs|"+key, masked to 30 bits;
+    *  - per-(row, replicate) uniform: affine spread by the replicate's
+    *    30-bit [[graft.functions.MinHashSignature.affineConsts]] pair,
+    *    then one middle-square step (x² >> 15, mask) to break the
+    *    cross-replicate linearity — all products < 2^60, exact in any
+    *    engine's int64;
+    *  - weight: Poisson(1) inverse CDF as a branch-free Σ (u > cdf_k) —
+    *    u is an exact dyadic (y+1)/2^30, the table exact double literals;
+    *  - values quantized to floor(v·10⁴ + 0.5) longs, replicate sums exact
+    *    longs → replicate means are identical doubles; means re-quantized
+    *    to 10⁻⁴-unit longs so the final mean/std are ORDER-INDEPENDENT
+    *    integer/decimal sums and the percentiles interpolate over exact
+    *    integers (round-4 readouts, the q215 discipline).
+    *
+    * Statistically this is the classic Poisson(1) bootstrap (weights
+    * approximate multinomial resampling); BootstrapSpec pins CI overlap
+    * against the exact multinomial path. The seeded-RNG [[poisson]]/
+    * [[driverSide]] paths stay the production forms (x41 channel).
+    *
+    * Scale shape: ONE scan computes row hashes + quantized values; the
+    * row×replicate expansion is a broadcast cross-join consumed map-side
+    * by the partial aggregation into nSim groups — only (replicate,
+    * k sums) rows cross the exchange, O(nSim·k) regardless of input size.
+    */
+  def poissonPortable(
+      spark: SparkSession,
+      df: DataFrame,
+      keyCol: String,
+      nSim: Int = 1000,
+      maxColumns: Int = 8
+  ): DataFrame = {
+    val cols = Cleaning.numericCols(df.drop(keyCol)).take(maxColumns)
+    if (cols.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], resultSchema)
+    val filled = medianFill(
+      df.select(col(keyCol).cast("string").as("_k") +:
+        cols.map(c => col(c).cast("double")): _*), cols)
+    // monte_carlo.py:271 — a column needs > 20 usable values
+    val cntRow = filled
+      .agg(count(col(cols.head)), cols.tail.map(c => count(col(c))): _*)
+      .head()
+    val target = cols.zipWithIndex
+      .filter { case (_, i) => cntRow.getLong(i) > 20 }.map(_._1)
+    if (target.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], resultSchema)
+
+    val mask = (1L << 30) - 1
+    val h = graft.ext.Dedup.portableHash60(concat(lit("bs|"), col("_k")))
+      .bitwiseAND(lit(mask))
+    val base = filled.select(
+      (h.as("_h") +: target.zipWithIndex.map { case (c, i) =>
+        floor(col(c) * lit(10000) + lit(0.5)).cast("long").as(s"_q$i")
+      }): _*)
+      // single-file local inputs arrive as ONE partition; the ×nSim
+      // expansion must start spread across cores
+      .repartition(spark.sparkContext.defaultParallelism)
+    import spark.implicits._
+    val constDf = graft.ext.Dedup.affineConsts(nSim, 30).zipWithIndex
+      .map { case ((a, b), r) => (r.toLong, a, b) }
+      .toDF("_r", "_a", "_b")
+    val x = (col("_a") * col("_h") + col("_b")).bitwiseAND(lit(mask))
+    val y = shiftright(x * x, 15).bitwiseAND(lit(mask))
+    val u = (y + lit(1L)).cast("double") / lit((1L << 30).toDouble)
+    val w = PoissonCdf.map(c => (u > lit(c)).cast("long")).reduce(_ + _)
+    val sums = base.crossJoin(broadcast(constDf))
+      .withColumn("_w", w)
+      .filter(col("_w") > 0)
+      .groupBy("_r")
+      .agg(sum(col("_w")).as("_W"),
+        target.indices.map(i => sum(col("_w") * col(s"_q$i")).as(s"_S$i")): _*)
+    val dec18 = DecimalType(18, 0)
+    val perCol = target.zipWithIndex.map { case (c, i) =>
+      sums.select(lit(c).as("index"),
+        floor(col(s"_S$i").cast("double") / col("_W").cast("double")
+          + lit(0.5)).cast("long").as("_mq"))
+    }.reduce(_.unionByName(_))
+    val nD = col("_n").cast("double")
+    val m = col("_s1").cast("double") / nD
+    perCol.groupBy("index")
+      .agg(sum(col("_mq")).as("_s1"),
+        sum(col("_mq").cast(dec18) * col("_mq").cast(dec18)).as("_s2"),
+        percentile(col("_mq"), lit(0.025)).as("_plo"),
+        percentile(col("_mq"), lit(0.975)).as("_phi"),
+        count(lit(1)).as("_n"))
+      .select(col("index"),
+        round(m / lit(10000.0), 4).as("mean_estimate"),
+        round(sqrt(col("_s2").cast("double") / nD - m * m) / lit(10000.0), 4)
+          .as("std_estimate"),
+        round(col("_plo") / lit(10000.0), 4).as("ci_lower_95"),
+        round(col("_phi") / lit(10000.0), 4).as("ci_upper_95"),
+        lit(nSim.toDouble).as("simulations"))
+      .orderBy("index")
+  }
+
   /** Distributed Poisson bootstrap: single pass, all columns × replicates. */
   def poisson(
       spark: SparkSession,
@@ -201,10 +313,7 @@ object Bootstrap {
           z = z ^ (z >>> 31)
           (z >>> 11) * 1.1102230246251565e-16 // 2^-53
         }
-        // P(X<=k) for λ=1
-        val cdf = Array(0.36787944117144233, 0.7357588823428847,
-          0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
-          0.9994058151824183, 0.9999167588507119, 0.9999832794316678)
+        val cdf = PoissonCdf
         def poissonInv(u: Double): Int = {
           var i = 0
           while (i < cdf.length && u > cdf(i)) i += 1

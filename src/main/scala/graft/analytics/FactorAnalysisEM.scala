@@ -160,6 +160,117 @@ object FactorAnalysisEM {
     FAModel(cols, mean, w, psi, lls.toSeq, iter, medians)
   }
 
+  /** ENGINE-PORTABLE fixed-iteration factor analysis — q42's registered
+    * form since r6 (VERDICT r5 #1): Rubin–Thayer covariance-space EM with
+    * k = 2 factors and `iters` FIXED iterations from a fixed init, run on
+    * the CORRELATION matrix of integer-quantized values, so every number
+    * in the fold is a deterministic IEEE sequence a DuckDB oracle replays
+    * expression-for-expression:
+    *
+    *  - values quantize to floor(v·100 + 0.5) CENTI-UNIT longs and are
+    *    CENTERED by the integer mean (pass 1: sums → shift = s div n;
+    *    pass 2: centered moments) so every product sum FITS int64 through
+    *    the sf0.1 bench tier (Σz² ≈ n·var: ~6e18 at 600k rows) — int64 →
+    *    double casts are correctly rounded in BOTH engines,
+    *    where an int128-backed wide decimal → double cast is not
+    *    guaranteed to be; overflow past the envelope errors LOUDLY
+    *    (longValueExact / CAST AS BIGINT), never silently diverges;
+    *  - covariance/correlation/EM updates are fixed-shape +,−,×,÷,sqrt
+    *    chains (closed-form 2×2 inverses — NO eigendecomposition, which
+    *    is why sklearn's eigen-EM [[fit]] itself cannot be oracled);
+    *  - ψ floors via max(·, 1e-12), left-associated 4-term sums, raw
+    *    (unrounded) double outputs — negative loadings round differently
+    *    across engines, raw doubles are bit-identical when shapes match.
+    *
+    * The sklearn-faithful [[fit]] stays the production form (x42 channel,
+    * golden-pinned loadings); q71 pins the DECIMAL-routed moments. Scale
+    * shape: ONE codegen aggregate pass (count + 4 sums + 10 product sums)
+    * — the only part that touches data — then driver math on a 4×4.
+    */
+  def fitPortableLoadings(
+      spark: SparkSession,
+      df: DataFrame,
+      iters: Int = 5
+  ): DataFrame = {
+    val cols = Cleaning.numericCols(df)
+    require(cols.length == 4, "portable EM fold is generated for d=4, k=2")
+    val d = 4
+    val dec = DecimalType(18, 0)
+    val q = cols.map(c =>
+      floor(coalesce(col(c).cast("double"), lit(0.0)) * lit(100) + lit(0.5))
+        .cast("long"))
+    // pass 1: count + raw centi sums → integer shifts (positive operands:
+    // JVM / and DuckDB // agree — truncation)
+    val aggs1 = count(lit(1)) +: (0 until d).map(i => sum(q(i)))
+    val row1 = df.agg(aggs1.head, aggs1.tail: _*).head()
+    val n = row1.getLong(0)
+    require(n > 0, "portable EM on empty input")
+    val nD = n.toDouble
+    val shift = Array.tabulate(d)(i => row1.getLong(1 + i) / n)
+    // pass 2: centered moments — every sum fits int64 (longValueExact
+    // errors loudly past the envelope, mirroring the oracle's BIGINT cast)
+    val z = (0 until d).map(i => q(i) - lit(shift(i)))
+    val aggs2 = (0 until d).map(i => sum(z(i))) ++
+      (for { i <- 0 until d; j <- 0 to i }
+        yield sum(z(i).cast(dec) * z(j).cast(dec)))
+    val row = df.agg(aggs2.head, aggs2.tail: _*).head()
+    val sD = Array.tabulate(d)(i => row.getLong(i).toDouble)
+    val pD = Array.ofDim[Double](d, d)
+    var idx = d
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j <= i) {
+        val v = row.getDecimal(idx).longValueExact.toDouble
+        pD(i)(j) = v; pD(j)(i) = v
+        idx += 1; j += 1
+      }
+      i += 1
+    }
+    // fixed shapes mirrored 1:1 in the oracle SQL (StatQueries): change
+    // an association order here and the q42 hash breaks
+    val cov = Array.tabulate(d, d)((a, b) =>
+      pD(a)(b) / nD - (sD(a) / nD) * (sD(b) / nD))
+    val r = Array.tabulate(d, d)((a, b) =>
+      cov(a)(b) / (math.sqrt(cov(a)(a)) * math.sqrt(cov(b)(b))))
+    var w = Array(Array(1.0, 0.5, 0.5, 0.5), Array(0.5, 1.0, 0.5, 0.5))
+    var p = Array(1.0, 1.0, 1.0, 1.0)
+    def s4(f: Int => Double): Double = f(0) + f(1) + f(2) + f(3)
+    var it = 0
+    while (it < iters) {
+      val m11 = 1.0 + (s4(j => w(0)(j) * w(0)(j) / p(j)))
+      val m12 = s4(j => w(0)(j) * w(1)(j) / p(j))
+      val m22 = 1.0 + (s4(j => w(1)(j) * w(1)(j) / p(j)))
+      val det = m11 * m22 - m12 * m12
+      val g11 = m22 / det
+      val g12 = (0.0 - m12) / det
+      val g22 = m11 / det
+      val b = Array.tabulate(2, d)((fi, j) =>
+        ((if (fi == 0) g11 else g12) * w(0)(j) +
+          (if (fi == 0) g12 else g22) * w(1)(j)) / p(j))
+      val bs = Array.tabulate(2, d)((fi, j) => s4(l => b(fi)(l) * r(l)(j)))
+      val e11 = g11 + (s4(j => bs(0)(j) * b(0)(j)))
+      val e12 = g12 + (s4(j => bs(0)(j) * b(1)(j)))
+      val e22 = g22 + (s4(j => bs(1)(j) * b(1)(j)))
+      val dete = e11 * e22 - e12 * e12
+      val h11 = e22 / dete
+      val h12 = (0.0 - e12) / dete
+      val h22 = e11 / dete
+      val wn = Array.tabulate(2, d)((fi, j) =>
+        (if (fi == 0) h11 else h12) * bs(0)(j) +
+          (if (fi == 0) h12 else h22) * bs(1)(j))
+      val pn = Array.tabulate(d)(j =>
+        math.max(r(j)(j) - (bs(0)(j) * wn(0)(j) + bs(1)(j) * wn(1)(j)), 1e-12))
+      w = wn
+      p = pn
+      it += 1
+    }
+    import spark.implicits._
+    cols.zipWithIndex.map { case (c, j) => (c, w(0)(j), w(1)(j), p(j)) }
+      .toDF("index", "factor_1_loading", "factor_2_loading", "uniqueness")
+      .orderBy("index")
+  }
+
   /** Per-variable loadings table: `index` + Factor_i_loading, rounded 4
     * (factor_analysis.py:205-209).
     */

@@ -86,7 +86,7 @@ object MonteCarlo {
     * one distributed plan) with every random draw replaced by a
     * deterministic engine-portable stream, so the SIMULATION ITSELF — not
     * just its expectation ([[scenarioExpectations]]) — hash-matches a
-    * DuckDB twin (q215):
+    * DuckDB twin (q40's registered oracle since r6; q215 in r5):
     *
     *  - uniforms: the portable md5 hash (q68-q73 family) of
     *    "mc|ord|draw|j" keys, u = (h+1)/2^60 — exact dyadics both engines;

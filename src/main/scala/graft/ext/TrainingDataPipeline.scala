@@ -16,12 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object TrainingDataPipeline {
 
+  /** @param portableHashes route the near-dup stage through the portable
+    *   md5-family minhash ([[Dedup.minHashPairsPortable]]) so the WHOLE
+    *   funnel has a DuckDB twin — q46's registered form since r6. The
+    *   xxhash64 default stays the production path (x46 channel).
+    */
   final case class Config(
       minQuality: Double = 0.3,
       minTokens: Long = 5,
       maxTokens: Long = 100000,
       keepLangs: Option[Seq[String]] = None,
-      nearDupThreshold: Double = 0.7
+      nearDupThreshold: Double = 0.7,
+      portableHashes: Boolean = false
   )
 
   /** `release()` drops the pipeline's internal caches once the caller has
@@ -66,7 +72,11 @@ object TrainingDataPipeline {
 
     val exactDeduped = Dedup.exact(langFiltered, idCol, Seq(textCol))
     val curated0 =
-      Dedup.minHashDedup(exactDeduped, idCol, textCol, config.nearDupThreshold)
+      if (config.portableHashes)
+        Dedup.minHashDedupPortable(exactDeduped, idCol, textCol,
+          config.nearDupThreshold)
+      else
+        Dedup.minHashDedup(exactDeduped, idCol, textCol, config.nearDupThreshold)
     val curated = if (cacheCurated) curated0.cache() else curated0
 
     // Funnel accounting as ONE lazy plan: each stage contributes a 1-row

@@ -12,13 +12,20 @@ import graft.queries.Q._
 object StatQueries {
 
   val defs: Seq[QueryDef] = Seq(
-    // ---- F1: Monte Carlo scenario simulation (traffic col := o_totalprice)
+    // ---- F1: Monte Carlo scenario simulation (traffic col := o_totalprice).
+    //      REGISTERED in the portable-RNG form since r6 (VERDICT r5 #1 —
+    //      r5's q215 folded into the primary row): md5-stream uniforms,
+    //      Irwin–Hall(12) normals (exact unit variance, zero libm),
+    //      centi-unit integer draws so per-scenario moments are order-
+    //      independent exact sums — the whole SIMULATION hash-matches
+    //      DuckDB. The randn production form is the x40 channel; q65 pins
+    //      the closed-form expectations.
     QueryDef(
       "q40_monte_carlo_scenarios",
       (s, dir) =>
-        MonteCarlo.simulate(s, t(s, dir, "orders"),
+        MonteCarlo.simulatePortable(s, t(s, dir, "orders"),
           trafficCol = Some("o_totalprice")),
-      None
+      Some(monteCarloPortableOracleSql)
     ),
 
     // ---- F1 hardened: the deterministic half of the Monte Carlo contract
@@ -46,73 +53,6 @@ object StatQueries {
       }
     ),
 
-    // ---- F1 fully sampled AND oracled: the portable-RNG Monte Carlo —
-    //      md5-stream uniforms, Irwin–Hall(12) normals (exact unit
-    //      variance, zero libm), centi-unit integer draws so the
-    //      per-scenario moments are order-independent exact sums, raw
-    //      fixed-shape double readouts. The whole SIMULATION hash-matches
-    //      DuckDB (the q40 stochastic row's missing half; q65 covers the
-    //      expectations)
-    QueryDef(
-      "q215_monte_carlo_portable",
-      (s, dir) =>
-        MonteCarlo.simulatePortable(s, t(s, dir, "orders"),
-          trafficCol = Some("o_totalprice")),
-      Some {
-        val values = MonteCarlo.scenarios.zipWithIndex.map { case (sc, i) =>
-          s"($i, '${sc.scenario}', '${sc.description}', " +
-            s"CAST(${sc.scenarioMult} AS DOUBLE)*CAST(${sc.trafficMult} AS DOUBLE), " +
-            s"CAST(${sc.accidentFactor} AS DOUBLE))"
-        }.mkString(",\n")
-        def uu(j: String) =
-          s"""CAST(('0x' || substr(md5('mc|' || CAST(d.ord AS VARCHAR) || '|' ||
-             |      CAST(r.id AS VARCHAR) || '|' || '$j'), 1, 15))::BIGINT
-             |      + 1 AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)""".stripMargin
-        val ihSum = (1 to 12).map(j => s"(${uu(j.toString)})").mkString("\n + ")
-        s"""WITH s AS (SELECT
-           |    CAST(${sqlSumExact("o_totalprice", 6)} AS DOUBLE)
-           |      / CAST(count(o_totalprice) AS DOUBLE) AS base,
-           |  quantile_cont(o_totalprice, 0.75) AS thr FROM orders),
-           |d(ord, scenario, description, mult, af) AS (VALUES
-           |$values),
-           |sims AS (
-           |  SELECT d.ord, d.scenario, d.description,
-           |    CAST(floor((($ihSum - CAST(6.0 AS DOUBLE))
-           |        * (CAST(0.18 AS DOUBLE) * s.base)
-           |        + s.base * d.mult) * CAST(100.0 AS DOUBLE))
-           |      AS BIGINT) AS simc,
-           |    ((${uu("0")}) < CAST(0.025 AS DOUBLE) * d.af) AS acc,
-           |    CAST(floor(round(s.thr, 2) * CAST(100.0 AS DOUBLE)) AS BIGINT)
-           |      AS thrc,
-           |    round(s.thr, 2) AS thr2
-           |  FROM range(0, 10000) r(id), d, s),
-           |g AS (
-           |  SELECT ord, scenario, description,
-           |    CAST(sum(simc) AS BIGINT) AS s1,
-           |    sum(CAST(simc AS DECIMAL(18,0)) * CAST(simc AS DECIMAL(18,0)))
-           |      AS s2,
-           |    CAST(sum(CASE WHEN simc > thrc THEN 1 ELSE 0 END) AS BIGINT)
-           |      AS nc,
-           |    CAST(sum(CASE WHEN acc THEN 1 ELSE 0 END) AS BIGINT) AS na,
-           |    max(thr2) AS threshold_used
-           |  FROM sims GROUP BY 1, 2, 3)
-           |SELECT scenario, description,
-           |  CAST(s1 AS DOUBLE) / CAST(10000 AS DOUBLE) / CAST(100.0 AS DOUBLE)
-           |    AS mean_traffic,
-           |  sqrt(CAST(s2 AS DOUBLE) / CAST(10000 AS DOUBLE)
-           |      - (CAST(s1 AS DOUBLE) / CAST(10000 AS DOUBLE))
-           |        * (CAST(s1 AS DOUBLE) / CAST(10000 AS DOUBLE)))
-           |    / CAST(100.0 AS DOUBLE) AS traffic_std,
-           |  CAST(nc AS DOUBLE) * CAST(100.0 AS DOUBLE) / CAST(10000 AS DOUBLE)
-           |    AS congestion_prob_high,
-           |  CAST(na AS DOUBLE) * CAST(100.0 AS DOUBLE) / CAST(10000 AS DOUBLE)
-           |    AS accident_risk_high,
-           |  threshold_used,
-           |  CAST(10000 AS BIGINT) AS n_simulations
-           |FROM g ORDER BY ord""".stripMargin
-      }
-    ),
-
     // ---- F3 hardened: unit-weight bootstrap — every replicate mean IS the
     //      column mean, flowing through the real statsRow/percentile path;
     //      fully deterministic, so oracled (the stochastic q41 rides on the
@@ -136,26 +76,39 @@ object StatQueries {
       }
     ),
 
-    // ---- F3: bootstrap CIs over lineitem numerics
+    // ---- F3: bootstrap CIs over lineitem numerics. REGISTERED in the
+    //      portable-RNG Poisson form since r6 (VERDICT r5 #1): md5 row
+    //      seeds, affine+middle-square per-replicate uniforms, integer-
+    //      quantized sums — the WHOLE bootstrap hash-matches DuckDB. The
+    //      seeded multinomial/Poisson production paths are the x41
+    //      channel; q66 pins the degenerate unit-weight contract.
     QueryDef(
       "q41_bootstrap_ci",
       (s, dir) =>
-        Bootstrap(s, t(s, dir, "lineitem")
-          .select("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-          nSim = 1000),
-      None
+        Bootstrap.poissonPortable(s, t(s, dir, "lineitem")
+          .select(concat_ws(":", col("l_orderkey"), col("l_linenumber"))
+            .as("rk"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax")),
+          "rk", nSim = 1000),
+      Some(bootstrapPortableOracleSql)
     ),
 
-    // ---- F2: factor loadings over lineitem numeric structure
+    // ---- F2: factor loadings over lineitem numeric structure.
+    //      REGISTERED as the fixed-iteration PORTABLE EM since r6 (VERDICT
+    //      r5 #1): Rubin–Thayer covariance-space EM (closed-form 2×2
+    //      inverses, no eigendecomposition) over the correlation matrix of
+    //      integer-quantized moments — the whole fold is a fixed IEEE
+    //      expression DAG the oracle replays 1:1. The sklearn-faithful
+    //      eigen-EM (FactorAnalysisEM.fit) stays the production form (x42
+    //      channel + loadings golden); q71 pins the raw moments.
     QueryDef(
       "q42_factor_loadings",
-      (s, dir) => {
-        val df = t(s, dir, "lineitem")
-          .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        val model = FactorAnalysisEM.fit(df, nComponents = 2)
-        FactorAnalysisEM.loadingsDF(s, model)
-      },
-      None
+      (s, dir) =>
+        FactorAnalysisEM.fitPortableLoadings(s, t(s, dir, "lineitem")
+          .select("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          iters = 5),
+      Some(faPortableOracleSql)
     ),
 
     // ---- the DISTRIBUTED half of F2, oracled: factor analysis = one pass
@@ -1325,4 +1278,227 @@ object StatQueries {
              |FROM tt, mg""".stripMargin)
     )
   )
+
+  /** q42's oracle: the portable EM fold unrolled — quantized integer
+    * moments, correlation entries, then `iters` Rubin–Thayer iterations as
+    * chained CTEs whose every expression mirrors
+    * FactorAnalysisEM.fitPortableLoadings' Scala arithmetic
+    * shape-for-shape (left-associated 4-term sums, inlined 2×2
+    * determinants, greatest-floored ψ). Raw double outputs.
+    */
+  private def faPortableOracleSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val d = 4
+    val iters = 5
+    def rn(a: Int, b: Int) = s"r${math.max(a, b)}${math.min(a, b)}"
+    def cn(a: Int, b: Int) = s"c${math.max(a, b)}${math.min(a, b)}"
+    val qs = cols.zipWithIndex.map { case (c, i) =>
+      s"CAST(floor($c * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q$i"
+    }.mkString(",\n    ")
+    val moms = (0 until d).map(i => s"CAST(sum(z$i) AS BIGINT) AS s$i") ++
+      (for { i <- 0 until d; j <- 0 to i } yield
+        s"CAST(sum(CAST(z$i AS DECIMAL(18,0)) * CAST(z$j AS DECIMAL(18,0))) " +
+          s"AS BIGINT) AS p$i$j")
+    val covs = for { i <- 0 until d; j <- 0 to i } yield
+      s"CAST(p$i$j AS DOUBLE) / CAST(n AS DOUBLE) - " +
+        s"(CAST(s$i AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        s"(CAST(s$j AS DOUBLE) / CAST(n AS DOUBLE)) AS c$i$j"
+    val rrs = for { i <- 0 until d; j <- 0 to i } yield
+      s"${cn(i, j)} / (sqrt(${cn(i, i)}) * sqrt(${cn(j, j)})) AS ${rn(i, j)}"
+    val rPass = (for { i <- 0 until d; j <- 0 to i } yield rn(i, j)).mkString(", ")
+    val wInit = Seq("1.0 AS w00", "0.5 AS w01", "0.5 AS w02", "0.5 AS w03",
+      "0.5 AS w10", "1.0 AS w11", "0.5 AS w12", "0.5 AS w13")
+      .map(s => s"CAST($s".replace(" AS ", " AS DOUBLE) AS ")) ++
+      (0 until d).map(j => s"CAST(1.0 AS DOUBLE) AS p$j")
+    def sum4(f: Int => String): String = (0 until d).map(f).mkString(" + ")
+    val sb = new StringBuilder
+    sb ++= s"""WITH qv AS (SELECT
+              |    $qs
+              |  FROM lineitem),
+              |t1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              |  ${(0 until d).map(i => s"CAST(sum(q$i) AS BIGINT) AS t$i").mkString(", ")}
+              |  FROM qv),
+              |sh AS (SELECT n,
+              |  ${(0 until d).map(i => s"t$i // n AS f$i").mkString(", ")}
+              |  FROM t1),
+              |zv AS (SELECT
+              |  ${(0 until d).map(i => s"q$i - sh.f$i AS z$i").mkString(", ")}
+              |  FROM qv, sh),
+              |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              |  ${moms.mkString(",\n  ")}
+              |  FROM zv),
+              |cv AS (SELECT
+              |  ${covs.mkString(",\n  ")}
+              |  FROM mom),
+              |rr AS (SELECT
+              |  ${rrs.mkString(",\n  ")}
+              |  FROM cv),
+              |i0 AS (SELECT ${wInit.mkString(", ")}, $rPass FROM rr),""".stripMargin
+    for (t <- 1 to iters) {
+      val det = "(m11 * m22 - m12 * m12)"
+      val dete = "(e11 * e22 - e12 * e12)"
+      sb ++= s"""
+        |m$t AS (SELECT
+        |  CAST(1.0 AS DOUBLE) + (${sum4(j => s"w0$j * w0$j / p$j")}) AS m11,
+        |  (${sum4(j => s"w0$j * w1$j / p$j")}) AS m12,
+        |  CAST(1.0 AS DOUBLE) + (${sum4(j => s"w1$j * w1$j / p$j")}) AS m22,
+        |  prev.* FROM i${t - 1} prev),
+        |g$t AS (SELECT m22 / $det AS g11,
+        |  (CAST(0.0 AS DOUBLE) - m12) / $det AS g12,
+        |  m11 / $det AS g22, prev.* FROM m$t prev),
+        |b$t AS (SELECT
+        |  ${(0 until d).map(j => s"(g11 * w0$j + g12 * w1$j) / p$j AS b0$j").mkString(",\n  ")},
+        |  ${(0 until d).map(j => s"(g12 * w0$j + g22 * w1$j) / p$j AS b1$j").mkString(",\n  ")},
+        |  prev.* FROM g$t prev),
+        |s$t AS (SELECT
+        |  ${(0 until d).map(j => s"(${sum4(l => s"b0$l * ${rn(l, j)}")}) AS bs0$j").mkString(",\n  ")},
+        |  ${(0 until d).map(j => s"(${sum4(l => s"b1$l * ${rn(l, j)}")}) AS bs1$j").mkString(",\n  ")},
+        |  prev.* FROM b$t prev),
+        |e$t AS (SELECT
+        |  g11 + (${sum4(j => s"bs0$j * b0$j")}) AS e11,
+        |  g12 + (${sum4(j => s"bs0$j * b1$j")}) AS e12,
+        |  g22 + (${sum4(j => s"bs1$j * b1$j")}) AS e22,
+        |  prev.* FROM s$t prev),
+        |h$t AS (SELECT e22 / $dete AS h11,
+        |  (CAST(0.0 AS DOUBLE) - e12) / $dete AS h12,
+        |  e11 / $dete AS h22, prev.* FROM e$t prev),
+        |w$t AS (SELECT
+        |  ${(0 until d).map(j => s"h11 * bs0$j + h12 * bs1$j AS wn0$j").mkString(",\n  ")},
+        |  ${(0 until d).map(j => s"h12 * bs0$j + h22 * bs1$j AS wn1$j").mkString(",\n  ")},
+        |  prev.* FROM h$t prev),
+        |i$t AS (SELECT
+        |  ${(0 until d).map(j => s"wn0$j AS w0$j").mkString(", ")},
+        |  ${(0 until d).map(j => s"wn1$j AS w1$j").mkString(", ")},
+        |  ${(0 until d).map(j =>
+             s"greatest(${rn(j, j)} - (bs0$j * wn0$j + bs1$j * wn1$j), " +
+               s"CAST(1e-12 AS DOUBLE)) AS p$j").mkString(",\n  ")},
+        |  $rPass FROM w$t),""".stripMargin
+    }
+    val arms = cols.zipWithIndex.map { case (c, j) =>
+      s"SELECT '$c' AS index, w0$j AS factor_1_loading, " +
+        s"w1$j AS factor_2_loading, p$j AS uniqueness FROM i$iters"
+    }.mkString("\nUNION ALL ")
+    sb.toString.stripSuffix(",") + s"\n$arms\nORDER BY index"
+  }
+
+  /** q41's oracle: the portable Poisson bootstrap replayed 1:1 — md5 row
+    * seeds masked to 30 bits, the SAME affine consts inlined as a VALUES
+    * table, middle-square uniforms, Σ(u > cdf_k) weights, quantized sums,
+    * 10^-4-unit replicate means, integer-exact mean/std and quantile_cont
+    * percentiles (== Spark's exact percentile on the same integers).
+    */
+  private def bootstrapPortableOracleSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val values = graft.ext.Dedup.affineConsts(1000, 30).zipWithIndex
+      .map { case ((a, b), r) => s"($r,$a,$b)" }.mkString(",")
+    val qs = cols.zipWithIndex.map { case (c, i) =>
+      s"CAST(floor($c * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q$i"
+    }.mkString(",\n    ")
+    val qPass = cols.indices.map(i => s"base.q$i").mkString(", ")
+    val cdfSum = Bootstrap.PoissonCdf.map(c =>
+      s"(CASE WHEN u > CAST($c AS DOUBLE) THEN 1 ELSE 0 END)")
+      .mkString("\n  + ")
+    val wSums = cols.indices.map(i =>
+      s"CAST(sum(w * q$i) AS BIGINT) AS s$i").mkString(",\n    ")
+    val meanArms = cols.zipWithIndex.map { case (c, i) =>
+      s"SELECT '$c' AS idx, CAST(floor(CAST(s$i AS DOUBLE) / CAST(ww AS DOUBLE)" +
+        s" + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mq FROM sums"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH base AS (SELECT
+       |    ('0x' || substr(md5('bs|' || CAST(l_orderkey AS VARCHAR) || ':' ||
+       |      CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT & 1073741823 AS h,
+       |    $qs
+       |  FROM lineitem),
+       |cd(r, a, b) AS (VALUES $values),
+       |draws AS (SELECT cd.r,
+       |    CAST((((((cd.a * base.h + cd.b) & 1073741823)
+       |          * ((cd.a * base.h + cd.b) & 1073741823)) >> 15)
+       |         & 1073741823) + 1 AS DOUBLE)
+       |      / CAST(1073741824 AS DOUBLE) AS u,
+       |    $qPass
+       |  FROM base, cd),
+       |wt AS (SELECT r, ($cdfSum) AS w, ${cols.indices.map(i => s"q$i").mkString(", ")}
+       |  FROM draws),
+       |sums AS (SELECT r, CAST(sum(w) AS BIGINT) AS ww,
+       |    $wSums
+       |  FROM wt WHERE w > 0 GROUP BY r),
+       |means AS (
+       |  $meanArms),
+       |g AS (SELECT idx, CAST(sum(mq) AS BIGINT) AS s1,
+       |    sum(CAST(mq AS DECIMAL(18,0)) * CAST(mq AS DECIMAL(18,0))) AS s2,
+       |    quantile_cont(mq, 0.025) AS plo, quantile_cont(mq, 0.975) AS phi,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM means GROUP BY idx)
+       |SELECT idx AS index,
+       |  round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+       |    / CAST(10000.0 AS DOUBLE), 4) AS mean_estimate,
+       |  round(sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+       |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+       |    / CAST(10000.0 AS DOUBLE), 4) AS std_estimate,
+       |  round(plo / CAST(10000.0 AS DOUBLE), 4) AS ci_lower_95,
+       |  round(phi / CAST(10000.0 AS DOUBLE), 4) AS ci_upper_95,
+       |  CAST(1000.0 AS DOUBLE) AS simulations
+       |FROM g ORDER BY index""".stripMargin
+  }
+
+  /** q40's oracle (r5's q215, promoted to the primary row): the full
+    * portable-RNG simulation — md5-stream uniforms u = (h+1)/2^60,
+    * Irwin–Hall(12) normals as a fixed left-associated add chain,
+    * centi-unit integer draws, exact decimal/long moment sums, raw
+    * fixed-shape double readouts.
+    */
+  private def monteCarloPortableOracleSql: String = {
+    val values = MonteCarlo.scenarios.zipWithIndex.map { case (sc, i) =>
+      s"($i, '${sc.scenario}', '${sc.description}', " +
+        s"CAST(${sc.scenarioMult} AS DOUBLE)*CAST(${sc.trafficMult} AS DOUBLE), " +
+        s"CAST(${sc.accidentFactor} AS DOUBLE))"
+    }.mkString(",\n")
+    def uu(j: String) =
+      s"""CAST(('0x' || substr(md5('mc|' || CAST(d.ord AS VARCHAR) || '|' ||
+         |      CAST(r.id AS VARCHAR) || '|' || '$j'), 1, 15))::BIGINT
+         |      + 1 AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)""".stripMargin
+    val ihSum = (1 to 12).map(j => s"(${uu(j.toString)})").mkString("\n + ")
+    s"""WITH s AS (SELECT
+       |    CAST(${sqlSumExact("o_totalprice", 6)} AS DOUBLE)
+       |      / CAST(count(o_totalprice) AS DOUBLE) AS base,
+       |  quantile_cont(o_totalprice, 0.75) AS thr FROM orders),
+       |d(ord, scenario, description, mult, af) AS (VALUES
+       |$values),
+       |sims AS (
+       |  SELECT d.ord, d.scenario, d.description,
+       |    CAST(floor((($ihSum - CAST(6.0 AS DOUBLE))
+       |        * (CAST(0.18 AS DOUBLE) * s.base)
+       |        + s.base * d.mult) * CAST(100.0 AS DOUBLE))
+       |      AS BIGINT) AS simc,
+       |    ((${uu("0")}) < CAST(0.025 AS DOUBLE) * d.af) AS acc,
+       |    CAST(floor(round(s.thr, 2) * CAST(100.0 AS DOUBLE)) AS BIGINT)
+       |      AS thrc,
+       |    round(s.thr, 2) AS thr2
+       |  FROM range(0, 10000) r(id), d, s),
+       |g AS (
+       |  SELECT ord, scenario, description,
+       |    CAST(sum(simc) AS BIGINT) AS s1,
+       |    sum(CAST(simc AS DECIMAL(18,0)) * CAST(simc AS DECIMAL(18,0)))
+       |      AS s2,
+       |    CAST(sum(CASE WHEN simc > thrc THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nc,
+       |    CAST(sum(CASE WHEN acc THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |    max(thr2) AS threshold_used
+       |  FROM sims GROUP BY 1, 2, 3)
+       |SELECT scenario, description,
+       |  CAST(s1 AS DOUBLE) / CAST(10000 AS DOUBLE) / CAST(100.0 AS DOUBLE)
+       |    AS mean_traffic,
+       |  sqrt(CAST(s2 AS DOUBLE) / CAST(10000 AS DOUBLE)
+       |      - (CAST(s1 AS DOUBLE) / CAST(10000 AS DOUBLE))
+       |        * (CAST(s1 AS DOUBLE) / CAST(10000 AS DOUBLE)))
+       |    / CAST(100.0 AS DOUBLE) AS traffic_std,
+       |  CAST(nc AS DOUBLE) * CAST(100.0 AS DOUBLE) / CAST(10000 AS DOUBLE)
+       |    AS congestion_prob_high,
+       |  CAST(na AS DOUBLE) * CAST(100.0 AS DOUBLE) / CAST(10000 AS DOUBLE)
+       |    AS accident_risk_high,
+       |  threshold_used,
+       |  CAST(10000 AS BIGINT) AS n_simulations
+       |FROM g ORDER BY ord""".stripMargin
+  }
 }

@@ -319,21 +319,27 @@ object TextQueries {
              |ORDER BY doc_id""".stripMargin)
     ),
 
-    // ---- full curation funnel (filters → exact dedup → minhash dedup);
-    //      minhash stage is hash-seeded → rows-only check
+    // ---- full curation funnel (filters → exact dedup → minhash dedup),
+    //      REGISTERED with the portable minhash stage since r6 (VERDICT
+    //      r5 #2): every stage of the funnel — quality/length filters,
+    //      keep-first exact dedup, banded near-dup drop — is recomputed by
+    //      one composed-CTE DuckDB oracle (the q207 pattern), so the 6
+    //      funnel numbers hash-match end-to-end. The xxhash64 production
+    //      funnel is the x46 channel; q67 still pins the exact prefix.
     QueryDef(
       "q46_curation_pipeline",
       (s, dir) => {
         // materialize the 1-row funnel eagerly so the pipeline's internal
         // cache can be released here — returning the lazy frame leaked one
         // cached DataFrame per invocation (session lifetime)
-        val r = graft.ext.TrainingDataPipeline(t(s, dir, "documents"))
+        val r = graft.ext.TrainingDataPipeline(t(s, dir, "documents"),
+          config = graft.ext.TrainingDataPipeline.Config(portableHashes = true))
         val rows = r.stats.collect().toSeq
         val schema = r.stats.schema
         r.release()
         s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
       },
-      None
+      Some(curationPipelineOracleSql)
     ),
 
     // ---- deterministic prefix of the curation funnel (input → quality/
@@ -425,8 +431,15 @@ object TextQueries {
 
     // ---- multimodal plumbing through the engine: documents' utf-8 bytes
     //      stand in for opaque media payloads; batched per-partition
-    //      feature extraction (histogram/entropy) then aggregate.
-    //      Deterministic but byte-level → rows-only check + ScalaTest.
+    //      feature extraction (mapPartitions over MediaRow batches — the
+    //      vectorized-UDF shape) then aggregate. REGISTERED with the
+    //      BYTE-HISTOGRAM census readout since r6: the decoded payloads'
+    //      16-bin nibble histogram totals, byte counts and frame samples
+    //      are pure integer functions of the bytes, which a DuckDB twin
+    //      recomputes via the hex(encode(text)) nibble explode — so the
+    //      real mapPartitions decode→feature path hash-matches end-to-end.
+    //      The entropy readout (libm log2, no cross-engine twin) is the
+    //      x54 channel, spec-checked in MultimodalSpec.
     QueryDef(
       "q54_multimodal_features",
       (s, dir) => {
@@ -439,14 +452,16 @@ object TextQueries {
             graft.ext.Multimodal.MediaRow(id, kind, bytes,
               graft.ext.Multimodal.MediaMeta(None, None, None, None, None))
           }
+        val aggs =
+          sum(col("n_bytes")).as("total_bytes") +:
+            sum(col("frames_sampled")).cast("long").as("total_frames") +:
+            (0 until 16).map(i =>
+              sum(element_at(col("histogram"), i + 1)).as(f"hist_$i%02d"))
         graft.ext.Multimodal.extractFeatures(media)
           .groupBy("kind")
-          .agg(count(lit(1)).as("n"),
-            sum(col("n_bytes")).as("total_bytes"),
-            round(avg(col("byte_entropy")), 4).as("mean_entropy"),
-            sum(col("frames_sampled")).cast("long").as("total_frames"))
+          .agg(count(lit(1)).as("n"), aggs: _*)
       },
-      None
+      Some(multimodalHistOracleSql)
     ),
 
     // ---- the deterministic slice of q54's multimodal path, oracled: the
@@ -1334,12 +1349,13 @@ object TextQueries {
     )
   )
 
-  /** Shared CTE prefix for the portable minhash oracles (q25/q74): 3-gram
-    * sets (wordNgrams semantics incl. short-text fallback), 30-bit-masked
-    * portable gram hashes, and the 16-wide signature columns h0..h15 —
-    * exactly [[graft.ext.Dedup.minHashSignaturesPortable]]'s math.
+  /** Shared CTE prefix for the portable minhash oracles (q25/q46/q74):
+    * 3-gram sets (wordNgrams semantics incl. short-text fallback),
+    * 30-bit-masked portable gram hashes, and the 16-wide signature
+    * columns h0..h15 — exactly
+    * [[graft.ext.Dedup.minHashSignaturesPortable]]'s math, over `src`.
     */
-  private def portableSigCtes: String = {
+  private def portableSigCtes(src: String = "documents"): String = {
     val mins = graft.ext.Dedup.affineConsts(16, 30).zipWithIndex.map {
       case ((a, b), i) =>
         s"list_min(list_transform(h, x -> x * $a + $b)) AS h$i"
@@ -1347,7 +1363,7 @@ object TextQueries {
     s"""toks AS (
        |  SELECT doc_id, list_filter(
        |    regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS tk
-       |  FROM documents),
+       |  FROM $src),
        |grams AS (SELECT doc_id, list_distinct(
        |  CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
        |       WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
@@ -1377,7 +1393,7 @@ object TextQueries {
     * exact Jaccard on (full-width) portable gram hashes ≥ threshold.
     */
   private def minHashPairsOracleSql: String =
-    s"""WITH $portableSigCtes,
+    s"""WITH ${portableSigCtes()},
        |bands AS (
        |  ${bandKeySql("sigs")}),
        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
@@ -1425,6 +1441,84 @@ object TextQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q54's oracle: the byte census of the decoded payloads (text kind →
+    * the utf-8 bytes themselves) — nibble histogram via hex(encode(text))
+    * odd-position chars, byte totals via strlen, frame samples via the
+    * 1 + (n−1)//1024 stride rule. Pure integer math in both engines.
+    */
+  private def multimodalHistOracleSql: String = {
+    val hexDigit = "0123456789ABCDEF"
+    val hists = (0 until 16).map(i =>
+      s"CAST(coalesce((SELECT n FROM cnt WHERE c = '${hexDigit(i)}'), 0) " +
+        f"AS BIGINT) AS hist_$i%02d").mkString(",\n  ")
+    s"""WITH hx AS (SELECT strlen(text) AS nb, hex(encode(text)) AS h
+       |  FROM documents),
+       |nib AS (SELECT unnest(list_transform(range(1, (strlen(h) // 2) + 1),
+       |    i -> substr(h, 2*i - 1, 1))) AS c FROM hx),
+       |cnt AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM nib GROUP BY c)
+       |SELECT 'text' AS kind,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM hx) AS n,
+       |  (SELECT CAST(sum(nb) AS BIGINT) FROM hx) AS total_bytes,
+       |  (SELECT CAST(sum(CASE WHEN nb = 0 THEN 0 ELSE 1 + (nb - 1) // 1024 END)
+       |     AS BIGINT) FROM hx) AS total_frames,
+       |  $hists""".stripMargin
+  }
+
+  /** q46's oracle — the whole curation funnel as one composed CTE chain:
+    * q67's quality/length filter stages, keep-first exact dedup
+    * (row_number over coalesce(text,''), the contentHash grouping), then
+    * the portable banded minhash drop (q25's machinery over the exact-
+    * dedup survivors at threshold 0.7), and the 6 funnel readouts.
+    */
+  private def curationPipelineOracleSql: String =
+    s"""WITH m AS (SELECT doc_id, text,
+       |  len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS ntok,
+       |  CASE WHEN length(text) = 0 THEN 0.0
+       |       ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) END AS alpha,
+       |  len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it|was|for)\\b')) AS ens,
+       |  length(regexp_replace(text, '\\s+', '', 'g')) AS nws,
+       |  length(text) AS len FROM documents),
+       |sc AS (SELECT doc_id, text, ntok,
+       |  round(
+       |    least(len / 500.0, 1.0) * 0.25 + alpha * 0.35 +
+       |    least((CASE WHEN ntok = 0 THEN 0.0 ELSE ens::DOUBLE / ntok END) * 5.0, 1.0) * 0.2 +
+       |    (CASE WHEN (CASE WHEN ntok = 0 THEN 0.0 ELSE nws::DOUBLE / ntok END)
+       |          BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2, 4) AS score
+       |  FROM m),
+       |f AS (SELECT doc_id, text, ntok FROM sc
+       |  WHERE score >= 0.3 AND ntok BETWEEN 5 AND 100000),
+       |ex AS (SELECT doc_id, text, ntok FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY coalesce(text, '')
+       |    ORDER BY doc_id) AS rn FROM f) WHERE rn = 1),
+       |${portableSigCtes("ex")},
+       |bands AS (
+       |  ${bandKeySql("sigs")}),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+       |hsets AS (SELECT doc_id, list_distinct(list_transform(g,
+       |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS st
+       |  FROM grams WHERE len(g) > 0),
+       |dropids AS (SELECT DISTINCT id_b FROM (
+       |  SELECT id_a, id_b,
+       |    round(CASE WHEN len(list_distinct(a.st || b.st)) = 0 THEN 0.0
+       |      ELSE len(list_intersect(a.st, b.st))::DOUBLE /
+       |           len(list_distinct(a.st || b.st)) END, 4) AS jaccard_sim
+       |    FROM cand JOIN hsets a ON a.doc_id = cand.id_a
+       |              JOIN hsets b ON b.doc_id = cand.id_b)
+       |  WHERE jaccard_sim >= CAST(0.7 AS DOUBLE)),
+       |cur AS (SELECT * FROM ex
+       |  WHERE doc_id NOT IN (SELECT id_b FROM dropids))
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_after_filters,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_after_exact_dedup,
+       |  CAST(count(*) AS BIGINT) AS n_curated,
+       |  CAST(coalesce(sum(ntok), 0) AS BIGINT) AS total_tokens,
+       |  coalesce(round(CAST(sum(ntok) AS DOUBLE) / count(*), 2), 0.0)
+       |    AS mean_tokens
+       |FROM cur""".stripMargin
+
   /** q74's oracle — the incremental ≡ batch proof: BOTH the stored corpus
     * index and the arriving batch's signatures are recomputed from raw
     * text in one pass, banded with the same value keys, and scored with
@@ -1434,7 +1528,7 @@ object TextQueries {
   private def indexDedupOracleSql: String = {
     val matches = (0 until 16).map(i =>
       s"(CASE WHEN a.h$i = c.h$i THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH $portableSigCtes,
+    s"""WITH ${portableSigCtes()},
        |cb AS (SELECT * FROM sigs WHERE doc_id % 5 <> 4),
        |bt AS (SELECT * FROM sigs WHERE doc_id % 5 = 4),
        |bandsc AS (

@@ -70,6 +70,44 @@ object ScaleCheck {
       graft.ext.Dedup.simHashPairs(
         graft.queries.Q.t(s, dir, "documents"), "doc_id", "text",
         maxDist = 8)),
+    "x40_monte_carlo_randn" -> ((s, dir) =>
+      graft.analytics.MonteCarlo.simulate(s,
+        graft.queries.Q.t(s, dir, "orders"), trafficCol = Some("o_totalprice"))),
+    "x41_bootstrap_seeded" -> ((s, dir) =>
+      graft.analytics.Bootstrap(s, graft.queries.Q.t(s, dir, "lineitem")
+        .select("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        nSim = 1000)),
+    "x54_multimodal_entropy" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.queries.Q.t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("text").as("kind"),
+          col("text").cast("binary").as("bytes"))
+        .as[(Long, String, Array[Byte])]
+        .map { case (id, kind, bytes) =>
+          graft.ext.Multimodal.MediaRow(id, kind, bytes,
+            graft.ext.Multimodal.MediaMeta(None, None, None, None, None))
+        }
+      graft.ext.Multimodal.extractFeatures(media)
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("total_bytes"),
+          round(avg(col("byte_entropy")), 4).as("mean_entropy"),
+          sum(col("frames_sampled")).cast("long").as("total_frames"))
+    }),
+    "x46_curation_pipeline_prod" -> ((s, dir) => {
+      val r = graft.ext.TrainingDataPipeline(
+        graft.queries.Q.t(s, dir, "documents"))
+      val rows = r.stats.collect().toSeq
+      val schema = r.stats.schema
+      r.release()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+    }),
+    "x42_factor_loadings_sklearn" -> ((s, dir) => {
+      val df = graft.queries.Q.t(s, dir, "lineitem")
+        .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val model = graft.analytics.FactorAnalysisEM.fit(df, nComponents = 2)
+      graft.analytics.FactorAnalysisEM.loadingsDF(s, model)
+    }),
     "x53_ann_ivf_topk_prod" -> ((s, dir) => {
       val idx = graft.ext.Similarity.ivfIndex(
         graft.queries.Q.t(s, dir, "embeddings"), "embedding", kClusters = 16)

@@ -46,7 +46,7 @@ object ScaleSweep {
     "q178_kmv_distinct", "q179_bloom_prefilter", "q180_hll_certification",
     "q185_countmin_census", "q196_hist_trailing_quantiles",
     "q201_profile_drift", "q203_hist_incremental", "q206_conformal_coverage",
-    "q210_trimmed_mean", "q215_monte_carlo_portable",
+    "q210_trimmed_mean", "q40_monte_carlo_scenarios",
     "q232_join_cardinality_sketch",
     // sampling / training plan
     "q121_priority_sample", "q167_groupsafe_split", "q175_epoch_shuffle",
@@ -70,7 +70,8 @@ object ScaleSweep {
     * 100× spills past the sandbox disk — and its 100× scale channel is
     * x141/x214). */
   val at10: Seq[String] = Seq(
-    "q24_jaccard_pairs", "q46_curation_pipeline", "q138_containment_pairs",
+    "q24_jaccard_pairs", "q46_curation_pipeline",
+    "x46_curation_pipeline_prod", "q138_containment_pairs",
     "q140_prefix_jaccard_pairs", "q141_hard_negatives",
     "q143_canonical_selection", "q200_dedup_threshold_sweep")
 

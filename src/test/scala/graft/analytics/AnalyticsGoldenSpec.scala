@@ -39,7 +39,7 @@ class AnalyticsGoldenSpec extends SparkSpec {
   }
 
   test("portable-RNG monte carlo: same tolerance band as the randn path " +
-    "vs the reference golden (the q215 twin runs the REAL simulation)") {
+    "vs the reference golden (the portable q40 form runs the REAL simulation)") {
     val result = MonteCarlo.simulatePortable(spark, merged).collect()
     assert(result.length == 4)
     val goldenRows = spark.read.parquet(golden("monte_carlo_scenarios.parquet"))
@@ -98,6 +98,53 @@ class AnalyticsGoldenSpec extends SparkSpec {
       assert(math.abs(ra.getAs[Double]("mean_estimate") -
         rb.getAs[Double]("mean_estimate")) < 6 * se, s"$c driver vs poisson")
     }
+  }
+
+  test("portable Poisson bootstrap: CIs overlap the exact multinomial path") {
+    val li = spark.read.parquet(s"${sfDir()}/lineitem.parquet")
+    val a = Bootstrap.poissonPortable(spark,
+      li.select(concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("rk"),
+        col("l_quantity"), col("l_extendedprice")),
+      "rk", nSim = 500)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val filled = Bootstrap.medianFill(
+      li.select(col("l_quantity").cast("double"),
+        col("l_extendedprice").cast("double")),
+      Seq("l_quantity", "l_extendedprice"))
+    val b = Bootstrap.driverSide(spark, filled,
+      Seq("l_quantity", "l_extendedprice"), nSim = 500, seed = 7)
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("l_quantity", "l_extendedprice").foreach { c =>
+      val (ra, rb) = (a(c), b(c))
+      val se = math.max(rb.getAs[Double]("std_estimate"), 1e-6)
+      assert(math.abs(ra.getAs[Double]("mean_estimate") -
+        rb.getAs[Double]("mean_estimate")) < 6 * se,
+        s"$c portable vs multinomial: $ra vs $rb")
+      assert(ra.getAs[Double]("std_estimate") > 0.5 * se &&
+        ra.getAs[Double]("std_estimate") < 2.0 * se,
+        s"$c portable std vs multinomial std: $ra vs $rb")
+      assert(ra.getAs[Double]("ci_lower_95") < ra.getAs[Double]("mean_estimate"))
+      assert(ra.getAs[Double]("ci_upper_95") > ra.getAs[Double]("mean_estimate"))
+    }
+  }
+
+  test("portable EM loadings: bounded, noise columns near-unit uniqueness") {
+    val li = spark.read.parquet(s"${sfDir()}/lineitem.parquet")
+      .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val rows = FactorAnalysisEM.fitPortableLoadings(spark, li, iters = 5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet ==
+      Set("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    rows.values.foreach { r =>
+      val u = r.getAs[Double]("uniqueness")
+      assert(u > 0.0 && u <= 1.0 + 1e-9, s"uniqueness out of range: $r")
+      assert(math.abs(r.getAs[Double]("factor_1_loading")) <= 1.05 &&
+        math.abs(r.getAs[Double]("factor_2_loading")) <= 1.05,
+        s"standardized loading out of range: $r")
+    }
+    // the near-independent uniform columns carry no common factor
+    assert(rows("l_discount").getAs[Double]("uniqueness") > 0.9)
+    assert(rows("l_tax").getAs[Double]("uniqueness") > 0.9)
   }
 
   test("factor analysis: same variables, loading structure close to sklearn") {
