@@ -733,9 +733,18 @@ object Dedup {
           .join(r.withColumn("_bk", key(col("s_r"))), "_bk")
           .filter(abs(col("len_l") - col("len_r")) <= maxDist)
           .select("id_l", "s_l", "id_r", "s_r")
+      // each pass verifies map-side on its own join output; the cross-pass
+      // dedup then moves (id_l, id_r, edit_distance) — never the string
+      // payloads (the maxDist = 1 path's id-pair discipline, r5 verdict
+      // item #4). Strings rejoin by id only for the final survivors.
       val byPrefix = verify(pass(s => substring(s, 1, blockLen)))
+        .select("id_l", "id_r", "edit_distance")
       val bySuffix = verify(pass(s => substring(s, -blockLen, blockLen)))
+        .select("id_l", "id_r", "edit_distance")
       byPrefix.unionByName(bySuffix).distinct()
+        .join(l.select("id_l", "s_l"), "id_l")
+        .join(r.select("id_r", "s_r"), "id_r")
+        .select("id_l", "s_l", "id_r", "s_r", "edit_distance")
     }
   }
 

@@ -353,9 +353,10 @@ object Similarity {
         64 - java.lang.Long.numberOfLeadingZeros(
           math.max(maxIdRow.getLong(1), 1L))
       else 64
-    // k ≤ 16: the bounded aggregate's merge identity is O(k²) expression
-    // nodes — larger k falls back to the window form
-    val packable = k <= 16 && maxIdRow != null && !maxIdRow.isNullAt(0) &&
+    // k ≤ 64: the bounded aggregate's merge identity is O(k²) expression
+    // nodes (measured fine through k = 64) — larger k falls back to the
+    // window form
+    val packable = k <= 64 && maxIdRow != null && !maxIdRow.isNullAt(0) &&
       maxIdRow.getLong(0) >= 0 && idBits <= 47 // 20001 sim keys need 15 bits
     if (packable) {
       val simKey = (lit(10000L) - round(col("cos_sim") * 10000).cast("long"))
@@ -1077,7 +1078,7 @@ object Similarity {
       math.max(if (maxIdRow.isNullAt(1)) 1L else maxIdRow.getLong(1), 1L))
     val packable = !maxIdRow.isNullAt(0) && maxIdRow.getLong(0) >= 0 &&
       idBits <= 62 && maxDist < (Long.MaxValue >> idBits) &&
-      (k == 1 || k <= 16) // TopKLongs merge is O(k²) expression nodes
+      (k == 1 || k <= 64) // TopKLongs merge is O(k²) expression nodes
     if (packable && k == 1) {
       scored.groupBy("q_id")
         .agg(min(shiftleft(col("sdc_dist"), idBits) + col("c_id"))

@@ -25,8 +25,10 @@ import org.apache.spark.sql.types._
   * bounds packed (dist, id) strictly below it). Update is the k-stage
   * sorted-insertion network `s_i' = min(s_i, max(s_{i-1}, v))`; merge is
   * the two-sorted-array selection identity
-  * `m_i = min over a+b=i of max(L_a, R_b)` — O(k²) expression nodes, so
-  * k is capped at 16.
+  * `m_i = min over a+b=i of max(L_a, R_b)` — O(k²) expression nodes
+  * (~2.1k Least/Greatest at the k = 64 cap; codegen splits oversized
+  * methods, and the r6 measurement at k = 32 kept the HashAggregate
+  * plan AND beat the window fallback — see PqKnnSpec/PERF.md).
   *
   * Returns the k smallest values ascending (duplicates kept — pack a
   * tiebreaker into the low bits as the callers do). Empty input → empty
@@ -37,7 +39,7 @@ case class TopKLongs(
     k: Int
 ) extends DeclarativeAggregate with UnaryLike[Expression] {
 
-  require(k >= 1 && k <= 16, "top_k_longs supports 1 <= k <= 16")
+  require(k >= 1 && k <= 64, "top_k_longs supports 1 <= k <= 64")
 
   override def prettyName: String = "top_k_longs"
   override def nullable: Boolean = false

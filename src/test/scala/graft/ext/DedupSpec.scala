@@ -223,6 +223,43 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("fuzzyLinkPairs maxDist>=2: cross-pass dedup moves id pairs only " +
+    "(no exchange carries both string payloads)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case q: QueryStageExec => shuffles(q.plan)
+      case s: ShuffleExchangeExec => Seq(s) ++ s.children.flatMap(shuffles)
+      case o => o.children.flatMap(shuffles)
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val right = spark.range(0, 3000)
+        .selectExpr("id AS rid", "concat(id, '_abcdefgh') AS rs")
+      val left = spark.range(0, 3000)
+        .selectExpr("id AS lid", "concat(id, '_abcdef') AS ls") // 2 tail dels
+      val pairs = Dedup.fuzzyLinkPairs(left, "lid", "ls", right, "rid", "rs",
+        maxDist = 2)
+      assert(pairs.count() > 0)
+      // correctness: found via prefix AND suffix passes, deduped once each
+      val got = pairs.select("id_l", "id_r").collect()
+      assert(got.length == got.distinct.length, "cross-pass dedup failed")
+      // the r6 discipline: post-verify exchanges never carry BOTH string
+      // payloads — the union-distinct and the rejoin move ids (+ distance
+      // / a single side's string) only
+      val wide = shuffles(pairs.queryExecution.executedPlan)
+        .filter { s =>
+          val names = s.output.map(_.name)
+          names.contains("s_l") && names.contains("s_r")
+        }
+      assert(wide.isEmpty,
+        s"both strings crossed an exchange: ${wide.map(_.output.map(_.name))}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("containmentPairs finds snippet-in-document that Jaccard misses") {
     import spark.implicits._
     val docs = Seq(

@@ -172,18 +172,22 @@ class PqKnnSpec extends SparkSpec {
       case q: QueryStageExec => Seq(q) ++ nodes(q.plan)
       case o => Seq(o) ++ o.children.flatMap(nodes)
     }
-    val nn = Similarity.pqKnnJoin(clustered, clustered, "vec_id", "embedding",
-      k = 5, centroids, codebooks, nProbe = 2)
-    nn.write.format("noop").mode("overwrite").save()
-    val all = nodes(nn.queryExecution.executedPlan)
-    assert(!all.exists(_.isInstanceOf[
-      org.apache.spark.sql.execution.window.WindowExec]),
-      "k>1 still plans a window")
-    assert(!all.exists(_.isInstanceOf[
-      org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]),
-      "TopKLongs fell back to ObjectHashAggregate")
-    assert(all.exists(_.isInstanceOf[
-      org.apache.spark.sql.execution.aggregate.HashAggregateExec]))
+    // k = 32 crosses the old 16-slot cap (VERDICT r5 #3): the widened
+    // TopKLongs must keep the HashAggregate plan there too
+    Seq(5, 32).foreach { k =>
+      val nn = Similarity.pqKnnJoin(clustered, clustered, "vec_id",
+        "embedding", k = k, centroids, codebooks, nProbe = 2)
+      nn.write.format("noop").mode("overwrite").save()
+      val all = nodes(nn.queryExecution.executedPlan)
+      assert(!all.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.window.WindowExec]),
+        s"k=$k still plans a window")
+      assert(!all.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]),
+        s"k=$k: TopKLongs fell back to ObjectHashAggregate")
+      assert(all.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.aggregate.HashAggregateExec]))
+    }
   }
 
   test("label-noise census over the PQ channel flags exactly the planted " +

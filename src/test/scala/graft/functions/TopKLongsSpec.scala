@@ -39,6 +39,22 @@ class TopKLongsSpec extends SparkSpec {
     assert(viaSql == want)
   }
 
+  test("k = 32 and k = 64 (past the old 16-slot cap): merge-exact vs " +
+      "sort-and-take across many partitions") {
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 20000).map(i => (i % 5L, rng.nextLong() % 1000000L))
+    val df = rows.toDF("g", "v").repartition(16)
+    Seq(32, 64).foreach { k =>
+      val got = df.groupBy("g")
+        .agg(GraftFunctions.topKLongs(col("v"), k).as("t"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val want = rows.groupBy(_._1).map { case (g, vs) =>
+        g -> vs.map(_._2).sorted.take(k)
+      }
+      assert(got == want, s"k=$k mismatch")
+    }
+  }
+
   test("nulls are skipped") {
     val df = Seq(Some(4L), None, Some(2L), None, Some(9L)).toDF("v")
     val r = df.agg(GraftFunctions.topKLongs(col("v"), 2).as("t"))
