@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
-import org.apache.spark.sql.catalyst.plans.Cross
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -22,9 +22,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * Scope guards (conservative by design — the rewrite duplicates the
   * child subtree, so it must be safe to evaluate more than once):
-  *  - global aggregates only (no grouping keys: the grouped variant would
-  *    need an n-way join on the keys, a different trade);
-  *  - batch only, fully deterministic child, no FILTER clauses;
+  *  - global aggregates split to a scalar Cross join; GROUPED aggregates
+  *    (r6) split to per-group branches reassembled by a null-safe
+  *    equi-join on fresh grouping-key aliases — branch outputs are
+  *    group-cardinality-sized (gated by
+  *    spark.graft.splitDistinctAggregates.grouped — default OFF: the
+  *    r6 measurement favors Spark's Expand on grouped shapes, see below);
+  *  - batch only, fully deterministic child + grouping, no FILTER clauses;
   *  - every output column is an Alias over a deterministic scalar shell
   *    of EXACTLY ONE AggregateExpression (cross-aggregate arithmetic like
   *    `count(distinct a) / count(b)` stays fused);
@@ -45,8 +49,28 @@ object SplitDistinctAggregates extends Rule[LogicalPlan] {
   private def aggsIn(e: Expression): Seq[AggregateExpression] =
     e.collect { case a: AggregateExpression => a }
 
+  /** Grouped multi-distinct splitting (r6, VERDICT r5 #6) is its own
+    * knob, DEFAULT OFF — the 100× measurement (tools/SplitDistinctBench)
+    * says Spark's Expand wins these shapes: on a string-derived profile
+    * (md5(text)/length(text) sets) the split re-decompresses and re-hashes
+    * the text column per branch (median 1.10 vs 0.65 s), and on a 4-set
+    * numeric lineitem profile the runs were load-noisy with no clear win
+    * (ON 36/10 s vs OFF 23/22 s medians/bests). Unlike the GLOBAL case —
+    * where the ×(n+1) Expand replay through every buffer at a single hash
+    * key measured 16× slower (q201) — grouped distincts already partially
+    * collapse per group, so the replay is not the bottleneck. The
+    * capability stays for workloads with many independent cheap columns;
+    * flip spark.graft.splitDistinctAggregates.grouped=true to use it.
+    */
+  private val GroupedFlag = "spark.graft.splitDistinctAggregates.grouped"
+
   private def eligible(agg: Aggregate): Boolean = {
-    if (agg.groupingExpressions.nonEmpty) return false
+    if (agg.groupingExpressions.nonEmpty &&
+      !conf.getConfString(GroupedFlag, "false").toBoolean) return false
+    // join keys come back through EqualNullSafe on re-computed grouping
+    // expressions — they must be deterministic to land in the same group
+    // in every branch
+    if (agg.groupingExpressions.exists(!_.deterministic)) return false
     if (agg.isStreaming) return false
     // the child is duplicated per branch: that trade only wins when the
     // child is SCAN-SHAPED (column pruning makes each branch a narrow
@@ -67,9 +91,16 @@ object SplitDistinctAggregates extends Rule[LogicalPlan] {
     // or the branches would see different data
     if (agg.child.exists(p => p.expressions.exists(!_.deterministic)))
       return false
-    val shells = agg.aggregateExpressions.map {
+    // outputs split into GROUPING shells (agg-free — the analyzer already
+    // proved them functions of the grouping expressions; they ride in the
+    // first branch) and AGGREGATE shells (exactly one AggregateExpression
+    // each — cross-aggregate arithmetic stays fused)
+    val (keyShells, aggShells) =
+      agg.aggregateExpressions.partition(e => aggsIn(e).isEmpty)
+    if (keyShells.exists(!_.deterministic)) return false
+    val shells = aggShells.map {
       case al @ Alias(body, _) if al.deterministic => aggsIn(body)
-      case _ => Nil
+      case _ => return false
     }
     if (shells.exists(_.length != 1)) return false
     val aes = shells.map(_.head)
@@ -84,8 +115,11 @@ object SplitDistinctAggregates extends Rule[LogicalPlan] {
   private def split(agg: Aggregate): LogicalPlan = {
     // branch key: the distinct column set, or None for the shared
     // non-distinct branch; groupBy preserves nothing, so key order is
-    // re-derived from first appearance for plan stability
-    val keyed = agg.aggregateExpressions.map { ne =>
+    // re-derived from first appearance for plan stability. Grouping-output
+    // shells (agg-free) ride in the FIRST branch.
+    val (keyShells, aggShells) =
+      agg.aggregateExpressions.partition(e => aggsIn(e).isEmpty)
+    val keyed = aggShells.map { ne =>
       val ae = aggsIn(ne).head
       val key =
         if (ae.isDistinct)
@@ -99,21 +133,45 @@ object SplitDistinctAggregates extends Rule[LogicalPlan] {
     // aliases, references remapped) so sibling branches never share ids —
     // the same discipline the analyzer's DeduplicateRelations restores for
     // self-joins. Top-level output aliases keep their ORIGINAL ids in all
-    // branches: that is what lets parents resolve unchanged.
-    val branches = keysInOrder.zipWithIndex.map { case (k, i) =>
-      val exprs = keyed.filter(_._1 == k).map(_._2)
-      if (i == 0) agg.copy(aggregateExpressions = exprs)
-      else {
-        val (freshChild, mapping) = reinstance(agg.child)
-        val remapped = exprs.map(_.transformUp {
-          case ar: AttributeReference if mapping.contains(ar.exprId) =>
-            ar.withExprId(mapping(ar.exprId).exprId)
-        }.asInstanceOf[NamedExpression])
-        agg.copy(aggregateExpressions = remapped, child = freshChild)
+    // branches: that is what lets parents resolve unchanged. Every branch
+    // additionally emits fresh `_gk` aliases of its (remapped) grouping
+    // expressions — the null-safe equi-join keys that reassemble the per-
+    // group rows (EVERY branch aggregates the same child, so key sets are
+    // identical and the inner join is lossless); the final Project drops
+    // them. With no grouping the key list is empty and the join falls back
+    // to the scalar Cross of the global form.
+    val branches: Seq[(LogicalPlan, Seq[Attribute])] =
+      keysInOrder.zipWithIndex.map { case (k, i) =>
+        val exprs = keyed.filter(_._1 == k).map(_._2)
+        if (i == 0) {
+          val gks = agg.groupingExpressions.zipWithIndex.map {
+            case (g, gi) => Alias(g, s"_gk${i}_$gi")()
+          }
+          (agg.copy(aggregateExpressions = keyShells ++ exprs ++ gks),
+            gks.map(_.toAttribute))
+        } else {
+          val (freshChild, mapping) = reinstance(agg.child)
+          def remap(e: Expression): Expression = e.transformUp {
+            case ar: AttributeReference if mapping.contains(ar.exprId) =>
+              ar.withExprId(mapping(ar.exprId).exprId)
+          }
+          val g2 = agg.groupingExpressions.map(remap)
+          val gks = g2.zipWithIndex.map {
+            case (g, gi) => Alias(g, s"_gk${i}_$gi")()
+          }
+          (Aggregate(g2,
+            exprs.map(e => remap(e).asInstanceOf[NamedExpression]) ++ gks,
+            freshChild),
+            gks.map(_.toAttribute))
+        }
       }
+    val (b0, k0) = branches.head
+    val joined = branches.tail.foldLeft(b0) { case (acc, (b, kb)) =>
+      val cond = k0.zip(kb)
+        .map { case (a, c) => EqualNullSafe(a, c): Expression }
+        .reduceOption(And)
+      Join(acc, b, if (cond.isDefined) Inner else Cross, cond, JoinHint.NONE)
     }
-    val joined = branches
-      .reduceLeft[LogicalPlan]((l, r) => Join(l, r, Cross, None, JoinHint.NONE))
     Project(agg.aggregateExpressions.map(_.toAttribute), joined)
   }
 

@@ -1,0 +1,64 @@
+package graft.tools
+
+import graft.GraftSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The measurement behind SplitDistinctAggregates' GROUPED scope (r6):
+  * a per-source profile — 3 distinct sets + a plain count over documents —
+  * timed with the grouped split ON (narrow per-branch scans + null-safe
+  * key join) vs OFF (Spark's RewriteDistinctAggregates Expand, which
+  * replays the scan ×4 through every buffer).
+  *
+  * Usage: runMain graft.tools.SplitDistinctBench [dir] [reps]
+  */
+object SplitDistinctBench {
+
+  private def docsProfile(spark: SparkSession, dir: String) =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("source")
+      .agg(
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(md5(col("text").cast("binary"))).as("n_unique_texts"),
+        count_distinct(length(col("text"))).as("n_distinct_lengths"),
+        count(lit(1)).cast("long").as("n_docs"))
+
+  private def lineitemProfile(spark: SparkSession, dir: String) =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(
+        count_distinct(col("l_partkey")).as("d_part"),
+        count_distinct(col("l_suppkey")).as("d_supp"),
+        count_distinct(col("l_extendedprice")).as("d_price"),
+        count_distinct(col("l_orderkey")).as("d_order"),
+        count(lit(1)).cast("long").as("n"))
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_scale100")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val spark = GraftSession.quiet(GraftSession.local("split-distinct-bench"))
+    def timeIt(flag: String,
+        profile: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Seq[Double] = {
+      spark.conf.set("spark.graft.splitDistinctAggregates.grouped", flag)
+      // warm-up (plan + JIT)
+      profile(spark, dir).write.format("noop").mode("overwrite").save()
+      (1 to reps).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        profile(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+    }
+    def fmt(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString(" ")
+    Seq("docs(string-derived)" -> (docsProfile _),
+      "lineitem(numeric-cols)" -> (lineitemProfile _)).foreach {
+      case (label, p) =>
+        val on = timeIt("true", p)
+        val off = timeIt("false", p)
+        println(f"[$label ON ] ${fmt(on)} median ${on.sorted.apply(on.size / 2)}%.2f")
+        println(f"[$label OFF] ${fmt(off)} median ${off.sorted.apply(off.size / 2)}%.2f")
+    }
+    spark.stop()
+  }
+}

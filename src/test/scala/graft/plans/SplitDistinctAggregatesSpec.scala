@@ -52,12 +52,42 @@ class SplitDistinctAggregatesSpec extends SparkSpec {
   }
 
   test("out-of-scope shapes are left to Spark (Expand remains)") {
-    // grouped multi-distinct: the n-way key join is a different trade
-    assert(hasExpand(base.groupBy("k")
-      .agg(count_distinct(col("s")), count_distinct(col("v")))))
     // cross-aggregate arithmetic inside one output column stays fused
     assert(hasExpand(base.agg(
       (count_distinct(col("k")) + count_distinct(col("s"))).as("both"))))
+    // grouped splitting is opt-in (default off: the r6 measurement
+    // favors Spark's Expand on grouped shapes)
+    assert(hasExpand(base.groupBy("k")
+      .agg(count_distinct(col("s")), count_distinct(col("v")))))
+  }
+
+  test("grouped multi-distinct splits: no Expand, per-group values exact, " +
+    "null keys survive the reassembly join") {
+    val withNullKey = Seq(
+      (Option(1L), "x", 10.0), (Option(1L), "y", 20.0), (None, "x", 30.0),
+      (None, "z", 40.0), (Option(2L), "x", 50.0), (Option(2L), "x", 60.0)
+    ).toDF("k", "s", "v")
+    spark.conf.set("spark.graft.splitDistinctAggregates.grouped", "true")
+    try {
+    val df = withNullKey.groupBy("k").agg(
+      count_distinct(col("s")).as("ds"),
+      count_distinct(col("v")).as("dv"),
+      count(lit(1)).cast("long").as("n"))
+    assert(!hasExpand(df), "grouped multi-distinct still plans an Expand")
+    val got = df.collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(1L -> ((2L, 2L, 2L)), -1L -> ((2L, 2L, 2L)),
+      2L -> ((1L, 2L, 2L))), s"got $got")
+    // key column NOT selected: branches still join on hidden key aliases
+    val noKey = withNullKey.groupBy("k").agg(
+      count_distinct(col("s")).as("ds"),
+      count_distinct(col("v")).as("dv"))
+      .select("ds", "dv")
+    assert(noKey.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      .toSeq == Seq((1L, 2L), (2L, 2L), (2L, 2L)))
+    } finally
+      spark.conf.unset("spark.graft.splitDistinctAggregates.grouped")
   }
 
   test("single distinct set and non-deterministic children are untouched") {
