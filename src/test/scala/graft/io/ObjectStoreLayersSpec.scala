@@ -74,6 +74,26 @@ class ObjectStoreLayersSpec extends SparkSpec {
     assert(new java.io.File(s"$tmp/silver/clean.parquet").exists())
   }
 
+  test("Layers round-trips over REAL webhdfs:// against an in-process " +
+    "WebHDFS server (the reference's actual remote protocol)") {
+    // the genuine org.apache.hadoop.hdfs.web.WebHdfsFileSystem client from
+    // the Spark classpath talks HTTP to MiniWebHdfsServer: two-step CREATE
+    // redirects, offset/length positioned reads for parquet footers, the
+    // commit protocol's MKDIRS/RENAME/DELETE — the remote code paths
+    // mock3:// (a LocalFS subclass) never exercises. This is the s3a
+    // round-trip's sibling that needs no egress; s3a itself stays
+    // env-gated below (no hadoop-aws jar ships with this Spark).
+    val backing = Files.createTempDirectory("miniwebhdfs")
+    val server = new MiniWebHdfsServer(backing)
+    server.start()
+    try {
+      roundTrip(s"${server.fsUri}/lake", "webhdfs")
+      // writes landed through the HTTP server into its backing root
+      assert(new java.io.File(
+        s"$backing/lake/silver/clean.parquet").exists())
+    } finally server.stop()
+  }
+
   test("Layers round-trips on a REAL s3a:// endpoint " +
     "(env-gated: GRAFT_S3A_TEST_ENDPOINT/_BUCKET/_ACCESS_KEY/_SECRET_KEY)") {
     val endpoint = sys.env.get("GRAFT_S3A_TEST_ENDPOINT")
