@@ -119,6 +119,45 @@ object Joins {
     l.join(r, on :+ "_graft_salt", how).drop("_graft_salt")
   }
 
+  /** FACT-SIDE DICTIONARY ENCODING dial (VERDICT r5 #8): map a LOW-
+    * cardinality wide string column to int codes before it crosses
+    * shuffles, with the inverse map for late re-materialization — the
+    * classic network-bound-cluster trade (shuffle 4-byte codes, decode
+    * after the wide exchanges).
+    *
+    * MEASURED AND REJECTED as a default on local[32]: the naive form —
+    * `broadcast(df.select(c).distinct())` joined back — RE-EVALUATES the
+    * whole fact subtree once per consumer (encode join + decode join = 2+
+    * full distinct scans; q187 went 25 → 45 s, r5 notes). This helper
+    * therefore builds the dictionary DRIVER-SIDE with ONE bounded
+    * distinct-collect and ships both directions as map literals:
+    * encode/decode are then pure scan-side expressions with zero extra
+    * scans or joins. On localhost shuffles the byte saving is noise;
+    * over a real network it is the point — flip it per column without
+    * re-deriving the trap.
+    *
+    * Deterministic codes (values sorted), null ↔ null through the map
+    * lookups; refuses cardinalities above `maxCardinality` (the literal
+    * map must stay a sane broadcast size). Returns the encoded frame and
+    * the decode expression to apply AFTER the wide stages
+    * (DialsSpec pins end-to-end value identity both ways).
+    */
+  def dictEncodeColumn(
+      df: DataFrame,
+      c: String,
+      maxCardinality: Int = 65536
+  ): (DataFrame, org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+    val values = df.select(c).distinct().limit(maxCardinality + 1)
+      .collect().map(r => Option(r.getString(0)))
+    require(values.length <= maxCardinality,
+      s"dictEncodeColumn($c): cardinality exceeds $maxCardinality")
+    val sorted = values.flatten.sorted
+    val toCode = typedLit(sorted.zipWithIndex.toMap)
+    val fromCode = typedLit(sorted.zipWithIndex.map(_.swap).toMap)
+    (df.withColumn(c, element_at(toCode, col(c))),
+      code => element_at(fromCode, code))
+  }
+
   /** Point-in-interval join (`lo <= point <= hi`) WITHOUT a cartesian:
     * Spark has no native range-join optimization, and a plain non-equi
     * condition plans as BroadcastNestedLoop / cartesian — O(|points|·|intervals|)

@@ -104,32 +104,7 @@ object CoreQueries {
     // decimals matches the flat oracle definition bit-for-bit.
     QueryDef(
       "q04_regional_revenue",
-      (s, dir) => {
-        val li = t(s, dir, "lineitem")
-        val o = t(s, dir, "orders")
-        val c = t(s, dir, "customer")
-        val n = t(s, dir, "nation")
-        val r = t(s, dir, "region")
-        val liAgg = li
-          .select(col("l_orderkey"),
-            (col("l_extendedprice") * (lit(1) - col("l_discount")))
-              .cast(org.apache.spark.sql.types.DecimalType(30, 4)).as("_rev"),
-            lit(1L).as("_n"))
-        val ordRegion = o
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-          .select(col("o_orderkey"), col("r_name"))
-        liAgg
-          .join(ordRegion.hint("SHUFFLE_HASH"),
-            liAgg("l_orderkey") === col("o_orderkey"))
-          .groupBy("r_name")
-          .agg(
-            sum(col("_rev")).cast("double").as("revenue"),
-            sum(col("_n")).as("n_lineitems")
-          )
-          .orderBy("r_name")
-      },
+      (s, dir) => regionalRevenue(s, dir, preAggregateFact = false),
       Some(s"""SELECT r_name,
               |${sqlSumExact("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
               |count(*) AS n_lineitems
@@ -868,4 +843,56 @@ object CoreQueries {
              |WHERE std > 0.01 ORDER BY col_name""".stripMargin)
     )
   )
+
+  /** q04's plan with the PER-KEY PRE-AGGREGATION dial made explicit
+    * (VERDICT r5 #8): `preAggregateFact = true` collapses lineitem to one
+    * (l_orderkey, Σrev, n) row per order BELOW the big-big shuffle-hash
+    * join, shrinking the exchanged fact rows ~4× at the price of a ~n/4-
+    * key hash aggregate before the shuffle.
+    *
+    * MEASURED AND REJECTED as the default on local[32] (r5: the extra
+    * hash agg over ~15M keys cost more than the shuffle-row saving —
+    * shuffles through localhost memory are nearly free here); on a
+    * network-bound cluster the 4× byte saving is the win, so the dial is
+    * a parameter instead of a re-derivation. EXACT either way: grouping
+    * the fact by its join key commutes with a key-equi join, and the
+    * decimal partial sums re-sum exactly (DialsSpec pins value identity).
+    */
+  private[graft] def regionalRevenue(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      preAggregateFact: Boolean
+  ): org.apache.spark.sql.DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    val liRows = li
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(org.apache.spark.sql.types.DecimalType(30, 4)).as("_rev"),
+        lit(1L).as("_n"))
+    val liAgg =
+      if (preAggregateFact)
+        liRows.groupBy("l_orderkey")
+          .agg(sum(col("_rev")).cast(
+            org.apache.spark.sql.types.DecimalType(30, 4)).as("_rev"),
+            sum(col("_n")).as("_n"))
+      else liRows
+    val ordRegion = o
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("o_orderkey"), col("r_name"))
+    liAgg
+      .join(ordRegion.hint("SHUFFLE_HASH"),
+        liAgg("l_orderkey") === col("o_orderkey"))
+      .groupBy("r_name")
+      .agg(
+        sum(col("_rev")).cast("double").as("revenue"),
+        sum(col("_n")).as("n_lineitems")
+      )
+      .orderBy("r_name")
+  }
 }
