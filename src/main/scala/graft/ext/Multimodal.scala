@@ -31,25 +31,131 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
       byte_entropy: Double, histogram: Array[Long], frames_sampled: Int)
 
-  /** STUB decode ??? — deterministic fake for AUDIO/VIDEO (no codecs in this
-    * environment) and for undecodable image payloads: the "decoded frame" is
-    * the byte stream itself, so downstream feature math is still exercised
-    * end-to-end with stable results.
+  /** STUB decode ??? — deterministic fake for COMPRESSED video/audio (no
+    * H.264/mp3-class codecs in this environment) and for undecodable
+    * payloads: the "decoded frame" is the byte stream itself, so
+    * downstream feature math is still exercised end-to-end with stable
+    * results. Uncompressed AVI video and JDK-native image/audio formats
+    * take their REAL decode paths below.
     */
   private def decodeStub(bytes: Array[Byte], kind: String): Array[Byte] = bytes
 
   /** Decode seam: images go through the REAL JDK codec path (javax.imageio —
-    * PNG/BMP/GIF/JPEG ship with the JDK) and audio through the REAL
-    * javax.sound.sampled path (RIFF/WAV/AU/AIFF PCM); anything those codecs
-    * can't parse, plus video, falls back to the stub. Swapping in further
-    * codecs changes only this function.
+    * PNG/BMP/GIF/JPEG ship with the JDK), audio through the REAL
+    * javax.sound.sampled path (RIFF/WAV/AU/AIFF PCM), and video through the
+    * REAL RIFF/AVI demuxer below (uncompressed DIB frames → concatenated
+    * per-frame luminance planes). Anything those can't parse — compressed
+    * video/audio codecs stay environment-bound — falls back to the stub.
+    * Swapping in further codecs changes only this function.
     */
   private[ext] def decode(bytes: Array[Byte], kind: String): Array[Byte] =
     kind match {
       case "image" => decodeImage(bytes).getOrElse(decodeStub(bytes, kind))
       case "audio" => decodeAudio(bytes).getOrElse(decodeStub(bytes, kind))
+      case "video" =>
+        decodeVideoAvi(bytes).map(_.flatten.toArray)
+          .getOrElse(decodeStub(bytes, kind))
       case _ => decodeStub(bytes, kind)
     }
+
+  /** REAL video decode for the one format this JDK can handle end-to-end:
+    * RIFF/AVI container demux + uncompressed bottom-up DIB ('00db') frame
+    * decode → one BT.601 integer-luminance plane per frame, row-major
+    * top-down. This is a genuine container walk (RIFF chunk lengths,
+    * LIST skip, stride padding, bottom-up row order), so the q169
+    * round-trip argument applies: [[aviDibBytes]] builds real AVI bytes
+    * and this parser must recover exactly the written pixels — an
+    * analytic oracle predicts every downstream feature in closed form
+    * (q233). Returns None for anything that is not an uncompressed-DIB
+    * AVI (compressed codecs → the documented stub).
+    */
+  def decodeVideoAvi(bytes: Array[Byte]): Option[Seq[Array[Byte]]] =
+    try {
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def le32(i: Int): Int =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      def tag(i: Int): String =
+        new String(bytes, i, 4, "US-ASCII")
+      if (bytes.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ")
+        return None
+      var w = 0
+      var h = 0
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      // walk top-level chunks; descend into LISTs (hdrl for avih dims,
+      // movi for frames); chunk sizes pad to even offsets per RIFF
+      def walk(from: Int, to: Int): Unit = {
+        var i = from
+        while (i + 8 <= to) {
+          val ck = tag(i)
+          val sz = le32(i + 4)
+          if (ck == "LIST") {
+            walk(i + 12, i + 8 + sz)
+          } else if (ck == "avih" && sz >= 40) {
+            w = le32(i + 8 + 32)
+            h = le32(i + 8 + 36)
+          } else if (ck == "00db" && w > 0 && h > 0) {
+            // bottom-up 24-bit DIB, rows padded to 4 bytes
+            val stride = ((w * 3 + 3) / 4) * 4
+            if (sz >= stride * h) {
+              val luma = new Array[Byte](w * h)
+              var y = 0
+              while (y < h) {
+                val rowOff = i + 8 + (h - 1 - y) * stride
+                var x = 0
+                while (x < w) {
+                  val b = u8(rowOff + x * 3)
+                  val g = u8(rowOff + x * 3 + 1)
+                  val r = u8(rowOff + x * 3 + 2)
+                  luma(y * w + x) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              frames += luma
+            }
+          }
+          i += 8 + sz + (sz & 1)
+        }
+      }
+      walk(12, bytes.length)
+      if (w > 0 && h > 0 && frames.nonEmpty) Some(frames.toSeq) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Minimal uncompressed-DIB AVI bytes: RIFF(hdrl(avih) + movi('00db'
+    * frames)), 24-bit BGR bottom-up rows padded to 4 bytes — each frame a
+    * FLAT shade (r = g = b = shade), so the decoded luminance is exactly
+    * `shade` per pixel (299+587+114 = 1000 divides out). Deterministic
+    * pure data: the q233 oracle predicts the whole census analytically.
+    */
+  def aviDibBytes(w: Int, h: Int, frameShades: Seq[Int]): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameSz = stride * h
+    val avihSz = 56
+    val hdrlSz = 4 + 8 + avihSz
+    val moviSz = 4 + frameShades.length * (8 + frameSz)
+    val riffSz = 4 + 8 + hdrlSz + 8 + moviSz
+    val b = java.nio.ByteBuffer.allocate(8 + riffSz)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(s: String): Unit = b.put(s.getBytes("US-ASCII"))
+    tag("RIFF"); b.putInt(riffSz); tag("AVI ")
+    tag("LIST"); b.putInt(hdrlSz); tag("hdrl")
+    tag("avih"); b.putInt(avihSz)
+    b.putInt(40000) // usec/frame
+    b.putInt(0); b.putInt(0); b.putInt(0)
+    b.putInt(frameShades.length) // total frames
+    b.putInt(0); b.putInt(1)
+    b.putInt(0)
+    b.putInt(w); b.putInt(h)
+    b.putInt(0); b.putInt(0); b.putInt(0); b.putInt(0)
+    tag("LIST"); b.putInt(moviSz); tag("movi")
+    frameShades.foreach { s =>
+      tag("00db"); b.putInt(frameSz)
+      val row = new Array[Byte](stride)
+      java.util.Arrays.fill(row, 0, w * 3, s.toByte)
+      (0 until h).foreach(_ => b.put(row))
+    }
+    b.array()
+  }
 
   /** Real image decode: the luminance plane (BT.601 integer weights) of the
     * decoded raster, row-major — so the generic histogram/entropy features

@@ -489,6 +489,48 @@ object TextQueries {
              |FROM documents ORDER BY media_id""".stripMargin)
     ),
 
+    // ---- REAL video decode (r6, the last stub retired for uncompressed
+    //      formats): deterministic RIFF/AVI containers with flat-shade DIB
+    //      frames are BUILT from each row's fields, then DEMUXED AND
+    //      DECODED by Multimodal.decodeVideoAvi (container walk, stride
+    //      padding, bottom-up rows, BT.601 luminance) — the q169/q189
+    //      round-trip argument one format deeper: the DuckDB twin predicts
+    //      the whole census in closed form, so a drift in either the
+    //      builder or the parser breaks the hash. Compressed codecs remain
+    //      the documented environment-bound stub.
+    QueryDef(
+      "q233_video_frame_census",
+      (s, dir) => {
+        import s.implicits._
+        val census = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val w = 8 + (id % 5).toInt * 4
+              val h = 8 + (id % 3).toInt * 4
+              val nf = 1 + (id % 4).toInt
+              val shades = (0 until nf).map(f => ((id * 7 + f * 13) % 251).toInt)
+              val bytes = graft.ext.Multimodal.aviDibBytes(w, h, shades)
+              val frames = graft.ext.Multimodal.decodeVideoAvi(bytes)
+                .getOrElse(Seq.empty)
+              val pixels = frames.iterator.map(_.length.toLong).sum
+              val luma = frames.iterator
+                .map(_.iterator.map(b => (b & 0xff).toLong).sum).sum
+              (id, frames.length.toLong, pixels, luma)
+            }
+          }
+          .toDF("media_id", "n_frames", "total_pixels", "luma_sum")
+        census.orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(1 + doc_id % 4 AS BIGINT) AS n_frames,
+             |  CAST((1 + doc_id % 4) * (8 + (doc_id % 5) * 4)
+             |    * (8 + (doc_id % 3) * 4) AS BIGINT) AS total_pixels,
+             |  CAST((8 + (doc_id % 5) * 4) * (8 + (doc_id % 3) * 4)
+             |    * list_sum(list_transform(range(0, 1 + doc_id % 4),
+             |        f -> (doc_id * 7 + f * 13) % 251)) AS BIGINT) AS luma_sum
+             |FROM documents ORDER BY media_id""".stripMargin)
+    ),
+
     // ---- media HEADER parsing, oracled as an encode→parse ROUND TRIP:
     //      deterministic PNG/JPEG/GIF header bytes are built from each
     //      row's fields (real container structure: IHDR / SOF0 marker

@@ -96,6 +96,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageDims(junk).isEmpty)
   }
 
+  test("AVI demux: built container round-trips exactly — frame count, " +
+    "dims, per-frame luminance; garbage and compressed payloads refuse") {
+    val shades = Seq(0, 17, 200, 255)
+    val bytes = Multimodal.aviDibBytes(10, 6, shades)
+    val frames = Multimodal.decodeVideoAvi(bytes)
+    assert(frames.isDefined, "built AVI did not demux")
+    assert(frames.get.length == 4)
+    frames.get.zip(shades).foreach { case (luma, s) =>
+      assert(luma.length == 60, "frame plane is w*h")
+      assert(luma.forall(b => (b & 0xff) == s),
+        s"flat shade $s not recovered: ${luma.take(5).toSeq}")
+    }
+    // odd width exercises the 4-byte stride padding path
+    val odd = Multimodal.decodeVideoAvi(Multimodal.aviDibBytes(7, 3, Seq(9)))
+    assert(odd.exists(f => f.head.length == 21 &&
+      f.head.forall(b => (b & 0xff) == 9)))
+    // non-AVI payloads refuse (→ the documented stub fallback in decode)
+    assert(Multimodal.decodeVideoAvi("not a movie".getBytes).isEmpty)
+    assert(Multimodal.decodeVideoAvi(Multimodal.pngHeaderBytes(4, 4)).isEmpty)
+    // the decode() seam routes video through the real demuxer now
+    val viaSeam = Multimodal.decode(bytes, "video")
+    assert(viaSeam.length == 4 * 60 &&
+      (viaSeam(0) & 0xff) == 0 && (viaSeam(60) & 0xff) == 17)
+  }
+
   test("resize rewrites meta dims only") {
     val df = Multimodal.synthetic(spark, 6).toDF()
     val out = Multimodal.resize(df, 128, 96)
