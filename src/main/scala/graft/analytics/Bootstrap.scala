@@ -253,8 +253,17 @@ object Bootstrap {
       .toDF("_r", "_a", "_b")
     val x = (col("_a") * col("_h") + col("_b")).bitwiseAND(lit(mask))
     val y = shiftright(x * x, 15).bitwiseAND(lit(mask))
-    val u = (y + lit(1L)).cast("double") / lit((1L << 30).toDouble)
-    val w = PoissonCdf.map(c => (u > lit(c)).cast("long")).reduce(_ + _)
+    // u > c ⟺ (y+1)/2^30 > c ⟺ y ≥ floor(c·2^30) (c·2^30 is an EXACT
+    // double — exponent shift — and never integral for these c), so the
+    // per-draw uniform never needs materializing: 8 long compares against
+    // precomputed integer thresholds replace a cast+divide+8 double
+    // compares (~20% of the draw loop). The oracle inlines the SAME
+    // floors, so the weights are identical by construction.
+    val w = PoissonCdf.map { c =>
+      val t = c * (1L << 30).toDouble
+      require(t != math.floor(t), s"cdf threshold $c landed on an integer")
+      (y >= lit(math.floor(t).toLong)).cast("long")
+    }.reduce(_ + _)
     val sums = base.crossJoin(broadcast(constDf))
       .withColumn("_w", w)
       .filter(col("_w") > 0)

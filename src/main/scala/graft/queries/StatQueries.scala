@@ -1395,9 +1395,12 @@ object StatQueries {
       s"CAST(floor($c * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q$i"
     }.mkString(",\n    ")
     val qPass = cols.indices.map(i => s"base.q$i").mkString(", ")
-    val cdfSum = Bootstrap.PoissonCdf.map(c =>
-      s"(CASE WHEN u > CAST($c AS DOUBLE) THEN 1 ELSE 0 END)")
-      .mkString("\n  + ")
+    // integer thresholds: u > c ⟺ y ≥ floor(c·2^30) — same derivation as
+    // Bootstrap.poissonPortable, same inlined floors
+    val cdfSum = Bootstrap.PoissonCdf.map { c =>
+      val f = math.floor(c * (1L << 30).toDouble).toLong
+      s"(CASE WHEN y >= $f THEN 1 ELSE 0 END)"
+    }.mkString("\n  + ")
     val wSums = cols.indices.map(i =>
       s"CAST(sum(w * q$i) AS BIGINT) AS s$i").mkString(",\n    ")
     val meanArms = cols.zipWithIndex.map { case (c, i) =>
@@ -1411,10 +1414,9 @@ object StatQueries {
        |  FROM lineitem),
        |cd(r, a, b) AS (VALUES $values),
        |draws AS (SELECT cd.r,
-       |    CAST((((((cd.a * base.h + cd.b) & 1073741823)
+       |    ((((cd.a * base.h + cd.b) & 1073741823)
        |          * ((cd.a * base.h + cd.b) & 1073741823)) >> 15)
-       |         & 1073741823) + 1 AS DOUBLE)
-       |      / CAST(1073741824 AS DOUBLE) AS u,
+       |         & 1073741823 AS y,
        |    $qPass
        |  FROM base, cd),
        |wt AS (SELECT r, ($cdfSum) AS w, ${cols.indices.map(i => s"q$i").mkString(", ")}
