@@ -311,7 +311,19 @@ object Similarity {
       else lshBucket(c, dim, nBits, seed)
     val masks: Seq[Long] =
       0L +: (if (probeHamming >= 1) (0 until nBits).map(i => 1L << i) else Nil)
+    // a zero-norm (or NaN-element) vector yields cos NaN, which the
+    // packed path would rank as sim 0.0 while the window path's desc()
+    // ranks NaN FIRST (Spark SQL ordering) — exclude degenerate vectors
+    // PER ROW on both sides so the paths agree. Side-level O(n) guard,
+    // not a per-pair filter: a bare !isnan(cos_sim) pair filter measured
+    // +60% on q205 (the cosine re-evaluated in the pushed predicate).
+    def usableVec(c: Column): Column = {
+      val n2 = aggregate(transform(c, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (a, x) => a + x)
+      c.isNotNull && n2 > 0 && !isnan(n2)
+    }
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .filter(usableVec(col("q_vec")))
       .withColumn("_qbucket", bucketOf(col("q_vec")))
       .withColumn("_bucket",
         explode(array(masks.map(m => col("_qbucket").bitwiseXOR(lit(m))): _*)))
@@ -319,16 +331,13 @@ object Similarity {
     // the salted join replans the hot buckets deterministically; output
     // multiset unchanged, so rank/window results are identical
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .filter(usableVec(col("c_vec")))
       .withColumn("_bucket", bucketOf(col("c_vec")))
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val scored = saltedBucketJoin(q, c, "_bucket", "q_id", saltBucketsAbove)
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         round(cosine(col("q_vec"), col("c_vec")), 4).as("cos_sim"))
-      // a zero-norm vector yields cos NaN; the packed path would rank it as
-      // sim 0.0 while the window path's desc() ranks NaN FIRST (Spark SQL
-      // ordering) — drop degenerate candidates so both paths agree
-      .filter(!isnan(col("cos_sim")))
     // (sim, id)-packing into the bounded top-k aggregate (the pqKnnJoin
     // recipe): cos_sim is round(·, 4), so 10000·cos is an exact integer in
     // [-10000, 10000] and (10000 − that) a nonnegative sort key; when ids
@@ -1437,15 +1446,16 @@ object Similarity {
   ): DataFrame =
     pairs
       .withColumn("_cs", cosine(col("_va"), col("_vb")))
-      // an anchor whose candidates ALL score null/NaN has no well-defined
-      // hardest negative: argMaxTiedLow returns the sentinel id
-      // Long.MaxValue for such a group, which the label join below would
-      // silently drop — filter the degenerate scores up front so the drop
-      // can only mean "no candidates", never "candidates with broken sims"
-      .filter(col("_cs").isNotNull && !isnan(col("_cs")))
       .groupBy(col("vec_id"), col("label"))
       .agg(graft.functions.GraftFunctions.argMaxTiedLow(
         col("_cs"), col("hard_neg_id").cast("long")).as("_b"))
+      // an anchor whose candidates ALL scored null has no well-defined
+      // hardest negative: argMaxTiedLow returns the sentinel id
+      // Long.MaxValue for such a group. Drop it EXPLICITLY (per-anchor
+      // rows — free) instead of per-pair score filtering (O(pairs) — the
+      // q205 lesson), so the label join below can never silently drop a
+      // row: callers exclude zero-norm vectors, making NaN unreachable
+      .filter(col("_b.id") =!= Long.MaxValue)
       .join(broadcast(labels), col("_b.id") === col("hard_neg_id"))
       .select(col("vec_id"), col("label"), col("hard_neg_id"),
         col("hard_neg_label"), round(col("_b.ord"), 4).as("cos_sim"))

@@ -47,7 +47,10 @@ object ScaleSweep {
     "q185_countmin_census", "q196_hist_trailing_quantiles",
     "q201_profile_drift", "q203_hist_incremental", "q206_conformal_coverage",
     "q210_trimmed_mean", "q40_monte_carlo_scenarios",
-    "q232_join_cardinality_sketch",
+    "q232_join_cardinality_sketch", "q233_video_frame_census",
+    // the seeded production bootstrap (the registered q41's portable
+    // form is oracle-tier: its ×nSim row expansion is for sf0.01/0.1)
+    "x41_bootstrap_seeded",
     // sampling / training plan
     "q121_priority_sample", "q167_groupsafe_split", "q175_epoch_shuffle",
     "q177_temporal_split", "q198_length_bucket_batching",
