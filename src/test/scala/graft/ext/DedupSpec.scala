@@ -54,6 +54,33 @@ class DedupSpec extends SparkSpec {
     assert(exact._3 == 1.0)
   }
 
+  test("portable minhash pairs: same planted dups recovered; verify values " +
+    "are exact string-set Jaccard; dedup twin keeps lowest ids") {
+    val pairs = Dedup.minHashPairsPortable(docs, "doc_id", "text",
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)), s"exact dup pair missing from $keys")
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 1.0)
+    // every reported jaccard equals the brute-force string-gram value
+    val gramSets = docs.select(col("doc_id"),
+      Dedup.wordNgrams(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    pairs.foreach { case (a, b, j) =>
+      val (ga, gb) = (gramSets(a), gramSets(b))
+      val expect = if ((ga ++ gb).isEmpty) 0.0
+        else (ga & gb).size.toDouble / (ga ++ gb).size
+      assert(math.abs(j - BigDecimal(expect).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"($a,$b): $j vs $expect")
+    }
+    val kept = Dedup.minHashDedupPortable(docs, "doc_id", "text",
+      threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept.head == 0L && !kept.contains(1L), s"kept $kept")
+  }
+
   test("minHashDedup drops near-duplicates, keeps lowest id") {
     val kept = Dedup.minHashDedup(docs, "doc_id", "text", threshold = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq

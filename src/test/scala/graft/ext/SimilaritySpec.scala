@@ -47,6 +47,16 @@ class SimilaritySpec extends SparkSpec {
     assert(top.collect().map(_.getLong(0)).contains(10L))
   }
 
+  test("ivfTopKFixed (q53's oracled form): fixed-rule quantizer probe also " +
+    "finds the planted near-duplicate; self excluded; ranked by cosine") {
+    val top = Similarity.ivfTopKFixed(vecs, "vec_id", "embedding", 0L, 3,
+      kCells = 3, nProbe = 2).collect()
+    assert(top.map(_.getLong(0)).contains(10L))
+    assert(!top.map(_.getLong(0)).contains(0L))
+    val sims = top.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse, s"not cosine-ranked: $sims")
+  }
+
   test("lshBucket: matrix-literal form is bit-identical to per-plane literals") {
     // the round-1 formulation, kept here as the compat reference: one
     // array(lit…) + dot per bit
