@@ -219,57 +219,125 @@ object Bootstrap {
       keyCol: String,
       nSim: Int = 1000,
       maxColumns: Int = 8
-  ): DataFrame = {
-    val cols = Cleaning.numericCols(df.drop(keyCol)).take(maxColumns)
-    if (cols.isEmpty)
-      return spark.createDataFrame(
+  ): DataFrame =
+    portablePrep(spark, df, keyCol, maxColumns) match {
+      case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], resultSchema)
-    val filled = medianFill(
-      df.select(col(keyCol).cast("string").as("_k") +:
-        cols.map(c => col(c).cast("double")): _*), cols)
-    // monte_carlo.py:271 — a column needs > 20 usable values
-    val cntRow = filled
-      .agg(count(col(cols.head)), cols.tail.map(c => count(col(c))): _*)
-      .head()
-    val target = cols.zipWithIndex
-      .filter { case (_, i) => cntRow.getLong(i) > 20 }.map(_._1)
-    if (target.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], resultSchema)
+      case Some((base, target)) =>
+        // ONE pass: each row updates (1+k)·nSim primitive long slots inside
+        // the fused aggregate — no row×replicate expansion ever exists as
+        // Spark rows; only a ~40 KB buffer per partition crosses the
+        // exchange (r6 VERDICT #1: 6.1 s → the arithmetic's actual cost)
+        val sums = base.groupBy().agg(
+          graft.functions.GraftFunctions.bootstrapPoissonAgg(nSim, col("_h"),
+            target.indices.map(i => col(s"_q$i"))).as("_bs"))
+          .select(explode(col("_bs")).as("_e"))
+          .select(col("_e._r").as("_r") +: col("_e._W").as("_W") +:
+            target.indices.map(i => col("_e._S").getItem(i).as(s"_S$i")): _*)
+        portableReadout(sums, target, nSim)
+    }
 
+  /** The original crossJoin-expansion form of [[poissonPortable]] — kept as
+    * the composable bit-identity cross-check (BootstrapSpec asserts equal
+    * output vs the fused aggregate; the MinHashSignature precedent).
+    */
+  private[graft] def poissonPortableExpand(
+      spark: SparkSession,
+      df: DataFrame,
+      keyCol: String,
+      nSim: Int = 1000,
+      maxColumns: Int = 8
+  ): DataFrame =
+    portablePrep(spark, df, keyCol, maxColumns) match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], resultSchema)
+      case Some((base, target)) =>
+        val mask = (1L << 30) - 1
+        import spark.implicits._
+        val constDf = graft.ext.Dedup.affineConsts(nSim, 30).zipWithIndex
+          .map { case ((a, b), r) => (r.toLong, a, b) }
+          .toDF("_r", "_a", "_b")
+        val x = (col("_a") * col("_h") + col("_b")).bitwiseAND(lit(mask))
+        val y = shiftright(x * x, 15).bitwiseAND(lit(mask))
+        // u > c ⟺ (y+1)/2^30 > c ⟺ y ≥ floor(c·2^30) (c·2^30 is an EXACT
+        // double — exponent shift — and never integral for these c), so the
+        // per-draw uniform never needs materializing: 8 long compares
+        // against precomputed integer thresholds replace a
+        // cast+divide+8 double compares. The oracle inlines the SAME
+        // floors, so the weights are identical by construction.
+        val w = PoissonCdf.map { c =>
+          val t = c * (1L << 30).toDouble
+          require(t != math.floor(t), s"cdf threshold $c landed on an integer")
+          (y >= lit(math.floor(t).toLong)).cast("long")
+        }.reduce(_ + _)
+        val sums = base.crossJoin(broadcast(constDf))
+          .withColumn("_w", w)
+          .filter(col("_w") > 0)
+          .groupBy("_r")
+          .agg(sum(col("_w")).as("_W"),
+            target.indices.map(i =>
+              sum(col("_w") * col(s"_q$i")).as(s"_S$i")): _*)
+        portableReadout(sums, target, nSim)
+    }
+
+  /** Shared prep for the portable forms: median-fill, >20-usable-values
+    * gate, 30-bit md5 row seeds, 10⁻⁴-unit quantization, repartition.
+    * Returns None when no column survives the gate.
+    */
+  private def portablePrep(
+      spark: SparkSession,
+      df: DataFrame,
+      keyCol: String,
+      maxColumns: Int
+  ): Option[(DataFrame, Seq[String])] = {
+    val cols = Cleaning.numericCols(df.drop(keyCol)).take(maxColumns)
+    if (cols.isEmpty) return None
+    val raw = df.select(col(keyCol).cast("string").as("_k") +:
+      cols.map(c => col(c).cast("double")): _*)
+    // ONE stats pass: total rows + per-column non-null counts feed both
+    // the median-fill decision and the >20-usable-values gate
+    // (monte_carlo.py:271 gates on the POST-fill count: n for any column
+    // with at least one value, 0 for an all-null column — derivable here
+    // without the second scan the r6 form paid)
+    val cntRow = raw
+      .agg(count(lit(1)), cols.map(c => count(col(c))): _*).head()
+    val n = cntRow.getLong(0)
+    val nonNull = cols.indices.map(i => cntRow.getLong(i + 1))
+    val withNulls = cols.zipWithIndex
+      .filter { case (_, i) => nonNull(i) > 0 && nonNull(i) < n }.map(_._1)
+    val filled =
+      if (withNulls.isEmpty) raw
+      else {
+        val exprs = withNulls.map(c => percentile(col(c), lit(0.5)))
+        val row = raw.agg(exprs.head, exprs.tail: _*).head()
+        withNulls.zipWithIndex.foldLeft(raw) { case (d, (c, i)) =>
+          if (row.isNullAt(i)) d else d.na.fill(Map(c -> row.getDouble(i)))
+        }
+      }
+    val target = cols.zipWithIndex
+      .filter { case (_, i) => nonNull(i) > 0 && n > 20 }.map(_._1)
+    if (target.isEmpty) return None
     val mask = (1L << 30) - 1
     val h = graft.ext.Dedup.portableHash60(concat(lit("bs|"), col("_k")))
       .bitwiseAND(lit(mask))
-    val base = filled.select(
-      (h.as("_h") +: target.zipWithIndex.map { case (c, i) =>
-        floor(col(c) * lit(10000) + lit(0.5)).cast("long").as(s"_q$i")
-      }): _*)
-      // single-file local inputs arrive as ONE partition; the ×nSim
-      // expansion must start spread across cores
+    // repartition FIRST: single-file local inputs arrive as ONE partition,
+    // and the per-row md5+quantize projection must run on every core, not
+    // inside the lone scan task (on a multi-split lake scan this is a
+    // plain round-robin rebalance)
+    val base = filled
       .repartition(spark.sparkContext.defaultParallelism)
-    import spark.implicits._
-    val constDf = graft.ext.Dedup.affineConsts(nSim, 30).zipWithIndex
-      .map { case ((a, b), r) => (r.toLong, a, b) }
-      .toDF("_r", "_a", "_b")
-    val x = (col("_a") * col("_h") + col("_b")).bitwiseAND(lit(mask))
-    val y = shiftright(x * x, 15).bitwiseAND(lit(mask))
-    // u > c ⟺ (y+1)/2^30 > c ⟺ y ≥ floor(c·2^30) (c·2^30 is an EXACT
-    // double — exponent shift — and never integral for these c), so the
-    // per-draw uniform never needs materializing: 8 long compares against
-    // precomputed integer thresholds replace a cast+divide+8 double
-    // compares (~20% of the draw loop). The oracle inlines the SAME
-    // floors, so the weights are identical by construction.
-    val w = PoissonCdf.map { c =>
-      val t = c * (1L << 30).toDouble
-      require(t != math.floor(t), s"cdf threshold $c landed on an integer")
-      (y >= lit(math.floor(t).toLong)).cast("long")
-    }.reduce(_ + _)
-    val sums = base.crossJoin(broadcast(constDf))
-      .withColumn("_w", w)
-      .filter(col("_w") > 0)
-      .groupBy("_r")
-      .agg(sum(col("_w")).as("_W"),
-        target.indices.map(i => sum(col("_w") * col(s"_q$i")).as(s"_S$i")): _*)
+      .select(
+        (h.as("_h") +: target.zipWithIndex.map { case (c, i) =>
+          floor(col(c) * lit(10000) + lit(0.5)).cast("long").as(s"_q$i")
+        }): _*)
+    Some((base, target))
+  }
+
+  /** Shared readout: per-replicate quantized means, then integer-exact
+    * mean/std and exact percentiles per column (the q215 discipline).
+    */
+  private def portableReadout(
+      sums: DataFrame, target: Seq[String], nSim: Int): DataFrame = {
     val dec18 = DecimalType(18, 0)
     val perCol = target.zipWithIndex.map { case (c, i) =>
       sums.select(lit(c).as("index"),

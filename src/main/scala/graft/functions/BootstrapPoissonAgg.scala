@@ -1,0 +1,203 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Fused portable-Poisson bootstrap aggregate — the whole row×replicate
+  * weight/accumulate loop of `graft.analytics.Bootstrap.poissonPortable`
+  * as ONE imperative aggregate pass (VERDICT r6 #1, the MinHashSignature
+  * precedent applied to an aggregate).
+  *
+  * The crossJoin-expansion form materializes rows×nSim Spark rows through
+  * a broadcast join and a hash aggregate just to sum them back into nSim
+  * groups — at sf0.1 that is 600M rows of join/agg machinery wrapped
+  * around ~7 long ops each. Here each input row updates `(1+k)·nSim`
+  * primitive long buffer slots in a tight JVM loop instead: per replicate
+  * r, weight w = Σⱼ (y ≥ tⱼ) with
+  * x = (a_r·h + b_r) & (2³⁰−1), y = (x² >> 15) & (2³⁰−1),
+  * then W[r] += w and S_c[r] += w·q_c. Identical arithmetic to the
+  * expansion form (same [[MinHashSignature.affineConsts]] stream, same
+  * integer CDF thresholds), so the DuckDB oracle that replays the
+  * definition is untouched — BootstrapSpec pins bit-identity against the
+  * retained private expansion twin.
+  *
+  * Scale shape: partial buffers are (1+k)·nSim longs (~40 KB at k=4,
+  * nSim=1000) regardless of input size; one per partition crosses the
+  * exchange. A single GLOBAL group means ObjectHashAggregate never nears
+  * its 128-keys-per-partition sort fallback (the TopKLongs caveat does
+  * not apply). Replicates whose total weight is 0 are dropped at eval,
+  * matching the expansion form's `filter(w > 0)` + groupBy absence.
+  *
+  * Output: array<struct<_r:long, _W:long, _S:array<long>>> ordered by _r.
+  */
+case class BootstrapPoissonAgg(
+    hash: Expression,
+    values: Seq[Expression],
+    nSim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[Array[Long]] {
+
+  require(nSim >= 1 && nSim <= 65536, "bootstrap_poisson_agg: 1 <= nSim <= 65536")
+  require(values.nonEmpty, "bootstrap_poisson_agg needs at least one value column")
+
+  override def children: Seq[Expression] = hash +: values
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("_r", LongType, nullable = false),
+      StructField("_W", LongType, nullable = false),
+      StructField("_S", ArrayType(LongType, containsNull = false),
+        nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    children.find(_.dataType != LongType) match {
+      case Some(c) => TypeCheckResult.TypeCheckFailure(
+        s"bootstrap_poisson_agg expects BIGINT inputs, got ${c.dataType.catalogString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+
+  private val k = values.length
+  private val mask = (1L << 30) - 1
+
+  // deterministic functions of nSim — rebuilt per executor instance
+  @transient private lazy val aConsts: Array[Long] =
+    MinHashSignature.affineConsts(nSim, 30).map(_._1).toArray
+  @transient private lazy val bConsts: Array[Long] =
+    MinHashSignature.affineConsts(nSim, 30).map(_._2).toArray
+  // ascending integer thresholds: u > cdf_j ⟺ y ≥ floor(cdf_j·2^30)
+  // (same derivation and floors as Bootstrap.poissonPortable / the oracle)
+  @transient private lazy val thresholds: Array[Long] =
+    graft.analytics.Bootstrap.PoissonCdf
+      .map(c => math.floor(c * (1L << 30).toDouble).toLong)
+
+  @transient private lazy val offsets: Array[Int] =
+    Array.tabulate(k)(ci => (1 + ci) * nSim)
+  // w = #{j : y ≥ t_j} is monotone in y, so a 4096-cell table on y's top
+  // 12 bits resolves all but the 7 threshold-straddling cells with ONE
+  // load — the 8-step dependent compare chain only runs for ~0.2% of
+  // draws (probe-measured 27% faster than the branch-free chain, same
+  // checksums)
+  @transient private lazy val wTable: Array[Byte] = {
+    def wOf(y: Long): Byte = thresholds.count(t => y >= t).toByte
+    Array.tabulate(1 << 12) { c =>
+      val lo = c.toLong << 18; val hi = ((c + 1).toLong << 18) - 1
+      if (wOf(lo) == wOf(hi)) wOf(lo) else -1: Byte
+    }
+  }
+  // per-instance row scratch — update() runs sequentially within a task and
+  // expression instances are per-task (the DeterministicMode precedent)
+  @transient private lazy val rowVals: Array[Long] = new Array[Long](k)
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long]((1 + k) * nSim)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val hv = hash.eval(input)
+    if (hv == null) return buf
+    val h = hv.asInstanceOf[Long]
+    val vs = rowVals
+    var ci = 0
+    while (ci < k) {
+      val v = values(ci).eval(input)
+      // a null column contributes 0 to its weighted sum — identical to the
+      // expansion twin, where sum(w * NULL) skips the term
+      vs(ci) = if (v == null) 0L else v.asInstanceOf[Long]
+      ci += 1
+    }
+    val a = aConsts; val b = bConsts; val t = thresholds; val offs = offsets
+    val tab = wTable
+    val nT = t.length
+    // BRANCH-LIGHT hot loop: w>0 is a ~63% coin flip and the early-exit
+    // threshold walk is data-dependent — both mispredict constantly at
+    // 600M iterations. The table resolves w in one load ~99.8% of the
+    // time; the fallback (t_j - 1 - y) >>> 63 == (y >= t_j) for 30-bit
+    // operands, and an unconditional `+= w·v` adds 0 when w = 0.
+    if (k == 4) {
+      // the q41 shape — locals instead of per-column array indirection
+      val v0 = vs(0); val v1 = vs(1); val v2 = vs(2); val v3 = vs(3)
+      val o1 = nSim; val o2 = 2 * nSim; val o3 = 3 * nSim; val o4 = 4 * nSim
+      var r = 0
+      while (r < nSim) {
+        val x = (a(r) * h + b(r)) & mask
+        val y = ((x * x) >> 15) & mask
+        var w: Long = tab((y >>> 18).toInt)
+        if (w < 0) {
+          w = 0L; var j = 0
+          while (j < nT) { w += (t(j) - 1 - y) >>> 63; j += 1 }
+        }
+        buf(r) += w
+        buf(o1 + r) += w * v0
+        buf(o2 + r) += w * v1
+        buf(o3 + r) += w * v2
+        buf(o4 + r) += w * v3
+        r += 1
+      }
+    } else {
+      var r = 0
+      while (r < nSim) {
+        val x = (a(r) * h + b(r)) & mask
+        val y = ((x * x) >> 15) & mask
+        var w: Long = tab((y >>> 18).toInt)
+        if (w < 0) {
+          w = 0L; var j = 0
+          while (j < nT) { w += (t(j) - 1 - y) >>> 63; j += 1 }
+        }
+        buf(r) += w
+        ci = 0
+        while (ci < k) { buf(offs(ci) + r) += w * vs(ci); ci += 1 }
+        r += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val rows = new scala.collection.mutable.ArrayBuffer[InternalRow](nSim)
+    var r = 0
+    while (r < nSim) {
+      if (buf(r) > 0) {
+        val s = new Array[Long](k)
+        var ci = 0
+        while (ci < k) { s(ci) = buf((1 + ci) * nSim + r); ci += 1 }
+        rows += new GenericInternalRow(Array[Any](
+          r.toLong, buf(r), new GenericArrayData(s)))
+      }
+      r += 1
+    }
+    new GenericArrayData(rows.toArray[Any])
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BootstrapPoissonAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BootstrapPoissonAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BootstrapPoissonAgg =
+    copy(hash = newChildren.head, values = newChildren.tail)
+}

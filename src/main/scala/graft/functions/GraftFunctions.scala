@@ -175,6 +175,20 @@ object GraftFunctions {
       }
     ),
     (
+      "bootstrap_poisson_agg",
+      new ExpressionInfo(classOf[BootstrapPoissonAgg].getName, "bootstrap_poisson_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 3,
+          "bootstrap_poisson_agg takes (nSim, hash, value...)")
+        val nSim = args.head match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"bootstrap_poisson_agg nSim must be an integer literal, got $other")
+        }
+        BootstrapPoissonAgg(args(1), args.drop(2), nSim).toAggregateExpression()
+      }
+    ),
+    (
       "bloom_might_contain",
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
@@ -200,6 +214,12 @@ object GraftFunctions {
   def argMaxTiedLow(ord: org.apache.spark.sql.Column,
       id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function("arg_max_tied_low", ord, id)
+
+  /** Column-API form of the fused portable-Poisson bootstrap aggregate. */
+  def bootstrapPoissonAgg(nSim: Int, hash: org.apache.spark.sql.Column,
+      values: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("bootstrap_poisson_agg",
+      (org.apache.spark.sql.functions.lit(nSim) +: hash +: values): _*)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, info, builder) =>

@@ -128,6 +128,17 @@ class AnalyticsGoldenSpec extends SparkSpec {
     }
   }
 
+  test("portable Poisson bootstrap: fused aggregate == crossJoin expansion") {
+    // the fused BootstrapPoissonAgg must be BIT-IDENTICAL to the composable
+    // expansion twin — same affine stream, same thresholds, same readout
+    val li = spark.read.parquet(s"${sfDir()}/lineitem.parquet")
+      .select(concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("rk"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    val fused = Bootstrap.poissonPortable(spark, li, "rk", nSim = 200)
+    val expand = Bootstrap.poissonPortableExpand(spark, li, "rk", nSim = 200)
+    graft.Compare.assertSameData(fused, expand, tol = 0.0)
+  }
+
   test("portable EM loadings: bounded, noise columns near-unit uniqueness") {
     val li = spark.read.parquet(s"${sfDir()}/lineitem.parquet")
       .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
