@@ -125,27 +125,73 @@ object ScaleSweep {
     // shuffle-debris pressure that inflates the LATE heavy queries 1.5-2×
     // — re-time the slowest ones in a FRESH SparkSession so the artifact
     // carries both the in-sweep number and the quiet-box number.
+    //
+    // r6 VERDICT #2 hardening: the isolated set is no longer just the
+    // slowest 8 — it also contains EVERY query whose in-sweep time crossed
+    // isoFloorSec (the band where sweep-state inflation is material), and
+    // the two historically bimodal channels (q187 2–5× band, x41's one
+    // 164 s outlier) are ALWAYS adjudicated with `varianceReps`
+    // repetitions so the artifact carries a spread, not a point. The
+    // recorded number is the min (quiet-box convention); rep spread and
+    // the AQE skew decision land in their own JSON sections.
     spark.stop()
-    val slowest = r100.sortBy(-_._2).take(8).map(_._1)
+    val isoFloorSec = 15.0
+    val alwaysIso = Seq("q187_salted_join", "x41_bootstrap_seeded")
+    val varianceReps = 3
+    val slowest = (r100.sortBy(-_._2).take(8).map(_._1) ++
+      r100.filter(_._2 >= isoFloorSec).map(_._1) ++ alwaysIso).distinct
     val spark2 = GraftSession.quiet(GraftSession.local("scale-sweep-iso"))
+    // capture each executed plan so AQE decisions (skew-join split,
+    // partition coalesce) are RECORDED per adjudicated run, not guessed
+    @volatile var lastPlan = ""
+    spark2.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = lastPlan = qe.executedPlan.toString
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    val skewApplied = scala.collection.mutable.LinkedHashMap[String, Boolean]()
+    val isoSpread = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val rIso = slowest.map { n =>
       queryOf(n)(spark2, "/root/testdata/sf0.1")
         .write.format("noop").mode("overwrite").save()
       System.gc()
-      val t0 = System.nanoTime()
-      queryOf(n)(spark2, dir100).write.format("noop").mode("overwrite").save()
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[x100-iso] $n: $dt%.2f s")
-      System.gc()
+      val reps = if (alwaysIso.contains(n)) varianceReps else 1
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        queryOf(n)(spark2, dir100).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.gc()
+        dt
+      }
+      // listener bus is async; give the last onSuccess a beat to land
+      Thread.sleep(200)
+      if (lastPlan.contains("isSkewJoin=true")) skewApplied(n) = true
+      else if (lastPlan.contains("SortMergeJoin") ||
+        lastPlan.contains("ShuffledHashJoin")) skewApplied(n) = false
+      if (reps > 1) isoSpread(n) = (times.min, times.max)
+      val dt = times.min
+      println(f"[x100-iso] $n: $dt%.2f s" +
+        (if (reps > 1) f" (reps min ${times.min}%.2f / max ${times.max}%.2f)"
+         else ""))
       n -> dt
     }
 
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (n, t) => s""""$n": ${jsonNum(t)}""" }.mkString(", ")
+    val spreadObj = isoSpread.map { case (n, (lo, hi)) =>
+      s""""$n": [${jsonNum(lo)}, ${jsonNum(hi)}]""" }.mkString(", ")
+    val skewObj = skewApplied.map { case (n, b) => s""""$n": $b""" }
+      .mkString(", ")
     val json =
       s"""{"metric": "scale_sweep_sec", "unit": "sec",
          | "factor100": {${obj(r100)}},
          | "factor100_isolated": {${obj(rIso)}},
+         | "isolated_rep_spread": {$spreadObj},
+         | "aqe_skew_applied": {$skewObj},
          | "factor10_pair_output": {${obj(r10)}},
          | "total_100x_sec": ${jsonNum(r100.map(_._2).sum)},
          | "total_10x_sec": ${jsonNum(r10.map(_._2).sum)},
