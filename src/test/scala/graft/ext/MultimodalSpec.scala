@@ -121,6 +121,38 @@ class MultimodalSpec extends SparkSpec {
       (viaSeam(0) & 0xff) == 0 && (viaSeam(60) & 0xff) == 17)
   }
 
+  test("MJPEG-in-AVI: real JPEG frames demux+decode; flat-shade luma is " +
+    "size-independent and matches the driver-computed table") {
+    val shades = Seq(0, 68, 200, 252)
+    val bytes = Multimodal.aviMjpegBytes(24, 16, shades)
+    val frames = Multimodal.decodeVideoAvi(bytes)
+    assert(frames.isDefined, "built MJPEG AVI did not demux")
+    assert(frames.get.length == 4)
+    frames.get.zip(shades).foreach { case (luma, s) =>
+      assert(luma.length == 24 * 16, "frame plane is w*h")
+      val expect = Multimodal.mjpegFlatLuma(s)
+      assert(luma.forall(b => (b & 0xff) == expect),
+        s"flat shade $s decoded non-uniform or off-table " +
+          s"(expect $expect, got ${luma.take(5).map(_ & 0xff).toSeq})")
+    }
+    // size independence: odd dims force encoder edge-padding of the last
+    // 8x8 blocks — decode must stay flat at the same table value
+    Seq((8, 8), (23, 9), (40, 16)).foreach { case (w, h) =>
+      val one = Multimodal.decodeVideoAvi(
+        Multimodal.aviMjpegBytes(w, h, Seq(68))).get.head
+      assert(one.length == w * h &&
+        one.forall(b => (b & 0xff) == Multimodal.mjpegFlatLuma(68)),
+        s"${w}x$h flat decode drifted")
+    }
+    // a 00dc chunk that is not JPEG is skipped, not mis-decoded
+    val corrupt = bytes.clone()
+    // find the first 00dc tag and break its SOI marker
+    val idx = bytes.indices.find(i => bytes(i) == '0' && bytes(i + 1) == '0' &&
+      bytes(i + 2) == 'd' && bytes(i + 3) == 'c').get
+    corrupt(idx + 8) = 0x00
+    assert(Multimodal.decodeVideoAvi(corrupt).get.length == 3)
+  }
+
   test("resize rewrites meta dims only") {
     val df = Multimodal.synthetic(spark, 6).toDF()
     val out = Multimodal.resize(df, 128, 96)
