@@ -8,8 +8,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * dominates test time otherwise).
   */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession =
-    GraftSession.quiet(GraftSession.local("graft-test", cores = "4"))
+  lazy val spark: SparkSession = {
+    val s = GraftSession.quiet(GraftSession.local("graft-test", cores = "4"))
+    // r6 VERDICT #5: every pinned plan in the suite runs under Spark's own
+    // plan-integrity validation (schema/exprId invariants re-checked after
+    // every optimizer rule) — SplitDistinctAggregatesSpec proved the
+    // harness tolerates it; now it guards the whole engine's rules.
+    s.conf.set("spark.sql.planChangeValidation", "true")
+    s
+  }
 
   def golden(name: String): String =
     s"src/test/resources/golden/$name"

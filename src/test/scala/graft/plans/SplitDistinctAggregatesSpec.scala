@@ -117,25 +117,23 @@ class SplitDistinctAggregatesSpec extends SparkSpec {
 
   test("split branches carry fresh exprIds and survive plan validation") {
     // re-instanced branches must not share attribute ids (the analyzer's
-    // uniqueness invariant for self-joins); run under Spark's own plan
-    // integrity validation to prove it
-    spark.conf.set("spark.sql.planChangeValidation", "true")
-    try {
-      val df = spark.read.parquet(s"${sfDir()}/documents.parquet")
-        .select(col("doc_id"), col("lang"), col("source"))
-        .agg(
-          count_distinct(col("lang")).as("dl"),
-          count_distinct(col("source")).as("ds"),
-          count(lit(1)).cast("long").as("n"))
-      assert(!hasExpand(df))
-      val optimized = df.queryExecution.optimizedPlan
-      val leafOutputIds = optimized.collectLeaves().map(_.output.map(_.exprId))
-      val all = leafOutputIds.flatten
-      assert(all.distinct.size == all.size,
-        s"sibling branches share leaf exprIds: $leafOutputIds")
-      val r = df.collect().head
-      assert(r.getLong(0) > 0 && r.getLong(1) > 0 && r.getLong(2) > 0)
-    } finally spark.conf.set("spark.sql.planChangeValidation", "false")
+    // uniqueness invariant for self-joins). Plan-integrity validation is
+    // ON suite-wide since r7 (SparkSpec); assert that rather than toggle.
+    assert(spark.conf.get("spark.sql.planChangeValidation") == "true")
+    val df = spark.read.parquet(s"${sfDir()}/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .agg(
+        count_distinct(col("lang")).as("dl"),
+        count_distinct(col("source")).as("ds"),
+        count(lit(1)).cast("long").as("n"))
+    assert(!hasExpand(df))
+    val optimized = df.queryExecution.optimizedPlan
+    val leafOutputIds = optimized.collectLeaves().map(_.output.map(_.exprId))
+    val all = leafOutputIds.flatten
+    assert(all.distinct.size == all.size,
+      s"sibling branches share leaf exprIds: $leafOutputIds")
+    val r = df.collect().head
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0 && r.getLong(2) > 0)
   }
 
   test("null columns and empty input keep global-aggregate semantics") {
