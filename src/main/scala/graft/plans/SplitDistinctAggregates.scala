@@ -49,24 +49,72 @@ object SplitDistinctAggregates extends Rule[LogicalPlan] {
   private def aggsIn(e: Expression): Seq[AggregateExpression] =
     e.collect { case a: AggregateExpression => a }
 
-  /** Grouped multi-distinct splitting (r6, VERDICT r5 #6) is its own
-    * knob, DEFAULT OFF — the 100× measurement (tools/SplitDistinctBench)
-    * says Spark's Expand wins these shapes: on a string-derived profile
-    * (md5(text)/length(text) sets) the split re-decompresses and re-hashes
-    * the text column per branch (median 1.10 vs 0.65 s), and on a 4-set
-    * numeric lineitem profile the runs were load-noisy with no clear win
-    * (ON 36/10 s vs OFF 23/22 s medians/bests). Unlike the GLOBAL case —
-    * where the ×(n+1) Expand replay through every buffer at a single hash
-    * key measured 16× slower (q201) — grouped distincts already partially
-    * collapse per group, so the replay is not the bottleneck. The
-    * capability stays for workloads with many independent cheap columns;
-    * flip spark.graft.splitDistinctAggregates.grouped=true to use it.
+  /** Grouped multi-distinct splitting: AUTO by default since r7. The r7
+    * group-key-cardinality sweep (tools/SplitDistinctCardinalitySweep,
+    * SPLITDISTINCT_r07.json — 100× lineitem, 3 numeric distinct sets,
+    * C = 1…1,048,576) found NO cardinality crossover: the split beats
+    * Spark's Expand at every C (ratio 0.67 at C=1, 0.21–0.54 elsewhere;
+    * 20 vs 85 s at C=4096). The one measured LOSS (r6: a string-derived
+    * docs profile, 1.10 vs 0.65 s) was never about cardinality — each
+    * extra branch re-reads and re-decompresses the WIDE text column the
+    * distinct sets derive from. So the auto gate is the branch-INPUT
+    * type, not group count: grouped splitting fires only when every
+    * distinct set resolves (through the scan-shaped child's aliases) to
+    * FIXED-WIDTH leaf columns; variable-width inputs (string/binary/
+    * nested) fall back to Expand. Modes: auto (default) | true (force,
+    * any types) | false (Expand always).
     */
   private val GroupedFlag = "spark.graft.splitDistinctAggregates.grouped"
 
+  /** Leaf-attribute resolution through the scan-shaped child: substitute
+    * Project aliases until only leaf attributes remain (the child is
+    * guarded Project/Filter/leaf, so this is a linear walk).
+    */
+  private def leafRefs(child: LogicalPlan, exprs: Seq[Expression]): Seq[Attribute] = {
+    var refs: Seq[Attribute] = AttributeSet(exprs.flatMap(_.references)).toSeq
+    var node = child
+    var continue = true
+    while (continue) node match {
+      case p: Project =>
+        val aliasMap: Map[Attribute, Expression] =
+          p.projectList.collect { case a: Alias => (a.toAttribute: Attribute) -> a.child }.toMap
+        refs = AttributeSet(refs.flatMap(r =>
+          aliasMap.get(r).map(_.references.toSeq).getOrElse(Seq(r)))).toSeq
+        node = p.child
+      case f: Filter => node = f.child
+      case _ => continue = false
+    }
+    refs
+  }
+
+  private def fixedWidth(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.BooleanType => true
+      case org.apache.spark.sql.types.DateType => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+
   private def eligible(agg: Aggregate): Boolean = {
-    if (agg.groupingExpressions.nonEmpty &&
-      !conf.getConfString(GroupedFlag, "false").toBoolean) return false
+    if (agg.groupingExpressions.nonEmpty) {
+      conf.getConfString(GroupedFlag, "auto") match {
+        case "false" => return false
+        case "true" => // forced on regardless of input types
+        case _ =>
+          // auto: every distinct set must read only fixed-width leaf
+          // columns — a wide (string/binary) input re-decompresses once
+          // per extra branch, the measured loss case
+          val distinctInputs = agg.aggregateExpressions
+            .flatMap(e => e.collect {
+              case ae: AggregateExpression if ae.isDistinct =>
+                ae.aggregateFunction.children
+            }).flatten
+          if (!leafRefs(agg.child, distinctInputs)
+            .forall(a => fixedWidth(a.dataType))) return false
+      }
+    }
     // join keys come back through EqualNullSafe on re-computed grouping
     // expressions — they must be deterministic to land in the same group
     // in every branch

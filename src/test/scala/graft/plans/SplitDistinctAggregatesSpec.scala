@@ -55,10 +55,43 @@ class SplitDistinctAggregatesSpec extends SparkSpec {
     // cross-aggregate arithmetic inside one output column stays fused
     assert(hasExpand(base.agg(
       (count_distinct(col("k")) + count_distinct(col("s"))).as("both"))))
-    // grouped splitting is opt-in (default off: the r6 measurement
-    // favors Spark's Expand on grouped shapes)
+    // grouped AUTO gate: a distinct set over a variable-width (string)
+    // column keeps Spark's Expand — each extra branch would re-read and
+    // re-decompress the wide column (the measured r6 loss case)
     assert(hasExpand(base.groupBy("k")
       .agg(count_distinct(col("s")), count_distinct(col("v")))))
+    // ...and `false` disables grouped splitting even for all-numeric sets
+    spark.conf.set("spark.graft.splitDistinctAggregates.grouped", "false")
+    try assert(hasExpand(base.groupBy("s")
+      .agg(count_distinct(col("k")), count_distinct(col("v")))))
+    finally spark.conf.unset("spark.graft.splitDistinctAggregates.grouped")
+  }
+
+  test("grouped AUTO default: all-fixed-width distinct sets split without " +
+    "a flag; alias-derived wide inputs still gate") {
+    // numeric distinct inputs → the r7 cardinality sweep says split wins
+    // at EVERY group count (SPLITDISTINCT_r07.json) → auto fires
+    val df = base.groupBy("s").agg(
+      count_distinct(col("k")).as("dk"),
+      count_distinct(col("v")).as("dv"),
+      count(lit(1)).cast("long").as("n"))
+    assert(!hasExpand(df), "numeric grouped multi-distinct kept its Expand")
+    val got = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map("x" -> ((2L, 3L, 3L)), "y" -> ((1L, 1L, 1L)),
+      "z" -> ((1L, 1L, 1L))), s"got $got")
+    // a numeric-TYPED alias DERIVED from a wide column resolves through
+    // the projection to the string leaf → auto still gates. Needs a
+    // parquet-scan child: over a local relation ConvertToLocalRelation
+    // folds the projection into literal rows first (r5 note), after which
+    // the wide column is genuinely gone and splitting WOULD be cheap.
+    val derived = spark.read.parquet(s"${sfDir()}/documents.parquet")
+      .select(col("source"), length(col("text")).as("lt"), col("doc_id"))
+      .groupBy("source")
+      .agg(count_distinct(col("lt")), count_distinct(col("doc_id")))
+    assert(hasExpand(derived),
+      "alias over a wide leaf column must not split under auto")
   }
 
   test("grouped multi-distinct splits: no Expand, per-group values exact, " +
