@@ -138,7 +138,7 @@ object ScaleSweep {
     spark.stop()
     val isoFloorSec = 15.0
     val alwaysIso = Seq("q187_salted_join", "x41_bootstrap_seeded")
-    val varianceReps = 3
+    val varianceReps = 5
     val slowest = (r100.sortBy(-_._2).take(8).map(_._1) ++
       r100.filter(_._2 >= isoFloorSec).map(_._1) ++ alwaysIso).distinct
     val spark2 = GraftSession.quiet(GraftSession.local("scale-sweep-iso"))
@@ -159,6 +159,10 @@ object ScaleSweep {
     val rIso = slowest.map { n =>
       queryOf(n)(spark2, "/root/testdata/sf0.1")
         .write.format("noop").mode("overwrite").save()
+      // target-dir warm pass: the isolated channel reports PLAN cost on a
+      // warm page cache — a cold first read of the multi-GB 100× inputs
+      // is disk state, not the query (r7 q187 adjudication)
+      queryOf(n)(spark2, dir100).write.format("noop").mode("overwrite").save()
       System.gc()
       val reps = if (alwaysIso.contains(n)) varianceReps else 1
       val times = (1 to reps).map { _ =>
