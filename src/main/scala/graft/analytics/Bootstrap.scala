@@ -380,8 +380,13 @@ object Bootstrap {
     val (sums, wts) = data
       .mapPartitionsWithIndex { (pid, it) =>
         var state = seed ^ (pid.toLong * 0x9E3779B97F4A7C15L)
-        // branch-light SplitMix64 + inverse-CDF Poisson(1): one uniform per
-        // (row, replicate), ~2ns/draw — this loop IS the whole bootstrap
+        // SplitMix64 + inverse-CDF Poisson(1): one uniform per (row,
+        // replicate) — this loop IS the whole bootstrap. Same draw
+        // stream as r1-r6 (nextUniform unchanged); only the CDF walk is
+        // now a 4096-cell monotone table on the uniform's top 12 bits
+        // (the BootstrapPoissonAgg trick — the branchy early-exit walk
+        // mispredicted ~63% of draws; ambiguous boundary cells fall back
+        // to the exact compares, so weights are BIT-IDENTICAL)
         def nextUniform(): Double = {
           state += 0x9E3779B97F4A7C15L
           var z = state
@@ -396,6 +401,14 @@ object Bootstrap {
           while (i < cdf.length && u > cdf(i)) i += 1
           i
         }
+        // cell c covers u in [c/4096, (c+1)/4096): table value when the
+        // whole cell agrees, -1 → exact walk (u is never negative)
+        val wTab = Array.tabulate(1 << 12) { c =>
+          val lo = poissonInv(c / 4096.0)
+          // largest double strictly below (c+1)/4096
+          val hi = poissonInv(java.lang.Math.nextDown((c + 1) / 4096.0))
+          if (lo == hi) lo.toByte else -1: Byte
+        }
         val acc = Array.fill(k, nSim)(0.0)
         val w = Array.fill(k, nSim)(0.0)
         it.foreach { row =>
@@ -409,13 +422,18 @@ object Bootstrap {
           }
           var r = 0
           while (r < nSim) {
-            val weight = poissonInv(nextUniform()).toDouble
+            val u = nextUniform()
+            var weight = wTab((u * 4096.0).toInt).toInt
+            if (weight < 0) weight = poissonInv(u)
             if (weight > 0) {
+              val wd = weight.toDouble
               ci = 0
               while (ci < k) {
+                // per-column weight must EXCLUDE null rows: an all-null
+                // column keeps total weight 0 and is dropped downstream
                 if (nn(ci)) {
-                  acc(ci)(r) += weight * vals(ci)
-                  w(ci)(r) += weight
+                  acc(ci)(r) += wd * vals(ci)
+                  w(ci)(r) += wd
                 }
                 ci += 1
               }
