@@ -153,11 +153,23 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("PERF.json")), "UTF-8")
-        """"(\w+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+        // parse only the "queries" object — the regex on the whole file
+        // would also match top-level numeric keys (n_queries etc.) and any
+        // future key that collides with a query name
+        val start = txt.indexOf("\"queries\"")
+        val body =
+          if (start < 0) ""
+          else {
+            val open = txt.indexOf('{', start)
+            val close = txt.indexOf('}', open)
+            if (open < 0 || close < 0) "" else txt.substring(open, close + 1)
+          }
+        """"(\w+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     val ledgerRegressions: Seq[(String, Double, Double)] =
-      if (ledger.isEmpty || !sfDir.endsWith("0.1")) Nil
+      if (ledger.isEmpty ||
+        !sfDir.stripSuffix("/").endsWith("0.1")) Nil
       else isolated.collect {
         case (n, v) if ledger.contains(n) && !failed.contains(n) &&
           v > ledger(n) * 1.5 && v > ledger(n) + 0.75 => (n, ledger(n), v)

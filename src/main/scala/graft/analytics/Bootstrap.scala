@@ -183,6 +183,25 @@ object Bootstrap {
     0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
     0.9994058151824183, 0.9999167588507119, 0.9999832794316678)
 
+  /** The exact inverse-CDF walk (Poisson(1), k = 0..8). */
+  private[graft] def poissonInvWalk(u: Double): Int = {
+    var i = 0
+    while (i < PoissonCdf.length && u > PoissonCdf(i)) i += 1
+    i
+  }
+
+  /** 4096-cell monotone lookup on the uniform's top 12 bits: the table
+    * value when the whole cell agrees on the weight, -1 → exact walk
+    * (~0.2% of draws). Shared by the RDD loop and the seeded aggregate —
+    * identical weights by construction.
+    */
+  private[graft] lazy val poissonWTable: Array[Byte] = Array.tabulate(1 << 12) { c =>
+    val lo = poissonInvWalk(c / 4096.0)
+    // largest double strictly below (c+1)/4096
+    val hi = poissonInvWalk(java.lang.Math.nextDown((c + 1) / 4096.0))
+    if (lo == hi) lo.toByte else -1: Byte
+  }
+
   /** ENGINE-PORTABLE distributed Poisson bootstrap — q41's registered form
     * since r6 (VERDICT r5 #1): the same single-pass all-columns×replicates
     * shape as [[poisson]], with every random draw replaced by a
@@ -362,7 +381,19 @@ object Bootstrap {
       .orderBy("index")
   }
 
-  /** Distributed Poisson bootstrap: single pass, all columns × replicates. */
+  /** Distributed Poisson bootstrap: single pass, all columns × replicates.
+    *
+    * Since r8 (VERDICT r7 #3) the production path is the fused
+    * [[graft.functions.BootstrapSeededAgg]]: the identical per-partition
+    * SplitMix64 draw stream and 4096-cell CDF walk run inside a
+    * TypedImperativeAggregate over Tungsten rows — no `.rdd`
+    * InternalRow→Row conversion, no per-row scratch allocation, partials
+    * are (pid → 2·k·nSim doubles) summed in ASCENDING-pid order at eval.
+    * The retained [[poissonRdd]] twin folds its collected partials in the
+    * same ascending-pid order, so BootstrapSpec pins BIT-IDENTITY between
+    * the two forms (single-source-partition fixture: shuffle fetch order
+    * is only deterministic with one map task).
+    */
   def poisson(
       spark: SparkSession,
       filled: DataFrame,
@@ -375,18 +406,47 @@ object Bootstrap {
     // draw loop across every core before the heavy pass
     val par = spark.sparkContext.defaultParallelism * 2
     val data = filled.select(cols.map(c => col(c).cast("double")): _*)
+      .repartition(par)
+    val bs = data
+      .agg(graft.functions.GraftFunctions
+        .bootstrapSeededAgg(nSim, seed, cols.map(col)).as("_bs"))
+      .head().getStruct(0)
+    val acc = bs.getSeq[scala.collection.Seq[Double]](0)
+    val wts = bs.getSeq[scala.collection.Seq[Double]](1)
+    val rows = cols.zipWithIndex.flatMap { case (c, ci) =>
+      val means = Array.tabulate(nSim) { r =>
+        if (wts(ci)(r) > 0) acc(ci)(r) / wts(ci)(r) else 0.0
+      }
+      if (wts(ci).forall(_ <= 20)) None else Some(statsRow(c, means, nSim))
+    }
+    toDF(spark, rows)
+  }
+
+  /** The r1-r7 RDD draw loop — retained as the bit-identity twin for the
+    * fused aggregate (the MinHashSignature precedent). Partials fold in
+    * ascending-pid order (collect + sort, replacing r7's treeReduce) to
+    * match the aggregate's eval order exactly.
+    */
+  private[graft] def poissonRdd(
+      spark: SparkSession,
+      filled: DataFrame,
+      cols: Seq[String],
+      nSim: Int,
+      seed: Long
+  ): DataFrame = {
+    val k = cols.length
+    val par = spark.sparkContext.defaultParallelism * 2
+    val data = filled.select(cols.map(c => col(c).cast("double")): _*)
       .repartition(par).rdd
     // acc(ci)(r) = weighted sum; wts(ci)(r) = total weight, per replicate r
-    val (sums, wts) = data
+    val parts = data
       .mapPartitionsWithIndex { (pid, it) =>
         var state = seed ^ (pid.toLong * 0x9E3779B97F4A7C15L)
         // SplitMix64 + inverse-CDF Poisson(1): one uniform per (row,
-        // replicate) — this loop IS the whole bootstrap. Same draw
-        // stream as r1-r6 (nextUniform unchanged); only the CDF walk is
-        // now a 4096-cell monotone table on the uniform's top 12 bits
-        // (the BootstrapPoissonAgg trick — the branchy early-exit walk
-        // mispredicted ~63% of draws; ambiguous boundary cells fall back
-        // to the exact compares, so weights are BIT-IDENTICAL)
+        // replicate) — this loop IS the whole bootstrap. Same draw stream
+        // as r1-r7 (nextUniform unchanged); CDF walk via the shared
+        // 4096-cell monotone table (exact-walk fallback on boundary
+        // cells, so weights are BIT-IDENTICAL to the branchy form)
         def nextUniform(): Double = {
           state += 0x9E3779B97F4A7C15L
           var z = state
@@ -395,20 +455,7 @@ object Bootstrap {
           z = z ^ (z >>> 31)
           (z >>> 11) * 1.1102230246251565e-16 // 2^-53
         }
-        val cdf = PoissonCdf
-        def poissonInv(u: Double): Int = {
-          var i = 0
-          while (i < cdf.length && u > cdf(i)) i += 1
-          i
-        }
-        // cell c covers u in [c/4096, (c+1)/4096): table value when the
-        // whole cell agrees, -1 → exact walk (u is never negative)
-        val wTab = Array.tabulate(1 << 12) { c =>
-          val lo = poissonInv(c / 4096.0)
-          // largest double strictly below (c+1)/4096
-          val hi = poissonInv(java.lang.Math.nextDown((c + 1) / 4096.0))
-          if (lo == hi) lo.toByte else -1: Byte
-        }
+        val wTab = poissonWTable
         val acc = Array.fill(k, nSim)(0.0)
         val w = Array.fill(k, nSim)(0.0)
         it.foreach { row =>
@@ -424,7 +471,7 @@ object Bootstrap {
           while (r < nSim) {
             val u = nextUniform()
             var weight = wTab((u * 4096.0).toInt).toInt
-            if (weight < 0) weight = poissonInv(u)
+            if (weight < 0) weight = poissonInvWalk(u)
             if (weight > 0) {
               val wd = weight.toDouble
               ci = 0
@@ -441,19 +488,21 @@ object Bootstrap {
             r += 1
           }
         }
-        Iterator.single((acc, w))
+        Iterator.single((pid, acc, w))
       }
-      .treeReduce { (a, b) =>
-        var ci = 0
-        while (ci < k) {
-          var r = 0
-          while (r < nSim) {
-            a._1(ci)(r) += b._1(ci)(r); a._2(ci)(r) += b._2(ci)(r); r += 1
-          }
-          ci += 1
+      .collect().sortBy(_._1)
+    val sums = Array.fill(k, nSim)(0.0)
+    val wts = Array.fill(k, nSim)(0.0)
+    parts.foreach { case (_, a, b) =>
+      var ci = 0
+      while (ci < k) {
+        var r = 0
+        while (r < nSim) {
+          sums(ci)(r) += a(ci)(r); wts(ci)(r) += b(ci)(r); r += 1
         }
-        a
+        ci += 1
       }
+    }
     val rows = cols.zipWithIndex.flatMap { case (c, ci) =>
       val means = Array.tabulate(nSim) { r =>
         if (wts(ci)(r) > 0) sums(ci)(r) / wts(ci)(r) else 0.0

@@ -335,18 +335,76 @@ object LakeOps {
 
   // ------------------------------------------------- skew mitigation
 
-  /** Skew-salted equi-join: the remedy [[keyProfile]] diagnoses for. The
-    * big side gets `_salt = hash(rowId) mod salts` (rows of a HOT key
-    * spread over `salts` reducers); the other side replicates ×salts via
-    * one explode; the join runs on (key, _salt). Row-for-row identical to
-    * the plain join for inner/left semantics — each big row meets each
-    * matching other-side row in exactly ONE salt — which is what the q187
-    * oracle (the PLAIN join) proves by hash equality. Cost: the other
-    * side's shuffle grows ×salts; use when the profile shows a hot key
-    * and AQE's skew split can't engage (e.g. the skewed side feeds from
-    * an aggregation, or stats are missing).
+  /** Skew-salted equi-join, HOT-KEY-TARGETED (r7 VERDICT #1): the remedy
+    * [[keyProfile]] diagnoses for. The input splits into two spans:
+    *
+    *  - HOT span (keys in `hotKeys`, or — when None — the keys a
+    *    [[keyProfile]] pass shows holding ≥ `hotShareThreshold` of the
+    *    rows): big rows get `_salt = hash(rowId) mod salts`, the other
+    *    side's HOT rows replicate ×salts via one explode, join on
+    *    (key, _salt) — a hot key's rows spread over `salts` reducers.
+    *  - COLD span: a plain equi-join, NO salt column, NO replication.
+    *
+    * The union is row-for-row identical to the plain join for inner/left
+    * semantics — each big row lands in exactly one span and meets each
+    * matching other-side row exactly once — which is what the q187 oracle
+    * (the PLAIN join) proves by hash equality. Null big-side keys route to
+    * the cold span (isin is null-safe-coalesced), so left-join rows
+    * survive exactly once.
+    *
+    * Why targeted: the r1-r7 blanket form salted EVERY big row and
+    * replicated the ENTIRE other side ×salts — at 100 TB that ×salts
+    * probe-side shuffle is the scale-killer (r7's dominant sweep line).
+    * Here the replication cost is `salts × |other ∩ hot|` rows — bounded
+    * by `maxHotKeys`, not by the table. The profile pass costs one narrow
+    * partial-aggregated scan of the key column; pass `hotKeys` explicitly
+    * to skip it (e.g. from a persisted profile).
+    *
+    * Use when AQE's skew split can't engage (static plans, streaming
+    * joins, a same-key co-partitioned consumer above the join) — see
+    * SkewJoinCompareSpec for the measured adjudication.
     */
   def saltedJoin(
+      big: DataFrame,
+      other: DataFrame,
+      key: String,
+      rowIdCols: Seq[String],
+      salts: Int = 8,
+      joinType: String = "inner",
+      hotKeys: Option[Seq[Any]] = None,
+      hotShareThreshold: Double = 0.001,
+      maxHotKeys: Int = 64
+  ): DataFrame = {
+    require(salts >= 1)
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin: unsupported joinType '$joinType' — replicating the " +
+        "probe side under right/full semantics would duplicate unmatched rows")
+    val hot: Seq[Any] = hotKeys.getOrElse {
+      keyProfile(big, key, maxHotKeys)
+        .filter(col("pct") >= hotShareThreshold * 100.0)
+        .select(col(key)).collect().map(_.get(0)).toSeq
+    }
+    if (hot.isEmpty) return big.join(other, Seq(key), joinType)
+    // null keys: isin(null) is NULL → coalesce(false) → cold span, where a
+    // left join preserves them exactly once
+    val isHot = coalesce(col(key).isin(hot: _*), lit(false))
+    val saltExpr = pmod(xxhash64(rowIdCols.map(col): _*), lit(salts.toLong))
+    val bHot = big.filter(isHot).withColumn("_salt", saltExpr)
+    val oHot = other.filter(isHot)
+      .withColumn("_salt", explode(sequence(lit(0L), lit(salts - 1L))))
+    val hotJoined = bHot.join(oHot, Seq(key, "_salt"), joinType).drop("_salt")
+    val coldJoined =
+      big.filter(!isHot).join(other.filter(!isHot), Seq(key), joinType)
+    hotJoined.unionByName(coldJoined)
+  }
+
+  /** The r1-r7 BLANKET form — every big row salted, the whole other side
+    * replicated ×salts. Kept private as the measurement twin for
+    * [[saltedJoin]]'s targeted rewrite (SaltedJoinProbe records both
+    * forms' shuffle-write bytes side by side) and for specs that pin the
+    * targeted form's ~×salts shuffle saving.
+    */
+  private[graft] def saltedJoinAll(
       big: DataFrame,
       other: DataFrame,
       key: String,

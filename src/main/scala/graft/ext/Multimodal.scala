@@ -134,7 +134,10 @@ object Multimodal {
         }
       }
       walk(12, bytes.length)
-      if (w > 0 && h > 0 && frames.nonEmpty) Some(frames.toSeq) else None
+      // MJPEG frames carry their own dims, so avih w/h may legitimately be
+      // zero — any decoded frame is a successful decode. ('00db' DIB frames
+      // still require w/h > 0 at their decode site above.)
+      if (frames.nonEmpty) Some(frames.toSeq) else None
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Minimal uncompressed-DIB AVI bytes: RIFF(hdrl(avih) + movi('00db'

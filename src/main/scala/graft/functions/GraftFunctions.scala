@@ -189,6 +189,26 @@ object GraftFunctions {
       }
     ),
     (
+      "bootstrap_seeded_agg",
+      new ExpressionInfo(classOf[BootstrapSeededAgg].getName, "bootstrap_seeded_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 3,
+          "bootstrap_seeded_agg takes (nSim, seed, value...)")
+        val nSim = args.head match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"bootstrap_seeded_agg nSim must be an integer literal, got $other")
+        }
+        val seed = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"bootstrap_seeded_agg seed must be an integer literal, got $other")
+        }
+        BootstrapSeededAgg(args.drop(2), nSim, seed).toAggregateExpression()
+      }
+    ),
+    (
       "bloom_might_contain",
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
@@ -220,6 +240,13 @@ object GraftFunctions {
       values: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function("bootstrap_poisson_agg",
       (org.apache.spark.sql.functions.lit(nSim) +: hash +: values): _*)
+
+  /** Column-API form of the fused SEEDED-RNG Poisson bootstrap aggregate. */
+  def bootstrapSeededAgg(nSim: Int, seed: Long,
+      values: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("bootstrap_seeded_agg",
+      (org.apache.spark.sql.functions.lit(nSim) +:
+        org.apache.spark.sql.functions.lit(seed) +: values): _*)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, info, builder) =>

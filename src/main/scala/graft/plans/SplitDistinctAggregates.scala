@@ -104,8 +104,16 @@ object SplitDistinctAggregates extends Rule[LogicalPlan] {
         case "true" => // forced on regardless of input types
         case _ =>
           // auto: every distinct set must read only fixed-width leaf
-          // columns — a wide (string/binary) input re-decompresses once
-          // per extra branch, the measured loss case
+          // columns — a wide (string/binary) DISTINCT INPUT is the
+          // measured loss case: Expand reads it once and ships a narrow
+          // derivative, while each split branch re-reads and re-decodes
+          // it. Grouping expressions are deliberately NOT gated: a wide
+          // group key costs BOTH forms — Expand replicates it ×(n+1)
+          // through the shuffle where split re-reads+ships it ×n — and
+          // the r8 wide-group-key profile (SPLITDISTINCT_r08.json,
+          // groupBy(text) with numeric distincts at 100×) measured split
+          // still ahead. Non-distinct aggregate inputs are read by exactly
+          // one branch — same total reads as the Expand form.
           val distinctInputs = agg.aggregateExpressions
             .flatMap(e => e.collect {
               case ae: AggregateExpression if ae.isDistinct =>

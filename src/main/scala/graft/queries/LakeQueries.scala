@@ -1122,29 +1122,29 @@ object LakeQueries {
     ),
 
     // ---- skew-salted join (the mitigation q106's keyProfile diagnoses
-    //      for): lineitem rows spread over 8 salts of their order key,
-    //      orders replicated ×8, join on (key, _salt). The oracle is the
-    //      PLAIN join — hash equality proves the salting is row-for-row
-    //      identity; SaltedJoinSpec pins the (key, salt) shuffle shape.
+    //      for), HOT-KEY-TARGETED since r8 (VERDICT r7 #1): only the keys
+    //      named hot get salted ×8 (their orders rows replicated ×8); the
+    //      cold span — everything else — plain-joins with NO salt and NO
+    //      replication. The oracle is the PLAIN join — hash equality
+    //      proves the two-span split is row-for-row identity;
+    //      SaltedJoinSpec pins that exactly one union branch carries the
+    //      salt. The r1-r7 blanket form replicated the ENTIRE 15M-row
+    //      orders side ×8 (120M rows at 100×) — the r7 sweep's dominant
+    //      shuffle; the targeted form's replication is 8×|hot| rows.
     QueryDef(
       "q187_salted_join",
       (s, dir) => {
-        // SHUFFLE_HASH on the salted big side: the (key, salt) join
-        // otherwise plans an SMJ that sorts BOTH the 60M lineitem rows and
-        // the ×8-replicated orders side (120M rows at 100×); building the
-        // hash on the salted side streams the replicated dim unsorted.
-        // (A dictionary-encode of the priority string before replication
-        // was measured and REJECTED: the broadcast dict subtree re-runs
-        // its 15M-row distinct per consumer, 25 → 45 s. The ×salts
-        // replication itself is the op's documented cost — the AQE
-        // adjudication in SkewJoinCompareSpec is the cheaper path when
-        // the runtime can re-plan.)
+        // SHUFFLE_HASH on the big side of both spans (no SMJ sorts of the
+        // 60M-row side). Hot keys passed explicitly — a fixed demo set, as
+        // a persisted keyProfile run would supply — so both spans exercise
+        // deterministically at every scale (keys 1..64 live in replica 0).
         val li = t(s, dir, "lineitem")
           .withColumnRenamed("l_orderkey", "o_orderkey")
           .hint("SHUFFLE_HASH")
         val o = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
         LakeOps.saltedJoin(li, o, "o_orderkey",
-            rowIdCols = Seq("o_orderkey", "l_linenumber"), salts = 8)
+            rowIdCols = Seq("o_orderkey", "l_linenumber"), salts = 8,
+            hotKeys = Some((1L to 64L)))
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).cast("long").as("n_items"),
             sumExact(col("l_extendedprice")).as("revenue"))

@@ -145,15 +145,33 @@ object ScaleSweep {
     // capture each executed plan so AQE decisions (skew-join split,
     // partition coalesce) are RECORDED per adjudicated run, not guessed
     @volatile var lastPlan = ""
+    val planSeq = new java.util.concurrent.atomic.AtomicLong(0)
     spark2.listenerManager.register(
       new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
-            durationNs: Long): Unit = lastPlan = qe.executedPlan.toString
+            durationNs: Long): Unit = {
+          lastPlan = qe.executedPlan.toString
+          planSeq.incrementAndGet()
+          ()
+        }
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
             exception: Exception): Unit = ()
       })
+    // the listener bus is async and a fixed sleep can record the plan of
+    // the WARM pass under load — wait until the event stream quiesces
+    // (FIFO bus: once no event lands for a beat, lastPlan is the final
+    // executed query's plan), bounded at ~10 s
+    def drainPlans(): Unit = {
+      var prev = -1L
+      var spins = 0
+      while (spins < 40 && planSeq.get != prev) {
+        prev = planSeq.get
+        Thread.sleep(250)
+        spins += 1
+      }
+    }
     val skewApplied = scala.collection.mutable.LinkedHashMap[String, Boolean]()
     val isoSpread = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val rIso = slowest.map { n =>
@@ -172,8 +190,7 @@ object ScaleSweep {
         System.gc()
         dt
       }
-      // listener bus is async; give the last onSuccess a beat to land
-      Thread.sleep(200)
+      drainPlans()
       if (lastPlan.contains("isSkewJoin=true")) skewApplied(n) = true
       else if (lastPlan.contains("SortMergeJoin") ||
         lastPlan.contains("ShuffledHashJoin")) skewApplied(n) = false

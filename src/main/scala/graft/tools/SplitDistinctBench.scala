@@ -23,6 +23,20 @@ object SplitDistinctBench {
         count_distinct(length(col("text"))).as("n_distinct_lengths"),
         count(lit(1)).cast("long").as("n_docs"))
 
+  /** Wide-GROUP-KEY profile (ADVICE r7): numeric distinct sets grouped by
+    * the raw text column — the shape where the auto gate's
+    * distinct-inputs-only scope could hide a loss. Expand replicates the
+    * wide key ×(n+1) through the shuffle; split re-reads it per branch
+    * but ships it only ×n.
+    */
+  private def wideKeyProfile(spark: SparkSession, dir: String) =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("text")
+      .agg(
+        count_distinct(col("doc_id")).as("d_ids"),
+        count_distinct(col("n_chars")).as("d_len"),
+        count(lit(1)).cast("long").as("n"))
+
   private def lineitemProfile(spark: SparkSession, dir: String) =
     spark.read.parquet(s"$dir/lineitem.parquet")
       .groupBy("l_returnflag")
@@ -52,7 +66,8 @@ object SplitDistinctBench {
     }
     def fmt(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString(" ")
     Seq("docs(string-derived)" -> (docsProfile _),
-      "lineitem(numeric-cols)" -> (lineitemProfile _)).foreach {
+      "lineitem(numeric-cols)" -> (lineitemProfile _),
+      "wide-group-key(text)" -> (wideKeyProfile _)).foreach {
       case (label, p) =>
         val on = timeIt("true", p)
         val off = timeIt("false", p)

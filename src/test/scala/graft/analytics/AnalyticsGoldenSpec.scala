@@ -130,13 +130,34 @@ class AnalyticsGoldenSpec extends SparkSpec {
 
   test("portable Poisson bootstrap: fused aggregate == crossJoin expansion") {
     // the fused BootstrapPoissonAgg must be BIT-IDENTICAL to the composable
-    // expansion twin — same affine stream, same thresholds, same readout
+    // expansion twin — same affine stream, same thresholds, same readout.
+    // 4 value columns on purpose: that exercises the k==4 specialized hot
+    // loop (the q41 shape), which the 3-column select never reached
     val li = spark.read.parquet(s"${sfDir()}/lineitem.parquet")
       .select(concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("rk"),
-        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"))
     val fused = Bootstrap.poissonPortable(spark, li, "rk", nSim = 200)
     val expand = Bootstrap.poissonPortableExpand(spark, li, "rk", nSim = 200)
     graft.Compare.assertSameData(fused, expand, tol = 0.0)
+  }
+
+  test("seeded Poisson bootstrap: fused aggregate == RDD loop, bit-identical " +
+    "(VERDICT r7 #3 — same SplitMix64 stream, ascending-pid partial fold)") {
+    // coalesce(1): identical partition contents/order for both forms needs
+    // a single map task feeding the round-robin repartition — shuffle
+    // fetch order across multiple map tasks is non-deterministic
+    val li = spark.read.parquet(s"${sfDir()}/lineitem.parquet")
+      .select(col("l_quantity").cast("double"),
+        col("l_extendedprice").cast("double"),
+        col("l_discount").cast("double"), col("l_tax").cast("double"))
+      .coalesce(1)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val a = Bootstrap.poisson(spark, li, cols, nSim = 100, seed = 42L)
+      .collect().map(_.toSeq).toSeq
+    val b = Bootstrap.poissonRdd(spark, li, cols, nSim = 100, seed = 42L)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, s"fused aggregate diverged from the RDD twin:\n$a\nvs\n$b")
   }
 
   test("portable EM loadings: bounded, noise columns near-unit uniqueness") {

@@ -42,6 +42,18 @@ class PreferenceSpec extends SparkSpec {
     assert(order.head == 10L) // 5/7 vs 4/7 win rate vs the common opponent
   }
 
+  test("bradleyTerry: cardinality guard throws above maxItems with a " +
+    "pointer to the aggregated alternative (VERDICT r7 #6)") {
+    val games = (1L to 20L).map(i => (i, i + 20L)).toDF("winner", "loser")
+    val ex = intercept[IllegalArgumentException] {
+      Preference.bradleyTerry(games, maxItems = 10L)
+    }
+    assert(ex.getMessage.contains("maxItems"))
+    assert(ex.getMessage.contains("bounded"))
+    // at or under the bound it still runs
+    assert(Preference.bradleyTerry(games, maxItems = 40L).count() > 0)
+  }
+
   test("krippendorffAlpha: hand-computed mixed panel = 0.5") {
     // u1 {a,a}, u2 {a,b}, u3 {b,b,b}, u4 {a} (dropped: <2 ratings).
     // A2 = 4+0+6 = 10, n = 7, marginals a=3 b=4 → Σnc² = 25.

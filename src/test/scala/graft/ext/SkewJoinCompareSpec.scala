@@ -59,7 +59,8 @@ class SkewJoinCompareSpec extends SparkSpec {
       .agg(count(lit(1)).cast("long").as("n"), sum(col("v")).as("sv"))
 
   test("same skewed profile: AQE split and the salted join agree row-for-" +
-    "row; AQE pays no replication, salting pays ~x-salts dim bytes") {
+    "row; AQE pays no replication, targeted salting pays the salt column " +
+    "plus x-salts replication of the HOT dim rows only") {
     val confs = Seq(
       "spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.skewJoin.enabled",
@@ -96,10 +97,11 @@ class SkewJoinCompareSpec extends SparkSpec {
 
       assert(aqeRows == saltedRows, "the two mitigations disagree")
       info(f"shuffle write: AQE split ${aqeBytes / 1e6}%.1f MB, " +
-        f"salted x8 ${saltedBytes / 1e6}%.1f MB")
-      // the structural claim, not a flaky timing one: salting writes
-      // strictly more shuffle bytes (x8 dim replication + 8B salt per
-      // big row); AQE's split costs no additional write at all
+        f"salted(hot-targeted) x8 ${saltedBytes / 1e6}%.1f MB")
+      // the structural claim, not a flaky timing one: even the TARGETED
+      // salted form writes strictly more shuffle bytes (8B salt on every
+      // hot big row — here 50% of the table — plus x8 hot-dim rows);
+      // AQE's split costs no additional write at all
       assert(aqeBytes < saltedBytes,
         s"expected AQE ($aqeBytes) < salted ($saltedBytes)")
     } finally prev.foreach {
