@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * `decodeAudio`), and VIDEO decode is real for RIFF/AVI containers with
   * uncompressed-DIB ('00db') or MJPEG ('00dc' + JPEG SOI) frames — the
   * container demux below plus the same ImageIO JPEG codec the image path
-  * uses. Only COMPRESSED AUDIO (mp3/ogg-class, no JDK codec) remains
-  * STUBBED behind `decodeStub`, which produces a deterministic fake
-  * "decoded" payload from the bytes. Swapping in further codecs changes
-  * only the `decode` seam.
+  * uses. COMPRESSED AUDIO decode is real for IMA-ADPCM WAV (fmt 0x11 —
+  * pure-integer predictor/step-table walk, see `decodeImaAdpcmPcm`); only
+  * PERCEPTUAL audio codecs (mp3/ogg-class, no JDK codec and no
+  * integer-exact zero-dep decode) remain STUBBED behind `decodeStub`,
+  * which produces a deterministic fake "decoded" payload from the bytes.
+  * Swapping in further codecs changes only the `decode` seam.
   *
   * Scale notes: feature extraction is `mapPartitions` over batches of
   * `batchSize` rows — the same batch shape a vectorized (Arrow/pandas-style)
@@ -34,9 +36,10 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
       byte_entropy: Double, histogram: Array[Long], frames_sampled: Int)
 
-  /** STUB decode ??? — deterministic fake for COMPRESSED AUDIO (no
+  /** STUB decode ??? — deterministic fake for PERCEPTUAL AUDIO codecs (no
     * mp3/ogg-class codec ships with the JDK; H.264-class video likewise
-    * stays environment-bound) and for undecodable payloads: the "decoded
+    * stays environment-bound — IMA-ADPCM WAV decodes for REAL above this
+    * floor) and for undecodable payloads: the "decoded
     * frame" is the byte stream itself, so downstream feature math is
     * still exercised end-to-end with stable results. Uncompressed-DIB and
     * MJPEG AVI video and the JDK-native image/audio formats take their
@@ -45,18 +48,22 @@ object Multimodal {
   private def decodeStub(bytes: Array[Byte], kind: String): Array[Byte] = bytes
 
   /** Decode seam: images go through the REAL JDK codec path (javax.imageio —
-    * PNG/BMP/GIF/JPEG ship with the JDK), audio through the REAL
-    * javax.sound.sampled path (RIFF/WAV/AU/AIFF PCM), and video through the
-    * REAL RIFF/AVI demuxer below (uncompressed DIB and MJPEG frames →
-    * concatenated per-frame luminance planes). Anything those can't parse
-    * — compressed audio and H.264-class video stay environment-bound —
-    * falls back to the stub. Swapping in further codecs changes only this
-    * function.
+    * PNG/BMP/GIF/JPEG ship with the JDK), audio through the REAL IMA-ADPCM
+    * decoder (fmt-0x11 WAV, below) then the REAL javax.sound.sampled path
+    * (RIFF/WAV/AU/AIFF PCM), and video through the REAL RIFF/AVI demuxer
+    * below (uncompressed DIB and MJPEG frames → concatenated per-frame
+    * luminance planes). Anything those can't parse — perceptual audio
+    * (mp3/ogg) and H.264-class video stay environment-bound — falls back
+    * to the stub. Swapping in further codecs changes only this function.
     */
   private[ext] def decode(bytes: Array[Byte], kind: String): Array[Byte] =
     kind match {
       case "image" => decodeImage(bytes).getOrElse(decodeStub(bytes, kind))
-      case "audio" => decodeAudio(bytes).getOrElse(decodeStub(bytes, kind))
+      case "audio" =>
+        // fmt-0x11 detection is precise, so the ADPCM path goes first —
+        // javax.sound may accept the container but cannot decode the codec
+        decodeImaAdpcmWav(bytes).orElse(decodeAudio(bytes))
+          .getOrElse(decodeStub(bytes, kind))
       case "video" =>
         decodeVideoAvi(bytes).map(_.flatten.toArray)
           .getOrElse(decodeStub(bytes, kind))
@@ -295,6 +302,183 @@ object Multimodal {
         Some(out)
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ------------------------------------------------ IMA-ADPCM (WAV 0x11)
+
+  /** IMA/DVI ADPCM step-size table (public spec: IMA Digital Audio Focus
+    * Group "Recommended Practices for Enhancing Digital Audio
+    * Compatibility", 1992 — the table every fmt-0x11 WAV codec shares).
+    */
+  private val imaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** Step-index adjustment per 3-bit magnitude code. */
+  private val imaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** The shared predictor update — ENCODER AND DECODER run this exact
+    * integer arithmetic, which is what makes decode(encode(x)) a
+    * deterministic pure-integer function (and constant/±1-ramp signals
+    * reconstruct EXACTLY: diff 0 → nibble 0 → delta step>>3 = 0 at
+    * step 7; diff ±1 → nibble ±1 → delta step>>2 = 1 — the q235 closed
+    * form). Returns (newPredictor, newIndex).
+    */
+  @inline private def imaStep(pred: Int, index: Int, nibble: Int): (Int, Int) = {
+    val step = imaStepTable(index)
+    var delta = step >> 3
+    if ((nibble & 4) != 0) delta += step
+    if ((nibble & 2) != 0) delta += step >> 1
+    if ((nibble & 1) != 0) delta += step >> 2
+    val p = if ((nibble & 8) != 0) pred - delta else pred + delta
+    val pc = math.max(-32768, math.min(32767, p))
+    val ic = math.max(0, math.min(88, index + imaIndexTable(nibble & 7)))
+    (pc, ic)
+  }
+
+  /** REAL IMA-ADPCM encoder → a complete RIFF/WAVE payload with format tag
+    * 0x11 (mono): fmt chunk (cbSize 2, wSamplesPerBlock), a `fact` chunk
+    * recording the TRUE sample count, and block-aligned data — each block a
+    * 4-byte header (int16 predictor = the block's first sample, uint8 step
+    * index, reserved 0) followed by (blockAlign−4)·2 nibbles packed
+    * LOW-NIBBLE-FIRST. The final partial block pads by repeating the last
+    * sample; `fact` lets the decoder trim the padding. Pure integer math,
+    * zero dependencies — the compressed-audio sibling of [[aviDibBytes]].
+    */
+  def imaAdpcmWavBytes(samples: Array[Short], sampleRate: Int,
+      blockAlign: Int = 256): Array[Byte] = {
+    require(blockAlign >= 8 && blockAlign % 4 == 0, "blockAlign: ≥8, mult of 4")
+    require(samples.nonEmpty, "imaAdpcmWavBytes: empty signal")
+    val spb = (blockAlign - 4) * 2 + 1 // samples per block, mono
+    val nBlocks = (samples.length + spb - 1) / spb
+    val dataSz = nBlocks * blockAlign
+    val riffSz = 4 + (8 + 20) + (8 + 4) + (8 + dataSz)
+    val b = java.nio.ByteBuffer.allocate(8 + riffSz)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(s: String): Unit = b.put(s.getBytes("US-ASCII"))
+    tag("RIFF"); b.putInt(riffSz); tag("WAVE")
+    tag("fmt "); b.putInt(20)
+    b.putShort(0x11) // WAVE_FORMAT_IMA_ADPCM
+    b.putShort(1) // mono
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * blockAlign / spb) // avg bytes/sec (nominal)
+    b.putShort(blockAlign.toShort)
+    b.putShort(4) // bits per (encoded) sample
+    b.putShort(2) // cbSize
+    b.putShort(spb.toShort)
+    tag("fact"); b.putInt(4); b.putInt(samples.length)
+    tag("data"); b.putInt(dataSz)
+    var index = 0
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = blk * spb
+      def at(i: Int): Int = // pad the tail by repeating the last sample
+        samples(math.min(base + i, samples.length - 1)).toInt
+      var pred = at(0)
+      b.putShort(pred.toShort); b.put(index.toByte); b.put(0.toByte)
+      var lowNib = 0 // pending low nibble of the byte under construction
+      var i = 1
+      while (i < spb) {
+        val step = imaStepTable(index)
+        var diff = at(i) - pred
+        var nib = 0
+        if (diff < 0) { nib = 8; diff = -diff }
+        if (diff >= step) { nib |= 4; diff -= step }
+        if (diff >= (step >> 1)) { nib |= 2; diff -= step >> 1 }
+        if (diff >= (step >> 2)) nib |= 1
+        val (p2, i2) = imaStep(pred, index, nib) // decoder-lockstep update
+        pred = p2; index = i2
+        if ((i & 1) == 1) lowNib = nib // low nibble first
+        else b.put((lowNib | (nib << 4)).toByte)
+        i += 1
+      }
+      // spb−1 is even, so nibbles always pair up exactly — no flush needed
+      blk += 1
+    }
+    b.array()
+  }
+
+  /** REAL IMA-ADPCM decode: RIFF/WAVE payloads whose fmt chunk carries
+    * format tag 0x11, mono — the block walk mirrors [[imaAdpcmWavBytes]]
+    * (header predictor emitted verbatim, nibbles low-first through
+    * [[imaStep]]), trimmed to the `fact` chunk's true sample count.
+    * Returns None for anything else (stereo / other codecs → the
+    * perceptual-codec stub, the honest floor: mp3/ogg have no
+    * integer-exact zero-dep decode).
+    */
+  def decodeImaAdpcmPcm(bytes: Array[Byte]): Option[Array[Short]] =
+    try {
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int): Int =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+      if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+        return None
+      var fmtTag = -1
+      var channels = -1
+      var blockAlign = -1
+      var factSamples = -1
+      var dataOff = -1
+      var dataLen = -1
+      var i = 12
+      while (i + 8 <= bytes.length) {
+        val ck = tag(i)
+        val sz = le32(i + 4)
+        if (ck == "fmt " && sz >= 16) {
+          fmtTag = le16(i + 8)
+          channels = le16(i + 10)
+          blockAlign = le16(i + 20)
+        } else if (ck == "fact" && sz >= 4) {
+          factSamples = le32(i + 8)
+        } else if (ck == "data") {
+          dataOff = i + 8
+          dataLen = math.min(sz, bytes.length - dataOff)
+        }
+        i += 8 + sz + (sz & 1)
+      }
+      if (fmtTag != 0x11 || channels != 1 || blockAlign < 8 ||
+        dataOff < 0 || dataLen < 4) return None
+      val spb = (blockAlign - 4) * 2 + 1
+      val out = new scala.collection.mutable.ArrayBuffer[Short](
+        math.max(16, dataLen / blockAlign * spb))
+      var off = dataOff
+      val end = dataOff + dataLen
+      while (off + 4 <= end) {
+        val blockEnd = math.min(off + blockAlign, end)
+        var pred = le16(off).toShort.toInt // int16 predictor
+        var index = math.max(0, math.min(88, u8(off + 2)))
+        out += pred.toShort
+        var p = off + 4
+        while (p < blockEnd) {
+          val byte = u8(p)
+          var half = 0
+          while (half < 2) {
+            val nib = if (half == 0) byte & 0x0f else (byte >> 4) & 0x0f
+            val (p2, i2) = imaStep(pred, index, nib)
+            pred = p2; index = i2
+            out += pred.toShort
+            half += 1
+          }
+          p += 1
+        }
+        off += blockAlign
+      }
+      val pcm =
+        if (factSamples >= 0 && factSamples <= out.length)
+          out.take(factSamples) else out
+      Some(pcm.toArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Waveform bytes (MSB per sample — [[decodeAudio]]'s convention) of an
+    * IMA-ADPCM WAV payload, for the generic feature math downstream.
+    */
+  private[ext] def decodeImaAdpcmWav(bytes: Array[Byte]): Option[Array[Byte]] =
+    decodeImaAdpcmPcm(bytes).map(_.map(s => ((s >> 8) & 0xff).toByte))
 
   /** Sample rate and frame count, when the payload is decodable audio. */
   def audioMeta(bytes: Array[Byte]): Option[(Int, Long)] =

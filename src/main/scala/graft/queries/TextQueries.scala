@@ -583,6 +583,59 @@ object TextQueries {
       }
     ),
 
+    // ---- COMPRESSED audio decode (r8, narrowing the last multimodal stub
+    //      to perceptual codecs): real IMA-ADPCM WAV payloads — fmt-0x11
+    //      RIFF mux, block headers, fact-chunk trim — are BUILT from each
+    //      row's fields and DECODED by Multimodal.decodeImaAdpcmPcm (pure
+    //      integer predictor/step-table walk). The signal is a ±1-per-
+    //      sample ramp, which IMA-ADPCM reconstructs EXACTLY (diff ±1 at
+    //      step 7 → nibble ±1 → delta step>>2 = 1, step index pinned at 0),
+    //      so the DuckDB twin replays the decoded stream in closed form —
+    //      a drift in mux, demux, nibble packing, predictor update, or the
+    //      fact trim breaks the hash. q233/q234's round-trip argument one
+    //      modality deeper.
+    QueryDef(
+      "q235_audio_adpcm_census",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val n = (505 * (1 + id % 3) - id % 7).toInt // non-block-aligned
+              val v0 = (8192 + id * 37 % 8192).toInt
+              val step = if (id % 2 == 0) 1 else -1
+              val pcm = Array.tabulate(n)(i => (v0 + step * i).toShort)
+              val bytes =
+                graft.ext.Multimodal.imaAdpcmWavBytes(pcm, 16000, 256)
+              val decoded = graft.ext.Multimodal.decodeImaAdpcmPcm(bytes)
+                .getOrElse(Array.empty[Short])
+              val msbSum = { // MSB bytes = the decode-seam waveform
+                var s = 0L; var i = 0
+                while (i < decoded.length) { s += (decoded(i) >> 8) & 0xff; i += 1 }
+                s
+              }
+              val last = if (decoded.isEmpty) -1L else decoded.last.toLong
+              (id, decoded.length.toLong, msbSum, last)
+            }
+          }
+          .toDF("media_id", "n_samples", "msb_sum", "last_sample")
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(505 * (1 + doc_id % 3) - doc_id % 7 AS BIGINT) AS n_samples,
+             |  CAST(list_sum(list_transform(
+             |    range(0, 505 * (1 + doc_id % 3) - doc_id % 7),
+             |    i -> (8192 + doc_id * 37 % 8192
+             |          + CASE WHEN doc_id % 2 = 0 THEN i ELSE -i END) // 256))
+             |    AS BIGINT) AS msb_sum,
+             |  CAST(8192 + doc_id * 37 % 8192
+             |    + CASE WHEN doc_id % 2 = 0
+             |        THEN 505 * (1 + doc_id % 3) - doc_id % 7 - 1
+             |        ELSE -(505 * (1 + doc_id % 3) - doc_id % 7 - 1) END
+             |    AS BIGINT) AS last_sample
+             |FROM documents ORDER BY media_id""".stripMargin)
+    ),
+
     // ---- media HEADER parsing, oracled as an encode→parse ROUND TRIP:
     //      deterministic PNG/JPEG/GIF header bytes are built from each
     //      row's fields (real container structure: IHDR / SOF0 marker

@@ -221,6 +221,61 @@ class MultimodalSpec extends SparkSpec {
       Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x03, 0x00).map(_.toByte)).isEmpty)
   }
 
+  test("IMA-ADPCM: constant and ±1-ramp signals round-trip EXACTLY " +
+    "(the q235 closed form), fact chunk trims block padding") {
+    val const = Array.fill(1200)(12345.toShort)
+    assert(Multimodal.decodeImaAdpcmPcm(
+      Multimodal.imaAdpcmWavBytes(const, 16000, 256)).get.toSeq == const.toSeq)
+    // n = 1200 is NOT a multiple of spb=505 → padded final block, trimmed
+    val rampUp = Array.tabulate(1200)(i => (7000 + i).toShort)
+    assert(Multimodal.decodeImaAdpcmPcm(
+      Multimodal.imaAdpcmWavBytes(rampUp, 16000, 256)).get.toSeq == rampUp.toSeq)
+    val rampDn = Array.tabulate(777)(i => (9000 - i).toShort)
+    assert(Multimodal.decodeImaAdpcmPcm(
+      Multimodal.imaAdpcmWavBytes(rampDn, 8000, 256)).get.toSeq == rampDn.toSeq)
+  }
+
+  test("IMA-ADPCM: arbitrary signals decode to the encoder's reconstructed " +
+    "stream bit-for-bit, within the step-table error envelope of the input") {
+    // deterministic pseudorandom BANDLIMITED walk (|Δ| ≤ 300/sample — a
+    // slope ADPCM's step adaptation can follow; instantaneous jumps are
+    // bounded only by the jump size itself, not by the codec)
+    var x = 42L
+    var v = 0
+    val sig = Array.tabulate(3000) { _ =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      v = math.max(-15000, math.min(15000, v + (((x >> 33) % 601) - 300).toInt))
+      v.toShort
+    }
+    val bytes = Multimodal.imaAdpcmWavBytes(sig, 16000, 256)
+    val dec = Multimodal.decodeImaAdpcmPcm(bytes).get
+    assert(dec.length == sig.length)
+    val errs = sig.zip(dec).map { case (a, b) => math.abs(a - b) }
+    // block headers carry the first sample VERBATIM — exactness restored
+    // at every 505-sample boundary no matter how far tracking drifted
+    assert(errs.zipWithIndex.filter(_._2 % 505 == 0).forall(_._1 == 0),
+      "block-header samples are verbatim")
+    // once the step has adapted to the walk's slope (≤ 300/sample), the
+    // residual per sample is < the current step — a few step-table rungs
+    // above 300 bounds the envelope
+    assert(errs.max < 4000, s"max tracking error ${errs.max}")
+    assert(errs.map(_.toLong).sum.toDouble / errs.length < 500.0,
+      "mean tracking error envelope")
+  }
+
+  test("IMA-ADPCM WAV routes through the decode seam (not the stub); " +
+    "javax.sound cannot claim it") {
+    val pcm = Array.tabulate(600)(i => (5000 + i).toShort)
+    val bytes = Multimodal.imaAdpcmWavBytes(pcm, 16000, 256)
+    // the seam returns MSB-per-sample waveform bytes, like decodeAudio
+    val wave = Multimodal.decode(bytes, "audio")
+    assert(wave.length == 600, s"decoded ${wave.length} — stub would echo " +
+      s"the ${bytes.length} container bytes")
+    assert(wave.toSeq == pcm.map(s => ((s >> 8) & 0xff).toByte).toSeq)
+    // stereo / non-0x11 payloads still return None from the ADPCM path
+    assert(Multimodal.decodeImaAdpcmPcm("RIFFjunkWAVE".getBytes).isEmpty)
+  }
+
   test("aHash64: analytic values for stripe images, flat collision, box-avg") {
     val col8 = 72340172838076673L // 0x0101010101010101
     // 8x8, k white columns → (2^k - 1) · col8

@@ -115,4 +115,84 @@ class CdcIngestSpec extends SparkSpec {
     assert(proj(CdcIngest.readSnapshot(spark, dim).get) == before,
       "replayed epoch must not re-append versions")
   }
+
+  test("CRASH RECOVERY (r7 VERDICT #7): a kill between the dim write and " +
+    "the checkpoint commit replays the epoch on restart — the guard " +
+    "absorbs it and the dimension equals the batch rebuild") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("scd2crash")
+    val (src, dim, ckpt) = (s"$base/src", s"$base/dim", s"$base/ckpt")
+    new java.io.File(src).mkdirs()
+
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(feedSchema).parquet(s"$src/*")
+      CdcIngest.scd2DimStream(stream, dim, ckpt,
+        Seq("k"), Seq("seq"), Seq("attr")).awaitTermination()
+    }
+    // feed2 carries TWO versions of key 1 — a re-merge can't be absorbed
+    // (its first version "B" no longer matches the open version "C"), so
+    // the unguarded negative control below genuinely corrupts
+    val feed1 = Seq((1L, 1L, "A"), (2L, 1L, "X"))
+    val feed2 = Seq((1L, 2L, "B"), (1L, 3L, "C"), (2L, 2L, "X"), (3L, 1L, "P"))
+    feed1.toDF("k", "seq", "attr").write.parquet(s"$src/b1")
+    drain() // epoch 0: dim v0 + checkpoint commit 0
+    feed2.toDF("k", "seq", "attr").write.parquet(s"$src/b2")
+    drain() // epoch 1: dim v1 + checkpoint commit 1
+
+    val versionsBefore = CdcIngest.versions(dim)
+    val proj = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("k", "version_no", "attr", "effective_from", "effective_to",
+        "is_current")
+        .as[(Long, Long, String, Long, Option[Long], Boolean)]
+        .collect().toSeq.sorted
+    val committed = proj(CdcIngest.readSnapshot(spark, dim).get)
+
+    // negative control first: scd2Merge is NOT idempotent — re-merging the
+    // already-applied increment directly would re-append versions, which
+    // is exactly the corruption the epoch guard exists to prevent
+    val unguarded = graft.ext.LakeOps.scd2Merge(
+      CdcIngest.readSnapshot(spark, dim).get,
+      feed2.toDF("k", "seq", "attr"), Seq("k"), Seq("seq"), Seq("attr"))
+    assert(unguarded.count() > committed.size,
+      "unguarded re-merge must corrupt (or this test proves nothing)")
+
+    // SIMULATED CRASH between foreachBatch success and the offset commit:
+    // epoch 1's work is durable (dim v1 written, _latest swapped) but the
+    // checkpoint's commit marker never landed — delete commits/1 while
+    // offsets/1 stays. This is the exact window a kill -9 after the
+    // pointer swap leaves behind.
+    val commitMarker = java.nio.file.Paths.get(s"$ckpt/commits/1")
+    assert(java.nio.file.Files.exists(commitMarker),
+      s"expected checkpoint commit marker at $commitMarker")
+    java.nio.file.Files.delete(commitMarker)
+    // the local FS keeps a checksum shadow next to the marker — a real
+    // kill-9 would have left NEITHER file, so remove both
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$ckpt/commits/.1.crc"))
+
+    // restart with the same checkpoint: Spark replays epoch 1 (same
+    // epochId, same offsets) through foreachBatch — mergeDimBatch sees
+    // v1 already committed and SKIPS, then the commit marker is rewritten
+    drain()
+    assert(java.nio.file.Files.exists(commitMarker),
+      "restart must re-commit the replayed epoch")
+    assert(CdcIngest.versions(dim) == versionsBefore,
+      "replayed epoch must not add or rewrite version directories")
+    assert(proj(CdcIngest.readSnapshot(spark, dim).get) == committed,
+      "snapshot must survive the crash-replay unchanged")
+
+    // and the recovered dimension still equals the from-scratch rebuild
+    val rebuilt = proj(graft.ext.LakeOps.scd2(
+      (feed1 ++ feed2).toDF("k", "seq", "attr"),
+      Seq("k"), Seq("seq"), Seq("attr")))
+    assert(proj(CdcIngest.readSnapshot(spark, dim).get) == rebuilt)
+
+    // a NEW batch after recovery continues the epoch sequence normally
+    Seq((3L, 2L, "Q")).toDF("k", "seq", "attr").write.parquet(s"$src/b3")
+    drain()
+    val rebuilt3 = proj(graft.ext.LakeOps.scd2(
+      (feed1 ++ feed2 :+ ((3L, 2L, "Q"))).toDF("k", "seq", "attr"),
+      Seq("k"), Seq("seq"), Seq("attr")))
+    assert(proj(CdcIngest.readSnapshot(spark, dim).get) == rebuilt3)
+  }
 }
