@@ -202,6 +202,18 @@ object ScaleSweep {
       n -> dt
     }
 
+    // AQE-skew-on-real-data adjudication (r7 VERDICT #2): the events
+    // event_type join is the genuinely skewed real profile — record
+    // aqe_off / aqe_skew / salted side by side, with the skew-split flag
+    // and shuffle-write volumes (SkewDemo holds the full rationale)
+    val skewDemo = SkewDemo.run(spark2, dir100, reps = 3)
+    val skewObj2 = skewDemo.map { r =>
+      s""""${r.variant}": {"min_sec": ${jsonNum(r.minSec)}, """ +
+        s""""max_sec": ${jsonNum(r.maxSec)}, """ +
+        s""""shuffle_write_gb": ${jsonNum(r.shuffleGb)}, """ +
+        s""""aqe_skew_applied": ${r.aqeSkew}}"""
+    }.mkString(", ")
+
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (n, t) => s""""$n": ${jsonNum(t)}""" }.mkString(", ")
     val spreadObj = isoSpread.map { case (n, (lo, hi)) =>
@@ -214,6 +226,7 @@ object ScaleSweep {
          | "factor100_isolated": {${obj(rIso)}},
          | "isolated_rep_spread": {$spreadObj},
          | "aqe_skew_applied": {$skewObj},
+         | "skew_demo_real_events": {$skewObj2},
          | "factor10_pair_output": {${obj(r10)}},
          | "total_100x_sec": ${jsonNum(r100.map(_._2).sum)},
          | "total_10x_sec": ${jsonNum(r10.map(_._2).sum)},

@@ -110,6 +110,68 @@ class SkewJoinCompareSpec extends SparkSpec {
     }
   }
 
+  test("AQE skew split fires on REAL parquet (r7 VERDICT #2): the events " +
+    "event_type profile — 5 distinct keys, ≥27 of 32 reducers empty — is " +
+    "genuine skew, and the split agrees with the targeted salted join") {
+    // env-gated (the assume pattern): runs wherever the driver's testdata
+    // exists; SkewDemo measures the same adjudication at 100×
+    val evPath = "/root/testdata/sf0.01/events.parquet"
+    assume(new java.io.File(evPath).exists, s"$evPath not present")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val prev = confs.map(c => c -> spark.conf.getOption(c)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // sf0.01 events ≈ 10k rows → ~KBs of compressed map output per type;
+      // thresholds scaled to match (the split unit is a MAP output block,
+      // so the scan is spread over 8 map tasks first)
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+      def sides(): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+        val ev = spark.read.parquet(evPath)
+          .select(col("event_type"), col("value"), col("user_id"))
+          .repartition(8)
+        // the dim must be a LOCAL relation: a distinct() directly under
+        // the join leaves its final HashAggregate BETWEEN the sort and the
+        // shuffle stage, and OptimizeSkewedJoin only matches
+        // SMJ(Sort(ShuffleQueryStage), Sort(ShuffleQueryStage)) — the agg
+        // in the middle silently disables the split
+        import spark.implicits._
+        val dim = Seq("signup", "purchase", "view", "click", "error")
+          .map(t => (t, if (t == "error" || t == "purchase") "high" else "low"))
+          .toDF("event_type", "priority")
+        (ev, dim)
+      }
+      val (ev, dim) = sides()
+      val joined = ev.join(dim, Seq("event_type"))
+      val rows = joined.collect().map(_.toSeq).toSet
+      assert(hasSkewSplitJoin(joined),
+        "AQE did not split the real-parquet skewed join — thresholds off?\n" +
+          joined.queryExecution.executedPlan.toString)
+
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val (ev2, dim2) = sides()
+      val salted = LakeOps.saltedJoin(ev2, dim2, "event_type",
+        rowIdCols = Seq("user_id", "value"), salts = 8,
+        hotKeys = Some(Seq("signup", "purchase", "view", "click", "error")))
+      assert(salted.collect().map(_.toSeq).toSet == rows,
+        "AQE split and salted join disagree on real data")
+    } finally prev.foreach {
+      case (c, Some(v)) => spark.conf.set(c, v)
+      case (c, None) => spark.conf.unset(c)
+    }
+  }
+
   test("where salting wins: with AQE unavailable the plain join leaves one " +
     "~32x hot reducer; the salted plan bounds every task by construction") {
     val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
