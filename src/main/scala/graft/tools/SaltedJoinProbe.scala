@@ -28,8 +28,8 @@ object SaltedJoinProbe {
     case o => o +: o.children.flatMap(collectPlan)
   }
 
-  private def shuffleWriteBytes(df: DataFrame): Long =
-    collectPlan(df.queryExecution.executedPlan)
+  private def shuffleWriteBytes(p: SparkPlan): Long =
+    collectPlan(p)
       .collect { case s: ShuffleExchangeExec => s.metrics("dataSize").value }
       .sum
 
@@ -68,23 +68,52 @@ object SaltedJoinProbe {
         val (li, o) = sides()
         agg(li.join(o, Seq("o_orderkey")))
       }))
-    variants.foreach { case (label, mk) =>
+    // metrics come from the EXECUTED QueryExecution (listener): a noop
+    // write plans its own execution, so reading metrics off the original
+    // frame's plan yields zeros (the SkewDemo lesson)
+    @volatile var lastPlan: SparkPlan = null
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          lastPlan = qe.executedPlan
+          seen.incrementAndGet()
+          ()
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    val readouts = variants.map { case (label, mk) =>
       mk().write.format("noop").mode("overwrite").save() // warm plan/JIT/cache
       System.gc()
       var bytes = 0L
       val ts = (1 to reps).map { _ =>
-        val df = mk()
+        val before = seen.get
         val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
+        mk().write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        bytes = shuffleWriteBytes(df)
+        var spins = 0
+        while (seen.get == before && spins < 100) { Thread.sleep(100); spins += 1 }
+        bytes = shuffleWriteBytes(lastPlan)
         System.gc()
         dt
       }
       println(f"[$label] ${ts.map(t => f"$t%.1f").mkString(" ")}  " +
         f"min=${ts.min}%.1f max=${ts.max}%.1f spread=${ts.max / ts.min}%.2f " +
         f"shuffle_write=${bytes / 1e9}%.2f GB")
+      (label, ts.min, ts.max, bytes)
     }
+    val json = readouts.map { case (l, lo, hi, b) =>
+      s""""$l": {"min_sec": ${f"$lo%.2f"}, "max_sec": ${f"$hi%.2f"}, """ +
+        s""""shuffle_write_gb": ${f"${b / 1e9}%.2f"}}"""
+    }.mkString("{\"metric\": \"salted_join_probe\", \"dir\": \"" + dir +
+      "\", ", ", ", "}")
+    println(json)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("SALTEDJOIN_r08.json"), json.getBytes("UTF-8"))
     spark.stop()
   }
 }
