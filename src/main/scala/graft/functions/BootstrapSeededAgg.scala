@@ -78,7 +78,7 @@ case class BootstrapSeededAgg(
   // so re-seeding on a pid change is exactly the RDD twin's
   // mapPartitionsWithIndex seeding
   @transient private lazy val rowVals: Array[Double] = new Array[Double](k)
-  @transient private lazy val rowNn: Array[Boolean] = new Array[Boolean](k)
+  @transient private lazy val rowMask: Array[Double] = new Array[Double](k)
   @transient private var lastPid: Int = Int.MinValue
   @transient private var state: Long = 0L
 
@@ -98,42 +98,75 @@ case class BootstrapSeededAgg(
       arr = new Array[Double](2 * k * nSim)
       buf.put(pid, arr)
     }
-    val vs = rowVals
-    val nn = rowNn
+    // per-row masked values: vm = value (0.0 when null), wm = 1.0
+    // (0.0 when null) — a null column's replicate weight must stay 0 so
+    // the readout can drop it, and the masked multiply below keeps that
+    // without a per-(column, replicate) branch
+    val vm = rowVals
+    val wm = rowMask
     var ci = 0
     while (ci < k) {
       val v = values(ci).eval(input)
-      nn(ci) = v != null
-      if (nn(ci)) vs(ci) = v.asInstanceOf[Double]
+      if (v == null) { vm(ci) = 0.0; wm(ci) = 0.0 }
+      else { vm(ci) = v.asInstanceOf[Double]; wm(ci) = 1.0 }
       ci += 1
     }
     val tab = wTab
     var st = state
     var r = 0
-    while (r < nSim) {
-      // SplitMix64 step — the exact RDD-twin stream
-      st += 0x9E3779B97F4A7C15L
-      var z = st
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      val u = (z >>> 11) * 1.1102230246251565e-16 // 2^-53
-      var weight = tab((u * 4096.0).toInt).toInt
-      if (weight < 0) weight = graft.analytics.Bootstrap.poissonInvWalk(u)
-      if (weight > 0) {
+    // the accumulate is UNCONDITIONAL (the BootstrapPoissonAgg lesson: a
+    // 63%-true `weight > 0` guard mispredicts its way to ~2× slowdown).
+    // Adding wd·v with wd = 0 is BIT-IDENTICAL to skipping: the addend is
+    // ±0.0, and x + (±0.0) == x for every x except -0.0 — which no
+    // accumulator can become (they start at +0.0 and (+0.0) + (-0.0) is
+    // +0.0). AnalyticsGoldenSpec's RDD-twin bit-identity test pins it.
+    if (k == 4) {
+      // specialized hot loop: scalarized values/masks, no inner ci loop
+      val v0 = vm(0); val v1 = vm(1); val v2 = vm(2); val v3 = vm(3)
+      val m0 = wm(0); val m1 = wm(1); val m2 = wm(2); val m3 = wm(3)
+      val n2 = 2 * nSim; val n3 = 3 * nSim
+      val n4 = 4 * nSim; val n5 = 5 * nSim; val n6 = 6 * nSim
+      val n7 = 7 * nSim
+      while (r < nSim) {
+        st += 0x9E3779B97F4A7C15L
+        var z = st
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        val u = (z >>> 11) * 1.1102230246251565e-16 // 2^-53
+        var weight = tab((u * 4096.0).toInt).toInt
+        if (weight < 0) weight = graft.analytics.Bootstrap.poissonInvWalk(u)
+        val wd = weight.toDouble
+        arr(r) += wd * v0
+        arr(nSim + r) += wd * v1
+        arr(n2 + r) += wd * v2
+        arr(n3 + r) += wd * v3
+        arr(n4 + r) += wd * m0
+        arr(n5 + r) += wd * m1
+        arr(n6 + r) += wd * m2
+        arr(n7 + r) += wd * m3
+        r += 1
+      }
+    } else {
+      while (r < nSim) {
+        // SplitMix64 step — the exact RDD-twin stream
+        st += 0x9E3779B97F4A7C15L
+        var z = st
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        val u = (z >>> 11) * 1.1102230246251565e-16 // 2^-53
+        var weight = tab((u * 4096.0).toInt).toInt
+        if (weight < 0) weight = graft.analytics.Bootstrap.poissonInvWalk(u)
         val wd = weight.toDouble
         ci = 0
         while (ci < k) {
-          // per-column weight must EXCLUDE null rows: an all-null column
-          // keeps total weight 0 and is dropped by the readout
-          if (nn(ci)) {
-            arr(ci * nSim + r) += wd * vs(ci)
-            arr((k + ci) * nSim + r) += wd
-          }
+          arr(ci * nSim + r) += wd * vm(ci)
+          arr((k + ci) * nSim + r) += wd * wm(ci)
           ci += 1
         }
+        r += 1
       }
-      r += 1
     }
     state = st
     buf

@@ -103,23 +103,24 @@ object SplitDistinctAggregates extends Rule[LogicalPlan] {
         case "false" => return false
         case "true" => // forced on regardless of input types
         case _ =>
-          // auto: every distinct set must read only fixed-width leaf
-          // columns — a wide (string/binary) DISTINCT INPUT is the
-          // measured loss case: Expand reads it once and ships a narrow
-          // derivative, while each split branch re-reads and re-decodes
-          // it. Grouping expressions are deliberately NOT gated: a wide
-          // group key costs BOTH forms — Expand replicates it ×(n+1)
-          // through the shuffle where split re-reads+ships it ×n — and
-          // the r8 wide-group-key profile (SPLITDISTINCT_r08.json,
-          // groupBy(text) with numeric distincts at 100×) measured split
-          // still ahead. Non-distinct aggregate inputs are read by exactly
-          // one branch — same total reads as the Expand form.
+          // auto: every distinct set AND every grouping expression must
+          // read only fixed-width leaf columns. A wide (string/binary)
+          // DISTINCT INPUT is the r6 measured loss (Expand reads it once
+          // and ships a narrow derivative; each split branch re-reads and
+          // re-decodes it), and the r8 100× wide-GROUP-KEY profile
+          // (SPLITDISTINCT_r08.json: groupBy(text) with numeric distincts,
+          // split 1.52 s vs Expand 1.00 s) showed the same mechanism
+          // through the key column — every branch re-reads, re-ships, and
+          // re-joins ON the wide key, where Expand pays only the ×(n+1)
+          // shuffle replication of a column it read once (ADVICE r7 #1).
+          // Non-distinct aggregate inputs are read by exactly one branch —
+          // same total reads as the Expand form — so they stay ungated.
           val distinctInputs = agg.aggregateExpressions
             .flatMap(e => e.collect {
               case ae: AggregateExpression if ae.isDistinct =>
                 ae.aggregateFunction.children
             }).flatten
-          if (!leafRefs(agg.child, distinctInputs)
+          if (!leafRefs(agg.child, distinctInputs ++ agg.groupingExpressions)
             .forall(a => fixedWidth(a.dataType))) return false
       }
     }
@@ -130,8 +131,12 @@ object SplitDistinctAggregates extends Rule[LogicalPlan] {
     if (agg.isStreaming) return false
     // the child is duplicated per branch: that trade only wins when the
     // child is SCAN-SHAPED (column pruning makes each branch a narrow
-    // scan). Below a join/window/aggregate the duplication could cost
-    // more than the Expand it removes — leave those to Spark.
+    // scan). Below a join/window/aggregate the duplication costs more
+    // than the Expand it removes — MEASURED at 100× (VERDICT r7 #9,
+    // SPLITDISTINCT_r08.json join-child profile: a hand-written
+    // per-branch split of a 3-distinct agg over lineitem⋈orders ran
+    // 23.3 s median vs Spark's Expand at 10.9 s — each branch re-runs
+    // the 60M⋈15M join). The guard stays; leave those shapes to Spark.
     val scanShaped = agg.child.find {
       case _: Project | _: Filter | _: LeafNode => false
       case _ => true

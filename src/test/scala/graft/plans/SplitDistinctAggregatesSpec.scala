@@ -69,18 +69,26 @@ class SplitDistinctAggregatesSpec extends SparkSpec {
 
   test("grouped AUTO default: all-fixed-width distinct sets split without " +
     "a flag; alias-derived wide inputs still gate") {
-    // numeric distinct inputs → the r7 cardinality sweep says split wins
-    // at EVERY group count (SPLITDISTINCT_r07.json) → auto fires
-    val df = base.groupBy("s").agg(
-      count_distinct(col("k")).as("dk"),
+    // numeric distinct inputs AND numeric group key → the r7 cardinality
+    // sweep says split wins at EVERY group count (SPLITDISTINCT_r07.json)
+    // → auto fires
+    val df = base.groupBy("k").agg(
       count_distinct(col("v")).as("dv"),
+      count_distinct(col("k")).as("dk"),
       count(lit(1)).cast("long").as("n"))
     assert(!hasExpand(df), "numeric grouped multi-distinct kept its Expand")
     val got = df.collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
-    assert(got == Map("x" -> ((2L, 3L, 3L)), "y" -> ((1L, 1L, 1L)),
-      "z" -> ((1L, 1L, 1L))), s"got $got")
+    assert(got == Map(1L -> ((2L, 1L, 2L)), 2L -> ((2L, 1L, 2L)),
+      3L -> ((1L, 1L, 1L))), s"got $got")
+    // a WIDE GROUP KEY gates too (ADVICE r7 #1, measured at 100×:
+    // SPLITDISTINCT_r08.json wide-group-key profile — split 1.52 s vs
+    // Expand 1.00 s; every branch re-reads, re-ships, and re-joins on
+    // the wide key)
+    assert(hasExpand(base.groupBy("s")
+      .agg(count_distinct(col("k")), count_distinct(col("v")))),
+      "wide group key must keep Spark's Expand under auto")
     // a numeric-TYPED alias DERIVED from a wide column resolves through
     // the projection to the string leaf → auto still gates. Needs a
     // parquet-scan child: over a local relation ConvertToLocalRelation
