@@ -403,12 +403,15 @@ object Multimodal {
   }
 
   /** REAL IMA-ADPCM decode: RIFF/WAVE payloads whose fmt chunk carries
-    * format tag 0x11, mono — the block walk mirrors [[imaAdpcmWavBytes]]
-    * (header predictor emitted verbatim, nibbles low-first through
-    * [[imaStep]]), trimmed to the `fact` chunk's true sample count.
-    * Returns None for anything else (stereo / other codecs → the
-    * perceptual-codec stub, the honest floor: mp3/ogg have no
-    * integer-exact zero-dep decode).
+    * format tag 0x11, MONO OR STEREO. The block walk mirrors
+    * [[imaAdpcmWavBytes]]/[[imaAdpcmWavStereoBytes]]: per-channel 4-byte
+    * headers (predictor verbatim, step index), then — the stereo layout
+    * every fmt-0x11 codec shares — data in 4-BYTE CHANNEL CHUNKS
+    * (8 nibbles of L, 8 of R, alternating), nibbles low-first through
+    * [[imaStep]]. Output interleaves channels frame by frame, trimmed to
+    * the `fact` chunk's per-channel sample count. Returns None for
+    * anything else (other codecs → the perceptual-codec stub, the honest
+    * floor: mp3/ogg have no integer-exact zero-dep decode).
     */
   def decodeImaAdpcmPcm(bytes: Array[Byte]): Option[Array[Short]] =
     try {
@@ -441,38 +444,141 @@ object Multimodal {
         }
         i += 8 + sz + (sz & 1)
       }
-      if (fmtTag != 0x11 || channels != 1 || blockAlign < 8 ||
-        dataOff < 0 || dataLen < 4) return None
-      val spb = (blockAlign - 4) * 2 + 1
+      if (fmtTag != 0x11 || channels < 1 || channels > 2 ||
+        blockAlign < 8 * channels || blockAlign % (4 * channels) != 0 ||
+        dataOff < 0 || dataLen < 4 * channels) return None
+      val spb = (blockAlign / channels - 4) * 2 + 1 // per channel
       val out = new scala.collection.mutable.ArrayBuffer[Short](
-        math.max(16, dataLen / blockAlign * spb))
+        math.max(16, dataLen / blockAlign * spb * channels))
+      val pred = new Array[Int](channels)
+      val index = new Array[Int](channels)
+      val chan = Array.fill(channels)(new Array[Short](spb))
       var off = dataOff
       val end = dataOff + dataLen
-      while (off + 4 <= end) {
+      while (off + 4 * channels <= end) {
         val blockEnd = math.min(off + blockAlign, end)
-        var pred = le16(off).toShort.toInt // int16 predictor
-        var index = math.max(0, math.min(88, u8(off + 2)))
-        out += pred.toShort
-        var p = off + 4
-        while (p < blockEnd) {
-          val byte = u8(p)
-          var half = 0
-          while (half < 2) {
-            val nib = if (half == 0) byte & 0x0f else (byte >> 4) & 0x0f
-            val (p2, i2) = imaStep(pred, index, nib)
-            pred = p2; index = i2
-            out += pred.toShort
-            half += 1
+        var ch = 0
+        while (ch < channels) {
+          pred(ch) = le16(off + 4 * ch).toShort.toInt // int16 predictor
+          index(ch) = math.max(0, math.min(88, u8(off + 4 * ch + 2)))
+          chan(ch)(0) = pred(ch).toShort
+          ch += 1
+        }
+        // data walks in 4-byte chunks, channel round-robin; n(ch) tracks
+        // how many samples each channel has produced so far
+        val n = Array.fill(channels)(1)
+        var p = off + 4 * channels
+        var chunkCh = 0
+        while (p + 4 <= blockEnd) {
+          var b = 0
+          while (b < 4) {
+            val byte = u8(p + b)
+            var half = 0
+            while (half < 2) {
+              val nib = if (half == 0) byte & 0x0f else (byte >> 4) & 0x0f
+              val (p2, i2) = imaStep(pred(chunkCh), index(chunkCh), nib)
+              pred(chunkCh) = p2; index(chunkCh) = i2
+              if (n(chunkCh) < spb) {
+                chan(chunkCh)(n(chunkCh)) = p2.toShort
+                n(chunkCh) += 1
+              }
+              half += 1
+            }
+            b += 1
           }
-          p += 1
+          p += 4
+          chunkCh = (chunkCh + 1) % channels
+        }
+        // interleave the channels frame by frame
+        val frames = n.min
+        var f = 0
+        while (f < frames) {
+          ch = 0
+          while (ch < channels) { out += chan(ch)(f); ch += 1 }
+          f += 1
         }
         off += blockAlign
       }
       val pcm =
-        if (factSamples >= 0 && factSamples <= out.length)
-          out.take(factSamples) else out
+        if (factSamples >= 0 && factSamples * channels <= out.length)
+          out.take(factSamples * channels) else out
       Some(pcm.toArray)
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL stereo IMA-ADPCM encoder — [[imaAdpcmWavBytes]]'s two-channel
+    * sibling: per-block L/R 4-byte headers, then 4-byte channel chunks
+    * alternating L, R (8 nibbles each), the layout [[decodeImaAdpcmPcm]]
+    * demuxes. `fact` records the TRUE per-channel sample count; the final
+    * partial block pads by repeating each channel's last sample.
+    */
+  def imaAdpcmWavStereoBytes(left: Array[Short], right: Array[Short],
+      sampleRate: Int, blockAlign: Int = 256): Array[Byte] = {
+    require(left.length == right.length && left.nonEmpty,
+      "imaAdpcmWavStereoBytes: equal-length non-empty channels")
+    require(blockAlign >= 16 && blockAlign % 8 == 0,
+      "blockAlign: ≥16, mult of 8")
+    val chans = Array(left, right)
+    val spb = (blockAlign / 2 - 4) * 2 + 1 // per channel
+    val nBlocks = (left.length + spb - 1) / spb
+    val dataSz = nBlocks * blockAlign
+    val riffSz = 4 + (8 + 20) + (8 + 4) + (8 + dataSz)
+    val b = java.nio.ByteBuffer.allocate(8 + riffSz)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(s: String): Unit = b.put(s.getBytes("US-ASCII"))
+    tag("RIFF"); b.putInt(riffSz); tag("WAVE")
+    tag("fmt "); b.putInt(20)
+    b.putShort(0x11); b.putShort(2)
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * blockAlign / spb)
+    b.putShort(blockAlign.toShort)
+    b.putShort(4); b.putShort(2); b.putShort(spb.toShort)
+    tag("fact"); b.putInt(4); b.putInt(left.length)
+    tag("data"); b.putInt(dataSz)
+    val index = new Array[Int](2)
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = blk * spb
+      def at(ch: Int, i: Int): Int =
+        chans(ch)(math.min(base + i, chans(ch).length - 1)).toInt
+      val pred = new Array[Int](2)
+      var ch = 0
+      while (ch < 2) {
+        pred(ch) = at(ch, 0)
+        b.putShort(pred(ch).toShort); b.put(index(ch).toByte); b.put(0.toByte)
+        ch += 1
+      }
+      // nibble groups: 8 samples of one channel per 4-byte chunk,
+      // channels alternating — i indexes the channel's OWN sample stream
+      var group = 0
+      val groups = (spb - 1) / 8 // (blockAlign/2 − 4)·2 ≡ 0 (mod 8)
+      while (group < groups) {
+        ch = 0
+        while (ch < 2) {
+          var packed = 0L
+          var gi = 0
+          while (gi < 8) {
+            val i = 1 + group * 8 + gi
+            val step = imaStepTable(index(ch))
+            var diff = at(ch, i) - pred(ch)
+            var nib = 0
+            if (diff < 0) { nib = 8; diff = -diff }
+            if (diff >= step) { nib |= 4; diff -= step }
+            if (diff >= (step >> 1)) { nib |= 2; diff -= step >> 1 }
+            if (diff >= (step >> 2)) nib |= 1
+            val (p2, i2) = imaStep(pred(ch), index(ch), nib)
+            pred(ch) = p2; index(ch) = i2
+            packed |= (nib.toLong & 0xf) << (4 * gi) // low nibble first
+            gi += 1
+          }
+          b.putInt(packed.toInt)
+          ch += 1
+        }
+        group += 1
+      }
+      blk += 1
+    }
+    b.array()
+  }
 
   /** Waveform bytes (MSB per sample — [[decodeAudio]]'s convention) of an
     * IMA-ADPCM WAV payload, for the generic feature math downstream.

@@ -609,6 +609,65 @@ object CoreQueries {
              |ORDER BY o_orderkey""".stripMargin)
     ),
 
+    // ---- ORC sink+scan round trip (S-family: the other native columnar
+    //      lake format): write through Layers.writeOrc, read back through
+    //      the vectorized ORC scan, return the FULL content — the oracle
+    //      reads the original parquet, so the hash proves the ORC
+    //      sink+source preserve every value (incl. dates and doubles)
+    //      exactly. Same q39 discipline: fixed scratch path, overwrite.
+    QueryDef(
+      "q236_orc_roundtrip",
+      (s, dir) => {
+        val out =
+          s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
+        val src = t(s, dir, "orders")
+          .filter(col("o_orderkey") <= 4000)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"),
+            col("o_orderdate").cast("date").as("o_orderdate"),
+            col("o_orderpriority"))
+        graft.io.Layers.writeOrc(src, out)
+        graft.io.Layers.readOrc(s, out).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey <= 4000
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    // ---- JSON-lines sink+scan round trip (the interchange format of
+    //      text-corpus releases): writeJsonl emits shortest-roundtrip
+    //      doubles and ISO dates, readJsonl re-reads under the EXPLICIT
+    //      schema (no inference pass) — hash equality against the parquet
+    //      original proves the lossless round trip.
+    QueryDef(
+      "q237_jsonl_roundtrip",
+      (s, dir) => {
+        val out =
+          s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_roundtrip"
+        val src = t(s, dir, "orders")
+          .filter(col("o_orderkey") <= 4000)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"),
+            col("o_orderdate").cast("date").as("o_orderdate"),
+            col("o_orderpriority"))
+        graft.io.Layers.writeJsonl(src, out)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType),
+          StructField("o_orderdate", DateType),
+          StructField("o_orderpriority", StringType)))
+        graft.io.Layers.readJsonl(s, out, schema).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey <= 4000
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+
     // ---- collection aggregates: sorted distinct sets per group (arrays
     //      as first-class values through the compare)
     QueryDef(

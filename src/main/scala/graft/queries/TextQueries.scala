@@ -636,6 +636,62 @@ object TextQueries {
              |FROM documents ORDER BY media_id""".stripMargin)
     ),
 
+    // ---- STEREO IMA-ADPCM (q235's two-channel sibling): real fmt-0x11
+    //      stereo mux — per-block L/R headers, 4-byte channel chunks
+    //      alternating — decoded by the SAME decodeImaAdpcmPcm demux.
+    //      Left ramps +1, right ramps −1 (both exact under IMA-ADPCM), so
+    //      the interleaved output is fully predictable: the twin replays
+    //      both channels in closed form. A drift in the chunk round-robin,
+    //      header layout, or per-channel fact trim breaks the hash.
+    QueryDef(
+      "q238_audio_adpcm_stereo",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val n = (249 * (1 + id % 3) - id % 5).toInt // off block grid
+              val v0l = (6000 + id * 31 % 4096).toInt
+              val v0r = (20000 - id * 17 % 4096).toInt
+              val l = Array.tabulate(n)(i => (v0l + i).toShort)
+              val r = Array.tabulate(n)(i => (v0r - i).toShort)
+              val bytes =
+                graft.ext.Multimodal.imaAdpcmWavStereoBytes(l, r, 16000, 256)
+              val dec = graft.ext.Multimodal.decodeImaAdpcmPcm(bytes)
+                .getOrElse(Array.empty[Short])
+              var msbL = 0L
+              var msbR = 0L
+              var i = 0
+              while (i + 1 < dec.length) {
+                msbL += (dec(i) >> 8) & 0xff
+                msbR += (dec(i + 1) >> 8) & 0xff
+                i += 2
+              }
+              (id, dec.length.toLong, msbL, msbR,
+                if (dec.isEmpty) -1L else dec.last.toLong)
+            }
+          }
+          .toDF("media_id", "n_samples", "msb_sum_left", "msb_sum_right",
+            "last_sample")
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(2 * (249 * (1 + doc_id % 3) - doc_id % 5) AS BIGINT)
+             |    AS n_samples,
+             |  CAST(list_sum(list_transform(
+             |    range(0, 249 * (1 + doc_id % 3) - doc_id % 5),
+             |    i -> (6000 + doc_id * 31 % 4096 + i) // 256))
+             |    AS BIGINT) AS msb_sum_left,
+             |  CAST(list_sum(list_transform(
+             |    range(0, 249 * (1 + doc_id % 3) - doc_id % 5),
+             |    i -> (20000 - doc_id * 17 % 4096 - i) // 256))
+             |    AS BIGINT) AS msb_sum_right,
+             |  CAST(20000 - doc_id * 17 % 4096
+             |    - (249 * (1 + doc_id % 3) - doc_id % 5 - 1) AS BIGINT)
+             |    AS last_sample
+             |FROM documents ORDER BY media_id""".stripMargin)
+    ),
+
     // ---- media HEADER parsing, oracled as an encode→parse ROUND TRIP:
     //      deterministic PNG/JPEG/GIF header bytes are built from each
     //      row's fields (real container structure: IHDR / SOF0 marker

@@ -263,6 +263,33 @@ class MultimodalSpec extends SparkSpec {
       "mean tracking error envelope")
   }
 
+  test("IMA-ADPCM STEREO: per-channel ramps round-trip exactly through " +
+    "the 4-byte channel-chunk demux, interleaved L R per frame") {
+    val n = 700 // not a multiple of spb=249 → padded final block, trimmed
+    val l = Array.tabulate(n)(i => (6000 + i).toShort)
+    val r = Array.tabulate(n)(i => (20000 - i).toShort)
+    val bytes = Multimodal.imaAdpcmWavStereoBytes(l, r, 16000, 256)
+    val dec = Multimodal.decodeImaAdpcmPcm(bytes).get
+    assert(dec.length == 2 * n, s"decoded ${dec.length} of ${2 * n}")
+    assert((0 until n).forall(i => dec(2 * i) == l(i)), "left channel drift")
+    assert((0 until n).forall(i => dec(2 * i + 1) == r(i)), "right channel drift")
+    // a general stereo signal still decodes deterministically with exact
+    // block-header frames (every 249th frame per channel is verbatim)
+    var x = 7L
+    val wl = Array.tabulate(1000) { _ =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      ((x >> 40) % 8000).toShort
+    }
+    val wr = wl.map(v => (-v).toShort)
+    val d2 = Multimodal.decodeImaAdpcmPcm(
+      Multimodal.imaAdpcmWavStereoBytes(wl, wr, 8000, 256)).get
+    assert(d2.length == 2000)
+    (0 until 1000 by 249).foreach { i =>
+      assert(d2(2 * i) == wl(i) && d2(2 * i + 1) == wr(i),
+        s"block-header frame $i not verbatim")
+    }
+  }
+
   test("IMA-ADPCM WAV routes through the decode seam (not the stub); " +
     "javax.sound cannot claim it") {
     val pcm = Array.tabulate(600)(i => (5000 + i).toShort)
