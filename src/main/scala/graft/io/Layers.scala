@@ -111,9 +111,17 @@ object Layers {
   /** JSON-lines sink/scan (the interchange format of most text-corpus
     * releases). Reads with an EXPLICIT schema — inferSchema over JSON is
     * a full extra pass and type-unstable, the same rule as S1's CSV scan.
+    * `codec` (gzip/bzip2/zstd/none) matches how corpus releases actually
+    * ship (.jsonl.gz); the scan decompresses transparently by extension.
+    * Note gzip is NOT splittable — one file = one task at read time, so
+    * compressed corpora rely on MANY files for parallelism (the writer's
+    * partition count is the read-side parallelism knob).
     */
-  def writeJsonl(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").json(path)
+  def writeJsonl(df: DataFrame, path: String,
+      codec: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
+    codec.fold(w)(c => w.option("compression", c)).json(path)
+  }
 
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)

@@ -668,6 +668,40 @@ object CoreQueries {
              |ORDER BY o_orderkey""".stripMargin)
     ),
 
+    // ---- GZIP-compressed JSON-lines round trip — how text-corpus
+    //      releases actually ship (.jsonl.gz). Same q237 contract, codec
+    //      on: the scan decompresses transparently by extension and the
+    //      hash against the parquet original proves nothing is lost.
+    //      (Gzip is not splittable — read parallelism = file count, which
+    //      is the writer's partitioning; documented on Layers.writeJsonl.)
+    QueryDef(
+      "q239_jsonl_gzip_roundtrip",
+      (s, dir) => {
+        val out =
+          s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_gz_roundtrip"
+        val src = t(s, dir, "orders")
+          .filter(col("o_orderkey") <= 4000)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"),
+            col("o_orderdate").cast("date").as("o_orderdate"),
+            col("o_orderpriority"))
+        graft.io.Layers.writeJsonl(src, out, codec = Some("gzip"))
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType),
+          StructField("o_orderdate", DateType),
+          StructField("o_orderpriority", StringType)))
+        graft.io.Layers.readJsonl(s, out, schema).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey <= 4000
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+
     // ---- collection aggregates: sorted distinct sets per group (arrays
     //      as first-class values through the compare)
     QueryDef(
