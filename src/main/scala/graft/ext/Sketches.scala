@@ -345,6 +345,24 @@ object Sketches {
     cmCensusCore(cmCells(df, textCol, width, depth), df, textCol,
       width, depth, topK)
 
+  /** PRODUCTION-hash Count-Min census (the x185 channel): identical
+    * shape to [[countMinCensus]] with every (row, token) position drawn
+    * from codegen xxhash64 instead of the md5-derived portable twin. The
+    * hash choice is the ORACLE contract, not the algorithm — at lake
+    * scale the 8-byte hash is the form you run (the q25/q69 minhash
+    * precedent: portable twin for the DuckDB gate, xxhash64 in
+    * production).
+    */
+  def countMinCensusProd(
+      df: DataFrame,
+      textCol: String,
+      width: Int = 16,
+      depth: Int = 3,
+      topK: Int = 20
+  ): DataFrame =
+    cmCensusCore(cmCells(df, textCol, width, depth, prod = true), df,
+      textCol, width, depth, topK, prod = true)
+
   /** Incrementally-maintained Count-Min census: the stored `state` grid
     * and the `delta` batch's grid merge by CELL-WISE ADDITION (the CMS
     * mergeability property — counters are linear), never re-reading the
@@ -369,10 +387,15 @@ object Sketches {
       width, depth, topK)
   }
 
-  /** "cm" || r || "|" || token — identical salted string both engines. */
-  private def cmPosOf(r: Column, c: Column, width: Int): Column =
-    pmod(Dedup.portableHash60(
-      concat(lit("cm"), r.cast("string"), lit("|"), c)),
+  /** "cm" || r || "|" || token — identical salted string both engines;
+    * `prod` swaps in codegen xxhash64 over the same salted inputs.
+    */
+  private def cmPosOf(r: Column, c: Column, width: Int,
+      prod: Boolean = false): Column =
+    pmod(
+      if (prod) xxhash64(lit("cm"), r.cast("string"), lit("|"), c)
+      else Dedup.portableHash60(
+        concat(lit("cm"), r.cast("string"), lit("|"), c)),
       lit(width.toLong))
 
   private def cmTokens(df: DataFrame, textCol: String): DataFrame =
@@ -381,11 +404,13 @@ object Sketches {
 
   /** The depth×width counter grid of a corpus — the mergeable artifact. */
   private[graft] def cmCells(
-      df: DataFrame, textCol: String, width: Int, depth: Int): DataFrame =
+      df: DataFrame, textCol: String, width: Int, depth: Int,
+      prod: Boolean = false): DataFrame =
     cmTokens(df, textCol)
       .select(explode(sequence(lit(0), lit(depth - 1))).as("r"),
         col("token"))
-      .select(col("r"), cmPosOf(col("r"), col("token"), width).as("pos"))
+      .select(col("r"),
+        cmPosOf(col("r"), col("token"), width, prod).as("pos"))
       .groupBy("r", "pos")
       .agg(count(lit(1)).as("cnt"))
 
@@ -398,7 +423,8 @@ object Sketches {
       textCol: String,
       width: Int,
       depth: Int,
-      topK: Int
+      topK: Int,
+      prod: Boolean = false
   ): DataFrame = {
     val exact = cmTokens(full, textCol).groupBy("token")
       .agg(count(lit(1)).cast("long").as("n_exact"))
@@ -407,7 +433,7 @@ object Sketches {
     val probes = exact.select(col("token"), col("n_exact"),
       explode(array((0 until depth).map(r =>
         struct(lit(r).as("r"),
-          cmPosOf(lit(r), col("token"), width).as("pos"))): _*))
+          cmPosOf(lit(r), col("token"), width, prod).as("pos"))): _*))
         .as("_p"))
       .select(col("token"), col("n_exact"),
         col("_p.r").as("r"), col("_p.pos").as("pos"))

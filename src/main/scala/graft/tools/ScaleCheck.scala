@@ -139,6 +139,14 @@ object ScaleCheck {
     // q183's production operating point: 12-bit seeded-Gaussian planes
     // (4096 buckets) instead of the oracle-friendly 4-bit quantized family
     // whose 16 buckets would make the candidate join quadratic at scale
+    // q185's production operating point: the same CMS census with every
+    // position drawn from codegen xxhash64 — the md5 portable twin is the
+    // ORACLE contract, not the algorithm (~300M md5-of-concat calls at
+    // 100× were q185's whole cost)
+    "x185_countmin_prod" -> ((s, dir) =>
+      graft.ext.Sketches.countMinCensusProd(
+        graft.queries.Q.t(s, dir, "documents"), "text",
+        width = 16, depth = 3, topK = 20)),
     "x183_semantic_decon_prod" -> ((s, dir) => {
       val e = graft.queries.Q.t(s, dir, "embeddings")
       graft.ext.Similarity.semanticDecontaminate(

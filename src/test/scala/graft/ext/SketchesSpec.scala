@@ -129,6 +129,25 @@ class SketchesSpec extends SparkSpec {
     assert(inc == batch)
   }
 
+  test("countMinCensusProd (x185, xxhash64 positions): exact counts are " +
+    "hash-independent, CMS invariants hold, wide grid recovers exactly") {
+    val docs = Q.t(spark, sfDir("0.01"), "documents").limit(200)
+    val portable = Sketches.countMinCensus(docs, "text").collect()
+    val prod = Sketches.countMinCensusProd(docs, "text").collect()
+    // the token census (token, n_exact) is hash-independent — only the
+    // estimates may differ between the portable twin and production hash
+    assert(portable.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      prod.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    prod.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"est < exact for ${r.getString(0)}")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+    // a wide grid removes collisions for BOTH hash families
+    val wide = Sketches.countMinCensusProd(docs, "text", width = 1 << 20,
+      depth = 3, topK = 10).collect()
+    assert(wide.forall(_.getLong(3) == 0L))
+  }
+
   test("countMinCensus: est >= exact always; unique tokens recover exactly") {
     val docs = Seq(
       (1L, "apple apple banana  Cherry"), // double space + case folding
