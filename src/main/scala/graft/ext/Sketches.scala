@@ -147,6 +147,25 @@ object Sketches {
     kmvCensusCore(shardSketch, df, shardCol, keyCol, k)
   }
 
+  /** PRODUCTION-hash KMV census (the x178 channel): identical shape with
+    * the key hash drawn from codegen xxhash64 folded into the SAME
+    * [0, 2^60) range the estimator expects (2^64 ≡ 0 mod 2^60, so the
+    * fold stays exactly uniform). The md5 portable twin is the oracle
+    * contract; this is the form you run at lake scale (the x185
+    * precedent applied to sketch family 1).
+    */
+  def kmvCensusProd(
+      df: DataFrame,
+      shardCol: String,
+      keyCol: String,
+      k: Int = 64
+  ): DataFrame = {
+    val hashes = df.select(col(shardCol).cast("string").as("shard"),
+      pmod(xxhash64(col(keyCol).cast("string")), lit(1L << 60)).as("h"))
+      .distinct()
+    kmvCensusCore(bottomK(hashes, "shard", "h", k), df, shardCol, keyCol, k)
+  }
+
   /** Incrementally-maintained KMV census: the stored `state` sketch and
     * the `delta` batch's sketch merge by set-union → re-bottom-k (each
     * half's bottom-k supersets its contribution to the union's bottom-k),

@@ -139,6 +139,13 @@ object ScaleCheck {
     // q183's production operating point: 12-bit seeded-Gaussian planes
     // (4096 buckets) instead of the oracle-friendly 4-bit quantized family
     // whose 16 buckets would make the candidate join quadratic at scale
+    // q178's production operating point: KMV with xxhash64 folded into
+    // the estimator's [0, 2^60) range — the md5 twin is the oracle
+    // contract, not the algorithm
+    "x178_kmv_prod" -> ((s, dir) =>
+      graft.ext.Sketches.kmvCensusProd(
+        graft.queries.Q.t(s, dir, "orders"), "o_orderpriority",
+        "o_custkey", k = 64)),
     // q185's production operating point: the same CMS census with every
     // position drawn from codegen xxhash64 — the md5 portable twin is the
     // ORACLE contract, not the algorithm (~300M md5-of-concat calls at

@@ -129,6 +129,28 @@ class SketchesSpec extends SparkSpec {
     assert(inc == batch)
   }
 
+  test("kmvCensusProd (x178, xxhash64 in the estimator's 2^60 range): " +
+    "exact counts hash-independent, under-full shards recover exactly") {
+    val orders = Q.t(spark, sfDir("0.01"), "orders").limit(3000)
+    val portable = Sketches.kmvCensus(orders, "o_orderpriority", "o_custkey")
+      .collect()
+    val prod = Sketches.kmvCensusProd(orders, "o_orderpriority", "o_custkey")
+      .collect()
+    assert(portable.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      prod.map(r => (r.getString(0), r.getLong(1))).toSeq,
+      "exact counts must not depend on the hash")
+    // hashes stay in the estimator's range and estimates are positive
+    prod.foreach(r => assert(r.getDouble(2) > 0))
+    // a k larger than any shard's distinct count → |sketch| < k →
+    // estimate == exact for EVERY shard, any hash family
+    val wide = Sketches.kmvCensusProd(orders.limit(300), "o_orderpriority",
+      "o_custkey", k = 100000).collect()
+    wide.foreach { r =>
+      assert(r.getDouble(2) == r.getLong(1).toDouble,
+        s"under-full sketch must be exact for ${r.getString(0)}")
+    }
+  }
+
   test("countMinCensusProd (x185, xxhash64 positions): exact counts are " +
     "hash-independent, CMS invariants hold, wide grid recovers exactly") {
     val docs = Q.t(spark, sfDir("0.01"), "documents").limit(200)
