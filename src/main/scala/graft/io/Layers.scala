@@ -55,12 +55,26 @@ object Layers {
     * one directory per calendar day of `tsCol`, so day-grain predicates
     * (e.g. the merge stage's join key) prune partitions at the source and
     * dynamic partition pruning kicks in for joins against a date dimension.
+    *
+    * Rows are CLUSTERED BY DAY before the write (r8): without it, every
+    * one of the N write tasks emits a sliver into every day directory —
+    * N×days small files, the exact problem compaction exists for.
+    * `filesPerDay` is the big-day knob: 1 (default) = one file per day;
+    * at 100 TB a single day outgrows one task, so raise it and rows
+    * additionally spread over `filesPerDay` deterministic sub-buckets
+    * (xxhash64 of the row — content-stable across retries).
     */
-  def writePartitionedByDay(df: DataFrame, tsCol: String, path: String): Unit =
-    df.withColumn("_p_date",
-      org.apache.spark.sql.functions.to_date(
-        org.apache.spark.sql.functions.col(tsCol)).cast("string"))
-      .write.mode("overwrite").partitionBy("_p_date").parquet(path)
+  def writePartitionedByDay(df: DataFrame, tsCol: String, path: String,
+      filesPerDay: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, to_date, xxhash64}
+    require(filesPerDay >= 1, "filesPerDay >= 1")
+    val withDay = df.withColumn("_p_date", to_date(col(tsCol)).cast("string"))
+    val clustered =
+      if (filesPerDay == 1) withDay.repartition(col("_p_date"))
+      else withDay.repartition(col("_p_date"),
+        pmod(xxhash64(df.columns.map(col): _*), lit(filesPerDay.toLong)))
+    clustered.write.mode("overwrite").partitionBy("_p_date").parquet(path)
+  }
 
   /** Bucketed + sorted table layout — the co-located-join knob at 100 TB.
     * Rows are hash-distributed by `keys` into `nBuckets` bucket files, each

@@ -77,11 +77,9 @@ object LakeLayoutProbe {
     val events = graft.queries.Q.t(spark, dir, "events")
     val partedPath = "/tmp/graft_layout/events_byday.parquet"
     val tW0 = System.nanoTime()
-    // co-locate each day before the write: without this every one of the
-    // ~32 write tasks emits a sliver into every day directory (tasks×days
-    // small files — the exact small-file problem compaction exists for)
-    Layers.writePartitionedByDay(
-      events.repartition(to_date(col("ts"))), "ts", partedPath)
+    // day clustering is the sink's own behavior since r8 (one file per
+    // day by default; filesPerDay is the big-day knob)
+    Layers.writePartitionedByDay(events, "ts", partedPath)
     val writeSec = (System.nanoTime() - tW0) / 1e9
 
     def dayCensus(src: DataFrame, dayFilter: org.apache.spark.sql.Column) =

@@ -31,6 +31,23 @@ class LayersSpec extends SparkSpec {
     val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
     assert(pruned.count() > 0)
     assert(scan.contains("PartitionFilters") || days.length > 0)
+
+    // small-file contract (r8): rows are clustered by day inside the
+    // sink, so the default layout is ONE data file per day — not
+    // tasks×days slivers — and filesPerDay sub-buckets big days
+    def dataFiles(d: java.io.File) =
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(days.forall(dataFiles(_) == 1),
+      s"default layout must be 1 file/day: ${days.map(dataFiles).toSeq}")
+    Layers.writePartitionedByDay(df, "o_orderdate",
+      s"$dir/orders_by_day3", filesPerDay = 3)
+    val days3 = new java.io.File(s"$dir/orders_by_day3")
+      .listFiles().filter(_.getName.startsWith("_p_date="))
+    assert(days3.forall(d => dataFiles(d) >= 1 && dataFiles(d) <= 3),
+      s"filesPerDay=3 must bound files/day: ${days3.map(dataFiles).toSeq}")
+    // same content either way
+    assert(Layers.readParquet(spark, s"$dir/orders_by_day3").count() ==
+      df.count())
   }
 
   test("listParquet finds parquet objects; ensure creates dirs; copy copies") {
