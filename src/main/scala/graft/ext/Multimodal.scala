@@ -586,13 +586,65 @@ object Multimodal {
   private[ext] def decodeImaAdpcmWav(bytes: Array[Byte]): Option[Array[Byte]] =
     decodeImaAdpcmPcm(bytes).map(_.map(s => ((s >> 8) & 0xff).toByte))
 
-  /** Sample rate and frame count, when the payload is decodable audio. */
+  /** Sample rate and frame count, when the payload is decodable audio.
+    * IMA-ADPCM payloads answer from a PURE HEADER PARSE (fmt sample rate
+    * + `fact` per-channel frame count — the headerMeta discipline: ≤ a
+    * few hundred bytes read, no decode); everything else goes through
+    * javax.sound's format probe.
+    */
   def audioMeta(bytes: Array[Byte]): Option[(Int, Long)] =
+    imaAdpcmMeta(bytes).orElse(
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try Some((in.getFormat.getSampleRate.toInt, in.getFrameLength))
+        finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None })
+
+  /** Header-only (sampleRate, frames-per-channel) of a fmt-0x11 WAV:
+    * the metadata pass never touches the data chunk. Falls back to the
+    * block arithmetic when no `fact` chunk exists.
+    */
+  private[ext] def imaAdpcmMeta(bytes: Array[Byte]): Option[(Int, Long)] =
     try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try Some((in.getFormat.getSampleRate.toInt, in.getFrameLength))
-      finally in.close()
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int): Int =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+      if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+        return None
+      var fmtTag = -1
+      var channels = -1
+      var rate = -1
+      var blockAlign = -1
+      var factSamples = -1L
+      var dataLen = -1
+      var i = 12
+      while (i + 8 <= bytes.length) {
+        val ck = tag(i)
+        val sz = le32(i + 4)
+        if (ck == "fmt " && sz >= 16) {
+          fmtTag = le16(i + 8)
+          channels = le16(i + 10)
+          rate = le32(i + 12)
+          blockAlign = le16(i + 20)
+        } else if (ck == "fact" && sz >= 4) {
+          factSamples = le32(i + 8).toLong
+        } else if (ck == "data") {
+          dataLen = sz
+        }
+        i += 8 + sz + (sz & 1)
+      }
+      if (fmtTag != 0x11 || channels < 1 || rate <= 0 || blockAlign <= 0)
+        return None
+      val frames =
+        if (factSamples >= 0) factSamples
+        else { // no fact chunk: full blocks' arithmetic
+          val spb = (blockAlign / channels - 4) * 2 + 1
+          (dataLen.toLong / blockAlign) * spb
+        }
+      Some((rate, frames))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** PURE HEADER PARSE — no codec, no decode: container format and pixel

@@ -299,8 +299,15 @@ class MultimodalSpec extends SparkSpec {
     assert(wave.length == 600, s"decoded ${wave.length} — stub would echo " +
       s"the ${bytes.length} container bytes")
     assert(wave.toSeq == pcm.map(s => ((s >> 8) & 0xff).toByte).toSeq)
-    // stereo / non-0x11 payloads still return None from the ADPCM path
+    // non-0x11 payloads still return None from the ADPCM path
     assert(Multimodal.decodeImaAdpcmPcm("RIFFjunkWAVE".getBytes).isEmpty)
+    // metadata pass: header-only (rate, frames) for mono and stereo,
+    // without touching the data chunk
+    assert(Multimodal.audioMeta(bytes).contains((16000, 600L)))
+    val st = Multimodal.imaAdpcmWavStereoBytes(
+      Array.tabulate(700)(i => (6000 + i).toShort),
+      Array.tabulate(700)(i => (9000 - i).toShort), 8000, 256)
+    assert(Multimodal.audioMeta(st).contains((8000, 700L)))
   }
 
   test("aHash64: analytic values for stripe images, flat collision, box-avg") {
