@@ -101,6 +101,9 @@ object Multimodal {
         while (i + 8 <= to) {
           val ck = tag(i)
           val sz = le32(i + 4)
+          // untrusted size: a negative (or 0xFFFFFFF8-style) value would
+          // make the chunk step non-positive and wedge the walk forever
+          if (sz < 0) return
           if (ck == "LIST") {
             walk(i + 12, i + 8 + sz)
           } else if (ck == "avih" && sz >= 40) {
@@ -432,6 +435,8 @@ object Multimodal {
       while (i + 8 <= bytes.length) {
         val ck = tag(i)
         val sz = le32(i + 4)
+        // untrusted size: negative would zero/negate the step and hang
+        if (sz < 0) return None
         if (ck == "fmt " && sz >= 16) {
           fmtTag = le16(i + 8)
           channels = le16(i + 10)
@@ -624,6 +629,8 @@ object Multimodal {
       while (i + 8 <= bytes.length) {
         val ck = tag(i)
         val sz = le32(i + 4)
+        // untrusted size: negative would zero/negate the step and hang
+        if (sz < 0) return None
         if (ck == "fmt " && sz >= 16) {
           fmtTag = le16(i + 8)
           channels = le16(i + 10)

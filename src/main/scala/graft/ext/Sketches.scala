@@ -159,12 +159,23 @@ object Sketches {
       shardCol: String,
       keyCol: String,
       k: Int = 64
-  ): DataFrame = {
-    val hashes = df.select(col(shardCol).cast("string").as("shard"),
-      pmod(xxhash64(col(keyCol).cast("string")), lit(1L << 60)).as("h"))
+  ): DataFrame =
+    kmvCensusCore(bottomK(kmvHashesProd(df, shardCol, keyCol), "shard",
+      "h", k), df, shardCol, keyCol, k)
+
+  /** The xxhash64 production hash folded into the estimator's [0, 2^60)
+    * range (2^64 ≡ 0 mod 2^60, so the fold stays exactly uniform). Null
+    * keys dropped — see [[kmvHashes]].
+    */
+  private[graft] def prodHash60(c: Column): Column =
+    pmod(xxhash64(c), lit(1L << 60))
+
+  private[graft] def kmvHashesProd(
+      df: DataFrame, shardCol: String, keyCol: String): DataFrame =
+    df.filter(col(keyCol).isNotNull)
+      .select(col(shardCol).cast("string").as("shard"),
+        prodHash60(col(keyCol).cast("string")).as("h"))
       .distinct()
-    kmvCensusCore(bottomK(hashes, "shard", "h", k), df, shardCol, keyCol, k)
-  }
 
   /** Incrementally-maintained KMV census: the stored `state` sketch and
     * the `delta` batch's sketch merge by set-union → re-bottom-k (each
@@ -182,20 +193,52 @@ object Sketches {
       shardCol: String,
       keyCol: String,
       k: Int = 64
+  ): DataFrame =
+    kmvIncrementalCore(state, delta, shardCol, keyCol, k, prod = false)
+
+  /** PRODUCTION-hash incremental KMV census (the x186 channel): the same
+    * state⊕delta set-union → re-bottom-k merge with every hash drawn from
+    * codegen xxhash64 folded into [0, 2^60). The md5 twin is the oracle
+    * contract (q186); this is the form a 100-TB maintenance job runs —
+    * the x178/x185 pattern applied to the incremental path.
+    */
+  def kmvCensusIncrementalProd(
+      state: DataFrame,
+      delta: DataFrame,
+      shardCol: String,
+      keyCol: String,
+      k: Int = 64
+  ): DataFrame =
+    kmvIncrementalCore(state, delta, shardCol, keyCol, k, prod = true)
+
+  private def kmvIncrementalCore(
+      state: DataFrame,
+      delta: DataFrame,
+      shardCol: String,
+      keyCol: String,
+      k: Int,
+      prod: Boolean
   ): DataFrame = {
-    val s1 = bottomK(kmvHashes(state, shardCol, keyCol), "shard", "h", k)
-    val s2 = bottomK(kmvHashes(delta, shardCol, keyCol), "shard", "h", k)
+    def hashes(df: DataFrame): DataFrame =
+      if (prod) kmvHashesProd(df, shardCol, keyCol)
+      else kmvHashes(df, shardCol, keyCol)
+    val s1 = bottomK(hashes(state), "shard", "h", k)
+    val s2 = bottomK(hashes(delta), "shard", "h", k)
     val merged = bottomK(s1.unionByName(s2).distinct(), "shard", "h", k)
     kmvCensusCore(merged, state.unionByName(delta), shardCol, keyCol, k)
   }
 
   /** Distinct (shard, portable-hash) pairs — the only thing KMV ever
-    * hashes or shuffles.
+    * hashes or shuffles. Null keys are DROPPED before hashing so sketch
+    * membership matches the exact-count semantics (count_distinct ignores
+    * nulls; a null hashing to a constant would claim a bottom-k slot and
+    * bias the estimate).
     */
   private[graft] def kmvHashes(
       df: DataFrame, shardCol: String, keyCol: String): DataFrame =
-    df.select(col(shardCol).cast("string").as("shard"),
-      Dedup.portableHash60(col(keyCol).cast("string")).as("h"))
+    df.filter(col(keyCol).isNotNull)
+      .select(col(shardCol).cast("string").as("shard"),
+        Dedup.portableHash60(col(keyCol).cast("string")).as("h"))
       .distinct()
 
   /** Shared census tail: merge the per-shard sketches into the `~all`
@@ -253,7 +296,7 @@ object Sketches {
       windowDays: Int = 7,
       k: Int = 64
   ): DataFrame = {
-    val hashes = df
+    val hashes = df.filter(col(keyCol).isNotNull)
       .select(to_date(col(tsCol)).as("day"),
         Dedup.portableHash60(col(keyCol).cast("string")).as("h"))
       .distinct()
@@ -300,9 +343,33 @@ object Sketches {
       keysB: DataFrame,
       keyCol: String,
       k: Int = 256
+  ): DataFrame =
+    kmvSetOpsCore(keysA, keysB, keyCol, k, prod = false)
+
+  /** PRODUCTION-hash KMV set-ops census (the x190 channel): identical
+    * estimator with the key hash drawn from codegen xxhash64 folded into
+    * [0, 2^60). The md5 twin is the oracle contract (q190); this is the
+    * audience-overlap form you run at lake scale (x178/x185 pattern).
+    */
+  def kmvSetOpsCensusProd(
+      keysA: DataFrame,
+      keysB: DataFrame,
+      keyCol: String,
+      k: Int = 256
+  ): DataFrame =
+    kmvSetOpsCore(keysA, keysB, keyCol, k, prod = true)
+
+  private def kmvSetOpsCore(
+      keysA: DataFrame,
+      keysB: DataFrame,
+      keyCol: String,
+      k: Int,
+      prod: Boolean
   ): DataFrame = {
     def hashes(df: DataFrame): DataFrame =
-      df.select(Dedup.portableHash60(col(keyCol).cast("string")).as("h"))
+      df.filter(col(keyCol).isNotNull)
+        .select((if (prod) prodHash60(col(keyCol).cast("string"))
+          else Dedup.portableHash60(col(keyCol).cast("string"))).as("h"))
         .distinct()
     def sketch(df: DataFrame): DataFrame =
       hashes(df).orderBy("h").limit(k)
@@ -315,9 +382,11 @@ object Sketches {
       .agg(count(lit(1)).cast("long").as("_m"))
     val uStats = u.agg(count(lit(1)).cast("long").as("_nu"),
       max(col("h")).as("_hk"))
-    val exact = keysA.select(col(keyCol).as("_k")).distinct()
+    val exact = keysA.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("_k")).distinct()
       .withColumn("_inA", lit(1))
-      .join(keysB.select(col(keyCol).as("_k")).distinct()
+      .join(keysB.filter(col(keyCol).isNotNull)
+        .select(col(keyCol).as("_k")).distinct()
         .withColumn("_inB", lit(1)), Seq("_k"), "full_outer")
       .agg(
         sum(coalesce(col("_inA"), lit(0))).cast("long").as("n_a"),
@@ -472,10 +541,23 @@ object Sketches {
     * stays inside int64 for kH ≤ 7 — Spark and DuckDB agree exactly
     * (no overflow wrap on either side).
     */
-  def bloomPositions(textCol: Column, m: Int, kH: Int): Column = {
+  def bloomPositions(textCol: Column, m: Int, kH: Int): Column =
+    bloomPositionsOf(textCol, m, kH, prod = false)
+
+  /** The production-hash probe positions: both double-hashing bases drawn
+    * from codegen xxhash64 (independent via the "b2|" salt), folded into
+    * [0, 2^60) so the same magnitude guard (h1 + (kH−1)·h2 < kH·2^60 ≤
+    * int64 max for kH ≤ 7) holds exactly.
+    */
+  def bloomPositionsProd(textCol: Column, m: Int, kH: Int): Column =
+    bloomPositionsOf(textCol, m, kH, prod = true)
+
+  private def bloomPositionsOf(
+      textCol: Column, m: Int, kH: Int, prod: Boolean): Column = {
     require(kH <= 7, s"kH=$kH would overflow int64 position math")
-    val h1 = Dedup.portableHash60(textCol)
-    val h2 = Dedup.portableHash60(concat(lit("b2|"), textCol))
+    val h1 = if (prod) prodHash60(textCol) else Dedup.portableHash60(textCol)
+    val h2 = if (prod) prodHash60(concat(lit("b2|"), textCol))
+      else Dedup.portableHash60(concat(lit("b2|"), textCol))
     transform(sequence(lit(0), lit(kH - 1)),
       i => pmod(h1 + i.cast("long") * h2, lit(m.toLong)))
   }
@@ -498,13 +580,40 @@ object Sketches {
       textCol: String,
       m: Int = 1 << 15,
       kH: Int = 5
+  ): DataFrame =
+    bloomPrefilterCore(index, probe, idCol, textCol, m, kH, prod = false)
+
+  /** PRODUCTION-hash Bloom pre-filter census (the x179 channel): the same
+    * broadcast position-set / probe / exact-verify shape with every probe
+    * position drawn from codegen xxhash64 (see [[bloomPositionsProd]]).
+    * The md5 twin is the oracle contract (q179); this is the form an
+    * incremental-dedup gate runs at lake scale (x178/x185 pattern).
+    */
+  def bloomPrefilterCensusProd(
+      index: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      m: Int = 1 << 15,
+      kH: Int = 5
+  ): DataFrame =
+    bloomPrefilterCore(index, probe, idCol, textCol, m, kH, prod = true)
+
+  private def bloomPrefilterCore(
+      index: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      m: Int,
+      kH: Int,
+      prod: Boolean
   ): DataFrame = {
     val posSet = index
-      .select(explode(bloomPositions(col(textCol), m, kH)).as("pos"))
+      .select(explode(bloomPositionsOf(col(textCol), m, kH, prod)).as("pos"))
       .distinct()
     val probePos = probe
       .select(col(idCol).as("_pid"),
-        explode(array_distinct(bloomPositions(col(textCol), m, kH)))
+        explode(array_distinct(bloomPositionsOf(col(textCol), m, kH, prod)))
           .as("pos"))
     val perDoc = probePos
       .join(broadcast(posSet.withColumn("_hit", lit(1))), Seq("pos"), "left")

@@ -116,10 +116,15 @@ case class BootstrapSeededAgg(
     var r = 0
     // the accumulate is UNCONDITIONAL (the BootstrapPoissonAgg lesson: a
     // 63%-true `weight > 0` guard mispredicts its way to ~2× slowdown).
-    // Adding wd·v with wd = 0 is BIT-IDENTICAL to skipping: the addend is
-    // ±0.0, and x + (±0.0) == x for every x except -0.0 — which no
-    // accumulator can become (they start at +0.0 and (+0.0) + (-0.0) is
-    // +0.0). AnalyticsGoldenSpec's RDD-twin bit-identity test pins it.
+    // Adding wd·v with wd = 0 is BIT-IDENTICAL to skipping FOR FINITE v:
+    // the addend is ±0.0, and x + (±0.0) == x for every x except -0.0 —
+    // which no accumulator can become (they start at +0.0 and
+    // (+0.0) + (-0.0) is +0.0). PRECONDITION: values must be finite —
+    // a ±Infinity/NaN row would contribute 0.0·Inf = NaN even to
+    // replicates that drew weight 0, diverging from the guarded twin.
+    // Upstream (Bootstrap.cleanNumeric) null-drops and the generators
+    // never emit non-finite values; AnalyticsGoldenSpec's RDD-twin
+    // bit-identity test pins the finite-input equivalence.
     if (k == 4) {
       // specialized hot loop: scalarized values/masks, no inner ci loop
       val v0 = vm(0); val v1 = vm(1); val v2 = vm(2); val v3 = vm(3)

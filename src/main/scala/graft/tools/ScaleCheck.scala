@@ -154,6 +154,33 @@ object ScaleCheck {
       graft.ext.Sketches.countMinCensusProd(
         graft.queries.Q.t(s, dir, "documents"), "text",
         width = 16, depth = 3, topK = 20)),
+    // q186/q190/q179's production operating points (VERDICT r8 #1): the
+    // remaining portable-only sketch paths at their xxhash64 forms — the
+    // md5 twins stay the oracle contract, these carry the 100× lines
+    "x186_kmv_incremental_prod" -> ((s, dir) => {
+      val o = graft.queries.Q.t(s, dir, "orders")
+      val cut = to_timestamp(lit("1998-01-01"))
+      graft.ext.Sketches.kmvCensusIncrementalProd(
+        o.filter(col("o_orderdate") < cut),
+        o.filter(col("o_orderdate") >= cut),
+        "o_orderpriority", "o_custkey", k = 64)
+    }),
+    "x190_kmv_set_ops_prod" -> ((s, dir) => {
+      val o = graft.queries.Q.t(s, dir, "orders")
+      graft.ext.Sketches.kmvSetOpsCensusProd(
+        o.filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey"),
+        o.filter(col("o_orderpriority") === "5-LOW")
+          .select("o_custkey"),
+        "o_custkey", k = 256)
+    }),
+    "x179_bloom_prefilter_prod" -> ((s, dir) => {
+      val d = graft.queries.Q.t(s, dir, "documents")
+      graft.ext.Sketches.bloomPrefilterCensusProd(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", m = 1 << 15, kH = 5)
+    }),
     "x183_semantic_decon_prod" -> ((s, dir) => {
       val e = graft.queries.Q.t(s, dir, "embeddings")
       graft.ext.Similarity.semanticDecontaminate(

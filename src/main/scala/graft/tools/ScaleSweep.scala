@@ -66,6 +66,8 @@ object ScaleSweep {
     // the oracle point stays gated at sf0.01 by check_oracle
     "x77_semantic_dedup_prod", "x141_hard_negatives_lsh",
     "x178_kmv_prod", "x185_countmin_prod",
+    "x179_bloom_prefilter_prod", "x186_kmv_incremental_prod",
+    "x190_kmv_set_ops_prod",
     "x151_equal_freq_binning_approx", "x183_semantic_decon_prod",
     "x205_label_kappa_prod", "x214_label_kappa_pq",
     "x229_label_noise_prod", "x230_label_noise_pq")

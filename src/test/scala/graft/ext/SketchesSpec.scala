@@ -170,6 +170,79 @@ class SketchesSpec extends SparkSpec {
     assert(wide.forall(_.getLong(3) == 0L))
   }
 
+  test("kmvCensusIncrementalProd (x186): incremental == batch prod census; " +
+    "exact counts hash-independent") {
+    val orders = Q.t(spark, sfDir("0.01"), "orders").limit(3000)
+      .localCheckpoint(true)
+    val cut = to_timestamp(lit("1998-01-01"))
+    val batchProd = Sketches.kmvCensusProd(orders, "o_orderpriority",
+      "o_custkey").collect().toSeq
+    val incProd = Sketches.kmvCensusIncrementalProd(
+      orders.filter(col("o_orderdate") < cut),
+      orders.filter(col("o_orderdate") >= cut),
+      "o_orderpriority", "o_custkey").collect().toSeq
+    // mergeability holds for the production hash exactly as for md5
+    assert(incProd == batchProd)
+    // the exact-count column never depends on the hash family
+    val portable = Sketches.kmvCensusIncremental(
+      orders.filter(col("o_orderdate") < cut),
+      orders.filter(col("o_orderdate") >= cut),
+      "o_orderpriority", "o_custkey").collect()
+    assert(portable.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      incProd.map(r => (r.getString(0), r.getLong(1))))
+  }
+
+  test("kmvSetOpsCensusProd (x190): exact set algebra hash-independent; " +
+    "under-full sketches recover exactly") {
+    val a = (1L to 10L).toDF("k")
+    val b = (6L to 15L).toDF("k")
+    val r = Sketches.kmvSetOpsCensusProd(a, b, "k", k = 256).head()
+    // under-full → the sketch holds every hash and the estimates collapse
+    // to the exact values for ANY hash family
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, 10L, 5L, 15L)))
+    assert(r.getDouble(5) == 5.0 && r.getDouble(6) == 15.0)
+    // full sketches: exact columns identical across hash families
+    val orders = Q.t(spark, sfDir("0.01"), "orders").localCheckpoint(true)
+    val ka = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    val kb = orders.filter(col("o_orderpriority") === "5-LOW")
+      .select("o_custkey")
+    val prod = Sketches.kmvSetOpsCensusProd(ka, kb, "o_custkey", k = 256).head()
+    val port = Sketches.kmvSetOpsCensus(ka, kb, "o_custkey", k = 256).head()
+    assert((prod.getLong(0), prod.getLong(1), prod.getLong(2),
+      prod.getLong(3)) ==
+      ((port.getLong(0), port.getLong(1), port.getLong(2), port.getLong(3))))
+    // estimates stay in a sane band under the production hash too
+    val (inter, union) = (prod.getLong(2).toDouble, prod.getLong(3).toDouble)
+    assert(math.abs(prod.getDouble(5) - inter) / inter < 0.3)
+    assert(math.abs(prod.getDouble(6) - union) / union < 0.3)
+  }
+
+  test("bloomPrefilterCensusProd (x179): true dups hash-independent, " +
+    "no false negatives, positions in range") {
+    val index = (0 until 200).map(i => (i.toLong, s"indexed document $i"))
+      .toDF("doc_id", "text")
+    val probe = ((0 until 20).map(i => (1000L + i, s"indexed document $i")) ++
+      (0 until 180).map(i => (2000L + i, s"novel probe document $i")))
+      .toDF("doc_id", "text")
+    val prod = Sketches.bloomPrefilterCensusProd(index, probe, "doc_id",
+      "text", m = 1 << 14, kH = 5).head()
+    val port = Sketches.bloomPrefilterCensus(index, probe, "doc_id",
+      "text", m = 1 << 14, kH = 5).head()
+    // n_probe and n_true_dup come from the exact verify — identical for
+    // any hash family; only the false-positive count may differ
+    assert(prod.getLong(0) == port.getLong(0))
+    assert(prod.getLong(2) == port.getLong(2) && prod.getLong(2) == 20L)
+    assert(prod.getLong(1) >= 20L, "bloom pass must contain every true dup")
+    assert(prod.getLong(3) <= 10L, s"false positives ${prod.getLong(3)}")
+    // prod positions stay inside [0, m)
+    val pos = Seq("alpha", "beta").toDF("t")
+      .select(Sketches.bloomPositionsProd(col("t"), m = 1 << 10, kH = 5)
+        .as("p")).collect().map(_.getSeq[Long](0))
+    assert(pos.forall(p => p.length == 5 && p.forall(x => x >= 0 && x < 1024)))
+  }
+
   test("countMinCensus: est >= exact always; unique tokens recover exactly") {
     val docs = Seq(
       (1L, "apple apple banana  Cherry"), // double space + case folding
