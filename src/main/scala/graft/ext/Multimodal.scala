@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions._
   * uncompressed-DIB ('00db') or MJPEG ('00dc' + JPEG SOI) frames — the
   * container demux below plus the same ImageIO JPEG codec the image path
   * uses. COMPRESSED AUDIO decode is real for IMA-ADPCM WAV (fmt 0x11 —
-  * pure-integer predictor/step-table walk, see `decodeImaAdpcmPcm`); only
-  * PERCEPTUAL audio codecs (mp3/ogg-class, no JDK codec and no
-  * integer-exact zero-dep decode) remain STUBBED behind `decodeStub`,
-  * which produces a deterministic fake "decoded" payload from the bytes.
-  * Swapping in further codecs changes only the `decode` seam.
+  * pure-integer predictor/step-table walk, see `decodeImaAdpcmPcm`) and
+  * for FLAC (subset decoder in [[Flac]] — Rice-coded integer predictor
+  * residuals, CONSTANT/VERBATIM/FIXED/LPC subframes, stereo
+  * decorrelation, CRC-verified); only PERCEPTUAL audio codecs
+  * (mp3/ogg-class, no JDK codec and no integer-exact zero-dep decode)
+  * remain STUBBED behind `decodeStub`, which produces a deterministic
+  * fake "decoded" payload from the bytes. Swapping in further codecs
+  * changes only the `decode` seam.
   *
   * Scale notes: feature extraction is `mapPartitions` over batches of
   * `batchSize` rows — the same batch shape a vectorized (Arrow/pandas-style)
@@ -38,8 +41,8 @@ object Multimodal {
 
   /** STUB decode ??? — deterministic fake for PERCEPTUAL AUDIO codecs (no
     * mp3/ogg-class codec ships with the JDK; H.264-class video likewise
-    * stays environment-bound — IMA-ADPCM WAV decodes for REAL above this
-    * floor) and for undecodable payloads: the "decoded
+    * stays environment-bound — IMA-ADPCM WAV and FLAC decode for REAL
+    * above this floor) and for undecodable payloads: the "decoded
     * frame" is the byte stream itself, so downstream feature math is
     * still exercised end-to-end with stable results. Uncompressed-DIB and
     * MJPEG AVI video and the JDK-native image/audio formats take their
@@ -60,9 +63,11 @@ object Multimodal {
     kind match {
       case "image" => decodeImage(bytes).getOrElse(decodeStub(bytes, kind))
       case "audio" =>
-        // fmt-0x11 detection is precise, so the ADPCM path goes first —
-        // javax.sound may accept the container but cannot decode the codec
-        decodeImaAdpcmWav(bytes).orElse(decodeAudio(bytes))
+        // magic/fmt-tag detection is precise, so the in-house codecs go
+        // first (fLaC magic, then fmt-0x11 ADPCM) — javax.sound may accept
+        // a container but cannot decode these codecs
+        decodeFlacWav(bytes)
+          .orElse(decodeImaAdpcmWav(bytes)).orElse(decodeAudio(bytes))
           .getOrElse(decodeStub(bytes, kind))
       case "video" =>
         decodeVideoAvi(bytes).map(_.flatten.toArray)
@@ -591,6 +596,16 @@ object Multimodal {
   private[ext] def decodeImaAdpcmWav(bytes: Array[Byte]): Option[Array[Byte]] =
     decodeImaAdpcmPcm(bytes).map(_.map(s => ((s >> 8) & 0xff).toByte))
 
+  /** Waveform bytes (MSB per sample) of a FLAC payload via the in-house
+    * subset decoder ([[Flac.decodeFlac]] — real lossless Rice/LPC integer
+    * decode, zero dependencies).
+    */
+  private[ext] def decodeFlacWav(bytes: Array[Byte]): Option[Array[Byte]] =
+    Flac.decodeFlac(bytes).map { a =>
+      val shift = math.max(0, a.bps - 8)
+      a.samples.map(s => ((s >> shift) & 0xff).toByte)
+    }
+
   /** Sample rate and frame count, when the payload is decodable audio.
     * IMA-ADPCM payloads answer from a PURE HEADER PARSE (fmt sample rate
     * + `fact` per-channel frame count — the headerMeta discipline: ≤ a
@@ -598,7 +613,8 @@ object Multimodal {
     * javax.sound's format probe.
     */
   def audioMeta(bytes: Array[Byte]): Option[(Int, Long)] =
-    imaAdpcmMeta(bytes).orElse(
+    Flac.flacMeta(bytes).map { case (rate, _, _, total) => (rate, total) }
+      .orElse(imaAdpcmMeta(bytes)).orElse(
       try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))

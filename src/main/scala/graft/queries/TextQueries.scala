@@ -692,6 +692,67 @@ object TextQueries {
              |FROM documents ORDER BY media_id""".stripMargin)
     ),
 
+    // ---- FLAC decode (r9, the last zero-dependency integer-exact codec
+    //      step): real subset-FLAC payloads — fLaC magic, STREAMINFO,
+    //      CRC-8/16-checked frames, FIXED-predictor subframes with Rice
+    //      residuals plus forced-VERBATIM frames (every 3rd) and CONSTANT
+    //      frames on the step-0 docs — are BUILT from each row's fields
+    //      (Flac.encodeFlac) and DECODED by Flac.decodeFlac (pure integer
+    //      math: zigzag Rice, fixed-order reconstruction). The signal is a
+    //      ±1-per-sample ramp (or a constant), so the DuckDB twin replays
+    //      the decoded stream in closed form — a drift in the container
+    //      walk, frame headers, CRCs, Rice decode, or predictor math
+    //      breaks the hash. q235's round-trip argument for the last
+    //      losslessly-decodable audio family; the honest stub floor is
+    //      now perceptual codecs (mp3/ogg) only.
+    QueryDef(
+      "q240_audio_flac_census",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val n = (613 * (1 + id % 2) + id % 89).toInt
+              val v0 = (4096 + id * 53 % 16384).toInt
+              val step =
+                if (id % 5 == 0) 0 else if (id % 2 == 0) 1 else -1
+              val rate = (16000 + (id % 7) * 1000).toInt
+              val pcm = Array.tabulate(n)(i => v0 + step * i)
+              val bytes = graft.ext.Flac.encodeFlac(pcm, rate, channels = 1,
+                bps = 16, blockSize = 256, verbatimEvery = 3)
+              val a = graft.ext.Flac.decodeFlac(bytes)
+              val dec = a.map(_.samples).getOrElse(Array.empty[Int])
+              var msbSum = 0L
+              var i = 0
+              while (i < dec.length) { msbSum += (dec(i) >> 8) & 0xff; i += 1 }
+              (id, dec.length.toLong, a.map(_.sampleRate.toLong).getOrElse(-1L),
+                msbSum, if (dec.isEmpty) -1L else dec.last.toLong)
+            }
+          }
+          .toDF("media_id", "n_samples", "sample_rate", "msb_sum",
+            "last_sample")
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(613 * (1 + doc_id % 2) + doc_id % 89 AS BIGINT)
+             |    AS n_samples,
+             |  CAST(16000 + (doc_id % 7) * 1000 AS BIGINT) AS sample_rate,
+             |  CAST(list_sum(list_transform(
+             |    range(0, 613 * (1 + doc_id % 2) + doc_id % 89),
+             |    i -> (4096 + doc_id * 53 % 16384
+             |          + CASE WHEN doc_id % 5 = 0 THEN 0
+             |                 WHEN doc_id % 2 = 0 THEN i
+             |                 ELSE -i END) // 256))
+             |    AS BIGINT) AS msb_sum,
+             |  CAST(4096 + doc_id * 53 % 16384
+             |    + CASE WHEN doc_id % 5 = 0 THEN 0
+             |           WHEN doc_id % 2 = 0
+             |             THEN 613 * (1 + doc_id % 2) + doc_id % 89 - 1
+             |           ELSE -(613 * (1 + doc_id % 2) + doc_id % 89 - 1) END
+             |    AS BIGINT) AS last_sample
+             |FROM documents ORDER BY media_id""".stripMargin)
+    ),
+
     // ---- media HEADER parsing, oracled as an encode→parse ROUND TRIP:
     //      deterministic PNG/JPEG/GIF header bytes are built from each
     //      row's fields (real container structure: IHDR / SOF0 marker

@@ -49,7 +49,7 @@ object ScaleSweep {
     "q210_trimmed_mean", "q40_monte_carlo_scenarios",
     "q232_join_cardinality_sketch", "q233_video_frame_census",
     "q234_video_mjpeg_census", "q235_audio_adpcm_census",
-    "q238_audio_adpcm_stereo",
+    "q238_audio_adpcm_stereo", "q240_audio_flac_census",
     // the seeded production bootstrap (the registered q41's portable
     // form is oracle-tier: its ×nSim row expansion is for sf0.01/0.1)
     "x41_bootstrap_seeded",

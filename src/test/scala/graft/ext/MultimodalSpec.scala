@@ -310,6 +310,18 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioMeta(st).contains((8000, 700L)))
   }
 
+  test("FLAC routes through the decode seam (not the stub); audioMeta " +
+    "answers from the header") {
+    val pcm = Array.tabulate(600)(i => 5000 + i)
+    val bytes = graft.ext.Flac.encodeFlac(pcm, 16000, channels = 1)
+    val wave = Multimodal.decode(bytes, "audio")
+    assert(wave.length == 600, s"decoded ${wave.length} — stub would echo " +
+      s"the ${bytes.length} container bytes")
+    assert(wave.toSeq == pcm.map(s => ((s >> 8) & 0xff).toByte).toSeq)
+    // metadata pass: STREAMINFO-only (rate, total samples)
+    assert(Multimodal.audioMeta(bytes).contains((16000, 600L)))
+  }
+
   test("aHash64: analytic values for stripe images, flat collision, box-avg") {
     val col8 = 72340172838076673L // 0x0101010101010101
     // 8x8, k white columns → (2^k - 1) · col8
