@@ -34,12 +34,17 @@ object Pipeline {
     *   of the day joins), so gold analytics cost is set by MERGED rows —
     *   `--silver-only` lays out the lake without paying it (the analytics
     *   are independently golden-verified at the 101,892-row parity point).
+    * @param bootstrapDrawBudget slot-update ceiling for the gold
+    *   bootstrap (VERDICT r8 #8): the MERGED row count is measured first
+    *   and nSim derated (with a warning) so the ~20× merge fan-out can
+    *   never silently walk the replicate loop into hours of work.
     */
   def run(spark: SparkSession, lake: LakePaths,
       generate: Boolean = true, nRows: Long = 5000,
       bucketed: Option[BucketedSilver] = None,
       partitionedByDay: Boolean = false,
-      goldStages: Boolean = true): Unit = {
+      goldStages: Boolean = true,
+      bootstrapDrawBudget: Long = Bootstrap.DefaultDrawBudget): Unit = {
     if (generate) {
       Layers.writeCsv(Generators.traffic(spark, nRows), lake.bronze("traffic_raw.csv"), singleFile = true)
       Layers.writeCsv(Generators.weather(spark, nRows), lake.bronze("weather_raw.csv"), singleFile = true)
@@ -86,7 +91,23 @@ object Pipeline {
     Layers.writeParquet(loadings, lake.gold("factor_loadings.parquet"))
 
     Layers.writeParquet(MonteCarlo.simulate(spark, merged), lake.gold("monte_carlo_scenarios.parquet"))
-    Layers.writeParquet(Bootstrap(spark, merged), lake.gold("monte_carlo_results.parquet"))
+    // estimate-first bootstrap sizing: the merge fans traffic out ~20×,
+    // so the replicate-loop cost is set by MERGED rows, not nRows — fit
+    // nSim to the budget BEFORE the loop instead of discovering the
+    // fan-out eight minutes in (the r8 trap)
+    val mergedRows = merged.count()
+    val kCols = math.min(8, graft.etl.Cleaning.numericCols(merged).length)
+    val nSim = math.min(5000,
+      Bootstrap.maxSimForBudget(mergedRows, math.max(1, kCols),
+        bootstrapDrawBudget))
+    if (nSim < 5000)
+      println(s"[pipeline] gold bootstrap derated to nSim=$nSim: " +
+        s"$mergedRows merged rows x $kCols cols at " +
+        s"budget=$bootstrapDrawBudget (the ~20x merge fan-out; raise " +
+        s"bootstrapDrawBudget to keep nSim=5000 deliberately)")
+    Layers.writeParquet(
+      Bootstrap(spark, merged, nSim = nSim, drawBudget = bootstrapDrawBudget),
+      lake.gold("monte_carlo_results.parquet"))
     merged.unpersist()
     ()
   }

@@ -40,13 +40,33 @@ object Bootstrap {
     )
   )
 
+  /** Distributed-path cost ceiling, in buffer-slot updates
+    * (rows × nSim × 2·cols). Calibration: the x41 production point
+    * (60M rows × nSim 1000 × k 4 ≈ 4.8·10¹¹ updates) runs ~36 s on
+    * local[32] through the fused aggregate; 10¹² is ~1-2 minutes. The
+    * guard exists because upstream fan-out silently multiplies rows —
+    * the r8 gold-stage trap: the traffic⋈weather merge fans traffic out
+    * ~20×, so a 100k-row pipeline input hands Bootstrap ~2M merged rows.
+    */
+  val DefaultDrawBudget: Long = 1000000000000L
+
+  /** Largest nSim whose distributed-path cost fits `budget` at this input
+    * shape (floored at 100 replicates — below that the CI itself is
+    * junk and the caller should rethink the input).
+    */
+  def maxSimForBudget(
+      rows: Long, cols: Int, budget: Long = DefaultDrawBudget): Int =
+    math.min(65536L,
+      math.max(100L, budget / math.max(1L, rows * 2L * cols))).toInt
+
   def apply(
       spark: SparkSession,
       df: DataFrame,
       nSim: Int = 5000,
       maxColumns: Int = 8,
       seed: Long = 42L,
-      driverRowLimit: Long = 200000L
+      driverRowLimit: Long = 200000L,
+      drawBudget: Long = DefaultDrawBudget
   ): DataFrame = {
     val cols = Cleaning.numericCols(df)
     if (cols.isEmpty)
@@ -60,7 +80,20 @@ object Bootstrap {
     val target = cols.take(maxColumns)
     val n = filled.count()
     if (n <= driverRowLimit) driverSide(spark, filled, target, nSim, seed)
-    else poisson(spark, filled, target, nSim, seed)
+    else {
+      // LOUD fan-out guard (VERDICT r8 #8): a silently-multiplied input
+      // (the ~20× traffic⋈weather merge) must not walk into an
+      // hours-long replicate loop — fail naming the knobs instead
+      val updates = n * nSim.toLong * 2L * target.length
+      require(updates <= drawBudget,
+        s"Bootstrap: $n rows x nSim=$nSim x ${target.length} cols = " +
+          s"$updates slot updates exceeds drawBudget=$drawBudget. An " +
+          s"upstream join may have fanned the input out (the gold-stage " +
+          s"trap: traffic-weather merge multiplies rows ~20x). Derate " +
+          s"nSim to <= ${maxSimForBudget(n, target.length, drawBudget)} " +
+          s"(Bootstrap.maxSimForBudget), or raise drawBudget deliberately.")
+      poisson(spark, filled, target, nSim, seed)
+    }
   }
 
   /** Median-fill all numeric columns (monte_carlo.py:265: fillna(median)).

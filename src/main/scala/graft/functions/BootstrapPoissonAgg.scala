@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.nio.ByteBuffer
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
@@ -44,8 +42,7 @@ case class BootstrapPoissonAgg(
     inputAggBufferOffset: Int = 0
 ) extends TypedImperativeAggregate[Array[Long]] {
 
-  require(nSim >= 1 && nSim <= 65536, "bootstrap_poisson_agg: 1 <= nSim <= 65536")
-  require(values.nonEmpty, "bootstrap_poisson_agg needs at least one value column")
+  BootstrapAggCommon.requireArgs("bootstrap_poisson_agg", nSim, values)
 
   override def children: Seq[Expression] = hash +: values
   override def nullable: Boolean = false
@@ -58,11 +55,8 @@ case class BootstrapPoissonAgg(
     containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    children.find(_.dataType != LongType) match {
-      case Some(c) => TypeCheckResult.TypeCheckFailure(
-        s"bootstrap_poisson_agg expects BIGINT inputs, got ${c.dataType.catalogString}")
-      case None => TypeCheckResult.TypeCheckSuccess
-    }
+    BootstrapAggCommon.checkHomogeneous(
+      "bootstrap_poisson_agg", children, LongType)
 
   private val k = values.length
   private val mask = (1L << 30) - 1
@@ -181,17 +175,11 @@ case class BootstrapPoissonAgg(
     new GenericArrayData(rows.toArray[Any])
   }
 
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(buf.length * 8)
-    bb.asLongBuffer().put(buf)
-    bb.array()
-  }
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    BootstrapAggCommon.longsToBytes(buf)
 
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val out = new Array[Long](bytes.length / 8)
-    ByteBuffer.wrap(bytes).asLongBuffer().get(out)
-    out
-  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    BootstrapAggCommon.bytesToLongs(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BootstrapPoissonAgg =
     copy(mutableAggBufferOffset = newOffset)

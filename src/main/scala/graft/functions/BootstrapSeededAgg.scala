@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.nio.ByteBuffer
-
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -48,8 +46,7 @@ case class BootstrapSeededAgg(
     inputAggBufferOffset: Int = 0
 ) extends TypedImperativeAggregate[java.util.TreeMap[Integer, Array[Double]]] {
 
-  require(nSim >= 1 && nSim <= 65536, "bootstrap_seeded_agg: 1 <= nSim <= 65536")
-  require(values.nonEmpty, "bootstrap_seeded_agg needs at least one value column")
+  BootstrapAggCommon.requireArgs("bootstrap_seeded_agg", nSim, values)
 
   override def children: Seq[Expression] = values
   override def nullable: Boolean = false
@@ -62,11 +59,8 @@ case class BootstrapSeededAgg(
         containsNull = false), nullable = false)))
 
   override def checkInputDataTypes(): TypeCheckResult =
-    children.find(_.dataType != DoubleType) match {
-      case Some(c) => TypeCheckResult.TypeCheckFailure(
-        s"bootstrap_seeded_agg expects DOUBLE inputs, got ${c.dataType.catalogString}")
-      case None => TypeCheckResult.TypeCheckSuccess
-    }
+    BootstrapAggCommon.checkHomogeneous(
+      "bootstrap_seeded_agg", children, DoubleType)
 
   private val k = values.length
 
@@ -179,23 +173,8 @@ case class BootstrapSeededAgg(
 
   override def merge(
       a: java.util.TreeMap[Integer, Array[Double]],
-      b: java.util.TreeMap[Integer, Array[Double]]): java.util.TreeMap[Integer, Array[Double]] = {
-    val it = b.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val existing = a.get(e.getKey)
-      if (existing == null) a.put(e.getKey, e.getValue)
-      else {
-        // same pid in two partials (task retry overlap): elementwise add
-        // keeps totals right; the stream-determinism contract only holds
-        // for clean runs, which is all the bit-identity spec claims
-        val src = e.getValue
-        var i = 0
-        while (i < existing.length) { existing(i) += src(i); i += 1 }
-      }
-    }
-    a
-  }
+      b: java.util.TreeMap[Integer, Array[Double]]): java.util.TreeMap[Integer, Array[Double]] =
+    BootstrapAggCommon.mergePidPartials(a, b)
 
   override def eval(buf: java.util.TreeMap[Integer, Array[Double]]): Any = {
     // ascending-pid fold (TreeMap iterates sorted): deterministic double
@@ -220,36 +199,11 @@ case class BootstrapSeededAgg(
     new GenericInternalRow(Array[Any](nested(acc), nested(wts)))
   }
 
-  override def serialize(buf: java.util.TreeMap[Integer, Array[Double]]): Array[Byte] = {
-    val n = buf.size()
-    val bb = ByteBuffer.allocate(4 + n * (4 + 2 * k * nSim * 8))
-    bb.putInt(n)
-    val it = buf.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      bb.putInt(e.getKey)
-      val arr = e.getValue
-      var i = 0
-      while (i < arr.length) { bb.putDouble(arr(i)); i += 1 }
-    }
-    bb.array()
-  }
+  override def serialize(buf: java.util.TreeMap[Integer, Array[Double]]): Array[Byte] =
+    BootstrapAggCommon.pidPartialsToBytes(buf, 2 * k * nSim)
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[Integer, Array[Double]] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val out = new java.util.TreeMap[Integer, Array[Double]]()
-    val n = bb.getInt
-    var e = 0
-    while (e < n) {
-      val pid = bb.getInt
-      val arr = new Array[Double](2 * k * nSim)
-      var i = 0
-      while (i < arr.length) { arr(i) = bb.getDouble; i += 1 }
-      out.put(pid, arr)
-      e += 1
-    }
-    out
-  }
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[Integer, Array[Double]] =
+    BootstrapAggCommon.bytesToPidPartials(bytes, 2 * k * nSim)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BootstrapSeededAgg =
     copy(mutableAggBufferOffset = newOffset)

@@ -41,6 +41,42 @@ class PipelineSpec extends SparkSpec {
     assert((1 to 5).forall(i => scored.columns.contains(s"Factor_${i}_score")))
   }
 
+  test("gold-stage fan-out guard (r8 VERDICT #8): goldStages=true past the " +
+    "driver limit derates nSim to the budget instead of walking the trap; " +
+    "Bootstrap itself throws loudly when handed an over-budget shape") {
+    val root = java.nio.file.Files.createTempDirectory("pipelake_gold").toString
+    // 15k traffic rows fan out ~20× in the merge → ~300k merged rows —
+    // PAST driverRowLimit (200k), i.e. the distributed path the r8 trap
+    // hit. A 10⁹-slot-update budget forces the derate to fire visibly.
+    val budget = 1000000000L
+    Pipeline.run(spark, LakePaths(root), generate = true, nRows = 15000,
+      goldStages = true, bootstrapDrawBudget = budget)
+
+    val merged = Layers.readParquet(spark, s"$root/silver/merged_data.parquet")
+    val mergedRows = merged.count()
+    assert(mergedRows > 200000L, s"need the distributed path: $mergedRows")
+    val results = Layers.readParquet(spark,
+      s"$root/gold/monte_carlo_results.parquet")
+    assert(results.count() == 8)
+    val kCols = math.min(8, etl.Cleaning.numericCols(merged).length)
+    val expected = math.min(5000,
+      analytics.Bootstrap.maxSimForBudget(mergedRows, kCols, budget))
+    assert(expected < 5000, "fixture must actually derate")
+    val sims = results.select("simulations").distinct().collect()
+      .map(_.getDouble(0)).toSeq
+    assert(sims == Seq(expected.toDouble),
+      s"simulations column must carry the derated nSim: $sims vs $expected")
+
+    // the engine-level guard: an over-budget call fails NAMING the knobs
+    // rather than silently starting an hours-long replicate loop
+    val e = intercept[IllegalArgumentException] {
+      analytics.Bootstrap(spark, merged, nSim = 5000,
+        driverRowLimit = 1000L, drawBudget = budget)
+    }
+    assert(e.getMessage.contains("drawBudget") &&
+      e.getMessage.contains("nSim"), e.getMessage)
+  }
+
   test("partitioned-by-day silver (--partitioned): day predicates prune " +
     "files at the source") {
     val root = java.nio.file.Files.createTempDirectory("pipelake_part").toString
