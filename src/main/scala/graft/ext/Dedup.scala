@@ -509,13 +509,41 @@ object Dedup {
       pairs: DataFrame,
       maxIterations: Int = 25
   ): DataFrame = {
-    val edges = pairs.select(col("id_a"), col("id_b"))
+    val edges0 = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .distinct()
+      .cache()
+    // ROUND-0 STAR CONTRACTION (r9, the x77 adjudication): near-dup pair
+    // graphs are DENSE — x77's 100× point feeds 10M verified pairs over
+    // 2M nodes — and the iterative loop below shuffles the FULL edge list
+    // every round (12.4 of x77's 15.5 s warm wall). Contract first:
+    // l1(v) = min(v, neighbors(v)) in ONE aggregation, then map every
+    // edge through l1 and keep only cross-star edges. Contraction
+    // preserves connectivity exactly, each star's center is a real node
+    // id, and the component's global minimum m has l1(m) = m — so
+    // min-label over the contracted graph IS min-label over the
+    // original. Clique-like dedup graphs collapse to a few thousand
+    // inter-star edges here, turning the O(edges)-per-round loop into
+    // O(edges)-once (x77 23.7 → ~10 s cold).
+    val l1 = edges0.groupBy(col("id_a").as("id"))
+      .agg(min(col("id_b")).as("_nb"))
+      .select(col("id"), least(col("id"), col("_nb")).as("_l1"))
+      .localCheckpoint(true)
+    val edges = edges0
+      // plain SMJ relabel joins: a shuffle_hash hint on the l1 side was
+      // measured at the 100× point and did NOT win (8.5 vs 7.9 s closure)
+      .join(l1.select(col("id").as("id_a"), col("_l1").as("_la")), Seq("id_a"))
+      .join(l1.select(col("id").as("id_b"), col("_l1").as("_lb")), Seq("id_b"))
+      .select(col("_la").as("id_a"), col("_lb").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct() // bidirectional by construction: edges0 holds both arcs
       .cache()
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .localCheckpoint()
+    // the contracted `edges` cache is filled by the eager label init above;
+    // the raw bidirectional list is no longer needed
+    edges0.unpersist(false)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIterations) {
@@ -560,7 +588,13 @@ object Dedup {
     // suffice with pointer jumping, so 25 covers any realistic graph.
     require(changed == 0,
       s"clusterIds did not converge within $maxIterations iterations")
-    labels
+    // expand the contraction: every original node takes its star center's
+    // converged label; a center with no cross-star edge (its star is a
+    // whole component) never entered the loop and keeps l1 itself
+    l1.join(labels.select(col("id").as("_l1"), col("cluster_id")),
+        Seq("_l1"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("_l1")).as("cluster_id"))
   }
 
   /** Keep-lowest-id survivor set after MinHash near-dup clustering (greedy:
