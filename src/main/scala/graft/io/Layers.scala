@@ -3,6 +3,7 @@ package graft.io
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Medallion-layer IO.
@@ -97,7 +98,18 @@ object Layers {
   ): Unit = {
     require(keys.nonEmpty, "bucketing needs at least one key column")
     val sort = if (sortCols.isEmpty) keys else sortCols
-    df.write
+    // Cluster rows by the bucket keys BEFORE writing: bucketBy assigns
+    // files with the SAME HashPartitioning the repartition uses, so each
+    // bucket lands in exactly ONE file. Without this, every writing task
+    // emits a sliver per bucket (tasks × buckets files) and the read side
+    // DISCARDS the sortBy metadata (a bucket is only "sorted" when it is
+    // a single file) — the r8 layout probe's bucketed join then re-sorted
+    // the whole fact per query and LOST wall-clock to the plain join
+    // (5.05 vs 4.71 s at 100×) despite eliminating its exchanges. The
+    // write-time shuffle this adds is the "paid once" cost the layout
+    // already claims; reads get one file per bucket + a sort-free SMJ.
+    df.repartition(nBuckets, keys.map(col): _*)
+      .write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(nBuckets, keys.head, keys.tail: _*)

@@ -54,6 +54,10 @@ object LakeLayoutProbe {
     collectPlan(df.queryExecution.executedPlan)
       .count(_.isInstanceOf[ShuffleExchangeExec])
 
+  private def sorts(df: DataFrame): Int =
+    collectPlan(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.SortExec])
+
   /** Time via collect(): every probe query aggregates to ≤ a handful of
     * rows, and collect executes THIS DataFrame's QueryExecution — the
     * scan/exchange metrics read afterwards belong to the run that was
@@ -68,7 +72,7 @@ object LakeLayoutProbe {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_scale100")
-    val outJson = args.drop(1).headOption.getOrElse("LAYOUT_r08.json")
+    val outJson = args.drop(1).headOption.getOrElse("LAYOUT_r09.json")
     val spark = GraftSession.quiet(GraftSession.local("layout-probe"))
     val sections = scala.collection.mutable.LinkedHashMap[String, String]()
 
@@ -149,11 +153,11 @@ object LakeLayoutProbe {
       .select("o_orderkey", "o_orderpriority")
     val plainJ = orderJoin(liP.hint("SHUFFLE_HASH"), oP)
     val plainJSec = timeCollect(plainJ)
-    val plainJEx = exchanges(plainJ)
+    val (plainJEx, plainJSorts) = (exchanges(plainJ), sorts(plainJ))
 
-    // a previously killed run can leave table files with no metastore
-    // entry (the PipelineSpec locationAlreadyExists lesson)
-    Seq("layout_lineitem_bkt", "layout_orders_bkt").foreach { tn =>
+    def dropTable(tn: String): Unit = {
+      // a previously killed run can leave table files with no metastore
+      // entry (the PipelineSpec locationAlreadyExists lesson)
       spark.sql(s"DROP TABLE IF EXISTS $tn")
       val loc = new java.io.File(
         spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tn)
@@ -165,24 +169,68 @@ object LakeLayoutProbe {
         rm(loc)
       }
     }
-    val tB0 = System.nanoTime()
-    Layers.writeBucketed(liP, "layout_lineitem_bkt", Seq("l_orderkey"), 32)
-    Layers.writeBucketed(oP, "layout_orders_bkt", Seq("o_orderkey"), 32)
-    val bktWriteSec = (System.nanoTime() - tB0) / 1e9
-    val bktJ = orderJoin(
-      spark.table("layout_lineitem_bkt"), spark.table("layout_orders_bkt"))
-    val bktJSec = timeCollect(bktJ)
-    val bktJEx = exchanges(bktJ)
+
+    // bucket-count sweep (r8 VERDICT #2 adjudication): writeBucketed now
+    // clusters rows by the bucket keys, so each bucket is ONE file and the
+    // sortBy metadata survives to the scan — the SMJ should plan with
+    // ZERO sorts on the fact. Record 16/32/64 buckets so the guidance
+    // carries numbers, not an assertion.
+    val bktVariants = Seq(16, 32, 64).map { nb =>
+      val (tl, to) = (s"layout_lineitem_bkt_$nb", s"layout_orders_bkt_$nb")
+      dropTable(tl); dropTable(to)
+      val tB0 = System.nanoTime()
+      Layers.writeBucketed(liP, tl, Seq("l_orderkey"), nb)
+      Layers.writeBucketed(oP, to, Seq("o_orderkey"), nb)
+      val wSec = (System.nanoTime() - tB0) / 1e9
+      val j = orderJoin(spark.table(tl), spark.table(to))
+      val sec = timeCollect(j)
+      val (ex, so, nf) = (exchanges(j), sorts(j), numFilesRead(j))
+      println(s"[layout] order join bucketed($nb): ${f(sec)}s, $ex exchanges, " +
+        s"$so sorts, $nf files (write-once ${f(wSec)}s)")
+      dropTable(tl); dropTable(to)
+      (nb, wSec, sec, ex, so, nf)
+    }
+    val b32 = bktVariants.find(_._1 == 32).get
     // the only exchange left is the 5-row priority aggregation's
-    require(bktJEx < plainJEx,
-      s"bucketing failed to remove join exchanges: $bktJEx vs $plainJEx")
-    sections("lineitem_orders_bucketed_join") =
-      s"""{"bucket_write_once_sec": ${f(bktWriteSec)},
-         | "plain": {"sec": ${f(plainJSec)}, "exchanges": $plainJEx},
-         | "bucketed": {"sec": ${f(bktJSec)}, "exchanges": $bktJEx}}"""
+    require(b32._4 < plainJEx,
+      s"bucketing failed to remove join exchanges: ${b32._4} vs $plainJEx")
+
+    // sorted-scan variant: since Spark 3.0 the bucketed scan DISCARDS the
+    // sortBy metadata unless the legacy conf restores it (one file per
+    // bucket is necessary but not sufficient) — measure what the sort
+    // elision is actually worth at 64 buckets
+    val (tl64, to64) = ("layout_li_ss", "layout_o_ss")
+    dropTable(tl64); dropTable(to64)
+    Layers.writeBucketed(liP, tl64, Seq("l_orderkey"), 64)
+    Layers.writeBucketed(oP, to64, Seq("o_orderkey"), 64)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val ssJ = orderJoin(spark.table(tl64), spark.table(to64))
+    val ssSec = timeCollect(ssJ)
+    val (ssEx, ssSorts) = (exchanges(ssJ), sorts(ssJ))
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    dropTable(tl64); dropTable(to64)
+    println(s"[layout] order join bucketed(64)+sortedScan: ${f(ssSec)}s, " +
+      s"$ssEx exchanges, $ssSorts sorts")
+
+    // plain re-timed WARM so the layout comparison isn't charged for the
+    // first variant's cold source read
+    val plainW = orderJoin(liP.hint("SHUFFLE_HASH"), oP)
+    val plainWSec = timeCollect(plainW)
+    println(s"[layout] order join plain (warm): ${f(plainWSec)}s")
+
+    val variantJson = bktVariants.map { case (nb, w, sec, ex, so, nf) =>
+      s""""bucketed_$nb": {"write_once_sec": ${f(w)}, "sec": ${f(sec)},
+         | "exchanges": $ex, "sorts": $so, "files_read": $nf}"""
         .stripMargin.replace("\n", "")
-    println(s"[layout] order join: plain ${f(plainJSec)}s/$plainJEx exchanges, " +
-      s"bucketed ${f(bktJSec)}s/$bktJEx exchanges (write-once ${f(bktWriteSec)}s)")
+    }.mkString(", ")
+    sections("lineitem_orders_bucketed_join") =
+      s"""{"plain": {"sec": ${f(plainJSec)}, "warm_sec": ${f(plainWSec)},
+         | "exchanges": $plainJEx, "sorts": $plainJSorts}, $variantJson,
+         | "bucketed_64_sortedscan": {"sec": ${f(ssSec)},
+         | "exchanges": $ssEx, "sorts": $ssSorts}}"""
+        .stripMargin.replace("\n", "")
+    println(s"[layout] order join: plain ${f(plainJSec)}s/$plainJEx exchanges/" +
+      s"$plainJSorts sorts")
 
     val json = sections.map { case (k, v) => s""""$k": $v""" }
       .mkString("{\"metric\": \"lake_layout_100x\", ", ", ", "}")
