@@ -37,6 +37,8 @@ object ScaleSweep {
     "q78_knn_join", "q99_pagerank", "q181_kmeans_codebook",
     "q212_ivf_incremental_add", "q213_recall_curve",
     "q216_centroid_drift", "q217_retrieval_mrr", "q228_link_prediction",
+    // event-time windows / sessionization (r9: were headline-only)
+    "q35_tumbling_window", "q37_sessionization", "q38_out_of_order_census",
     // lake ops
     "q90_cdc_merge", "q96_compaction_plan", "q97_incremental_agg",
     "q103_interval_join", "q110_anomaly_zscore", "q116_scd2_dimension",
@@ -82,6 +84,127 @@ object ScaleSweep {
     "x46_curation_pipeline_prod", "q138_containment_pairs",
     "q140_prefix_jaccard_pairs", "q141_hard_negatives",
     "q143_canonical_selection", "q200_dedup_threshold_sweep")
+
+  /** EXCLUSION LEDGER (VERDICT r8 #6): every registered query absent from
+    * `at100`/`at10` carries a NAMED reason here, grouped by family — the
+    * sweep's coverage is a closed book, not prose. ScaleSweepSpec asserts
+    * exact coverage: at100 ∪ at10 ∪ ledger == the SparkEntry registry,
+    * with no stale names and no overlap. The reasons fall into: shape
+    * families whose swept representative carries the 100× evidence,
+    * portable-oracle points whose PRODUCTION x-channel is swept,
+    * answer-quadratic pair outputs (measured at their honest 10× point or
+    * via an x-channel), bounded driver-side results, and linear scan-side
+    * codec round-trips.
+    */
+  val exclusionLedger: Seq[(String, Seq[String])] = Seq(
+    ("sub-second scan/agg shape at sf0.1; the swept core relational set " +
+      "(q01/q04/q05/q13/q15) carries this shape's 100x evidence",
+      Seq("q02_filter_project", "q03_left_join_agg", "q06_mode",
+        "q07_median_quantiles", "q08_iqr_clip", "q09_median_fill",
+        "q10_describe_stats", "q11_correlation", "q12_topk_abs",
+        "q14_messy_timestamp_parse", "q16_season_case", "q17_set_ops",
+        "q18_threshold_share", "q19_outlier_count", "q20_nunique",
+        "q21_low_variance_filter", "q43_describe", "q44_corr_matrix",
+        "q45_mode_det_aggregate", "q47_brand_margins", "q48_sql_surface",
+        "q49_clean_pipeline", "q50_json_props", "q52_deterministic_split",
+        "q55_pivot", "q56_semi_anti_join", "q57_rollup", "q59_cube",
+        "q60_histogram", "q61_grouped_quantiles", "q62_edit_distance",
+        "q63_collect_sets", "q64_date_arithmetic",
+        "q65_monte_carlo_expectations", "q66_bootstrap_unit_weight",
+        "q71_fa_moments", "q101_grouping_sets", "q105_key_profile",
+        "q159_gini_customer_revenue", "q160_hhi_supplier_share",
+        "q170_memory_usage")),
+    ("event-time window/sessionization family; swept q35/q37/q38/q103/" +
+      "q110 carry the window and range-join shapes at 100x",
+      Seq("q36_sliding_window", "q76_variable_gap_sessions",
+        "q93_rolling_1h", "q109_attribution_batch", "q111_event_funnel",
+        "q112_retention_cohorts", "q113_event_transitions",
+        "q114_top_paths", "q115_time_weighted_avg", "q119_trend_slope",
+        "q132_seasonal_profile", "q133_cusum_changepoint",
+        "q149_decayed_engagement", "q155_acf_daily",
+        "q157_markov_transitions", "q158_cohort_retention",
+        "q165_journey_trigrams")),
+    ("per-document scan-side text analysis (no per-token shuffle); swept " +
+      "q27/q79/q84/q87/q102/q134/q136/q142/q231 carry the shapes",
+      Seq("q28_quality_metrics", "q29_lang_id", "q30_fingerprints",
+        "q58_tfidf_top_terms", "q67_curation_funnel_exact", "q83_pii_scan",
+        "q85_domain_mixture", "q86_quality_classifier", "q88_top_bigrams",
+        "q89_blocklist_filter", "q122_quality_rules",
+        "q123_collocations_lift", "q126_source_lineage",
+        "q127_association_rules", "q129_vocab_richness", "q137_bpe_merges",
+        "q139_bpe_encode", "q144_token_budget_waterfill",
+        "q163_feature_hashing", "q173_source_dup_profile",
+        "q174_domain_score", "q176_zipf_profile", "q191_dataset_datasheet")),
+    ("grouped-statistic readout on DECIMAL-routed moments, dashboard-" +
+      "sized output; swept q201/q204/q206/q207/q210/q218/q227 carry the " +
+      "scan+agg shapes",
+      Seq("q106_curriculum_tiers", "q108_centroid_census",
+        "q118_label_drift_chi2", "q125_weighted_median",
+        "q145_benford_audit", "q147_ab_welch_t", "q148_mann_whitney_u",
+        "q152_target_encoding", "q153_ks_drift", "q154_calibration_bins",
+        "q156_mad_outliers", "q161_kaplan_meier",
+        "q164_chi2_feature_screen", "q166_rrf_fusion",
+        "q195_retrieval_dcg", "q199_rolling_origin_backtest",
+        "q202_mixture_reweighting", "q209_mondrian_conformal",
+        "q211_winsorized_mean", "q219_isotonic_calibration",
+        "q221_anonymization_ladder", "q222_brier_decomposition",
+        "q225_rendezvous_reshard")),
+    ("iterative/multi-pass graph op; swept q99 (PageRank) and q228 carry " +
+      "the checkpointed-iteration shape at 100x",
+      Seq("q117_triangle_census", "q128_degree_assortativity",
+        "q135_kcore", "q162_triangle_census", "q220_dominant_eigen",
+        "q224_label_propagation")),
+    ("lake-maintenance family; swept q90/q96/q97/q103/q116/q150/q187/" +
+      "q197/q230 carry the CDC/SCD2/layout/temporal shapes at 100x",
+      Seq("q51_asof_join", "q91_zorder_skipping", "q95_schema_evolution",
+        "q100_snapshot_diff", "q104_export_manifest",
+        "q107_integrity_audit", "q120_scd2_incremental_merge",
+        "q130_temporal_join", "q131_delete_cascade")),
+    ("map-side threshold sampling family; swept q121/q167/q175/q177/" +
+      "q198/q226 carry the shapes",
+      Seq("q92_mixture_sample")),
+    ("mergeable-sketch portable twin; the batch form and/or xxhash64 " +
+      "production channel is swept (q178-q185/q196/q203/q232 + x178/" +
+      "x179/x185/x186/x190)",
+      Seq("q94_hll_error_pin", "q98_approx_quantile_pin",
+        "q186_kmv_incremental", "q190_kmv_set_ops",
+        "q192_kmv_trailing_distinct", "q194_countmin_incremental")),
+    ("portable-hash ORACLE point of a production operator whose seeded/" +
+      "full-width x-channel is swept (x41/x77/x141/x151/x183/x205/x214/" +
+      "x229/x230)",
+      Seq("q41_bootstrap_ci", "q77_semantic_dedup",
+        "q151_equal_freq_binning", "q168_hard_negatives_lsh",
+        "q183_semantic_decontamination", "q205_label_agreement_kappa",
+        "q214_pq_knn_kappa", "q229_label_noise_knn")),
+    ("ANN/quantization family; swept q78/q181/q212/q213/q216/q217 and " +
+      "the x-channels carry the bucket-join and codebook shapes at 100x",
+      Seq("q31_cosine_topk", "q32_label_similarity_stats",
+        "q33_ann_lsh_topk", "q34_embedding_near_dups", "q53_ann_ivf_topk",
+        "q70_ann_bucket_portable", "q72_ivf_assign_portable",
+        "q75_ann_recall", "q80_pq_codes", "q81_pq_adc_topk",
+        "q82_ivfpq_topk", "q124_int8_quantization", "q146_silhouette",
+        "q193_rq_encode", "q223_lsh_banding_curve")),
+    ("pair-output answer-quadratic under synthetic replication (q46 " +
+      "precedent) or candidate-quadratic oracle point; the 10x section " +
+      "and/or an x-channel (x25/x26/x74) carries scale",
+      Seq("q25_minhash_near_dups", "q26_simhash_pairs",
+        "q68_simhash_portable", "q69_minhash_portable",
+        "q74_incremental_index_dedup", "q171_substring_dup_spans",
+        "q172_winnowed_candidates", "q188_ensemble_dedup",
+        "q189_image_ahash_dedup")),
+    ("bounded driver-side result (pool/codebook/k-squared-sized); the " +
+      "distributed feed is a swept shape; x42/x46 are the extras",
+      Seq("q42_factor_loadings", "q182_mmr_diverse_topk",
+        "q184_bradley_terry")),
+    ("synthetic-payload codec/IO round trip, linear scan-side decode; " +
+      "swept q233/q234/q235/q238/q240 carry the decode family at 100x",
+      Seq("q39_csv_roundtrip", "q54_multimodal_features",
+        "q73_multimodal_sizes", "q169_media_header_census",
+        "q236_orc_roundtrip", "q237_jsonl_roundtrip",
+        "q239_jsonl_gzip_roundtrip")))
+
+  def excludedReasons: Map[String, String] =
+    exclusionLedger.flatMap { case (r, qs) => qs.map(_ -> r) }.toMap
 
   private def queryOf(n: String): (SparkSession, String) => DataFrame =
     ScaleCheck.extras.getOrElse(n, SparkEntry.queries(n))
@@ -220,6 +343,8 @@ object ScaleSweep {
 
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (n, t) => s""""$n": ${jsonNum(t)}""" }.mkString(", ")
+    val exclObj = excludedReasons.toSeq.sortBy(_._1)
+      .map { case (n, r) => s""""$n": "$r"""" }.mkString(", ")
     val spreadObj = isoSpread.map { case (n, (lo, hi)) =>
       s""""$n": [${jsonNum(lo)}, ${jsonNum(hi)}]""" }.mkString(", ")
     val skewObj = skewApplied.map { case (n, b) => s""""$n": $b""" }
@@ -232,6 +357,7 @@ object ScaleSweep {
          | "aqe_skew_applied": {$skewObj},
          | "skew_demo_real_events": {$skewObj2},
          | "factor10_pair_output": {${obj(r10)}},
+         | "excluded": {$exclObj},
          | "total_100x_sec": ${jsonNum(r100.map(_._2).sum)},
          | "total_10x_sec": ${jsonNum(r10.map(_._2).sum)},
          | "loadavg_before": ${jsonNum(loadBefore)},
