@@ -295,10 +295,35 @@ object Sketches {
       keyCol: String,
       windowDays: Int = 7,
       k: Int = 64
+  ): DataFrame =
+    kmvTrailingCore(df, tsCol, keyCol, windowDays, k, prod = false)
+
+  /** PRODUCTION-hash trailing-window KMV rollup (the x192 channel):
+    * identical day-sketch merge with codegen xxhash64 folded into
+    * [0, 2^60). The md5 twin is the oracle contract (q192); this is the
+    * trailing-distinct dashboard form at lake scale (x178/x185 pattern).
+    */
+  def kmvTrailingDistinctProd(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      windowDays: Int = 7,
+      k: Int = 64
+  ): DataFrame =
+    kmvTrailingCore(df, tsCol, keyCol, windowDays, k, prod = true)
+
+  private def kmvTrailingCore(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      windowDays: Int,
+      k: Int,
+      prod: Boolean
   ): DataFrame = {
     val hashes = df.filter(col(keyCol).isNotNull)
       .select(to_date(col(tsCol)).as("day"),
-        Dedup.portableHash60(col(keyCol).cast("string")).as("h"))
+        (if (prod) prodHash60(col(keyCol).cast("string"))
+         else Dedup.portableHash60(col(keyCol).cast("string"))).as("h"))
       .distinct()
     val daySk = bottomK(hashes, "day", "h", k).localCheckpoint(true)
     val days = daySk.select("day").distinct()
@@ -466,13 +491,41 @@ object Sketches {
       width: Int = 16,
       depth: Int = 3,
       topK: Int = 20
+  ): DataFrame =
+    cmIncrementalCore(state, delta, textCol, width, depth, topK,
+      prod = false)
+
+  /** PRODUCTION-hash incremental Count-Min census (the x194 channel):
+    * the same cell-wise grid addition with xxhash64 positions. The md5
+    * twin is the oracle contract (q194) — the x185 pattern applied to
+    * the incremental path.
+    */
+  def countMinCensusIncrementalProd(
+      state: DataFrame,
+      delta: DataFrame,
+      textCol: String,
+      width: Int = 16,
+      depth: Int = 3,
+      topK: Int = 20
+  ): DataFrame =
+    cmIncrementalCore(state, delta, textCol, width, depth, topK,
+      prod = true)
+
+  private def cmIncrementalCore(
+      state: DataFrame,
+      delta: DataFrame,
+      textCol: String,
+      width: Int,
+      depth: Int,
+      topK: Int,
+      prod: Boolean
   ): DataFrame = {
-    val merged = cmCells(state, textCol, width, depth)
-      .unionByName(cmCells(delta, textCol, width, depth))
+    val merged = cmCells(state, textCol, width, depth, prod)
+      .unionByName(cmCells(delta, textCol, width, depth, prod))
       .groupBy("r", "pos")
       .agg(sum(col("cnt")).as("cnt"))
     cmCensusCore(merged, state.unionByName(delta), textCol,
-      width, depth, topK)
+      width, depth, topK, prod)
   }
 
   /** "cm" || r || "|" || token — identical salted string both engines;

@@ -181,6 +181,17 @@ object ScaleCheck {
         d.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", m = 1 << 15, kH = 5)
     }),
+    "x192_kmv_trailing_prod" -> ((s, dir) =>
+      graft.ext.Sketches.kmvTrailingDistinctProd(
+        graft.queries.Q.t(s, dir, "events"), "ts", "user_id",
+        windowDays = 7, k = 64)),
+    "x194_countmin_incremental_prod" -> ((s, dir) => {
+      val d = graft.queries.Q.t(s, dir, "documents")
+      graft.ext.Sketches.countMinCensusIncrementalProd(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1),
+        "text", width = 16, depth = 3, topK = 20)
+    }),
     "x183_semantic_decon_prod" -> ((s, dir) => {
       val e = graft.queries.Q.t(s, dir, "embeddings")
       graft.ext.Similarity.semanticDecontaminate(

@@ -69,7 +69,8 @@ object ScaleSweep {
     "x77_semantic_dedup_prod", "x141_hard_negatives_lsh",
     "x178_kmv_prod", "x185_countmin_prod",
     "x179_bloom_prefilter_prod", "x186_kmv_incremental_prod",
-    "x190_kmv_set_ops_prod",
+    "x190_kmv_set_ops_prod", "x192_kmv_trailing_prod",
+    "x194_countmin_incremental_prod",
     "x151_equal_freq_binning_approx", "x183_semantic_decon_prod",
     "x205_label_kappa_prod", "x214_label_kappa_pq",
     "x229_label_noise_prod", "x230_label_noise_pq")
@@ -165,7 +166,7 @@ object ScaleSweep {
       Seq("q92_mixture_sample")),
     ("mergeable-sketch portable twin; the batch form and/or xxhash64 " +
       "production channel is swept (q178-q185/q196/q203/q232 + x178/" +
-      "x179/x185/x186/x190)",
+      "x179/x185/x186/x190/x192/x194)",
       Seq("q94_hll_error_pin", "q98_approx_quantile_pin",
         "q186_kmv_incremental", "q190_kmv_set_ops",
         "q192_kmv_trailing_distinct", "q194_countmin_incremental")),

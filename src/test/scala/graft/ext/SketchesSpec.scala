@@ -243,6 +243,49 @@ class SketchesSpec extends SparkSpec {
     assert(pos.forall(p => p.length == 5 && p.forall(x => x >= 0 && x < 1024)))
   }
 
+  test("kmvTrailingDistinctProd (x192): exact counts hash-independent; " +
+    "under-full windows recover exactly") {
+    import java.sql.Timestamp
+    val rows = ((1 to 10).map(u => (Timestamp.valueOf("2024-03-01 10:00:00"), u.toLong)) ++
+      (6 to 15).map(u => (Timestamp.valueOf("2024-03-02 10:00:00"), u.toLong)))
+      .toDF("ts", "user_id")
+    val prod = Sketches.kmvTrailingDistinctProd(rows, "ts", "user_id",
+      windowDays = 2, k = 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // under-full sketches → estimates exact for ANY hash family
+    assert(prod("2024-03-01") == ((10L, 10.0)))
+    assert(prod("2024-03-02") == ((15L, 15.0)))
+    // full sketches on real data: n_exact identical across hash families
+    val ev = Q.t(spark, sfDir("0.01"), "events").limit(20000)
+      .localCheckpoint(true)
+    val p = Sketches.kmvTrailingDistinctProd(ev, "ts", "user_id",
+      windowDays = 7, k = 64).collect()
+    val m = Sketches.kmvTrailingDistinct(ev, "ts", "user_id",
+      windowDays = 7, k = 64).collect()
+    assert(p.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      m.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    p.foreach(r => assert(r.getDouble(2) > 0))
+  }
+
+  test("countMinCensusIncrementalProd (x194): incremental == batch prod " +
+    "census; exact token counts hash-independent") {
+    val docs = Q.t(spark, sfDir("0.01"), "documents").limit(300)
+      .localCheckpoint(true)
+    val batchProd = Sketches.countMinCensusProd(docs, "text").collect().toSeq
+    val incProd = Sketches.countMinCensusIncrementalProd(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "text").collect().toSeq
+    // cell-wise counter addition merges identically under either hash
+    assert(incProd == batchProd)
+    val portable = Sketches.countMinCensusIncremental(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "text").collect()
+    assert(portable.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      incProd.map(r => (r.getString(0), r.getLong(1))))
+    incProd.foreach(r => assert(r.getLong(2) >= r.getLong(1)))
+  }
+
   test("countMinCensus: est >= exact always; unique tokens recover exactly") {
     val docs = Seq(
       (1L, "apple apple banana  Cherry"), // double space + case folding
