@@ -121,6 +121,29 @@ object LakeOps {
       .drop("_graft_z")
   }
 
+  /** Hilbert-curve value of two dimension columns' low 16 bits, in
+    * [0, 2^32) — [[zvalue2]]'s better-locality sibling (the native
+    * `hilbert_index` expression, graft.functions.HilbertIndex2):
+    * consecutive values are ALWAYS adjacent grid cells, where Morton
+    * order jumps across quadrant seams, so equal-width value ranges cut
+    * tighter min/max file boxes and skip more files for the same box
+    * predicate. q242 measures both layouts side by side on the same
+    * rows; prefer this for new layouts, keep z-order where a layout
+    * already ships.
+    */
+  def hvalue2(a: Column, b: Column): Column =
+    call_function("hilbert_index", a.cast("long"), b.cast("long"))
+
+  /** [[zorderRepartition]] with the Hilbert value as the clustering key. */
+  def hilbertRepartition(
+      df: DataFrame, a: Column, b: Column, nFiles: Int): DataFrame = {
+    val withH = df.withColumn("_graft_h", hvalue2(a, b))
+    withH
+      .repartitionByRange(nFiles, col("_graft_h"))
+      .sortWithinPartitions(col("_graft_h"))
+      .drop("_graft_h")
+  }
+
   /** Per-file min/max skipping stats for a two-dimension box predicate:
     * given a file-id column and the two dimension columns, returns one row
     * per file with its ranges and row count — the footer-stats view a

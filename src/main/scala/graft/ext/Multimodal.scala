@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   * uncompressed-DIB ('00db') or MJPEG ('00dc' + JPEG SOI) frames — the
   * container demux below plus the same ImageIO JPEG codec the image path
   * uses. COMPRESSED AUDIO decode is real for IMA-ADPCM WAV (fmt 0x11 —
-  * pure-integer predictor/step-table walk, see `decodeImaAdpcmPcm`) and
-  * for FLAC (subset decoder in [[Flac]] — Rice-coded integer predictor
-  * residuals, CONSTANT/VERBATIM/FIXED/LPC subframes, stereo
+  * pure-integer predictor/step-table walk, see `decodeImaAdpcmPcm`),
+  * for G.711 µ-law/A-law WAV (fmt 7/6 — the telephony companding
+  * expansions, see `decodeG711Pcm`), and for FLAC (subset decoder in
+  * [[Flac]] — Rice-coded integer predictor residuals,
+  * CONSTANT/VERBATIM/FIXED/LPC subframes, stereo
   * decorrelation, CRC-verified); only PERCEPTUAL audio codecs
   * (mp3/ogg-class, no JDK codec and no integer-exact zero-dep decode)
   * remain STUBBED behind `decodeStub`, which produces a deterministic
@@ -64,10 +66,12 @@ object Multimodal {
       case "image" => decodeImage(bytes).getOrElse(decodeStub(bytes, kind))
       case "audio" =>
         // magic/fmt-tag detection is precise, so the in-house codecs go
-        // first (fLaC magic, then fmt-0x11 ADPCM) — javax.sound may accept
-        // a container but cannot decode these codecs
+        // first (fLaC magic, then fmt-0x11 ADPCM, then fmt-6/7 G.711) —
+        // javax.sound may accept a container but cannot decode ADPCM, and
+        // hands G.711 back as raw undecoded code bytes
         decodeFlacWav(bytes)
-          .orElse(decodeImaAdpcmWav(bytes)).orElse(decodeAudio(bytes))
+          .orElse(decodeImaAdpcmWav(bytes)).orElse(decodeG711Wav(bytes))
+          .orElse(decodeAudio(bytes))
           .getOrElse(decodeStub(bytes, kind))
       case "video" =>
         decodeVideoAvi(bytes).map(_.flatten.toArray)
@@ -596,6 +600,191 @@ object Multimodal {
   private[ext] def decodeImaAdpcmWav(bytes: Array[Byte]): Option[Array[Byte]] =
     decodeImaAdpcmPcm(bytes).map(_.map(s => ((s >> 8) & 0xff).toByte))
 
+  // -------------------------------------------- G.711 (WAV fmt 6 / 7)
+
+  /** CCITT G.711 µ-law code byte → 16-bit linear sample. The canonical
+    * expansion every telephony codec shares (ITU-T G.711 Table 2a):
+    * complement the byte, rebuild the biased-mantissa magnitude
+    * `((m<<3)+0x84)<<e`, strip the bias. Pure integer shifts/adds —
+    * bit-identical in any engine with 64-bit integer ops, which is what
+    * makes q241's DuckDB twin possible.
+    */
+  def ulawToLinear(code: Int): Int = {
+    val u = ~code & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 7)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 µ-law compression — [[ulawToLinear]]'s inverse on the code
+    * domain (MultimodalSpec pins `encode(decode(c)) == c` for all codes
+    * except 0x7F, µ-law's negative-zero alias of 0xFF).
+    */
+  def linearToUlaw(sample: Int): Int = {
+    var s = sample
+    val sign = if (s < 0) { s = -s; 0x80 } else 0
+    if (s > 32635) s = 32635
+    s += 0x84
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+    ~(sign | (exp << 4) | ((s >> (exp + 3)) & 0x0f)) & 0xff
+  }
+
+  /** CCITT G.711 A-law code byte → 16-bit linear sample (ITU-T G.711
+    * Table 1a): XOR the 0x55 toggle pattern, rebuild the segment
+    * magnitude — `(m<<4)+8` in segment 0, `((m<<4)+0x108)<<(seg-1)`
+    * above (segment 1 is the shift-0 case of the same form). Sign bit
+    * SET means positive in A-law (the opposite of µ-law). Pure integer.
+    */
+  def alawToLinear(code: Int): Int = {
+    val a = (code ^ 0x55) & 0xff
+    val seg = (a >> 4) & 7
+    val m = a & 0x0f
+    val t = if (seg == 0) (m << 4) + 8 else ((m << 4) + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** G.711 A-law compression — exact inverse of [[alawToLinear]] on the
+    * full code domain (A-law has no ±0 collision: its smallest magnitude
+    * is 8, so MultimodalSpec pins all 256 codes round-trip).
+    */
+  def linearToAlaw(sample: Int): Int = {
+    var s = sample
+    val sign = if (s >= 0) 0x80 else { s = -s; 0 }
+    if (s > 0x7fff) s = 0x7fff
+    val msb = 31 - Integer.numberOfLeadingZeros(s | 1)
+    val seg = if (msb < 8) 0 else msb - 7
+    val m = if (seg == 0) s >> 4 else (s >> (seg + 3)) & 0x0f
+    ((sign | (seg << 4) | m) ^ 0x55) & 0xff
+  }
+
+  /** RIFF/WAVE mux for a G.711 code stream: fmt tag 6 (A-law) or 7
+    * (µ-law), 8 bits per sample, mono, a `fact` chunk with the true
+    * sample count, data padded to even length — the layout
+    * [[decodeG711Pcm]] demuxes and any telephony WAV reader accepts.
+    */
+  def g711WavBytes(codes: Array[Byte], sampleRate: Int,
+      aLaw: Boolean): Array[Byte] = {
+    require(codes.nonEmpty, "g711WavBytes: empty signal")
+    val dataSz = codes.length + (codes.length & 1)
+    val riffSz = 4 + (8 + 18) + (8 + 4) + (8 + dataSz)
+    val b = java.nio.ByteBuffer.allocate(8 + riffSz)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(s: String): Unit = b.put(s.getBytes("US-ASCII"))
+    tag("RIFF"); b.putInt(riffSz); tag("WAVE")
+    tag("fmt "); b.putInt(18)
+    b.putShort(if (aLaw) 6 else 7); b.putShort(1)
+    b.putInt(sampleRate); b.putInt(sampleRate) // byteRate = rate × 1 × 1
+    b.putShort(1); b.putShort(8); b.putShort(0) // align, bits, cbSize
+    tag("fact"); b.putInt(4); b.putInt(codes.length)
+    tag("data"); b.putInt(codes.length)
+    b.put(codes)
+    if ((codes.length & 1) == 1) b.put(0.toByte)
+    b.array()
+  }
+
+  /** REAL G.711 decode: RIFF/WAVE payloads whose fmt chunk carries format
+    * tag 6 (A-law) or 7 (µ-law), any channel count (the expansion is
+    * samplewise, so interleaving passes through). One table-free integer
+    * expansion per byte; `fact` trims trailing pad bytes. The chunk walk
+    * shares the guarded-size discipline (sz < 0 → None) of the ADPCM/AVI
+    * walkers.
+    */
+  def decodeG711Pcm(bytes: Array[Byte]): Option[Array[Short]] =
+    try {
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int): Int =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+      if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+        return None
+      var fmtTag = -1
+      var bits = -1
+      var factSamples = -1L
+      var dataOff = -1
+      var dataLen = -1
+      var i = 12
+      while (i + 8 <= bytes.length) {
+        val ck = tag(i)
+        val sz = le32(i + 4)
+        if (sz < 0) return None // untrusted size: would stall the walk
+        if (ck == "fmt " && sz >= 16) {
+          fmtTag = le16(i + 8)
+          bits = le16(i + 22)
+        } else if (ck == "fact" && sz >= 4) {
+          factSamples = le32(i + 8).toLong
+        } else if (ck == "data") {
+          dataOff = i + 8; dataLen = sz
+        }
+        i += 8 + sz + (sz & 1)
+      }
+      if ((fmtTag != 6 && fmtTag != 7) || bits != 8 || dataOff < 0)
+        return None
+      val n0 = math.min(dataLen, bytes.length - dataOff)
+      val n = if (factSamples >= 0) math.min(n0.toLong, factSamples).toInt
+      else n0
+      val out = new Array[Short](n)
+      var j = 0
+      if (fmtTag == 7) {
+        while (j < n) { out(j) = ulawToLinear(u8(dataOff + j)).toShort; j += 1 }
+      } else {
+        while (j < n) { out(j) = alawToLinear(u8(dataOff + j)).toShort; j += 1 }
+      }
+      Some(out)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Waveform bytes (MSB per sample — [[decodeAudio]]'s convention) of a
+    * G.711 µ-law/A-law WAV payload. Must run BEFORE [[decodeAudio]] in
+    * the dispatch: javax.sound hands fmt-6/7 WAVs back as raw UNDECODED
+    * code bytes, not linear PCM.
+    */
+  private[ext] def decodeG711Wav(bytes: Array[Byte]): Option[Array[Byte]] =
+    decodeG711Pcm(bytes).map(_.map(s => ((s >> 8) & 0xff).toByte))
+
+  /** Header-only (sampleRate, samples) of a fmt-6/7 G.711 WAV — the
+    * [[imaAdpcmMeta]] discipline one codec over: rate from `fmt `, count
+    * from `fact` (falling back to the data length — one byte per sample).
+    */
+  private[ext] def g711Meta(bytes: Array[Byte]): Option[(Int, Long)] =
+    try {
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int): Int =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+      if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+        return None
+      var fmtTag = -1
+      var channels = -1
+      var rate = -1
+      var factSamples = -1L
+      var dataLen = -1
+      var i = 12
+      while (i + 8 <= bytes.length) {
+        val ck = tag(i)
+        val sz = le32(i + 4)
+        if (sz < 0) return None
+        if (ck == "fmt " && sz >= 16) {
+          fmtTag = le16(i + 8)
+          channels = le16(i + 10)
+          rate = le32(i + 12)
+        } else if (ck == "fact" && sz >= 4) {
+          factSamples = le32(i + 8).toLong
+        } else if (ck == "data") {
+          dataLen = sz
+        }
+        i += 8 + sz + (sz & 1)
+      }
+      if ((fmtTag != 6 && fmtTag != 7) || channels < 1 || rate <= 0)
+        return None
+      val frames =
+        if (factSamples >= 0) factSamples
+        else if (dataLen >= 0) dataLen.toLong / channels
+        else return None
+      Some((rate, frames))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Waveform bytes (MSB per sample) of a FLAC payload via the in-house
     * subset decoder ([[Flac.decodeFlac]] — real lossless Rice/LPC integer
     * decode, zero dependencies).
@@ -614,7 +803,7 @@ object Multimodal {
     */
   def audioMeta(bytes: Array[Byte]): Option[(Int, Long)] =
     Flac.flacMeta(bytes).map { case (rate, _, _, total) => (rate, total) }
-      .orElse(imaAdpcmMeta(bytes)).orElse(
+      .orElse(imaAdpcmMeta(bytes)).orElse(g711Meta(bytes)).orElse(
       try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))

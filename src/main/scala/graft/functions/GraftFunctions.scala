@@ -218,6 +218,14 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain(args.head, args(1))
       }
+    ),
+    (
+      "hilbert_index",
+      new ExpressionInfo(classOf[HilbertIndex2].getName, "hilbert_index"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "hilbert_index takes (x, y)")
+        HilbertIndex2(args.head, args(1))
+      }
     )
   )
 

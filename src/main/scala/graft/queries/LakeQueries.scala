@@ -186,6 +186,133 @@ object LakeQueries {
              |FROM stats GROUP BY 1 ORDER BY layout""".stripMargin)
     ),
 
+    // ---- Hilbert vs z-order data skipping (r9): the SAME census as q91
+    //      with the Morton value's better-locality sibling, across THREE
+    //      bucket granularities — because the comparison is degenerate at
+    //      one: with 4^k fixed-width buckets both curves produce the
+    //      IDENTICAL 2^k×2^k block partition (just renumbered), so the
+    //      64-bucket rows hash-prove the coincidence; at 2·4^k (32, 128)
+    //      a Hilbert bucket is always a pair of ADJACENT cells (unit-step
+    //      curve), dimension-balanced, while a Morton bucket hands its
+    //      extra bit level to ONE dimension — finer boxes for that
+    //      dimension's predicates, coarser (and sometimes disconnected)
+    //      for the other. The measured readout, not folklore: Hilbert
+    //      balances a/b pruning, Morton trades one for the other. The
+    //      Hilbert walk is the native `hilbert_index` expression (16
+    //      integer rotate/flip rounds, functions/HilbertIndex.scala); the
+    //      DuckDB twin unrolls the IDENTICAL 16 rounds as chained CTEs —
+    //      a drift in any round's Gray-code term, flip, or swap breaks
+    //      the hash.
+    QueryDef(
+      "q242_hilbert_skipping",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select((col("l_partkey") % 65536).as("a"),
+            (col("l_suppkey") % 65536).as("b"))
+        val maxes = broadcast(li.agg(
+          max(col("a")).as("amax"), max(col("b")).as("bmax")))
+        val assigned = li.crossJoin(maxes)
+          .withColumn("a16", expr("a * 65536 div (amax + 1)"))
+          .withColumn("b16", expr("b * 65536 div (bmax + 1)"))
+          .withColumn("zv", LakeOps.zvalue2(col("a16"), col("b16")))
+          .withColumn("hv", LakeOps.hvalue2(col("a16"), col("b16")))
+        def layoutStats(vCol: String, label: String, nBuckets: Int) = {
+          val width = (1L << 32) / nBuckets
+          LakeOps.fileStats(
+            assigned.withColumn("_f", expr(s"$vCol div $width")),
+            col("_f"), col("a"), col("b"))
+            .withColumn("scan_a",
+              !(col("max_a") < ALo || col("min_a") > AHi))
+            .withColumn("scan_b",
+              !(col("max_b") < BLo || col("min_b") > BHi))
+            .agg(
+              count(lit(1)).cast("long").as("n_files"),
+              sum(when(col("scan_a"), 1L).otherwise(0L)).as("files_for_a_pred"),
+              sum(when(col("scan_a"), col("n_rows")).otherwise(0L))
+                .as("rows_for_a_pred"),
+              sum(when(col("scan_b"), 1L).otherwise(0L)).as("files_for_b_pred"),
+              sum(when(col("scan_b"), col("n_rows")).otherwise(0L))
+                .as("rows_for_b_pred"))
+            .select(lit(label).as("layout"),
+              lit(nBuckets.toLong).as("n_buckets"), col("n_files"),
+              col("files_for_a_pred"), col("rows_for_a_pred"),
+              col("files_for_b_pred"), col("rows_for_b_pred"))
+        }
+        Seq(32, 64, 128)
+          .flatMap(n => Seq(layoutStats("hv", "hilbert", n),
+            layoutStats("zv", "zorder", n)))
+          .reduce(_ unionByName _)
+          .orderBy("layout", "n_buckets")
+      },
+      Some {
+        // the 16 Hilbert rounds, unrolled newest-first: each CTE consumes
+        // the previous round's (x, y, d) via SELECT * REPLACE — integer
+        // shifts/flips only, so the rounds are engine-portable verbatim
+        val hilbertRounds = (15 to 0 by -1).map { bb =>
+          val sb = 1 << bb
+          val prev = if (bb == 15) "hinit" else s"h${bb + 1}"
+          s"""h$bb AS (SELECT * REPLACE (
+             |  d + ${sb.toLong * sb} * xor(3 * ((x // $sb) % 2), (y // $sb) % 2) AS d,
+             |  CASE WHEN (y // $sb) % 2 = 0 THEN
+             |    (CASE WHEN (x // $sb) % 2 = 1 THEN 65535 - y ELSE y END)
+             |    ELSE x END AS x,
+             |  CASE WHEN (y // $sb) % 2 = 0 THEN
+             |    (CASE WHEN (x // $sb) % 2 = 1 THEN 65535 - x ELSE x END)
+             |    ELSE y END AS y
+             |  ) FROM $prev)""".stripMargin
+        }.mkString(",\n")
+        val statsBranches = Seq(32, 64, 128).flatMap { nb =>
+          val width = (1L << 32) / nb
+          Seq(
+            s"""  SELECT 'hilbert' AS layout, $nb AS n_buckets,
+               |    hv // $width AS f, count(*) AS n_rows,
+               |    min(a) AS min_a, max(a) AS max_a,
+               |    min(b) AS min_b, max(b) AS max_b
+               |  FROM assigned GROUP BY 1, 2, 3""".stripMargin,
+            s"""  SELECT 'zorder', $nb, zv // $width, count(*),
+               |    min(a), max(a), min(b), max(b)
+               |  FROM assigned GROUP BY 1, 2, 3""".stripMargin)
+        }.mkString("\n  UNION ALL\n")
+        s"""WITH src AS (
+           |  SELECT l_partkey % 65536 AS a, l_suppkey % 65536 AS b
+           |  FROM lineitem),
+           |mx AS (SELECT max(a) AS amax, max(b) AS bmax FROM src),
+           |norm AS (
+           |  SELECT a, b, (a * 65536) // (amax + 1) AS an,
+           |         (b * 65536) // (bmax + 1) AS bn
+           |  FROM src CROSS JOIN mx),
+           |s1 AS (SELECT *,
+           |  (an | (an << 8)) & 16711935 AS ax, (bn | (bn << 8)) & 16711935 AS bx
+           |  FROM norm),
+           |s2 AS (SELECT * REPLACE ((ax | (ax << 4)) & 252645135 AS ax,
+           |                         (bx | (bx << 4)) & 252645135 AS bx) FROM s1),
+           |s3 AS (SELECT * REPLACE ((ax | (ax << 2)) & 858993459 AS ax,
+           |                         (bx | (bx << 2)) & 858993459 AS bx) FROM s2),
+           |s4 AS (SELECT * REPLACE ((ax | (ax << 1)) & 1431655765 AS ax,
+           |                         (bx | (bx << 1)) & 1431655765 AS bx) FROM s3),
+           |hinit AS (
+           |  SELECT a, b, (ax | (bx << 1))::BIGINT AS zv,
+           |         an AS x, bn AS y, 0::BIGINT AS d
+           |  FROM s4),
+           |$hilbertRounds,
+           |assigned AS (
+           |  SELECT a, b, zv, d AS hv FROM h0),
+           |stats AS (
+           |$statsBranches)
+           |SELECT layout, CAST(n_buckets AS BIGINT) AS n_buckets,
+           |  count(*) AS n_files,
+           |  CAST(sum(CASE WHEN NOT (max_a < $ALo OR min_a > $AHi)
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS files_for_a_pred,
+           |  CAST(sum(CASE WHEN NOT (max_a < $ALo OR min_a > $AHi)
+           |           THEN n_rows ELSE 0 END) AS BIGINT) AS rows_for_a_pred,
+           |  CAST(sum(CASE WHEN NOT (max_b < $BLo OR min_b > $BHi)
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS files_for_b_pred,
+           |  CAST(sum(CASE WHEN NOT (max_b < $BLo OR min_b > $BHi)
+           |           THEN n_rows ELSE 0 END) AS BIGINT) AS rows_for_b_pred
+           |FROM stats GROUP BY 1, 2 ORDER BY layout, n_buckets""".stripMargin
+      }
+    ),
+
     // ---- temperature-weighted deterministic mixture sampling
     QueryDef(
       "q92_mixture_sample",

@@ -753,6 +753,82 @@ object TextQueries {
              |FROM documents ORDER BY media_id""".stripMargin)
     ),
 
+    // ---- G.711 µ-law/A-law decode (r9): the telephony companding family
+    //      (speech corpora ship as fmt-7/6 WAV). Real RIFF mux
+    //      (Multimodal.g711WavBytes) of a known code stream per row,
+    //      demuxed and expanded by decodeG711Pcm — pure integer
+    //      shift/add per ITU-T G.711, so the DuckDB twin replays the
+    //      EXPANSION FORMULA itself (not a shared table): µ-law
+    //      s·(((m·8)+132)·2^e − 132) on the complemented byte, A-law the
+    //      segment form on the 0x55-toggled byte. A drift in mux, chunk
+    //      walk, fact trim, or either expansion breaks the hash; the
+    //      sample_rate column additionally pins the header-only g711Meta
+    //      path. javax.sound hands fmt-6/7 back UNDECODED, so this
+    //      decoder is what makes the family real.
+    QueryDef(
+      "q241_audio_g711_census",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val n = (300 + id % 57).toInt
+              val rate = (8000 + (id % 3) * 4000).toInt
+              val codes =
+                Array.tabulate(n)(i => ((id * 7 + i * 11) % 256).toByte)
+              val ub = graft.ext.Multimodal.g711WavBytes(codes, rate,
+                aLaw = false)
+              val ab = graft.ext.Multimodal.g711WavBytes(codes, rate,
+                aLaw = true)
+              val up = graft.ext.Multimodal.decodeG711Pcm(ub)
+                .getOrElse(Array.empty[Short])
+              val ap = graft.ext.Multimodal.decodeG711Pcm(ab)
+                .getOrElse(Array.empty[Short])
+              val metaRate = graft.ext.Multimodal.audioMeta(ub)
+                .map(_._1.toLong).getOrElse(-1L)
+              var us = 0L; var as = 0L; var i = 0
+              while (i < up.length) { us += up(i); i += 1 }
+              i = 0
+              while (i < ap.length) { as += ap(i); i += 1 }
+              (id, up.length.toLong, metaRate, us, as,
+                if (up.isEmpty) 0L else up.last.toLong,
+                if (ap.isEmpty) 0L else ap.last.toLong)
+            }
+          }
+          .toDF("media_id", "n_samples", "sample_rate", "ulaw_sum",
+            "alaw_sum", "ulaw_last", "alaw_last")
+          .orderBy("media_id")
+      },
+      Some("""WITH codes AS (
+             |  SELECT doc_id, 300 + doc_id % 57 AS n,
+             |    list_transform(range(0, 300 + doc_id % 57),
+             |      i -> 255 - (doc_id * 7 + i * 11) % 256) AS ucodes,
+             |    list_transform(range(0, 300 + doc_id % 57),
+             |      i -> xor((doc_id * 7 + i * 11) % 256, 85)) AS acodes
+             |  FROM documents),
+             |expanded AS (
+             |  SELECT doc_id, n,
+             |    list_transform(ucodes, u ->
+             |      (CASE WHEN u >= 128 THEN -1 ELSE 1 END)
+             |      * (((u % 16) * 8 + 132)
+             |         * (1::BIGINT << ((u // 16) % 8)) - 132)) AS uvals,
+             |    list_transform(acodes, a ->
+             |      (CASE WHEN a >= 128 THEN 1 ELSE -1 END)
+             |      * (CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+             |              ELSE ((a % 16) * 16 + 264)
+             |                   * (1::BIGINT << ((a // 16) % 8 - 1))
+             |         END)) AS avals
+             |  FROM codes)
+             |SELECT doc_id AS media_id,
+             |  CAST(n AS BIGINT) AS n_samples,
+             |  CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+             |  CAST(list_sum(uvals) AS BIGINT) AS ulaw_sum,
+             |  CAST(list_sum(avals) AS BIGINT) AS alaw_sum,
+             |  CAST(uvals[n] AS BIGINT) AS ulaw_last,
+             |  CAST(avals[n] AS BIGINT) AS alaw_last
+             |FROM expanded ORDER BY media_id""".stripMargin)
+    ),
+
     // ---- media HEADER parsing, oracled as an encode→parse ROUND TRIP:
     //      deterministic PNG/JPEG/GIF header bytes are built from each
     //      row's fields (real container structure: IHDR / SOF0 marker

@@ -43,7 +43,7 @@ object ScaleSweep {
     "q90_cdc_merge", "q96_compaction_plan", "q97_incremental_agg",
     "q103_interval_join", "q110_anomaly_zscore", "q116_scd2_dimension",
     "q150_incremental_join_refresh", "q187_salted_join", "q197_time_travel",
-    "q230_vacuum_plan",
+    "q230_vacuum_plan", "q242_hilbert_skipping",
     // sketches / stats
     "q178_kmv_distinct", "q179_bloom_prefilter", "q180_hll_certification",
     "q185_countmin_census", "q196_hist_trailing_quantiles",
@@ -52,6 +52,7 @@ object ScaleSweep {
     "q232_join_cardinality_sketch", "q233_video_frame_census",
     "q234_video_mjpeg_census", "q235_audio_adpcm_census",
     "q238_audio_adpcm_stereo", "q240_audio_flac_census",
+    "q241_audio_g711_census",
     // the seeded production bootstrap (the registered q41's portable
     // form is oracle-tier: its ×nSim row expansion is for sf0.01/0.1)
     "x41_bootstrap_seeded",

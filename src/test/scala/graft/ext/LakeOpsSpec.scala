@@ -364,4 +364,57 @@ class LakeOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     port.filter(_._1 < 8).foreach(r => assert(r._4 == 0L))
   }
+
+  // ------------------------------------------------------ hilbert_index
+
+  test("hilbert_index: d2xy inverse round-trips across the 2^32 domain, " +
+    "consecutive d are ALWAYS unit-step adjacent (the locality Morton " +
+    "lacks), and the Column path matches the driver walk") {
+    import graft.functions.HilbertIndex2
+    // classical inverse (test-only): walk d back to (x, y) on the
+    // order-16 grid — an independent reconstruction of the curve, so a
+    // sign/rotation drift in compute() cannot self-verify
+    def d2xy(dIn: Long): (Int, Int) = {
+      var x = 0; var y = 0
+      var t = dIn
+      var s = 1
+      while (s < 65536) {
+        val rx = (1L & (t / 2)).toInt
+        val ry = (1L & (t ^ rx)).toInt
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val tmp = x; x = y; y = tmp
+        }
+        x += s * rx
+        y += s * ry
+        t /= 4
+        s *= 2
+      }
+      (x, y)
+    }
+    val domain = (1L << 32) - 1
+    val sampled = Seq(0L, 1L, 2L, 3L, domain, domain - 1, 1L << 31,
+      (1L << 31) - 1) ++ (1 to 4000).map(i => i * 1073741L % domain)
+    for (d <- sampled) {
+      val (x, y) = d2xy(d)
+      assert(HilbertIndex2.compute(x, y) == d, s"xy2d(d2xy($d))")
+      // unit-step adjacency: d and d+1 are neighboring grid cells
+      if (d < domain) {
+        val (x2, y2) = d2xy(d + 1)
+        assert(math.abs(x2 - x) + math.abs(y2 - y) == 1,
+          s"d=$d: ($x,$y) -> ($x2,$y2) is not a unit step")
+      }
+    }
+    // inputs are masked to 16 bits — any long is accepted
+    assert(HilbertIndex2.compute(65536L + 3, 70000L) ==
+      HilbertIndex2.compute(3, 70000L % 65536))
+    // the quadrant seam where Morton jumps: z consecutive pair
+    // (32767,65535)->(32768,0) teleports; Hilbert never does (above)
+    // Column path (codegen) == driver walk
+    val pts = (0 until 512).map(i => (i * 131L % 65536, i * 773L % 65536))
+    val got = pts.toDF("x", "y")
+      .select(LakeOps.hvalue2(col("x"), col("y")).as("h"))
+      .as[Long].collect()
+    assert(got.toSeq == pts.map { case (x, y) => HilbertIndex2.compute(x, y) })
+  }
 }

@@ -322,6 +322,53 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioMeta(bytes).contains((16000, 600L)))
   }
 
+  test("G.711: expansion/compression inverse on the code domain; known " +
+    "extremes; WAV seam round trip; header-only meta") {
+    // µ-law: every code round-trips except 0x7F, the negative-zero alias
+    // of 0xFF (both expand to 0; compression canonicalizes to 0xFF)
+    for (c <- 0 until 256 if c != 0x7f)
+      assert(Multimodal.linearToUlaw(Multimodal.ulawToLinear(c)) == c,
+        s"ulaw code $c")
+    assert(Multimodal.ulawToLinear(0x7f) == 0 &&
+      Multimodal.ulawToLinear(0xff) == 0 &&
+      Multimodal.linearToUlaw(0) == 0xff)
+    // A-law has no zero collision (min magnitude 8): all 256 round-trip
+    for (c <- 0 until 256)
+      assert(Multimodal.linearToAlaw(Multimodal.alawToLinear(c)) == c,
+        s"alaw code $c")
+    // ITU extremes: µ-law ±32124 at codes 0x80/0x00, A-law ±32256/∓8
+    assert(Multimodal.ulawToLinear(0x80) == 32124 &&
+      Multimodal.ulawToLinear(0x00) == -32124)
+    assert(Multimodal.alawToLinear(0xaa) == 32256 &&
+      Multimodal.alawToLinear(0x2a) == -32256 &&
+      Multimodal.alawToLinear(0xd5) == 8 &&
+      Multimodal.alawToLinear(0x55) == -8)
+    // decode quantization idempotence: expand → compress → expand fixes
+    for (v <- Seq(-30000, -1000, -9, 0, 7, 123, 4567, 32767)) {
+      val uq = Multimodal.ulawToLinear(Multimodal.linearToUlaw(v))
+      assert(Multimodal.ulawToLinear(Multimodal.linearToUlaw(uq)) == uq)
+      val aq = Multimodal.alawToLinear(Multimodal.linearToAlaw(v))
+      assert(Multimodal.alawToLinear(Multimodal.linearToAlaw(aq)) == aq)
+    }
+    // WAV mux → decode seam: MSB waveform of the expanded PCM, not the
+    // container bytes (javax.sound would hand fmt-7 back undecoded)
+    val codes = Array.tabulate(601)(i => ((i * 11) % 256).toByte)
+    for (aLaw <- Seq(false, true)) {
+      val wav = Multimodal.g711WavBytes(codes, 8000, aLaw)
+      val pcm = Multimodal.decodeG711Pcm(wav).get
+      val expand: Int => Int =
+        if (aLaw) Multimodal.alawToLinear else Multimodal.ulawToLinear
+      assert(pcm.toSeq == codes.toSeq.map(c => expand(c & 0xff).toShort))
+      val wave = Multimodal.decode(wav, "audio")
+      assert(wave.length == 601 &&
+        wave.toSeq == pcm.toSeq.map(s => ((s >> 8) & 0xff).toByte))
+      // header-only metadata: rate from fmt, count from fact (odd length
+      // proves the fact trim drops the pad byte)
+      assert(Multimodal.audioMeta(wav).contains((8000, 601L)))
+    }
+    assert(Multimodal.decodeG711Pcm("RIFFjunkWAVE".getBytes).isEmpty)
+  }
+
   test("aHash64: analytic values for stripe images, flat collision, box-avg") {
     val col8 = 72340172838076673L // 0x0101010101010101
     // 8x8, k white columns → (2^k - 1) · col8
