@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ext.Dedup
+
+/** Streaming NEAR-DUPLICATE gate: documents stream in, are MinHash-LSH
+  * probed against the PERSISTED signature index of everything accepted so
+  * far, and split into an accepted sink (whose signatures join the index)
+  * and a rejects sink (with the colliding corpus id and the Jaccard
+  * estimate) — ingest-time dedup, the streaming half of q74's
+  * incremental-index lifecycle ([[Dedup.minHashPairsAgainstIndex]] is the
+  * probe in both).
+  *
+  * Batch-internal collisions resolve FIRST, by lowest id (a batch can
+  * near-duplicate itself); survivors then probe the index. The accepted
+  * set is therefore pairwise non-colliding at the estimate threshold,
+  * which is what makes replay safe:
+  *
+  * Exactly-once: NO epoch guard is needed (the SketchStream-KMV side of
+  * the contrast, not the SCD2/CMS side). A replayed batch re-derives the
+  * identical verdicts — accepted docs self-match in the index (excluded
+  * by id), cannot collide with their co-accepted batchmates (pairwise
+  * non-colliding, estimator is deterministic), and see the same older
+  * corpus — and the index append is a union keyed by id (idempotent set
+  * union). Verdict sinks are epoch-versioned overwrites, so replays
+  * rewrite byte-identical content instead of appending duplicates.
+  *
+  * Scale shape per batch: signatures are computed scan-side (native
+  * `minhash_signature`, one pass per doc); the index probe is the q25
+  * banding equi-join — band keys and 8-byte hashes shuffle, never text —
+  * and the index side is (id, signature), k longs per accepted doc,
+  * partition-prunable by band at lake scale. State grows with ACCEPTED
+  * docs only (rejects never enter the index).
+  */
+object DedupStream {
+
+  def start(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      verdictDir: String,
+      checkpointPath: String,
+      threshold: Double = 0.7,
+      nHashes: Int = 64,
+      bands: Int = 16,
+      shingleWords: Int = 3,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    docs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        processBatch(batch, epochId, idCol, textCol, indexPath, verdictDir,
+          threshold, nHashes, bands, shingleWords)
+      }
+      .start()
+
+  /** One micro-batch: within-batch resolve → index probe → verdicts +
+    * index append. Also usable as a batch-mode call (the incremental
+    * q74 step); replay-idempotent, see the object scaladoc.
+    */
+  def processBatch(
+      batch: DataFrame,
+      epochId: Long,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      verdictDir: String,
+      threshold: Double,
+      nHashes: Int,
+      bands: Int,
+      shingleWords: Int
+  ): Unit = {
+    val b = batch.persist()
+    try {
+      if (b.isEmpty) return
+      val spark = b.sparkSession
+      val sigs = Dedup
+        .minHashSignatures(b, idCol, textCol, nHashes, shingleWords)
+        .persist()
+      try {
+        // 1. within-batch: a doc colliding with a LOWER id loses — the
+        //    greedy keep-lowest rule every dedup op here uses; the
+        //    survivor set is pairwise non-colliding by construction
+        val within = Dedup.minHashPairsAgainstIndex(
+            b, idCol, textCol, sigs, threshold, nHashes, bands, shingleWords)
+          .filter(col("id_corpus") < col("id_new"))
+          .groupBy(col("id_new").as(idCol))
+          .agg(min(col("id_corpus")).as("dup_of"),
+            max(col("est_jaccard")).as("est_jaccard"))
+        val batchSurvivors = b.join(within.select(idCol), Seq(idCol),
+          "left_anti").persist()
+        // 2. survivors probe the persisted index; the id inequality is
+        //    the replay self-guard (an accepted doc's own signature is
+        //    already indexed when a batch re-runs)
+        val p = new Path(indexPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val vsIndex =
+          if (!fs.exists(p)) within.limit(0)
+          else Dedup.minHashPairsAgainstIndex(
+              batchSurvivors, idCol, textCol,
+              spark.read.parquet(indexPath), threshold, nHashes, bands,
+              shingleWords)
+            .filter(col("id_new") =!= col("id_corpus"))
+            .groupBy(col("id_new").as(idCol))
+            .agg(min(col("id_corpus")).as("dup_of"),
+              max(col("est_jaccard")).as("est_jaccard"))
+        val rejects = within.unionByName(vsIndex).persist()
+        try {
+          val accepted = batchSurvivors
+            .join(rejects.select(idCol), Seq(idCol), "left_anti")
+            .persist()
+          try {
+            // 3. epoch-versioned verdict sinks: replays overwrite with
+            //    identical content (no append duplication)
+            rejects.write.mode("overwrite")
+              .parquet(s"$verdictDir/rejects/v$epochId")
+            accepted.write.mode("overwrite")
+              .parquet(s"$verdictDir/accepted/v$epochId")
+            // 4. index append = union keyed by id (idempotent);
+            //    materialize BEFORE overwriting the path the plan reads
+            val acceptedSigs = sigs.join(
+              accepted.select(idCol), Seq(idCol), "left_semi")
+            val newIndex =
+              if (!fs.exists(p)) acceptedSigs
+              else spark.read.parquet(indexPath)
+                .unionByName(acceptedSigs)
+                .dropDuplicates(idCol)
+            newIndex.localCheckpoint(true)
+              .write.mode("overwrite").parquet(indexPath)
+          } finally { accepted.unpersist(); () }
+        } finally { rejects.unpersist(); () }
+        batchSurvivors.unpersist()
+        ()
+      } finally { sigs.unpersist(); () }
+    } finally { b.unpersist(); () }
+  }
+
+  /** Everything the gate has accepted so far (the union of the epoch
+    * sinks), for assertions and downstream consumption.
+    */
+  def acceptedSoFar(spark: SparkSession, verdictDir: String): DataFrame =
+    spark.read.parquet(s"$verdictDir/accepted/v*")
+}
