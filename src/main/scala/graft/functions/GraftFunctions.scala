@@ -226,6 +226,19 @@ object GraftFunctions {
         require(args.length == 2, "hilbert_index takes (x, y)")
         HilbertIndex2(args.head, args(1))
       }
+    ),
+    (
+      "wordpiece_stats",
+      new ExpressionInfo(classOf[WordpieceStats].getName, "wordpiece_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "wordpiece_stats takes (word, whole_pieces, cont_pieces)")
+        // the literal piece arrays are consumed into the payload here —
+        // the expression tree (and every plan string) keeps a shape tag
+        WordpieceStats(args.head, WordpieceStats.vocab(
+          WordpieceStats.foldableStrings(args(1)),
+          WordpieceStats.foldableStrings(args(2))))
+      }
     )
   )
 

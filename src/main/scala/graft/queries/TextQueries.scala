@@ -829,6 +829,99 @@ object TextQueries {
              |FROM expanded ORDER BY media_id""".stripMargin)
     ),
 
+    // ---- WordPiece subword census (r9): the BERT-family tokenizer rule
+    //      next to q137/q139's BPE — greedy LONGEST-match-first per word,
+    //      whole pieces at position 0, ##-continuations after, [UNK] for
+    //      >16-char or non-printable-ASCII words. The vocabulary derives
+    //      deterministically from the corpus (top-40 words → prefixes +
+    //      interior substrings + the printable charset), so the DuckDB
+    //      twin REBUILDS it relationally and replays the greedy walk as
+    //      16 unrolled join-the-longest-piece steps; the chk column is
+    //      the step-weighted portable-md5 checksum of every matched piece
+    //      — a drift in vocabulary construction, match order, UNK rule,
+    //      or a single piece boundary breaks the hash. Spark side:
+    //      native `wordpiece_stats` (vocab rides the plan as a payload
+    //      map) over DISTINCT words only, occurrence counts joined back —
+    //      segmentation cost is vocabulary-bound, not corpus-bound.
+    QueryDef(
+      "q243_wordpiece_census",
+      (s, dir) => graft.ext.Wordpiece.encodeCensus(
+        t(s, dir, "documents"), "text", "source"),
+      Some {
+        val h = (rendered: String) =>
+          s"(('0x' || substr(md5($rendered), 1, 15))::BIGINT % 1000000)"
+        val steps = (0 until 16).map { k =>
+          s"""m$k AS MATERIALIZED (
+             |  SELECT s.word, s.pos, max(len(v.piece)) AS plen
+             |  FROM s$k s JOIN vocab v
+             |    ON v.is_cont = (s.pos > 0)
+             |   AND v.piece = substr(s.word, s.pos + 1, len(v.piece))
+             |  WHERE NOT s.unk AND s.pos < s.wlen
+             |  GROUP BY 1, 2),
+             |s${k + 1} AS MATERIALIZED (
+             |  SELECT s.word, s.wlen,
+             |    CASE WHEN s.unk OR s.pos >= s.wlen THEN s.pos
+             |         ELSE s.pos + m.plen END AS pos,
+             |    CASE WHEN s.unk OR s.pos >= s.wlen THEN s.n
+             |         ELSE s.n + 1 END AS n,
+             |    CASE WHEN s.unk OR s.pos >= s.wlen THEN s.chk
+             |         ELSE s.chk + (s.n + 1) * ${h(
+            "CASE WHEN s.pos = 0 THEN substr(s.word, 1, m.plen) " +
+              "ELSE '##' || substr(s.word, s.pos + 1, m.plen) END")} END
+             |      AS chk,
+             |    s.unk
+             |  FROM s$k s LEFT JOIN m$k m
+             |    ON s.word = m.word AND s.pos = m.pos)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH toks AS MATERIALIZED (
+           |  SELECT source, x AS word
+           |  FROM documents, unnest(list_filter(
+           |    regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))
+           |    AS t(x)),
+           |occ AS MATERIALIZED (SELECT source, word, count(*) AS occ FROM toks
+           |        GROUP BY 1, 2),
+           |topw AS MATERIALIZED (
+           |  SELECT word FROM (
+           |    SELECT word, count(*) AS cnt FROM toks
+           |    WHERE len(word) <= 16 AND strlen(word) = len(word)
+           |    GROUP BY 1)
+           |  ORDER BY cnt DESC, word ASC LIMIT 40),
+           |chars AS (SELECT chr(i::INT) AS piece FROM range(33, 127) t(i)),
+           |wholep AS (
+           |  SELECT DISTINCT substr(word, 1, l) AS piece
+           |  FROM topw, range(1, 17) t(l) WHERE l <= len(word)
+           |  UNION SELECT piece FROM chars),
+           |contp AS (
+           |  SELECT DISTINCT substr(word, i + 1, l) AS piece
+           |  FROM topw, range(1, 16) t(i), range(1, 16) u(l)
+           |  WHERE i + l <= len(word)
+           |  UNION SELECT piece FROM chars),
+           |vocab AS MATERIALIZED (
+           |  SELECT piece, FALSE AS is_cont FROM wholep
+           |  UNION ALL SELECT piece, TRUE FROM contp),
+           |s0 AS MATERIALIZED (
+           |  SELECT word, len(word) AS wlen, 0 AS pos,
+           |    0::BIGINT AS n, 0::BIGINT AS chk,
+           |    (len(word) > 16 OR NOT regexp_matches(word, '^[!-~]+$$'))
+           |      AS unk
+           |  FROM (SELECT DISTINCT word FROM occ)),
+           |$steps,
+           |seg AS (
+           |  SELECT word,
+           |    CASE WHEN unk THEN 1::BIGINT ELSE n END AS n_pieces,
+           |    CASE WHEN unk THEN 1::BIGINT ELSE 0::BIGINT END AS unkf,
+           |    CASE WHEN unk THEN 0::BIGINT ELSE chk END AS wchk
+           |  FROM s16)
+           |SELECT o.source,
+           |  CAST(sum(o.occ) AS BIGINT) AS n_tokens,
+           |  CAST(sum(o.occ * g.n_pieces) AS BIGINT) AS subword_tokens,
+           |  CAST(sum(o.occ * g.unkf) AS BIGINT) AS n_unk_tokens,
+           |  CAST(sum(o.occ * g.wchk) AS BIGINT) AS chk
+           |FROM occ o JOIN seg g USING (word)
+           |GROUP BY 1 ORDER BY o.source""".stripMargin
+      }
+    ),
+
     // ---- media HEADER parsing, oracled as an encode→parse ROUND TRIP:
     //      deterministic PNG/JPEG/GIF header bytes are built from each
     //      row's fields (real container structure: IHDR / SOF0 marker
