@@ -232,6 +232,51 @@ object LakeLayoutProbe {
     println(s"[layout] order join: plain ${f(plainJSec)}s/$plainJEx exchanges/" +
       s"$plainJSorts sorts")
 
+    // ------------------------------------- curve-clustered physical scans
+    // the q242 census measured RELATIONAL skipping; this is the physical
+    // readout: write lineitem clustered three ways (single-column range,
+    // Morton, Hilbert — 64 range-partitioned files each, one row group
+    // per file), then time a box predicate on each dimension. Spark does
+    // no FILE-level min/max pruning on bare parquet, so the evidence is
+    // the parquet reader's ROW-GROUP pruning: the scan's numOutputRows
+    // is what survived the pushed filter's row-group stats.
+    val liAB = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select((col("l_partkey") % 65536).as("a"),
+        (col("l_suppkey") % 65536).as("b"))
+    def scanRows(df: DataFrame): Long =
+      collectPlan(df.queryExecution.executedPlan)
+        .collect { case fs: FileSourceScanExec =>
+          fs.metrics("numOutputRows").value }.sum
+    val curveLayouts = Seq[(String, DataFrame => DataFrame)](
+      ("linear", d => d.repartitionByRange(64, col("a"))
+        .sortWithinPartitions("a")),
+      ("zorder", d => graft.ext.LakeOps.zorderRepartition(
+        d, col("a"), col("b"), 64)),
+      ("hilbert", d => graft.ext.LakeOps.hilbertRepartition(
+        d, col("a"), col("b"), 64)))
+    val curveJson = curveLayouts.map { case (name, cluster) =>
+      val path = s"/tmp/graft_layout/li_curve_$name.parquet"
+      val tc0 = System.nanoTime()
+      cluster(liAB).write.mode("overwrite").parquet(path)
+      val wSec = (System.nanoTime() - tc0) / 1e9
+      val src = spark.read.parquet(path)
+      def census(pred: org.apache.spark.sql.Column) =
+        src.filter(pred).agg(count(lit(1)).cast("long").as("n"))
+      val aQ = census(col("a").between(100, 199))
+      val aSec = timeCollect(aQ)
+      val aRows = scanRows(aQ)
+      val bQ = census(col("b").between(2, 5))
+      val bSec = timeCollect(bQ)
+      val bRows = scanRows(bQ)
+      println(s"[layout] curve $name: a-pred ${f(aSec)}s/$aRows scan rows, " +
+        s"b-pred ${f(bSec)}s/$bRows scan rows (write-once ${f(wSec)}s)")
+      s""""$name": {"write_once_sec": ${f(wSec)},
+         | "a_pred": {"sec": ${f(aSec)}, "scan_rows": $aRows},
+         | "b_pred": {"sec": ${f(bSec)}, "scan_rows": $bRows}}"""
+        .stripMargin.replace("\n", "")
+    }.mkString(", ")
+    sections("lineitem_curve_clustered_scan") = s"{$curveJson}"
+
     val json = sections.map { case (k, v) => s""""$k": $v""" }
       .mkString("{\"metric\": \"lake_layout_100x\", ", ", ", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
