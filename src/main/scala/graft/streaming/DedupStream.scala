@@ -7,34 +7,40 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.ext.Dedup
 
-/** Streaming NEAR-DUPLICATE gate: documents stream in, are MinHash-LSH
-  * probed against the PERSISTED signature index of everything accepted so
-  * far, and split into an accepted sink (whose signatures join the index)
-  * and a rejects sink (with the colliding corpus id and the Jaccard
-  * estimate) — ingest-time dedup, the streaming half of q74's
-  * incremental-index lifecycle ([[Dedup.minHashPairsAgainstIndex]] is the
-  * probe in both).
+/** Streaming NEAR-DUPLICATE gate, the EXACTLY-ONCE sibling of
+  * [[CurationStream]]: documents stream in, are MinHash-LSH probed
+  * against the PERSISTED signature index of everything accepted so far,
+  * and split into an accepted sink and a rejects sink (with the
+  * colliding corpus id and the Jaccard estimate — the audit channel
+  * CurationStream's curated-only output lacks). The probe is q74's
+  * [[Dedup.minHashPairsAgainstIndex]] in both.
   *
-  * Batch-internal collisions resolve FIRST, by lowest id (a batch can
-  * near-duplicate itself); survivors then probe the index. The accepted
-  * set is therefore pairwise non-colliding at the estimate threshold,
-  * which is what makes replay safe:
+  * Where CurationStream documents an at-least-once caveat (plain
+  * appends: a crash mid-batch can leave duplicate sink files and
+  * duplicate index rows), this gate closes it: EVERY write is an
+  * epoch-versioned overwrite — verdicts to `verdictDir/{accepted,
+  * rejects}/v<epoch>` and the index as per-epoch DELTA directories
+  * `indexPath/v<epoch>` (read back as one glob). Writes stay O(batch)
+  * per epoch — no index rewrite — and a replayed epoch overwrites its
+  * own directories with byte-identical content.
   *
-  * Exactly-once: NO epoch guard is needed (the SketchStream-KMV side of
-  * the contrast, not the SCD2/CMS side). A replayed batch re-derives the
-  * identical verdicts — accepted docs self-match in the index (excluded
-  * by id), cannot collide with their co-accepted batchmates (pairwise
-  * non-colliding, estimator is deterministic), and see the same older
-  * corpus — and the index append is a union keyed by id (idempotent set
-  * union). Verdict sinks are epoch-versioned overwrites, so replays
-  * rewrite byte-identical content instead of appending duplicates.
+  * Batch-internal collisions resolve FIRST, pairwise by lowest id (a
+  * batch can near-duplicate itself); survivors then probe the index.
+  * The accepted set is therefore pairwise non-colliding at the estimate
+  * threshold, which is what makes replay reconverge with NO epoch
+  * guard (the SketchStream-KMV side of the contrast, not the SCD2/CMS
+  * side): on replay, accepted docs self-match their own indexed
+  * signature (excluded by id), cannot collide with co-accepted
+  * batchmates, and see the same older corpus — identical verdicts,
+  * identical delta, overwritten in place. DedupStreamSpec pins the
+  * replay bit-for-bit.
   *
   * Scale shape per batch: signatures are computed scan-side (native
   * `minhash_signature`, one pass per doc); the index probe is the q25
   * banding equi-join — band keys and 8-byte hashes shuffle, never text —
-  * and the index side is (id, signature), k longs per accepted doc,
-  * partition-prunable by band at lake scale. State grows with ACCEPTED
-  * docs only (rejects never enter the index).
+  * and the index side is (id, signature), k longs per accepted doc.
+  * State grows with ACCEPTED docs only (rejects never enter the index);
+  * compact old delta directories offline like any lake table.
   */
 object DedupStream {
 
@@ -95,17 +101,19 @@ object DedupStream {
             max(col("est_jaccard")).as("est_jaccard"))
         val batchSurvivors = b.join(within.select(idCol), Seq(idCol),
           "left_anti").persist()
-        // 2. survivors probe the persisted index; the id inequality is
-        //    the replay self-guard (an accepted doc's own signature is
-        //    already indexed when a batch re-runs)
+        // 2. survivors probe the persisted index (the union of every
+        //    epoch's delta); the id inequality is the replay self-guard
+        //    (an accepted doc's own signature is already indexed when a
+        //    batch re-runs)
         val p = new Path(indexPath)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasIndex = fs.exists(p) && fs.listStatus(p).nonEmpty
         val vsIndex =
-          if (!fs.exists(p)) within.limit(0)
+          if (!hasIndex) within.limit(0)
           else Dedup.minHashPairsAgainstIndex(
               batchSurvivors, idCol, textCol,
-              spark.read.parquet(indexPath), threshold, nHashes, bands,
-              shingleWords)
+              spark.read.parquet(s"$indexPath/v*"), threshold, nHashes,
+              bands, shingleWords)
             .filter(col("id_new") =!= col("id_corpus"))
             .groupBy(col("id_new").as(idCol))
             .agg(min(col("id_corpus")).as("dup_of"),
@@ -117,22 +125,19 @@ object DedupStream {
             .persist()
           try {
             // 3. epoch-versioned verdict sinks: replays overwrite with
-            //    identical content (no append duplication)
+            //    identical content (no append duplication). Writing them
+            //    FIRST also materializes the index probe before step 4
+            //    overwrites the delta directory the probe may be reading
+            //    (replay case).
             rejects.write.mode("overwrite")
               .parquet(s"$verdictDir/rejects/v$epochId")
             accepted.write.mode("overwrite")
               .parquet(s"$verdictDir/accepted/v$epochId")
-            // 4. index append = union keyed by id (idempotent);
-            //    materialize BEFORE overwriting the path the plan reads
-            val acceptedSigs = sigs.join(
-              accepted.select(idCol), Seq(idCol), "left_semi")
-            val newIndex =
-              if (!fs.exists(p)) acceptedSigs
-              else spark.read.parquet(indexPath)
-                .unionByName(acceptedSigs)
-                .dropDuplicates(idCol)
-            newIndex.localCheckpoint(true)
-              .write.mode("overwrite").parquet(indexPath)
+            // 4. the index DELTA: this epoch's accepted signatures only —
+            //    O(batch) written per epoch, never an index rewrite; a
+            //    replay overwrites the same directory with the same rows
+            sigs.join(accepted.select(idCol), Seq(idCol), "left_semi")
+              .write.mode("overwrite").parquet(s"$indexPath/v$epochId")
           } finally { accepted.unpersist(); () }
         } finally { rejects.unpersist(); () }
         batchSurvivors.unpersist()

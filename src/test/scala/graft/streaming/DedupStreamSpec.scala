@@ -59,8 +59,8 @@ class DedupStreamSpec extends SparkSpec {
         .select("est_jaccard").head().getDouble(0)
       assert(est4 >= 0.7, s"est_jaccard $est4")
 
-      // index holds EXACTLY the accepted ids' signatures
-      assert(spark.read.parquet(idx).select("doc_id")
+      // index deltas hold EXACTLY the accepted ids' signatures
+      assert(spark.read.parquet(s"$idx/v*").select("doc_id")
         .collect().map(_.getLong(0)).toSet === Set(1L, 3L, 5L))
     } finally q.stop()
   }
@@ -75,7 +75,7 @@ class DedupStreamSpec extends SparkSpec {
       DedupStream.processBatch(df, epoch, "doc_id", "text", idx, vd,
         threshold = 0.7, nHashes = 64, bands = 16, shingleWords = 3)
     def snapshot(): (Set[(Long, Seq[Long])], Set[Long], Map[Long, Long]) = (
-      spark.read.parquet(idx)
+      spark.read.parquet(s"$idx/v*")
         .collect()
         .map(r => r.getLong(r.fieldIndex("doc_id")) ->
           r.getSeq[Long](r.fieldIndex("signature")).toSeq).toSet,
