@@ -239,6 +239,17 @@ object GraftFunctions {
           WordpieceStats.foldableStrings(args(1)),
           WordpieceStats.foldableStrings(args(2))))
       }
+    ),
+    (
+      "multi_pattern_counts",
+      new ExpressionInfo(classOf[MultiPatternCounts].getName,
+        "multi_pattern_counts"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "multi_pattern_counts takes (text, patterns)")
+        MultiPatternCounts(args.head, MultiPatternCounts.build(
+          WordpieceStats.foldableStrings(args(1))))
+      }
     )
   )
 

@@ -28,6 +28,14 @@ object TextQueries {
   private val SubK = 40
   private val WinW = 8
 
+  /** q244 blocklist patterns — deliberately nested ("a"⊂"ta"⊂"tab"⊂
+    * "table", "an"⊂"scan", "art"⊂"part", "val"⊂"value") and
+    * cross-word ("s s", "e t") to exercise Aho-Corasick output links
+    * and overlapping counts. ABOVE `defs` (the q75 init-order trap).
+    */
+  private val AcPatterns = Seq("a", "ta", "tab", "table", "an", "scan",
+    "art", "part", "row", "val", "value", "s s", "e t")
+
   /** Shared oracle CTEs for q140/q143: 3-gram sets per doc (with the
     * wordNgrams short-text fallback) and the brute-force all-pairs Jaccard
     * table. Declared ABOVE `defs` — oracle strings evaluate eagerly while
@@ -919,6 +927,54 @@ object TextQueries {
            |  CAST(sum(o.occ * g.wchk) AS BIGINT) AS chk
            |FROM occ o JOIN seg g USING (word)
            |GROUP BY 1 ORDER BY o.source""".stripMargin
+      }
+    ),
+
+    // ---- Aho-Corasick multi-pattern blocklist scan (r9): per-pattern
+    //      OVERLAPPING substring counts in ONE text pass, pattern-count-
+    //      independent — the scan-speed blocklist/PII primitive
+    //      (`contains` per pattern is one full scan each). The pattern
+    //      set nests patterns inside patterns and crosses word
+    //      boundaries, so dictionary-suffix output links and overlap
+    //      handling are all load-bearing; the DuckDB twin brute-forces
+    //      every (position, pattern) pair — a drift in fail links,
+    //      output links, or overlap counting breaks the hash. Output is
+    //      per (source, pattern): every count is pinned exactly, no
+    //      checksum needed.
+    QueryDef(
+      "q244_substring_blocklist_census",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("source"),
+            posexplode(call_function("multi_pattern_counts", col("text"),
+              typedLit(AcPatterns))).as(Seq("pattern_idx", "cnt")))
+          .groupBy("source", "pattern_idx")
+          .agg(sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("n_docs_hit"),
+            sum(col("cnt")).cast("long").as("total_hits"))
+          .withColumn("pattern",
+            element_at(typedLit(AcPatterns), col("pattern_idx") + 1))
+          .withColumn("pattern_idx", col("pattern_idx").cast("long"))
+          .select("source", "pattern_idx", "pattern", "n_docs_hit",
+            "total_hits")
+          .orderBy("source", "pattern_idx"),
+      Some {
+        val vals = AcPatterns.zipWithIndex
+          .map { case (p, i) => s"($i, '$p')" }.mkString(", ")
+        s"""WITH p(i, pat) AS (VALUES $vals),
+           |cnts AS (
+           |  SELECT d.source, p.i, p.pat,
+           |    coalesce(list_sum(list_transform(
+           |      range(0, greatest(len(d.text) - len(p.pat) + 1, 0)),
+           |      j -> CASE WHEN substr(d.text, j + 1, len(p.pat)) = p.pat
+           |           THEN 1 ELSE 0 END)), 0) AS cnt
+           |  FROM documents d CROSS JOIN p)
+           |SELECT source, CAST(i AS BIGINT) AS pattern_idx,
+           |  pat AS pattern,
+           |  CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_docs_hit,
+           |  CAST(sum(cnt) AS BIGINT) AS total_hits
+           |FROM cnts GROUP BY 1, 2, 3
+           |ORDER BY source, pattern_idx""".stripMargin
       }
     ),
 

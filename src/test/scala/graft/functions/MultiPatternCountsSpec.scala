@@ -1,0 +1,58 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Aho-Corasick semantics, hand-computed: nested patterns via output
+  * links, overlapping self-matches, fail-link traversal, and parity
+  * between the codegen Column path and an independent brute force.
+  */
+class MultiPatternCountsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def counts(text: String, pats: Seq[String]): Seq[Long] = {
+    val a = MultiPatternCounts.build(pats)
+    MultiPatternCounts.compute(UTF8String.fromString(text), a)
+      .toLongArray().toSeq
+  }
+
+  /** Independent overlapping-count brute force (the oracle's rule). */
+  private def brute(text: String, p: String): Long =
+    (0 to text.length - p.length)
+      .count(i => text.regionMatches(i, p, 0, p.length)).toLong
+
+  test("the classic dictionary: he/she/his/hers over 'ushers'") {
+    // she ends at 3, he ends at 3 (suffix of she — output link), hers
+    // ends at 5; his never matches
+    assert(counts("ushers", Seq("he", "she", "his", "hers")) ===
+      Seq(1L, 1L, 0L, 1L))
+  }
+
+  test("overlapping self-matches and nested patterns") {
+    assert(counts("aaaa", Seq("a", "aa", "aaa")) === Seq(4L, 3L, 2L))
+    // nesting chain: every 'table' also contains 'tab', 'ta', 'a'
+    assert(counts("table table", Seq("a", "ta", "tab", "table")) ===
+      Seq(2L, 2L, 2L, 2L))
+    // fail-link walk mid-pattern: 'shis' breaks out of 'she' into 'his'
+    assert(counts("shis", Seq("she", "his")) === Seq(0L, 1L))
+  }
+
+  test("matches the brute force on corpus-like text, incl. cross-word " +
+    "patterns; Column path == driver walk") {
+    val pats = Seq("a", "ta", "tab", "table", "an", "scan", "art",
+      "part", "row", "val", "value", "s s", "e t")
+    val texts = Seq(
+      "key agg row scan slow fast table value part hash value",
+      "batch window spark order data column agg join small line",
+      "s s s", "", "t")
+    for (t <- texts)
+      assert(counts(t, pats) === pats.map(p => brute(t, p)),
+        s"text '$t'")
+    val got = texts.toDF("t")
+      .select(call_function("multi_pattern_counts", col("t"),
+        typedLit(pats)).as("c"))
+      .as[Seq[Long]].collect().toSeq
+    assert(got === texts.map(t => pats.map(p => brute(t, p))))
+  }
+}
