@@ -250,6 +250,14 @@ object GraftFunctions {
         MultiPatternCounts(args.head, MultiPatternCounts.build(
           WordpieceStats.foldableStrings(args(1))))
       }
+    ),
+    (
+      "nfc_normalize",
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize takes (str)")
+        NfcNormalize(args.head)
+      }
     )
   )
 

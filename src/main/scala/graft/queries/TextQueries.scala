@@ -978,6 +978,73 @@ object TextQueries {
       }
     ),
 
+    // ---- Unicode NFC normalization census (r9): composed vs decomposed
+    //      spellings ("é" vs "e"+U+0301) must hash/dedup/tokenize the
+    //      same, so normalization is a standard pretraining-cleanup
+    //      step. Spark has no built-in; the native `nfc_normalize`
+    //      expression wraps the JDK's UAX#15-conformant implementation,
+    //      and the DuckDB twin runs ITS OWN independent implementation
+    //      (ICU) on the same deterministically-built decomposed text —
+    //      two conformant NFC engines must agree codepoint for
+    //      codepoint, which the position-weighted codepoint checksum
+    //      pins. The text mixes composable pairs (vowel+diaeresis,
+    //      letter+acute), NON-composable ones (consonant+diaeresis stays
+    //      two codepoints), and double-mark sequences (base+0308+0301 →
+    //      composed base + residual acute). All codepoints are BMP, so
+    //      JVM UTF-16 indexing and DuckDB codepoint indexing coincide.
+    QueryDef(
+      "q245_unicode_nfc_census",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              // decomposed synthetic text — generation only, the
+              // normalization happens in the COLUMN expression below
+              val n = (40 + id % 23).toInt
+              val sb = new StringBuilder
+              var j = 0
+              while (j < n) {
+                sb.append((97 + (id * 3 + j * 5) % 26).toInt.toChar)
+                if (j % 7 == 0) sb.append('\u0308') // combining diaeresis
+                if (j % 3 == 0) sb.append('\u0301') // combining acute
+                j += 1
+              }
+              (id, sb.toString)
+            }
+          }
+          .toDF("doc_id", "raw")
+          .withColumn("nfc", call_function("nfc_normalize", col("raw")))
+          .select(col("doc_id"),
+            length(col("raw")).cast("long").as("len_raw"),
+            length(col("nfc")).cast("long").as("len_nfc"),
+            expr("""aggregate(
+                 |  transform(sequence(1, length(nfc)),
+                 |    i -> CAST(i AS LONG) * ascii(substring(nfc, i, 1))),
+                 |  0L, (a, x) -> a + x)""".stripMargin).as("nfc_chk"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH built AS (
+             |  SELECT doc_id,
+             |    array_to_string(list_transform(
+             |      range(0, 40 + doc_id % 23),
+             |      j -> chr((97 + (doc_id * 3 + j * 5) % 26)::INT)
+             |        || CASE WHEN j % 7 = 0 THEN chr(776) ELSE '' END
+             |        || CASE WHEN j % 3 = 0 THEN chr(769) ELSE '' END),
+             |      '') AS raw
+             |  FROM documents),
+             |normalized AS (
+             |  SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM built)
+             |SELECT doc_id,
+             |  CAST(len(raw) AS BIGINT) AS len_raw,
+             |  CAST(len(nfc) AS BIGINT) AS len_nfc,
+             |  CAST(coalesce(list_sum(list_transform(
+             |    range(1, len(nfc) + 1),
+             |    i -> i * unicode(substr(nfc, i, 1)))), 0) AS BIGINT)
+             |    AS nfc_chk
+             |FROM normalized ORDER BY doc_id""".stripMargin)
+    ),
+
     // ---- media HEADER parsing, oracled as an encode→parse ROUND TRIP:
     //      deterministic PNG/JPEG/GIF header bytes are built from each
     //      row's fields (real container structure: IHDR / SOF0 marker

@@ -28,7 +28,7 @@ object ScaleSweep {
     "q79_decontamination", "q84_repetition_rules", "q87_bm25_topk",
     "q102_chunk_documents", "q134_record_linkage", "q136_boilerplate_segments",
     "q142_bigram_lm_surprisal", "q243_wordpiece_census",
-    "q244_substring_blocklist_census",
+    "q244_substring_blocklist_census", "q245_unicode_nfc_census",
     // similarity / ANN / graph. Excluded oracle-scale forms whose 100×
     // channel is an x-extra: q205 (16-bucket candidate-quadratic,
     // "sf-scale parity only" — x205/x214) and q168 (its oracle embeds
