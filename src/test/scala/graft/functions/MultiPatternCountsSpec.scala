@@ -55,4 +55,28 @@ class MultiPatternCountsSpec extends SparkSpec {
       .as[Seq[Long]].collect().toSeq
     assert(got === texts.map(t => pats.map(p => brute(t, p))))
   }
+
+  test("property: random dense-alphabet texts and pattern sets match " +
+    "the brute force (automaton construction is the subtle part)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // tiny alphabet → heavy pattern nesting, shared prefixes, and
+    // fail-link traffic; sampled explicitly (the offline-cache bridge
+    // caveat, CleaningPropertiesSpec pattern)
+    val alpha = Gen.oneOf('a', 'b', 'c', ' ')
+    def str(maxLen: Int): Gen[String] =
+      Gen.choose(0, maxLen).flatMap(n => Gen.listOfN(n, alpha))
+        .map(_.mkString)
+    val case_ = for {
+      t <- str(120)
+      ps <- Gen.nonEmptyListOf(str(4).suchThat(_.nonEmpty))
+    } yield (t, ps.distinct.take(12))
+    (1 to 60).foreach { i =>
+      case_.apply(Gen.Parameters.default, Seed(i.toLong)).foreach {
+        case (t, ps) =>
+          assert(counts(t, ps) === ps.map(p => brute(t, p)),
+            s"seed $i text '$t' patterns $ps")
+      }
+    }
+  }
 }
