@@ -686,7 +686,8 @@ object Multimodal {
   /** REAL G.711 decode: RIFF/WAVE payloads whose fmt chunk carries format
     * tag 6 (A-law) or 7 (µ-law), any channel count (the expansion is
     * samplewise, so interleaving passes through). One table-free integer
-    * expansion per byte; `fact` trims trailing pad bytes. The chunk walk
+    * expansion per byte; `fact` counts per-channel frames and trims
+    * trailing pad bytes at frames × channels. The chunk walk
     * shares the guarded-size discipline (sz < 0 → None) of the ADPCM/AVI
     * walkers.
     */
@@ -700,6 +701,7 @@ object Multimodal {
       if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
         return None
       var fmtTag = -1
+      var channels = -1
       var bits = -1
       var factSamples = -1L
       var dataOff = -1
@@ -711,6 +713,7 @@ object Multimodal {
         if (sz < 0) return None // untrusted size: would stall the walk
         if (ck == "fmt " && sz >= 16) {
           fmtTag = le16(i + 8)
+          channels = le16(i + 10)
           bits = le16(i + 22)
         } else if (ck == "fact" && sz >= 4) {
           factSamples = le32(i + 8).toLong
@@ -719,10 +722,14 @@ object Multimodal {
         }
         i += 8 + sz + (sz & 1)
       }
-      if ((fmtTag != 6 && fmtTag != 7) || bits != 8 || dataOff < 0)
+      if ((fmtTag != 6 && fmtTag != 7) || bits != 8 || channels < 1 ||
+        dataOff < 0)
         return None
       val n0 = math.min(dataLen, bytes.length - dataOff)
-      val n = if (factSamples >= 0) math.min(n0.toLong, factSamples).toInt
+      // `fact` counts PER-CHANNEL frames (stereo-ADPCM precedent): trim to
+      // frames * channels so multi-channel inputs keep every channel.
+      val n = if (factSamples >= 0)
+        math.min(n0.toLong, factSamples * channels).toInt
       else n0
       val out = new Array[Short](n)
       var j = 0

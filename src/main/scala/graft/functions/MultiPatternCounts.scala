@@ -66,11 +66,19 @@ case class MultiPatternCounts(child: Expression, automaton: AcAutomaton)
   * TRANSITIVELY RESOLVED output lists (own pattern plus every pattern
   * ending at a dictionary suffix — resolved once at build, so the scan
   * never walks fail chains for output).
+  *
+  * `asciiDelta` is the ASCII (< 128) slice converted to a FULL DFA at
+  * build time (fail transitions baked in, BFS order), so the hot scan
+  * does one unboxed array load per ASCII char — no Character boxing, no
+  * HashMap probe, no fail-walk. Codepoints ≥ 128 take the goto-map +
+  * fail-link path; both paths land in the same state set, so mixing is
+  * seamless.
   */
 final class AcAutomaton(
     val next: Array[java.util.HashMap[Character, Integer]],
     val fail: Array[Int],
     val out: Array[Array[Int]],
+    val asciiDelta: Array[Array[Int]],
     val nPatterns: Int
 ) extends Serializable {
   def tag: String = s"<ac ${next.length}n/${nPatterns}p>"
@@ -103,10 +111,12 @@ object MultiPatternCounts {
     val n = next.length
     val fail = new Array[Int](n)
     val outList = ownOut.map(_.reverse.toList).toArray
+    val bfsOrder = scala.collection.mutable.ArrayBuffer[Int]()
     val queue = scala.collection.mutable.Queue[Int]()
     next(0).forEach { (_, t) => queue.enqueue(t.intValue) }
     while (queue.nonEmpty) {
       val s = queue.dequeue()
+      bfsOrder += s
       next(s).forEach { (c, t) =>
         queue.enqueue(t.intValue)
         var f = fail(s)
@@ -118,21 +128,50 @@ object MultiPatternCounts {
       }
       outList(s) = outList(s) ++ outList(fail(s))
     }
+    // ASCII slice as a full DFA: delta(s)(c) = goto if present, else
+    // delta(fail(s))(c) — fail(s) is strictly shallower, so BFS order
+    // guarantees it is already filled.
+    val asciiDelta = Array.ofDim[Int](n, 128)
+    var c = 0
+    while (c < 128) {
+      val g0 = next(0).get(Character.valueOf(c.toChar))
+      asciiDelta(0)(c) = if (g0 == null) 0 else g0.intValue
+      c += 1
+    }
+    bfsOrder.foreach { s =>
+      val df = asciiDelta(fail(s))
+      var ci = 0
+      while (ci < 128) {
+        val g = next(s).get(Character.valueOf(ci.toChar))
+        asciiDelta(s)(ci) = if (g == null) df(ci) else g.intValue
+        ci += 1
+      }
+    }
     new AcAutomaton(next.toArray, fail,
-      outList.map(_.toArray), patterns.length)
+      outList.map(_.toArray), asciiDelta, patterns.length)
   }
 
-  /** One pass; counts ALL (overlapping) occurrences per pattern. */
+  /** One pass; counts ALL (overlapping) occurrences per pattern. ASCII
+    * chars take the baked-in DFA row (one array load, no boxing); chars
+    * ≥ 128 take the goto-map + fail-link walk.
+    */
   def compute(text: UTF8String, a: AcAutomaton): GenericArrayData = {
     val t = text.toString
     val counts = new Array[Long](a.nPatterns)
+    val delta = a.asciiDelta
+    val len = t.length
     var s = 0
     var i = 0
-    while (i < t.length) {
-      val c = Character.valueOf(t.charAt(i))
-      var g = a.next(s).get(c)
-      while (s != 0 && g == null) { s = a.fail(s); g = a.next(s).get(c) }
-      s = if (g == null) 0 else g.intValue
+    while (i < len) {
+      val ch = t.charAt(i)
+      if (ch < 128) {
+        s = delta(s)(ch)
+      } else {
+        val c = Character.valueOf(ch)
+        var g = a.next(s).get(c)
+        while (s != 0 && g == null) { s = a.fail(s); g = a.next(s).get(c) }
+        s = if (g == null) 0 else g.intValue
+      }
       val o = a.out(s)
       var j = 0
       while (j < o.length) { counts(o(j)) += 1; j += 1 }

@@ -946,7 +946,11 @@ object TextQueries {
       (s, dir) =>
         t(s, dir, "documents")
           .select(col("source"),
-            posexplode(call_function("multi_pattern_counts", col("text"),
+            // coalesce on BOTH engines: posexplode would DROP null-text
+            // docs here while the twin emits cnt=0 rows — the parity must
+            // be structural, not an accident of a non-null corpus
+            posexplode(call_function("multi_pattern_counts",
+              coalesce(col("text"), lit("")),
               typedLit(AcPatterns))).as(Seq("pattern_idx", "cnt")))
           .groupBy("source", "pattern_idx")
           .agg(sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("n_docs_hit"),
@@ -964,8 +968,8 @@ object TextQueries {
            |cnts AS (
            |  SELECT d.source, p.i, p.pat,
            |    coalesce(list_sum(list_transform(
-           |      range(0, greatest(len(d.text) - len(p.pat) + 1, 0)),
-           |      j -> CASE WHEN substr(d.text, j + 1, len(p.pat)) = p.pat
+           |      range(0, greatest(len(coalesce(d.text, '')) - len(p.pat) + 1, 0)),
+           |      j -> CASE WHEN substr(coalesce(d.text, ''), j + 1, len(p.pat)) = p.pat
            |           THEN 1 ELSE 0 END)), 0) AS cnt
            |  FROM documents d CROSS JOIN p)
            |SELECT source, CAST(i AS BIGINT) AS pattern_idx,

@@ -26,6 +26,14 @@ import graft.ext.Dedup
   *
   * Batch-internal collisions resolve FIRST, pairwise by lowest id (a
   * batch can near-duplicate itself); survivors then probe the index.
+  * PAIRWISE, not sequential-greedy, is intentional and load-bearing: a
+  * doc is rejected if it collides with ANY lower id, even one that was
+  * itself rejected (chain 1~2, 2~3, 1!~3 rejects BOTH 2 and 3, where
+  * greedy keep-first would keep 3). That strictness is what keeps the
+  * verdict a pure per-pair function of the batch — order-free, hence
+  * replayable — and it means a reject's `dup_of` names the lowest
+  * COLLIDING id, which may itself be a reject; resolve chains through
+  * the rejects sink if the audit consumer needs an accepted target.
   * The accepted set is therefore pairwise non-colliding at the estimate
   * threshold, which is what makes replay reconverge with NO epoch
   * guard (the SketchStream-KMV side of the contrast, not the SCD2/CMS
@@ -105,14 +113,29 @@ object DedupStream {
         //    epoch's delta); the id inequality is the replay self-guard
         //    (an accepted doc's own signature is already indexed when a
         //    batch re-runs)
+        // Only COMMITTED delta dirs count: a crash mid-flight can leave
+        // v<k> holding just `_temporary` (no part files) — reading that
+        // through the glob would fail schema inference on the very replay
+        // the design is meant to survive. A dir is committed iff it holds
+        // a part file (or the _SUCCESS marker).
         val p = new Path(indexPath)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val hasIndex = fs.exists(p) && fs.listStatus(p).nonEmpty
+        val committedDeltas: Seq[String] =
+          if (!fs.exists(p)) Seq.empty
+          else fs.listStatus(p).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+            .filter { s =>
+              fs.listStatus(s.getPath).exists { f =>
+                val n = f.getPath.getName
+                n.startsWith("part-") || n == "_SUCCESS"
+              }
+            }
+            .map(_.getPath.toString)
         val vsIndex =
-          if (!hasIndex) within.limit(0)
+          if (committedDeltas.isEmpty) within.limit(0)
           else Dedup.minHashPairsAgainstIndex(
               batchSurvivors, idCol, textCol,
-              spark.read.parquet(s"$indexPath/v*"), threshold, nHashes,
+              spark.read.parquet(committedDeltas: _*), threshold, nHashes,
               bands, shingleWords)
             .filter(col("id_new") =!= col("id_corpus"))
             .groupBy(col("id_new").as(idCol))

@@ -367,6 +367,31 @@ class MultimodalSpec extends SparkSpec {
       assert(Multimodal.audioMeta(wav).contains((8000, 601L)))
     }
     assert(Multimodal.decodeG711Pcm("RIFFjunkWAVE".getBytes).isEmpty)
+    // STEREO with a fact chunk: fact counts PER-CHANNEL frames, so the
+    // decode must keep frames × channels samples, not frames (the in-repo
+    // mux is mono-only — build the interleaved WAV by hand)
+    locally {
+      val frames = 301 // odd total byte count (602) exercises no-pad path
+      val inter = Array.tabulate(frames * 2)(i => ((i * 7) % 256).toByte)
+      val dataSz = inter.length + (inter.length & 1)
+      val riffSz = 4 + (8 + 18) + (8 + 4) + (8 + dataSz)
+      val b = java.nio.ByteBuffer.allocate(8 + riffSz)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(s: String): Unit = { b.put(s.getBytes("US-ASCII")); () }
+      tag("RIFF"); b.putInt(riffSz); tag("WAVE")
+      tag("fmt "); b.putInt(18)
+      b.putShort(7); b.putShort(2) // µ-law, 2 channels
+      b.putInt(8000); b.putInt(16000)
+      b.putShort(2); b.putShort(8); b.putShort(0)
+      tag("fact"); b.putInt(4); b.putInt(frames) // per-channel count
+      tag("data"); b.putInt(inter.length)
+      b.put(inter)
+      val pcm = Multimodal.decodeG711Pcm(b.array()).get
+      assert(pcm.length == frames * 2,
+        s"stereo fact trim: got ${pcm.length}, want ${frames * 2}")
+      assert(pcm.toSeq ==
+        inter.toSeq.map(c => Multimodal.ulawToLinear(c & 0xff).toShort))
+    }
   }
 
   test("aHash64: analytic values for stripe images, flat collision, box-avg") {

@@ -100,4 +100,24 @@ class DedupStreamSpec extends SparkSpec {
     assert(after._2 === Set(1L, 3L, 5L))
     assert(after._3 === Map(2L -> 1L, 4L -> 1L))
   }
+
+  test("first-delta crash edge: an uncommitted v0 (only _temporary, no " +
+    "part files) is ignored on replay instead of wedging schema inference") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("dedup_crash_v0")
+    val (idx, vd) = (s"$base/index", s"$base/verdicts")
+    // simulate a crash mid-flight on the FIRST-ever index delta write:
+    // indexPath/v0 exists but holds only the committer's scratch dir
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$idx/v0/_temporary/0"))
+    val b1 = Seq((1L, docA), (2L, docA2), (3L, docB)).toDF("doc_id", "text")
+    DedupStream.processBatch(b1, 0L, "doc_id", "text", idx, vd,
+      threshold = 0.7, nHashes = 64, bands = 16, shingleWords = 3)
+    // the replay succeeded: v0 was treated as no-index, then OVERWRITTEN
+    // with the real committed delta
+    assert(DedupStream.acceptedSoFar(spark, vd)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    assert(spark.read.parquet(s"$idx/v*").select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
 }
