@@ -209,6 +209,82 @@ object ScaleSweep {
   def excludedReasons: Map[String, String] =
     exclusionLedger.flatMap { case (r, qs) => qs.map(_ -> r) }.toMap
 
+  /** SHUFFLE-WRITE BUDGETS (VERDICT r9 #1): the 100-TB scale claims are
+    * per-op byte shapes ("long-only shuffles", "base payload never
+    * moves", "pair keys not text") — this table pins them as NUMBERS, in
+    * the scale-invariant currency shuffle-write bytes per source record
+    * read. The sweep records every query's actual bytes (the
+    * `bytes_100x`/`bytes_10x` JSON sections) and emits
+    * `budget_violations` for any swept query above its family budget;
+    * ShuffleBudgetSpec enforces the same table at sf0.01 in the test
+    * suite, so a regression that bloats a shuffle fails CI before it
+    * ever reaches a sweep.
+    *
+    * Budget values are calibrated from measured 100× ratios (SCALE_r09
+    * wiring run) with ~3× headroom — tight enough that a family changing
+    * shuffle SHAPE (e.g. a text column entering a pair shuffle, a base
+    * table starting to move through an exchange) blows the budget, loose
+    * enough that compression drift doesn't.
+    */
+  final case class ShuffleBudget(family: String,
+      maxWriteBytesPerRow: Double, queries: Seq[String])
+
+  val shuffleBudgets: Seq[ShuffleBudget] = Seq(
+    ShuffleBudget("core-relational-agg", 24.0,
+      Seq("q01_pricing_summary", "q04_regional_revenue",
+        "q05_dedup_keep_first", "q13_window_funcs", "q15_monthly_revenue")),
+    ShuffleBudget("scan-side-text", 64.0,
+      Seq("q27_token_counts", "q79_decontamination", "q84_repetition_rules",
+        "q87_bm25_topk", "q102_chunk_documents", "q136_boilerplate_segments",
+        "q142_bigram_lm_surprisal", "q243_wordpiece_census",
+        "q244_substring_blocklist_census", "q245_unicode_nfc_census")),
+    ShuffleBudget("exact-dedup", 96.0,
+      Seq("q22_exact_dup_census", "q23_exact_dedup_keep_first",
+        "q134_record_linkage")),
+    ShuffleBudget("ann-bucketed", 160.0,
+      Seq("q78_knn_join", "q181_kmeans_codebook", "q212_ivf_incremental_add",
+        "q213_recall_curve", "q216_centroid_drift", "q217_retrieval_mrr",
+        "x141_hard_negatives_lsh", "x229_label_noise_prod",
+        "x230_label_noise_pq", "x205_label_kappa_prod",
+        "x214_label_kappa_pq", "x183_semantic_decon_prod")),
+    ShuffleBudget("graph-iterative", 200.0,
+      Seq("q99_pagerank", "q228_link_prediction",
+        "x77_semantic_dedup_prod")),
+    ShuffleBudget("event-windows", 64.0,
+      Seq("q35_tumbling_window", "q37_sessionization",
+        "q38_out_of_order_census", "q110_anomaly_zscore")),
+    ShuffleBudget("lake-maintenance", 96.0,
+      Seq("q90_cdc_merge", "q96_compaction_plan", "q97_incremental_agg",
+        "q103_interval_join", "q116_scd2_dimension",
+        "q150_incremental_join_refresh", "q187_salted_join",
+        "q197_time_travel", "q230_vacuum_plan", "q242_hilbert_skipping")),
+    ShuffleBudget("sketch-mergeable", 48.0,
+      Seq("q178_kmv_distinct", "q179_bloom_prefilter",
+        "q180_hll_certification", "q185_countmin_census",
+        "q196_hist_trailing_quantiles", "q201_profile_drift",
+        "q203_hist_incremental", "q232_join_cardinality_sketch",
+        "x178_kmv_prod", "x179_bloom_prefilter_prod", "x185_countmin_prod",
+        "x186_kmv_incremental_prod", "x190_kmv_set_ops_prod",
+        "x192_kmv_trailing_prod", "x194_countmin_incremental_prod")),
+    ShuffleBudget("stats-readout", 48.0,
+      Seq("q206_conformal_coverage", "q210_trimmed_mean",
+        "q40_monte_carlo_scenarios", "q227_krippendorff_alpha",
+        "x41_bootstrap_seeded", "x151_equal_freq_binning_approx")),
+    ShuffleBudget("sampling-training-plan", 96.0,
+      Seq("q121_priority_sample", "q167_groupsafe_split",
+        "q175_epoch_shuffle", "q177_temporal_split",
+        "q198_length_bucket_batching", "q204_curriculum_schedule",
+        "q207_training_plan", "q208_schedule_realization",
+        "q218_k_anonymity_audit", "q226_concat_chunk_packing",
+        "q231_vocab_coverage")),
+    ShuffleBudget("multimodal-decode", 24.0,
+      Seq("q233_video_frame_census", "q234_video_mjpeg_census",
+        "q235_audio_adpcm_census", "q238_audio_adpcm_stereo",
+        "q240_audio_flac_census", "q241_audio_g711_census")))
+
+  def budgetOf: Map[String, ShuffleBudget] =
+    shuffleBudgets.flatMap(b => b.queries.map(_ -> b)).toMap
+
   private def queryOf(n: String): (SparkSession, String) => DataFrame =
     ScaleCheck.extras.getOrElse(n, SparkEntry.queries(n))
 
@@ -222,6 +298,14 @@ object ScaleSweep {
     ScaleCheck.replicate(spark, "/root/testdata/sf0.1", dir100, 100)
     ScaleCheck.replicate(spark, "/root/testdata/sf0.1", dir10, 10)
 
+    // per-query byte ledger (VERDICT r9 #1): every swept row carries
+    // shuffle read/write + spill + input bytes, and swept queries are
+    // checked against their family's bytes-per-row budget
+    val ledger = TaskMetricsLedger.install(spark)
+    val bytes = scala.collection.mutable.LinkedHashMap[
+      String, TaskMetricsLedger.Snapshot]()
+    val violations = scala.collection.mutable.LinkedHashMap[String, String]()
+
     def sweep(names: Seq[String], dir: String, label: String): Seq[(String, Double)] = {
       // warm-up at sf0.1 compiles plans + JIT outside the timed pass
       names.foreach { n =>
@@ -229,10 +313,22 @@ object ScaleSweep {
           .write.format("noop").mode("overwrite").save()
       }
       names.map { n =>
+        ledger.reset()
         val t0 = System.nanoTime()
         queryOf(n)(spark, dir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        println(f"[$label] $n: $dt%.2f s")
+        val snap = ledger.snapshot()
+        bytes(n) = snap
+        budgetOf.get(n).foreach { b =>
+          if (snap.writeBytesPerRecord > b.maxWriteBytesPerRow)
+            violations(n) = f"family ${b.family}: " +
+              f"${snap.writeBytesPerRecord}%.1f B/row > " +
+              f"budget ${b.maxWriteBytesPerRow}%.1f"
+        }
+        println(f"[$label] $n: $dt%.2f s  " +
+          f"(sw ${snap.shuffleWriteBytes / 1e9}%.3f GB, " +
+          f"${snap.writeBytesPerRecord}%.1f B/row, " +
+          f"spill ${snap.diskSpillBytes / 1e9}%.3f GB)")
         // 55 consecutive 100× queries in ONE session accumulate shuffle
         // files until the ContextCleaner GCs their dependencies — without
         // this the q77 quadratic point's ~80 GB of shuffle stays on disk
@@ -247,7 +343,11 @@ object ScaleSweep {
     val loadBefore = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val r100 = sweep(at100, dir100, "x100")
+    val bytes100 = bytes.toMap
+    bytes.clear()
     val r10 = sweep(at10, dir10, "x10")
+    val bytes10 = bytes.toMap
+    TaskMetricsLedger.uninstall(spark, ledger)
     val loadAfter = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
@@ -346,6 +446,16 @@ object ScaleSweep {
 
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (n, t) => s""""$n": ${jsonNum(t)}""" }.mkString(", ")
+    def bytesObj(names: Seq[String],
+        m: Map[String, TaskMetricsLedger.Snapshot]): String =
+      names.flatMap(n => m.get(n).map(s => s""""$n": ${s.json}"""))
+        .mkString(", ")
+    val violObj = violations.map { case (n, msg) => s""""$n": "$msg"""" }
+      .mkString(", ")
+    val budgetObj = shuffleBudgets.map { b =>
+      s""""${b.family}": {"max_write_bytes_per_row": ${b.maxWriteBytesPerRow},""" +
+        s""" "n_queries": ${b.queries.size}}"""
+    }.mkString(", ")
     val exclObj = excludedReasons.toSeq.sortBy(_._1)
       .map { case (n, r) => s""""$n": "$r"""" }.mkString(", ")
     val spreadObj = isoSpread.map { case (n, (lo, hi)) =>
@@ -360,6 +470,10 @@ object ScaleSweep {
          | "aqe_skew_applied": {$skewObj},
          | "skew_demo_real_events": {$skewObj2},
          | "factor10_pair_output": {${obj(r10)}},
+         | "bytes_100x": {${bytesObj(at100, bytes100)}},
+         | "bytes_10x": {${bytesObj(at10, bytes10)}},
+         | "shuffle_budgets": {$budgetObj},
+         | "budget_violations": {$violObj},
          | "excluded": {$exclObj},
          | "total_100x_sec": ${jsonNum(r100.map(_._2).sum)},
          | "total_10x_sec": ${jsonNum(r10.map(_._2).sum)},
