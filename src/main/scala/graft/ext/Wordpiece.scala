@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** WordPiece-family tokenization (the BERT lineage, next to [[Bpe]]'s
@@ -72,6 +72,18 @@ object Wordpiece {
       topK: Int = 40, maxWordChars: Int = 16): DataFrame = {
     val (whole, cont) = vocabPieces(topWords(docs, textCol, topK,
       maxWordChars))
+    encodeCensusPieces(docs, textCol, sourceCol, whole, cont)
+  }
+
+  /** The census under an EXPLICIT vocabulary — the real-pipeline path:
+    * production tokenization uses a fixed published vocab (30k pieces),
+    * not a corpus-derived one. Same scale shape: segmentation runs once
+    * per DISTINCT word (vocabulary rides the plan as a payload map), so
+    * cost is distinct-word-bound regardless of vocab size or corpus
+    * replication.
+    */
+  def encodeCensusPieces(docs: DataFrame, textCol: String,
+      sourceCol: String, whole: Seq[String], cont: Seq[String]): DataFrame = {
     val occ = docs.select(col(sourceCol).as("source"),
         explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .groupBy("source", "word").agg(count(lit(1)).as("occ"))
@@ -87,4 +99,27 @@ object Wordpiece {
         sum(col("occ") * col("wchk")).cast("long").as("chk"))
       .orderBy("source")
   }
+
+  /** Parse a BERT-style `vocab.txt`: one piece per line, `##`-prefixed
+    * lines are continuation pieces, bracketed specials (`[UNK]`, `[CLS]`,
+    * `[SEP]`, `[PAD]`, `[MASK]`, `[unused..]`) are control tokens that
+    * never match raw text and are skipped. Reads through the Hadoop FS
+    * layer, so local, HDFS, and object-store paths all work; a 30k-line
+    * vocab is a bounded driver-side collect (the codebook precedent).
+    */
+  def loadVocabFile(spark: SparkSession, path: String): (Seq[String], Seq[String]) = {
+    val lines = spark.read.textFile(path).collect().toSeq
+      .map(_.trim).filter(_.nonEmpty)
+      .filterNot(l => l.startsWith("[") && l.endsWith("]"))
+    val (contLines, wholeLines) = lines.partition(_.startsWith("##"))
+    (wholeLines.distinct,
+      contLines.map(_.stripPrefix("##")).filter(_.nonEmpty).distinct)
+  }
+
+  /** Render a vocabulary as the `vocab.txt` format [[loadVocabFile]]
+    * parses (specials first, BERT convention).
+    */
+  def vocabFileLines(whole: Seq[String], cont: Seq[String]): Seq[String] =
+    Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]") ++
+      whole ++ cont.map("##" + _)
 }

@@ -36,6 +36,74 @@ object TextQueries {
   private val AcPatterns = Seq("a", "ta", "tab", "table", "an", "scan",
     "art", "part", "row", "val", "value", "s s", "e t")
 
+  /** q246 frozen EXTERNAL WordPiece vocabulary (the pieces beyond the
+    * printable-ASCII charset floor) — a fixed published-vocab stand-in,
+    * inlined identically into the vocab FILE the Spark side loads and
+    * the DuckDB VALUES list. Multi-char continuations ("ing", "tion")
+    * force genuinely different greedy boundaries than q243's corpus-
+    * derived vocabulary. ABOVE `defs` (the q75 init-order trap).
+    */
+  private val ExtWhole = Seq("the", "and", "data", "with", "that", "for",
+    "this", "value", "table", "stream", "part", "pro", "con", "re", "un",
+    "in", "de", "ex", "st", "th", "wh", "sh", "ch", "qu")
+  private val ExtCont = Seq("ing", "ed", "er", "es", "est", "ly", "tion",
+    "ment", "able", "ness", "ous", "al", "ic", "at", "it", "an", "en",
+    "on", "le", "re", "te", "se", "nt", "nd")
+
+  /** The 16-step greedy longest-match unroll shared by the q243/q246
+    * oracles: per step, join the longest matching piece at the cursor
+    * (`m$k`) and advance (`s${k+1}`), carrying the step-weighted
+    * portable-md5 checksum. Expects CTEs `vocab(piece, is_cont)` and
+    * `s0(word, wlen, pos, n, chk, unk)`; 16 steps cover every ≤16-char
+    * word (each step advances ≥1 char). Every chained CTE is
+    * MATERIALIZED — DuckDB re-evaluates plain CTE chains exponentially.
+    * ABOVE `defs` (the q75 init-order trap).
+    */
+  private val wpH = (rendered: String) =>
+    s"(('0x' || substr(md5($rendered), 1, 15))::BIGINT % 1000000)"
+  private val wpUnrollSteps: String = (0 until 16).map { k =>
+    s"""m$k AS MATERIALIZED (
+       |  SELECT s.word, s.pos, max(len(v.piece)) AS plen
+       |  FROM s$k s JOIN vocab v
+       |    ON v.is_cont = (s.pos > 0)
+       |   AND v.piece = substr(s.word, s.pos + 1, len(v.piece))
+       |  WHERE NOT s.unk AND s.pos < s.wlen
+       |  GROUP BY 1, 2),
+       |s${k + 1} AS MATERIALIZED (
+       |  SELECT s.word, s.wlen,
+       |    CASE WHEN s.unk OR s.pos >= s.wlen THEN s.pos
+       |         ELSE s.pos + m.plen END AS pos,
+       |    CASE WHEN s.unk OR s.pos >= s.wlen THEN s.n
+       |         ELSE s.n + 1 END AS n,
+       |    CASE WHEN s.unk OR s.pos >= s.wlen THEN s.chk
+       |         ELSE s.chk + (s.n + 1) * ${wpH(
+      "CASE WHEN s.pos = 0 THEN substr(s.word, 1, m.plen) " +
+        "ELSE '##' || substr(s.word, s.pos + 1, m.plen) END")} END
+       |      AS chk,
+       |    s.unk
+       |  FROM s$k s LEFT JOIN m$k m
+       |    ON s.word = m.word AND s.pos = m.pos)""".stripMargin
+  }.mkString(",\n")
+
+  /** Shared tail of the q243/q246 oracles: UNK collapse + per-source
+    * occurrence-weighted census. Expects `occ(source, word, occ)` and the
+    * unroll's `s16`. ABOVE `defs` (the q75 init-order trap).
+    */
+  private val wpCensusTail: String =
+    """seg AS (
+      |  SELECT word,
+      |    CASE WHEN unk THEN 1::BIGINT ELSE n END AS n_pieces,
+      |    CASE WHEN unk THEN 1::BIGINT ELSE 0::BIGINT END AS unkf,
+      |    CASE WHEN unk THEN 0::BIGINT ELSE chk END AS wchk
+      |  FROM s16)
+      |SELECT o.source,
+      |  CAST(sum(o.occ) AS BIGINT) AS n_tokens,
+      |  CAST(sum(o.occ * g.n_pieces) AS BIGINT) AS subword_tokens,
+      |  CAST(sum(o.occ * g.unkf) AS BIGINT) AS n_unk_tokens,
+      |  CAST(sum(o.occ * g.wchk) AS BIGINT) AS chk
+      |FROM occ o JOIN seg g USING (word)
+      |GROUP BY 1 ORDER BY o.source""".stripMargin
+
   /** Shared oracle CTEs for q140/q143: 3-gram sets per doc (with the
     * wordNgrams short-text fallback) and the brute-force all-pairs Jaccard
     * table. Declared ABOVE `defs` — oracle strings evaluate eagerly while
@@ -856,31 +924,6 @@ object TextQueries {
       (s, dir) => graft.ext.Wordpiece.encodeCensus(
         t(s, dir, "documents"), "text", "source"),
       Some {
-        val h = (rendered: String) =>
-          s"(('0x' || substr(md5($rendered), 1, 15))::BIGINT % 1000000)"
-        val steps = (0 until 16).map { k =>
-          s"""m$k AS MATERIALIZED (
-             |  SELECT s.word, s.pos, max(len(v.piece)) AS plen
-             |  FROM s$k s JOIN vocab v
-             |    ON v.is_cont = (s.pos > 0)
-             |   AND v.piece = substr(s.word, s.pos + 1, len(v.piece))
-             |  WHERE NOT s.unk AND s.pos < s.wlen
-             |  GROUP BY 1, 2),
-             |s${k + 1} AS MATERIALIZED (
-             |  SELECT s.word, s.wlen,
-             |    CASE WHEN s.unk OR s.pos >= s.wlen THEN s.pos
-             |         ELSE s.pos + m.plen END AS pos,
-             |    CASE WHEN s.unk OR s.pos >= s.wlen THEN s.n
-             |         ELSE s.n + 1 END AS n,
-             |    CASE WHEN s.unk OR s.pos >= s.wlen THEN s.chk
-             |         ELSE s.chk + (s.n + 1) * ${h(
-            "CASE WHEN s.pos = 0 THEN substr(s.word, 1, m.plen) " +
-              "ELSE '##' || substr(s.word, s.pos + 1, m.plen) END")} END
-             |      AS chk,
-             |    s.unk
-             |  FROM s$k s LEFT JOIN m$k m
-             |    ON s.word = m.word AND s.pos = m.pos)""".stripMargin
-        }.mkString(",\n")
         s"""WITH toks AS MATERIALIZED (
            |  SELECT source, x AS word
            |  FROM documents, unnest(list_filter(
@@ -913,20 +956,65 @@ object TextQueries {
            |    (len(word) > 16 OR NOT regexp_matches(word, '^[!-~]+$$'))
            |      AS unk
            |  FROM (SELECT DISTINCT word FROM occ)),
-           |$steps,
-           |seg AS (
-           |  SELECT word,
-           |    CASE WHEN unk THEN 1::BIGINT ELSE n END AS n_pieces,
-           |    CASE WHEN unk THEN 1::BIGINT ELSE 0::BIGINT END AS unkf,
-           |    CASE WHEN unk THEN 0::BIGINT ELSE chk END AS wchk
-           |  FROM s16)
-           |SELECT o.source,
-           |  CAST(sum(o.occ) AS BIGINT) AS n_tokens,
-           |  CAST(sum(o.occ * g.n_pieces) AS BIGINT) AS subword_tokens,
-           |  CAST(sum(o.occ * g.unkf) AS BIGINT) AS n_unk_tokens,
-           |  CAST(sum(o.occ * g.wchk) AS BIGINT) AS chk
-           |FROM occ o JOIN seg g USING (word)
-           |GROUP BY 1 ORDER BY o.source""".stripMargin
+           |$wpUnrollSteps,
+           |$wpCensusTail""".stripMargin
+      }
+    ),
+
+    // ---- WordPiece under an EXTERNAL vocabulary (r10, VERDICT r9 #4):
+    //      real pipelines tokenize against a fixed PUBLISHED vocab file
+    //      (30k pieces), not a corpus-derived one. The query WRITES the
+    //      frozen vocab as a BERT-style vocab.txt (specials, ## prefix),
+    //      LOADS it back through Wordpiece.loadVocabFile (the Hadoop-FS
+    //      path any cluster vocab distribution uses), and runs the same
+    //      distinct-word-bound census; the DuckDB twin inlines the
+    //      identical frozen piece list as VALUES and replays the greedy
+    //      walk — a drift in file parsing (## stripping, special-token
+    //      skipping) or segmentation breaks the hash. The 30k-piece
+    //      scale point is x246 in the 100x sweep.
+    QueryDef(
+      "q246_wordpiece_ext_vocab",
+      (s, dir) => {
+        val whole = (ExtWhole ++ graft.ext.Wordpiece.Charset).distinct
+        val cont = (ExtCont ++ graft.ext.Wordpiece.Charset).distinct
+        val path = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_q246_vocab.txt")
+        java.nio.file.Files.write(path,
+          graft.ext.Wordpiece.vocabFileLines(whole, cont)
+            .mkString("\n").getBytes("UTF-8"))
+        val (w, c) = graft.ext.Wordpiece.loadVocabFile(s, path.toString)
+        require(w.toSet == whole.toSet && c.toSet == cont.toSet,
+          "vocab file round trip drifted")
+        graft.ext.Wordpiece.encodeCensusPieces(
+          t(s, dir, "documents"), "text", "source", w, c)
+      },
+      Some {
+        val wVals = ExtWhole.map(p => s"('$p')").mkString(", ")
+        val cVals = ExtCont.map(p => s"('$p')").mkString(", ")
+        s"""WITH toks AS MATERIALIZED (
+           |  SELECT source, x AS word
+           |  FROM documents, unnest(list_filter(
+           |    regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))
+           |    AS t(x)),
+           |occ AS MATERIALIZED (SELECT source, word, count(*) AS occ FROM toks
+           |        GROUP BY 1, 2),
+           |chars AS (SELECT chr(i::INT) AS piece FROM range(33, 127) t(i)),
+           |extw(piece) AS (VALUES $wVals),
+           |extc(piece) AS (VALUES $cVals),
+           |vocab AS MATERIALIZED (
+           |  SELECT piece, FALSE AS is_cont
+           |  FROM (SELECT piece FROM extw UNION SELECT piece FROM chars)
+           |  UNION ALL
+           |  SELECT piece, TRUE
+           |  FROM (SELECT piece FROM extc UNION SELECT piece FROM chars)),
+           |s0 AS MATERIALIZED (
+           |  SELECT word, len(word) AS wlen, 0 AS pos,
+           |    0::BIGINT AS n, 0::BIGINT AS chk,
+           |    (len(word) > 16 OR NOT regexp_matches(word, '^[!-~]+$$'))
+           |      AS unk
+           |  FROM (SELECT DISTINCT word FROM occ)),
+           |$wpUnrollSteps,
+           |$wpCensusTail""".stripMargin
       }
     ),
 

@@ -265,6 +265,47 @@ object ScaleCheck {
         .join(lbl.withColumnRenamed("vec_id", "c_id")
           .withColumnRenamed("label", "_b"), "c_id")
         .groupBy("_a", "_b").agg(count(lit(1)).as("n"))
+    }),
+    // q246's production-size point (VERDICT r9 #4): WordPiece census
+    // against a 30k-piece external vocab file — the published-vocab
+    // scale. Segmentation stays distinct-word-bound: the vocab rides
+    // the plan as a payload map, so 30k pieces cost map lookups, not
+    // corpus passes, and 100× replication re-segments nothing.
+    "x246_wordpiece_ext_vocab_30k" -> ((s, dir) => {
+      // deterministic synthetic vocab: lowercase strings in length order
+      // (a..z, aa..zz, aaa..) — 15k whole + 15k continuation entries
+      def enum(n: Int): Seq[String] = {
+        val b = Seq.newBuilder[String]
+        var len = 1
+        var count = 0
+        while (count < n) {
+          var i = 0L
+          val total = math.pow(26, len.toDouble).toLong
+          while (i < total && count < n) {
+            val sb = new StringBuilder
+            var v = i
+            (0 until len).foreach { _ =>
+              sb.append(('a' + (v % 26)).toChar); v /= 26
+            }
+            b += sb.toString
+            count += 1
+            i += 1
+          }
+          len += 1
+        }
+        b.result()
+      }
+      val pieces = enum(15000)
+      val whole = (pieces ++ graft.ext.Wordpiece.Charset).distinct
+      val cont = (pieces ++ graft.ext.Wordpiece.Charset).distinct
+      val path = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_x246_vocab30k.txt")
+      java.nio.file.Files.write(path,
+        graft.ext.Wordpiece.vocabFileLines(whole, cont)
+          .mkString("\n").getBytes("UTF-8"))
+      val (w, c) = graft.ext.Wordpiece.loadVocabFile(s, path.toString)
+      graft.ext.Wordpiece.encodeCensusPieces(
+        graft.queries.Q.t(s, dir, "documents"), "text", "source", w, c)
     })
   )
 

@@ -29,6 +29,7 @@ object ScaleSweep {
     "q102_chunk_documents", "q134_record_linkage", "q136_boilerplate_segments",
     "q142_bigram_lm_surprisal", "q243_wordpiece_census",
     "q244_substring_blocklist_census", "q245_unicode_nfc_census",
+    "q246_wordpiece_ext_vocab", "x246_wordpiece_ext_vocab_30k",
     // similarity / ANN / graph. Excluded oracle-scale forms whose 100×
     // channel is an x-extra: q205 (16-bucket candidate-quadratic,
     // "sf-scale parity only" — x205/x214) and q168 (its oracle embeds
@@ -237,7 +238,8 @@ object ScaleSweep {
       Seq("q27_token_counts", "q79_decontamination", "q84_repetition_rules",
         "q87_bm25_topk", "q102_chunk_documents", "q136_boilerplate_segments",
         "q142_bigram_lm_surprisal", "q243_wordpiece_census",
-        "q244_substring_blocklist_census", "q245_unicode_nfc_census")),
+        "q244_substring_blocklist_census", "q245_unicode_nfc_census",
+        "q246_wordpiece_ext_vocab", "x246_wordpiece_ext_vocab_30k")),
     ShuffleBudget("exact-dedup", 96.0,
       Seq("q22_exact_dup_census", "q23_exact_dedup_keep_first",
         "q134_record_linkage")),

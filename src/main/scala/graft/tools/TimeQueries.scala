@@ -16,7 +16,7 @@ object TimeQueries {
     val spark = GraftSession.quiet(GraftSession.local("graft-timeq"))
     def force(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
+      ScaleCheck.extras.getOrElse(name, SparkEntry.queries(name))(spark, dir)
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }

@@ -75,4 +75,32 @@ class WordpieceSpec extends SparkSpec {
     assert(c("a") === ((3L, 5L, 0L, 2 * h("hello") + seg("abc")._3)))
     assert(c("b") === ((2L, 3L, 1L, seg("hellox")._3)))
   }
+
+  test("external vocab file: BERT-style round trip (## prefix, specials " +
+    "skipped) and segmentation under the loaded vocabulary") {
+    val wholeExt = Seq("th", "the", "value") ++ Wordpiece.Charset
+    val contExt = Seq("ing", "ed") ++ Wordpiece.Charset
+    val lines = Wordpiece.vocabFileLines(wholeExt, contExt)
+    assert(lines.take(2) === Seq("[PAD]", "[UNK]"))
+    assert(lines.contains("##ing") && lines.contains("the"))
+    val dir = java.nio.file.Files.createTempDirectory("wp_vocab")
+    val p = dir.resolve("vocab.txt")
+    java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+    val (w, c) = Wordpiece.loadVocabFile(spark, p.toString)
+    assert(w.toSet === wholeExt.toSet) // specials never come back
+    assert(c.toSet === contExt.toSet)  // ## stripped exactly once
+    // greedy walk under the loaded vocab: "thing" → [th][##ing]
+    val r = WordpieceStats.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("thing"),
+      WordpieceStats.vocab(w, c))
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 0L)))
+    assert(r.getLong(2) === h("th") + 2 * h("##ing"))
+    // census under explicit pieces matches the derived-vocab machinery
+    val docs = Seq(("a", "thing the valued")).toDF("source", "text")
+    val row = Wordpiece.encodeCensusPieces(docs, "text", "source", w, c)
+      .as[(String, Long, Long, Long, Long)].head()
+    // thing=[th][##ing], the=[the], valued=[value][##d]
+    assert(row === (("a", 3L, 5L, 0L,
+      (h("th") + 2 * h("##ing")) + h("the") + (h("value") + 2 * h("##d")))))
+  }
 }
