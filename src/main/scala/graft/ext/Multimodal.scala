@@ -877,6 +877,8 @@ object Multimodal {
     *    (C0-CF minus C4/C8/CC), big-endian height then width
     *  - GIF: 6-byte version tag, little-endian logical-screen w/h
     *  - BMP: "BM" + BITMAPINFOHEADER little-endian w/h at offsets 18/22
+    *  - MP4/ISO-BMFF: `ftyp` at offset 4 → [[Mp4.meta]]'s guarded box
+    *    walk, video-track presentation dimensions
     *
     * Returns None for anything else (or truncated headers).
     */
@@ -916,6 +918,10 @@ object Multimodal {
       Some(("gif", le16(6), le16(8)))
     else if (bytes.length >= 26 && u8(0) == 'B' && u8(1) == 'M')
       Some(("bmp", le32(18), le32(22)))
+    else if (bytes.length >= 12 && u8(4) == 'f' && u8(5) == 't' &&
+        u8(6) == 'y' && u8(7) == 'p')
+      Mp4.meta(bytes).flatMap(m =>
+        m.video.map(v => ("mp4", v.width, v.height)))
     else None
   }
 

@@ -1179,6 +1179,65 @@ object TextQueries {
              |ORDER BY media_id""".stripMargin)
     ),
 
+    // ---- MP4/ISO-BMFF container metadata (r10, VERDICT r9 #5): video
+    //      training corpora ship as MP4 — the q169 header-only census
+    //      one container deeper. Each row builds a structurally valid
+    //      moov-only MP4 (ftyp + mvhd + video trak with tkhd 16.16 dims
+    //      + hdlr + stsd sample entry, even rows add an mp4a audio
+    //      trak), then Mp4.meta recovers brand/timescale/duration/
+    //      per-track codec+dims by a GUARDED box walk (untrusted sizes,
+    //      depth cap — the r9 RIFF sz<0 lesson) and headerMeta's mp4
+    //      dispatch re-derives the dimensions. The DuckDB twin replays
+    //      the closed forms — a builder or parser drift in either
+    //      direction breaks the hash.
+    QueryDef(
+      "q247_mp4_container_census",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 640 + 16).toInt
+            val h = (id % 360 + 16).toInt
+            val ts = 600L * (id % 5 + 1)
+            val dur = (id % 7200 + 1) * 100L
+            val vcodec = (id % 3) match {
+              case 0 => "avc1"; case 1 => "hev1"; case _ => "av01"
+            }
+            val audio = if (id % 2 == 0) Some("mp4a") else None
+            val brand = if (id % 2 == 0) "isom" else "mp42"
+            val bytes = graft.ext.Mp4.mp4Bytes(brand, ts, dur, w, h,
+              vcodec, audio)
+            val m = graft.ext.Mp4.meta(bytes).get
+            val hdr = graft.ext.Multimodal.headerMeta(bytes)
+            (id, m.brand, m.timescale, m.duration, m.tracks.size.toLong,
+              m.video.map(_.width.toLong).getOrElse(-1L),
+              m.video.map(_.height.toLong).getOrElse(-1L),
+              m.video.map(_.codec).getOrElse(""),
+              m.audio.map(_.codec).getOrElse(""),
+              hdr.map(_._1).getOrElse("unknown"))
+          }
+          .toDF("media_id", "brand", "timescale", "duration", "n_tracks",
+            "width", "height", "video_codec", "audio_codec", "hdr_format")
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END
+             |    AS brand,
+             |  CAST(600 * (doc_id % 5 + 1) AS BIGINT) AS timescale,
+             |  CAST((doc_id % 7200 + 1) * 100 AS BIGINT) AS duration,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+             |    AS n_tracks,
+             |  CAST(doc_id % 640 + 16 AS BIGINT) AS width,
+             |  CAST(doc_id % 360 + 16 AS BIGINT) AS height,
+             |  CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+             |    ELSE 'av01' END AS video_codec,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'mp4a' ELSE '' END
+             |    AS audio_codec,
+             |  'mp4' AS hdr_format
+             |FROM documents ORDER BY media_id""".stripMargin)
+    ),
+
     // ---- image perceptual-hash dedup census (q169's sibling, one level
     //      deeper): REAL PNG encode → REAL JDK decode → integer box-average
     //      aHash → hash census. Generated stripe images make the hash

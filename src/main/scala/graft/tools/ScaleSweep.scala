@@ -205,7 +205,7 @@ object ScaleSweep {
       Seq("q39_csv_roundtrip", "q54_multimodal_features",
         "q73_multimodal_sizes", "q169_media_header_census",
         "q236_orc_roundtrip", "q237_jsonl_roundtrip",
-        "q239_jsonl_gzip_roundtrip")))
+        "q239_jsonl_gzip_roundtrip", "q247_mp4_container_census")))
 
   def excludedReasons: Map[String, String] =
     exclusionLedger.flatMap { case (r, qs) => qs.map(_ -> r) }.toMap

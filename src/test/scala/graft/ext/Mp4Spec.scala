@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ISO-BMFF box walk: encode→parse round trip, headerMeta dispatch, and
+  * the untrusted-size guards (the r9 RIFF sz<0 lesson applied to MP4).
+  */
+class Mp4Spec extends AnyFunSuite {
+
+  test("encode -> parse round trip: brand, timescale/duration, tracks, " +
+    "16.16 dims, codecs") {
+    val b = Mp4.mp4Bytes("isom", 600, 72000, 1920, 1080, "avc1",
+      Some("mp4a"))
+    val m = Mp4.meta(b).get
+    assert(m.brand === "isom")
+    assert(m.timescale === 600L && m.duration === 72000L)
+    assert(m.tracks.size === 2)
+    assert(m.video.get === Mp4.TrackMeta("vide", "avc1", 1920, 1080))
+    assert(m.audio.get.codec === "mp4a")
+    // video-only
+    val v = Mp4.meta(Mp4.mp4Bytes("mp42", 1000, 500, 64, 48, "hev1", None)).get
+    assert(v.tracks.size === 1 && v.audio.isEmpty)
+    assert(v.video.get.width === 64 && v.video.get.height === 48)
+  }
+
+  test("headerMeta dispatches ftyp payloads to the mp4 walk") {
+    val b = Mp4.mp4Bytes("isom", 600, 600, 320, 240, "av01", None)
+    assert(Multimodal.headerMeta(b).contains(("mp4", 320, 240)))
+  }
+
+  test("untrusted sizes never hang or throw: crafted boxes -> None") {
+    val good = Mp4.mp4Bytes("isom", 600, 600, 32, 32, "avc1", None)
+    // negative / huge box size (0xFFFFFFF0 as u32 escapes the parent)
+    val huge = good.clone()
+    huge(0) = 0xff.toByte; huge(1) = 0xff.toByte
+    huge(2) = 0xff.toByte; huge(3) = 0xf0.toByte
+    assert(Mp4.meta(huge).isEmpty)
+    // size smaller than its own header
+    val tiny = good.clone()
+    tiny(0) = 0; tiny(1) = 0; tiny(2) = 0; tiny(3) = 4
+    assert(Mp4.meta(tiny).isEmpty)
+    // truncated payload
+    assert(Mp4.meta(good.take(20)).isEmpty)
+    // largesize escaping the parent
+    val b = java.nio.ByteBuffer.allocate(24)
+    b.putInt(1).put("ftyp".getBytes("US-ASCII"))
+    b.putLong(1L << 40).putLong(0L)
+    assert(Mp4.meta(b.array()).isEmpty)
+    // not a box stream at all
+    assert(Mp4.meta("plainly not an mp4 file".getBytes).isEmpty)
+    assert(Mp4.meta(Array.empty[Byte]).isEmpty)
+  }
+
+  test("size==0 (to end of file) and 64-bit largesize both parse") {
+    val good = Mp4.mp4Bytes("isom", 600, 600, 32, 32, "avc1", None)
+    // rewrite the trailing moov's size to 0 = "extends to EOF"
+    val ftypLen = java.nio.ByteBuffer.wrap(good, 0, 4).getInt
+    val z = good.clone()
+    z(ftypLen) = 0; z(ftypLen + 1) = 0; z(ftypLen + 2) = 0; z(ftypLen + 3) = 0
+    assert(Mp4.meta(z).map(_.video.get.width).contains(32))
+    // re-wrap ftyp as a largesize box (size=1 + 64-bit size)
+    val ftypPayload = good.slice(8, ftypLen)
+    val rest = good.drop(ftypLen)
+    val b = java.nio.ByteBuffer.allocate(16 + ftypPayload.length + rest.length)
+    b.putInt(1).put("ftyp".getBytes("US-ASCII"))
+      .putLong(16L + ftypPayload.length).put(ftypPayload).put(rest)
+    assert(Mp4.meta(b.array()).map(_.brand).contains("isom"))
+  }
+}
