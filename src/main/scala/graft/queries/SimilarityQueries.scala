@@ -38,6 +38,14 @@ object SimilarityQueries {
   private val PqM = 8
   private val PqK = 16
 
+  /** q248 operating grid: nProbe (of 8 coarse cells) × codebook size
+    * (2-bit/4-bit codes), recall@CurveK against exact quantized-L2 ground
+    * truth. ABOVE `defs` (the q75 init-order trap).
+    */
+  private val CurveK = 10
+  private val CurveProbes = Seq(1, 2, 4)
+  private val CurveCodes = Seq(4, 16) // 2-bit / 4-bit per subspace
+
   /** q181 operating point: k clusters, 3 assignment passes (2 snapped
     * updates), snap bound B > max quantized |value| (~580 here).
     */
@@ -782,6 +790,91 @@ object SimilarityQueries {
           .orderBy("k")
       },
       Some(recallCurveOracleSql)
+    ),
+
+    // ---- IVF-PQ OPERATING CURVE (r10, VERDICT r9 #7): recall@10 of the
+    //      production pqKnnJoin across the tuning grid nProbe ∈ {1,2,4}
+    //      (of 8 coarse cells) × codebook size ∈ {4,16} (2-/4-bit codes)
+    //      against exact quantized-L2 ground truth — index tuning as
+    //      DATA, not folklore: the table shows routing loss (nProbe) and
+    //      quantization loss (bits) separately. Every step is exact
+    //      integer math; the DuckDB twin replays the full pipeline
+    //      (cell routing, per-subspace codeword choice, SDC ranking,
+    //      brute-force truth) independently per grid point — recall
+    //      numerators are pinned as integers, the one division per row
+    //      is fixed-shape. `reach_ceiling` (share of true neighbors in
+    //      the PROBED cells) separates routing loss from quantization
+    //      loss: on this corpus the ceiling rises with nProbe while
+    //      recall stays flat-to-falling — extra probed candidates get
+    //      MISRANKED above true neighbors by the coarse codes, so the
+    //      curve says "spend bits before probes" (the tuning insight
+    //      the table exists to surface).
+    QueryDef(
+      "q248_ivfpq_operating_curve",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val centroids = e.filter(col("vec_id") < 8).orderBy("vec_id")
+          .select(transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long")).as("cq"))
+          .collect().map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+        // ground truth: exact integer-L2 top-k per query over the
+        // quantized vectors (materialized _vq attributes — HOF-input rule)
+        val vq = e.select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long")).as("_vq"))
+        val qv = vq.filter(col("vec_id") < DcgQueries)
+          .select(col("vec_id").as("q_id"), col("_vq").as("_qq"))
+        val brute = vq.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("c_id"),
+            expr("""aggregate(zip_with(_qq, _vq, (a, b) -> (a - b) * (a - b)),
+                 |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+              .as("_d"))
+          .withColumn("_br", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("q_id").orderBy(asc("_d"), asc("c_id"))))
+          .filter(col("_br") <= CurveK)
+          .select("q_id", "c_id")
+          .localCheckpoint() // 6 grid points consume it — compute once
+        val corpusCells = vq.select(col("vec_id").as("c_id"),
+          Similarity.ivfAssignQuantizedLongs(col("_vq"), centroids)
+            .as("_ccell"))
+        val points = for {
+          kCodes <- CurveCodes
+          nProbe <- CurveProbes
+        } yield {
+          val cbs = Similarity.pqCodebooksFixed(e, "vec_id", "embedding",
+            dim = 64, m = PqM, kCodes = kCodes)
+          val nn = Similarity.pqKnnJoin(
+            e.filter(col("vec_id") < DcgQueries), e, "vec_id", "embedding",
+            k = CurveK, centroids, cbs, nProbe = nProbe)
+          val hits = nn.join(brute, Seq("q_id", "c_id"))
+            .agg(count(lit(1)).cast("long").as("n_hits"))
+          // routing ceiling: true pairs whose corpus cell IS probed —
+          // recall ≤ ceiling by construction; the gap is quantization
+          val qp = vq.filter(col("vec_id") < DcgQueries)
+            .select(col("vec_id").as("q_id"),
+              explode(Similarity.ivfProbeCells(col("_vq"), centroids,
+                nProbe)).as("_pcell"))
+          val reach = brute.join(qp, Seq("q_id"))
+            .join(corpusCells, Seq("c_id"))
+            .filter(col("_ccell") === col("_pcell"))
+            .agg(count(lit(1)).cast("long").as("n_reachable"))
+          hits.crossJoin(reach)
+            .select(lit(nProbe.toLong).as("n_probe"),
+              lit(java.lang.Long.numberOfTrailingZeros(kCodes.toLong)
+                .toLong).as("pq_bits"),
+              lit(CurveK.toLong).as("k"),
+              lit(DcgQueries.toLong).as("n_queries"),
+              col("n_hits"), col("n_reachable"),
+              (col("n_hits").cast("double") /
+                lit((CurveK * DcgQueries).toDouble)).as("recall"),
+              (col("n_reachable").cast("double") /
+                lit((CurveK * DcgQueries).toDouble)).as("reach_ceiling"))
+        }
+        points.reduce(_ unionByName _).orderBy("pq_bits", "n_probe")
+      },
+      Some(ivfPqCurveOracleSql)
     ),
 
     // ---- ANNOTATION AGREEMENT (Cohen's kappa) between the gold label
@@ -1551,6 +1644,105 @@ object SimilarityQueries {
        |    row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rank
        |  FROM dist) z WHERE rank = 1),
        |$kappaTailSql""".stripMargin
+  }
+
+  /** The q248 oracle: the ENTIRE IVF-PQ operating grid replayed in
+    * DuckDB — shared quantized vectors, 8-cell routing ranks, exact
+    * brute-force top-k truth, then per codebook size its own
+    * codeword-choice + SDC-table CTEs (all MATERIALIZED — the r9
+    * exponential-CTE-chain lesson), and one SELECT per (nProbe, bits)
+    * point UNION ALL'd into the curve.
+    */
+  private def ivfPqCurveOracleSql: String = {
+    val d = 64 / PqM
+    val perCode = CurveCodes.map { kc =>
+      s"""cb$kc AS (SELECT vec_id AS c, vq FROM vq WHERE vec_id < $kc),
+         |per_sub$kc AS MATERIALIZED (
+         |  SELECT v.vec_id, sub.s_idx, c.c,
+         |    row_number() OVER (PARTITION BY v.vec_id, sub.s_idx ORDER BY
+         |      list_sum(list_transform(range(1, ${d + 1}),
+         |        j -> (v.vq[sub.s_idx * $d + j] - c.vq[sub.s_idx * $d + j]) *
+         |             (v.vq[sub.s_idx * $d + j] - c.vq[sub.s_idx * $d + j]))),
+         |      c.c) AS rn
+         |  FROM vq v, (SELECT unnest(range(0, $PqM)) AS s_idx) sub, cb$kc c),
+         |chosen$kc AS MATERIALIZED (
+         |  SELECT vec_id, s_idx, c FROM per_sub$kc WHERE rn = 1),
+         |sdct$kc AS MATERIALIZED (
+         |  SELECT sub.s_idx, a.c AS ca, b.c AS cb2,
+         |    CAST(list_sum(list_transform(range(1, ${d + 1}),
+         |      j -> (a.vq[sub.s_idx * $d + j] - b.vq[sub.s_idx * $d + j]) *
+         |           (a.vq[sub.s_idx * $d + j] - b.vq[sub.s_idx * $d + j])))
+         |      AS BIGINT) AS dd
+         |  FROM cb$kc a, cb$kc b,
+         |    (SELECT unnest(range(0, $PqM)) AS s_idx) sub)""".stripMargin
+    }.mkString(",\n")
+    val points = (for {
+      kc <- CurveCodes
+      np <- CurveProbes
+    } yield {
+      val bits = java.lang.Long.numberOfTrailingZeros(kc.toLong)
+      s"""SELECT n_probe, pq_bits, k, n_queries, n_hits, n_reachable,
+         |  CAST(n_hits AS DOUBLE) /
+         |    CAST(${CurveK * DcgQueries} AS DOUBLE) AS recall,
+         |  CAST(n_reachable AS DOUBLE) /
+         |    CAST(${CurveK * DcgQueries} AS DOUBLE) AS reach_ceiling
+         |FROM (SELECT
+         |  CAST($np AS BIGINT) AS n_probe,
+         |  CAST($bits AS BIGINT) AS pq_bits,
+         |  CAST($CurveK AS BIGINT) AS k,
+         |  CAST($DcgQueries AS BIGINT) AS n_queries,
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM (
+         |    SELECT dd.q_id, dd.c_id,
+         |      row_number() OVER (PARTITION BY dd.q_id
+         |        ORDER BY dd.dist, dd.c_id) AS rank
+         |    FROM (
+         |      SELECT cand.q_id, cand.c_id, CAST(sum(t.dd) AS BIGINT) AS dist
+         |      FROM (
+         |        SELECT p.q_id, a.vec_id AS c_id
+         |        FROM (SELECT vec_id AS q_id, cid AS cell FROM cdist
+         |              WHERE rn <= $np AND vec_id < $DcgQueries) p
+         |        JOIN (SELECT vec_id, cid AS cell FROM cdist WHERE rn = 1) a
+         |          ON a.cell = p.cell
+         |        WHERE a.vec_id <> p.q_id) cand
+         |      JOIN chosen$kc qch ON qch.vec_id = cand.q_id
+         |      JOIN chosen$kc cch ON cch.vec_id = cand.c_id
+         |        AND cch.s_idx = qch.s_idx
+         |      JOIN sdct$kc t ON t.s_idx = qch.s_idx AND t.ca = qch.c
+         |        AND t.cb2 = cch.c
+         |      GROUP BY 1, 2) dd) r
+         |   JOIN qtrue ON qtrue.q_id = r.q_id AND qtrue.c_id = r.c_id
+         |   WHERE r.rank <= $CurveK) AS n_hits,
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM qtrue t
+         |   JOIN (SELECT vec_id AS q_id, cid AS cell FROM cdist
+         |         WHERE rn <= $np AND vec_id < $DcgQueries) p
+         |     ON p.q_id = t.q_id
+         |   JOIN (SELECT vec_id, cid AS cell FROM cdist WHERE rn = 1) a
+         |     ON a.vec_id = t.c_id AND a.cell = p.cell) AS n_reachable
+         |) pt""".stripMargin
+    }).map(p => s"($p)").mkString("\nUNION ALL\n")
+    s"""WITH vq AS MATERIALIZED (SELECT vec_id,
+       |  list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS vq
+       |  FROM embeddings),
+       |c8 AS (SELECT vec_id AS cid, vq AS cq FROM vq WHERE vec_id < 8),
+       |cdist AS MATERIALIZED (SELECT v.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      list_sum(list_transform(generate_series(1, 64),
+       |        j -> (v.vq[j] - c.cq[j]) * (v.vq[j] - c.cq[j]))), c.cid) AS rn
+       |  FROM vq v, c8 c),
+       |qtrue AS MATERIALIZED (SELECT q_id, c_id FROM (
+       |  SELECT q.vec_id AS q_id, v.vec_id AS c_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      list_sum(list_transform(generate_series(1, 64),
+       |        j -> (q.vq[j] - v.vq[j]) * (q.vq[j] - v.vq[j]))), v.vec_id)
+       |      AS br
+       |  FROM vq q, vq v
+       |  WHERE q.vec_id < $DcgQueries AND v.vec_id <> q.vec_id) z
+       |  WHERE br <= $CurveK),
+       |$perCode
+       |$points
+       |ORDER BY pq_bits, n_probe""".stripMargin
   }
 
   /** The q75 oracle: the full recall computation in DuckDB, with lshTopK's

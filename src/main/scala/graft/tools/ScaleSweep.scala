@@ -187,7 +187,8 @@ object ScaleSweep {
         "q70_ann_bucket_portable", "q72_ivf_assign_portable",
         "q75_ann_recall", "q80_pq_codes", "q81_pq_adc_topk",
         "q82_ivfpq_topk", "q124_int8_quantization", "q146_silhouette",
-        "q193_rq_encode", "q223_lsh_banding_curve")),
+        "q193_rq_encode", "q223_lsh_banding_curve",
+        "q248_ivfpq_operating_curve")),
     ("pair-output answer-quadratic under synthetic replication (q46 " +
       "precedent) or candidate-quadratic oracle point; the 10x section " +
       "and/or an x-channel (x25/x26/x74) carries scale",
