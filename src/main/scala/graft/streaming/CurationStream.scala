@@ -1,7 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -12,22 +11,30 @@ import graft.ext.Dedup
   *
   *   1. exact-deduped within the batch (content hash, keep lowest id),
   *   2. near-dup-deduped within the batch (minhash pairs → connected
-  *      components → keep lowest id),
+  *      components → keep lowest id per cluster),
   *   3. checked against the PERSISTED signature index — the historical
   *      corpus as one (id, signature) row per document; corpus text is
   *      never re-read — and matches are dropped,
-  *   4. appended to the curated output, with the survivors' signatures
-  *      appended to the index so the NEXT batch dedups against them.
+  *   4. written to the curated output and the signature index so the
+  *      NEXT batch dedups against them.
   *
-  * Exactly-once caveat (standard foreachBatch): source offsets are
-  * checkpointed, but the two appends are not transactional with them. A
-  * batch replayed after a mid-batch failure re-checks against signatures it
-  * may itself have appended — the `id_new =!= id_corpus` guard keeps a
-  * replayed document from matching ITSELF, so signature re-appends are
-  * harmless for dedup decisions (duplicate index rows only add band-join
-  * work; compact the index offline). The curated sink can carry duplicate
-  * files after a crash mid-append — at lake scale write it via a
-  * transactional table format or dedup downstream on `idCol`.
+  * Since r10 this runs on the SAME [[EpochDelta]] index protocol as
+  * [[DedupStream]] (VERDICT r9 #2 — the former at-least-once caveat is
+  * gone): every write is an epoch-versioned OVERWRITE to
+  * `{out,index}/v<epoch>`, O(batch) per epoch, and a replayed epoch
+  * reconverges bit-for-bit. The replay proof carries over because the
+  * within-batch survivor set is pairwise non-colliding here too — each
+  * near-dup CLUSTER keeps exactly one representative (a surviving pair
+  * would have merged into one cluster), so on replay survivors
+  * self-match their own indexed signature (excluded by id) and cannot
+  * collide with co-survivors.
+  *
+  * Versus DedupStream this is the cheaper/curation-shaped tier: CC
+  * collapse keeps MORE of a duplicate chain's tail (1~2, 2~3 keeps only
+  * 1 here; DedupStream's stricter pairwise rule also rejects 3), and
+  * there is no rejects/audit sink — the output is the curated corpus
+  * itself. Pick DedupStream when the audit channel (dup_of, estimate)
+  * matters; pick this when only the survivors do.
   */
 object CurationStream {
 
@@ -46,15 +53,18 @@ object CurationStream {
     docs.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, idCol, textCol, indexPath, outPath,
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        processBatch(batch, epochId, idCol, textCol, indexPath, outPath,
           threshold, nHashes, bands)
       }
       .start()
 
-  /** One micro-batch of the ingest, also usable as a batch-mode call. */
+  /** One micro-batch of the ingest, also usable as a batch-mode call
+    * (the incremental q74 step). Replay-idempotent — see the scaladoc.
+    */
   def processBatch(
       batch: DataFrame,
+      epochId: Long,
       idCol: String,
       textCol: String,
       indexPath: String,
@@ -75,25 +85,29 @@ object CurationStream {
         .select(col("id").as(idCol))
       val intra = exact.join(intraRemoved, Seq(idCol), "left_anti")
 
-      val idx = new Path(indexPath)
-      val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val survivors =
-        if (!fs.exists(idx)) intra
-        else {
-          val corpusSigs = spark.read.parquet(indexPath)
+      val survivors = (EpochDelta.readAll(spark, indexPath) match {
+        case None => intra
+        case Some(corpusSigs) =>
           val hits = Dedup.minHashPairsAgainstIndex(
               intra, idCol, textCol, corpusSigs, threshold, nHashes, bands)
             .filter(col("id_new") =!= col("id_corpus")) // replay self-guard
             .select(col("id_new").as(idCol)).distinct()
           intra.join(hits, Seq(idCol), "left_anti")
-        }
-
-      val out = survivors.persist()
+      }).persist()
       try {
-        out.write.mode("append").parquet(outPath)
-        Dedup.minHashSignatures(out, idCol, textCol, nHashes)
-          .write.mode("append").parquet(indexPath)
-      } finally { out.unpersist(); () }
+        // curated delta FIRST: it materializes the index probe before the
+        // index delta overwrite below touches the directory the probe may
+        // be reading on a replay (the DedupStream ordering)
+        EpochDelta.writeDelta(survivors, outPath, epochId)
+        EpochDelta.writeDelta(
+          Dedup.minHashSignatures(survivors, idCol, textCol, nHashes),
+          indexPath, epochId)
+      } finally { survivors.unpersist(); () }
     } finally { b.unpersist(); () }
   }
+
+  /** Everything curated so far (the union of committed epoch deltas). */
+  def curatedSoFar(spark: SparkSession, outPath: String): DataFrame =
+    EpochDelta.readAll(spark, outPath)
+      .getOrElse(spark.emptyDataFrame)
 }

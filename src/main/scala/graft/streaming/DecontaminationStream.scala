@@ -17,8 +17,9 @@ import graft.ext.TextAnalysis
   * on the document and the FIXED eval set, so each micro-batch is
   * self-contained — no streaming state store, no watermark, and replays
   * after a mid-commit failure rewrite the same rows (at-least-once on
-  * the sinks; dedup downstream on `idCol` or use a transactional table
-  * format at lake scale, the CurationStream caveat).
+  * the plain-append sinks; dedup downstream on `idCol`, use a
+  * transactional table format at lake scale, or adopt the EpochDelta
+  * overwrite protocol the dedup gates use).
   *
   * Scale shape per batch == q79's: eval grams are a broadcast distinct
   * hash set built ONCE up front (not per batch); batch text never

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -113,34 +112,20 @@ object DedupStream {
         //    epoch's delta); the id inequality is the replay self-guard
         //    (an accepted doc's own signature is already indexed when a
         //    batch re-runs)
-        // Only COMMITTED delta dirs count: a crash mid-flight can leave
-        // v<k> holding just `_temporary` (no part files) — reading that
-        // through the glob would fail schema inference on the very replay
-        // the design is meant to survive. A dir is committed iff it holds
-        // a part file (or the _SUCCESS marker).
-        val p = new Path(indexPath)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val committedDeltas: Seq[String] =
-          if (!fs.exists(p)) Seq.empty
-          else fs.listStatus(p).toSeq
-            .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
-            .filter { s =>
-              fs.listStatus(s.getPath).exists { f =>
-                val n = f.getPath.getName
-                n.startsWith("part-") || n == "_SUCCESS"
-              }
-            }
-            .map(_.getPath.toString)
-        val vsIndex =
-          if (committedDeltas.isEmpty) within.limit(0)
-          else Dedup.minHashPairsAgainstIndex(
+        // EpochDelta.readAll sees COMMITTED deltas only: a crash
+        // mid-flight can leave v<k> holding just `_temporary`, and a
+        // glob read over that would fail schema inference on the very
+        // replay the design is meant to survive.
+        val vsIndex = EpochDelta.readAll(spark, indexPath) match {
+          case None => within.limit(0)
+          case Some(index) => Dedup.minHashPairsAgainstIndex(
               batchSurvivors, idCol, textCol,
-              spark.read.parquet(committedDeltas: _*), threshold, nHashes,
-              bands, shingleWords)
+              index, threshold, nHashes, bands, shingleWords)
             .filter(col("id_new") =!= col("id_corpus"))
             .groupBy(col("id_new").as(idCol))
             .agg(min(col("id_corpus")).as("dup_of"),
               max(col("est_jaccard")).as("est_jaccard"))
+        }
         val rejects = within.unionByName(vsIndex).persist()
         try {
           val accepted = batchSurvivors
@@ -152,15 +137,14 @@ object DedupStream {
             //    FIRST also materializes the index probe before step 4
             //    overwrites the delta directory the probe may be reading
             //    (replay case).
-            rejects.write.mode("overwrite")
-              .parquet(s"$verdictDir/rejects/v$epochId")
-            accepted.write.mode("overwrite")
-              .parquet(s"$verdictDir/accepted/v$epochId")
+            EpochDelta.writeDelta(rejects, s"$verdictDir/rejects", epochId)
+            EpochDelta.writeDelta(accepted, s"$verdictDir/accepted", epochId)
             // 4. the index DELTA: this epoch's accepted signatures only —
             //    O(batch) written per epoch, never an index rewrite; a
             //    replay overwrites the same directory with the same rows
-            sigs.join(accepted.select(idCol), Seq(idCol), "left_semi")
-              .write.mode("overwrite").parquet(s"$indexPath/v$epochId")
+            EpochDelta.writeDelta(
+              sigs.join(accepted.select(idCol), Seq(idCol), "left_semi"),
+              indexPath, epochId)
           } finally { accepted.unpersist(); () }
         } finally { rejects.unpersist(); () }
         batchSurvivors.unpersist()
