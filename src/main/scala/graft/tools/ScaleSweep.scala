@@ -222,46 +222,55 @@ object ScaleSweep {
     * suite, so a regression that bloats a shuffle fails CI before it
     * ever reaches a sweep.
     *
-    * Budget values are calibrated from measured 100× ratios (SCALE_r09
-    * wiring run) with ~3× headroom — tight enough that a family changing
-    * shuffle SHAPE (e.g. a text column entering a pair shuffle, a base
-    * table starting to move through an exchange) blows the budget, loose
-    * enough that compression drift doesn't.
+    * Budget values are calibrated from the r10 instrumented 100× run
+    * (SCALE_r10.json `bytes_100x`) at ~2-3× each family's measured max —
+    * tight enough that a family changing shuffle SHAPE (a text column
+    * entering a pair exchange, a fact table starting to move, a corpus
+    * replicated per probe) blows the budget, loose enough that
+    * compression drift doesn't. The raw-vector ANN channels are their
+    * own family ON PURPOSE: shipping one ~512 B quantized vector per
+    * candidate across the bucket exchange IS their documented byte
+    * shape (the x205 disease; the PQ-code channels x214/x230 are the
+    * 18× fix at ≤20 B/row) — budgeting them at the PQ tier would just
+    * re-flag a known, already-remediated design point every run.
     */
   final case class ShuffleBudget(family: String,
       maxWriteBytesPerRow: Double, queries: Seq[String])
 
   val shuffleBudgets: Seq[ShuffleBudget] = Seq(
-    ShuffleBudget("core-relational-agg", 24.0,
+    ShuffleBudget("core-relational-agg", 64.0, // r10 max 32.0 (q13 windows)
       Seq("q01_pricing_summary", "q04_regional_revenue",
         "q05_dedup_keep_first", "q13_window_funcs", "q15_monthly_revenue")),
-    ShuffleBudget("scan-side-text", 64.0,
+    ShuffleBudget("scan-side-text", 96.0, // r10 max 41.9 (q136)
       Seq("q27_token_counts", "q79_decontamination", "q84_repetition_rules",
         "q87_bm25_topk", "q102_chunk_documents", "q136_boilerplate_segments",
         "q142_bigram_lm_surprisal", "q243_wordpiece_census",
         "q244_substring_blocklist_census", "q245_unicode_nfc_census",
         "q246_wordpiece_ext_vocab", "x246_wordpiece_ext_vocab_30k")),
-    ShuffleBudget("exact-dedup", 96.0,
+    ShuffleBudget("exact-dedup", 32.0, // r10 max 12.6 (q134)
       Seq("q22_exact_dup_census", "q23_exact_dedup_keep_first",
         "q134_record_linkage")),
-    ShuffleBudget("ann-bucketed", 160.0,
+    ShuffleBudget("ann-bucketed", 160.0, // r10 max 99.5 (q78)
       Seq("q78_knn_join", "q181_kmeans_codebook", "q212_ivf_incremental_add",
         "q213_recall_curve", "q216_centroid_drift", "q217_retrieval_mrr",
-        "x141_hard_negatives_lsh", "x229_label_noise_prod",
-        "x230_label_noise_pq", "x205_label_kappa_prod",
-        "x214_label_kappa_pq", "x183_semantic_decon_prod")),
-    ShuffleBudget("graph-iterative", 200.0,
-      Seq("q99_pagerank", "q228_link_prediction",
-        "x77_semantic_dedup_prod")),
-    ShuffleBudget("event-windows", 64.0,
+        "x230_label_noise_pq", "x214_label_kappa_pq",
+        "x183_semantic_decon_prod")),
+    // raw quantized vectors cross the bucket exchange by design here
+    // (~512 B/candidate); the PQ-code channels above are the 18× fix
+    ShuffleBudget("ann-raw-vector", 1024.0, // r10 max 577.8 (x77)
+      Seq("x77_semantic_dedup_prod", "x141_hard_negatives_lsh",
+        "x205_label_kappa_prod", "x229_label_noise_prod")),
+    ShuffleBudget("graph-iterative", 32.0, // r10 max 9.3 (q228)
+      Seq("q99_pagerank", "q228_link_prediction")),
+    ShuffleBudget("event-windows", 64.0, // r10 max 25.0 (q37)
       Seq("q35_tumbling_window", "q37_sessionization",
         "q38_out_of_order_census", "q110_anomaly_zscore")),
-    ShuffleBudget("lake-maintenance", 96.0,
+    ShuffleBudget("lake-maintenance", 32.0, // r10 max 9.9 (q96)
       Seq("q90_cdc_merge", "q96_compaction_plan", "q97_incremental_agg",
         "q103_interval_join", "q116_scd2_dimension",
         "q150_incremental_join_refresh", "q187_salted_join",
         "q197_time_travel", "q230_vacuum_plan", "q242_hilbert_skipping")),
-    ShuffleBudget("sketch-mergeable", 48.0,
+    ShuffleBudget("sketch-mergeable", 64.0, // r10 max 29.6 (q180)
       Seq("q178_kmv_distinct", "q179_bloom_prefilter",
         "q180_hll_certification", "q185_countmin_census",
         "q196_hist_trailing_quantiles", "q201_profile_drift",
@@ -269,24 +278,39 @@ object ScaleSweep {
         "x178_kmv_prod", "x179_bloom_prefilter_prod", "x185_countmin_prod",
         "x186_kmv_incremental_prod", "x190_kmv_set_ops_prod",
         "x192_kmv_trailing_prod", "x194_countmin_incremental_prod")),
-    ShuffleBudget("stats-readout", 48.0,
+    ShuffleBudget("stats-readout", 64.0, // r10 max 30.1 (q227)
       Seq("q206_conformal_coverage", "q210_trimmed_mean",
         "q40_monte_carlo_scenarios", "q227_krippendorff_alpha",
         "x41_bootstrap_seeded", "x151_equal_freq_binning_approx")),
-    ShuffleBudget("sampling-training-plan", 96.0,
+    ShuffleBudget("sampling-training-plan", 96.0, // r10 max 35.8 (q207)
       Seq("q121_priority_sample", "q167_groupsafe_split",
         "q175_epoch_shuffle", "q177_temporal_split",
         "q198_length_bucket_batching", "q204_curriculum_schedule",
         "q207_training_plan", "q208_schedule_realization",
         "q218_k_anonymity_audit", "q226_concat_chunk_packing",
         "q231_vocab_coverage")),
-    ShuffleBudget("multimodal-decode", 24.0,
+    ShuffleBudget("multimodal-decode", 32.0, // r10 max 12.8 (q241)
       Seq("q233_video_frame_census", "q234_video_mjpeg_census",
         "q235_audio_adpcm_census", "q238_audio_adpcm_stereo",
         "q240_audio_flac_census", "q241_audio_g711_census")))
 
   def budgetOf: Map[String, ShuffleBudget] =
     shuffleBudgets.flatMap(b => b.queries.map(_ -> b)).toMap
+
+  /** Fixed allowance on top of the per-row budget: at tiny inputs
+    * (ShuffleBudgetSpec's sf0.01 point, 500-row tables) per-task shuffle
+    * FRAMING (file headers, compression dictionaries) dominates the
+    * ratio — q22 writes 20 KB for 500 rows of 8-byte hashes. 64 KB
+    * absorbs that floor while a genuine shape regression (a ~500-char
+    * text column entering the same exchange ⇒ ≥250 KB) still trips.
+    * Negligible at the 100× point (budgets bind on the ratio there).
+    */
+  val budgetSlackBytes: Long = 64 * 1024
+
+  def overBudget(b: ShuffleBudget,
+      s: TaskMetricsLedger.Snapshot): Boolean =
+    s.shuffleWriteBytes >
+      b.maxWriteBytesPerRow * math.max(s.inputRecords, 1L) + budgetSlackBytes
 
   private def queryOf(n: String): (SparkSession, String) => DataFrame =
     ScaleCheck.extras.getOrElse(n, SparkEntry.queries(n))
@@ -323,7 +347,7 @@ object ScaleSweep {
         val snap = ledger.snapshot()
         bytes(n) = snap
         budgetOf.get(n).foreach { b =>
-          if (snap.writeBytesPerRecord > b.maxWriteBytesPerRow)
+          if (overBudget(b, snap))
             violations(n) = f"family ${b.family}: " +
               f"${snap.writeBytesPerRecord}%.1f B/row > " +
               f"budget ${b.maxWriteBytesPerRow}%.1f"

@@ -48,7 +48,9 @@ class ShuffleBudgetSpec extends SparkSpec {
         queryOf(n)(spark, dir).write.format("noop").mode("overwrite").save()
         val s = ledger.snapshot()
         assert(s.inputRecords > 0, s"$n read no records — ledger broken?")
-        if (s.writeBytesPerRecord > b.maxWriteBytesPerRow)
+        // budget·rows + the fixed framing allowance (ScaleSweep.overBudget:
+        // at 500-row tables per-task shuffle framing dominates the ratio)
+        if (ScaleSweep.overBudget(b, s))
           Some(f"$n (${b.family}): ${s.writeBytesPerRecord}%.1f B/row > " +
             f"${b.maxWriteBytesPerRow}%.1f " +
             f"(sw ${s.shuffleWriteBytes / 1e6}%.2f MB over " +
