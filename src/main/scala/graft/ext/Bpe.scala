@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed byte-pair-encoding vocabulary learning (the Sennrich
@@ -71,6 +71,32 @@ object Bpe {
       .withColumn("n_pieces",
         size(split(col("sym"), "\\|")).cast("long"))
   }
+
+  /** Render an ordered merge list as the GPT-2-lineage `merges.txt`
+    * format [[loadMergesFile]] parses: a `#version` comment header, then
+    * one "left right" pair per line — rank IS the line order.
+    */
+  def mergesFileLines(merges: Seq[(String, String)]): Seq[String] =
+    "#version: 0.2" +: merges.map { case (a, b) => s"$a $b" }
+
+  /** Parse a published `merges.txt`: `#`-comment lines skipped, each
+    * remaining line "left right", rank = order of appearance. Reads
+    * through the Hadoop FS layer (local/HDFS/object store); a 50k-merge
+    * file is a bounded driver-side collect (the vocab-file precedent).
+    * Real pipelines tokenize with a FIXED published merge table, not a
+    * corpus-learned one — this is that input path.
+    */
+  def loadMergesFile(spark: SparkSession, path: String): Seq[Merge] =
+    spark.read.textFile(path).collect().toSeq
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .zipWithIndex
+      .map { case (l, i) =>
+        val parts = l.split(" ")
+        require(parts.length == 2,
+          s"merges.txt line ${i + 1} is not 'left right': $l")
+        Merge(i + 1, parts(0), parts(1), 0L)
+      }
 
   /** Learn the first `nMerges` BPE merges from the corpus' `topWords` most
     * frequent `[a-z]{2,}` words (frequency-desc, word-asc deterministic

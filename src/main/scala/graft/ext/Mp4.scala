@@ -23,8 +23,13 @@ import java.nio.ByteBuffer
   */
 object Mp4 {
 
+  /** `nSamples`/`sampleBytes`/`sttsDuration` come from the stsz/stts
+    * sample tables when present (0 otherwise) — the header-only bitrate/
+    * frame-count pass: media data never read.
+    */
   final case class TrackMeta(handler: String, codec: String,
-      width: Int, height: Int)
+      width: Int, height: Int, nSamples: Long = 0L,
+      sampleBytes: Long = 0L, sttsDuration: Long = 0L)
 
   final case class Meta(brand: String, timescale: Long, duration: Long,
       tracks: Seq[TrackMeta]) {
@@ -81,6 +86,9 @@ object Mp4 {
         var h = 0
         var handler = ""
         var codec = ""
+        var nSamples = 0L
+        var sampleBytes = 0L
+        var sttsDur = 0L
         val ok = walk(from, to, 2) {
           case ("tkhd", f, t) =>
             val v = u8(f)
@@ -104,6 +112,39 @@ object Mp4 {
                         if (dt - df >= 16 && be32(df + 4) >= 1)
                           codec = tag(df + 12)
                         true
+                      case ("stts", df, dt) =>
+                        // v/f(4) entry_count(4) then (count, delta) pairs;
+                        // duration = Σ count·delta — entry count UNTRUSTED
+                        if (dt - df >= 8) {
+                          val n = be32(df + 4)
+                          if (n < 0 || df + 8 + n * 8 > dt) return false
+                          var i = 0
+                          while (i < n) {
+                            sttsDur +=
+                              be32(df + 8 + i * 8) * be32(df + 12 + i * 8)
+                            i += 1
+                          }
+                        }
+                        true
+                      case ("stsz", df, dt) =>
+                        // v/f(4) sample_size(4) sample_count(4); size==0 →
+                        // per-sample u32 table follows
+                        if (dt - df >= 12) {
+                          val sz = be32(df + 4)
+                          val n = be32(df + 8)
+                          if (n < 0) return false
+                          nSamples = n
+                          if (sz != 0L) sampleBytes = sz * n
+                          else {
+                            if (df + 12 + n * 4 > dt) return false
+                            var i = 0
+                            while (i < n) {
+                              sampleBytes += be32(df + 12 + i * 4)
+                              i += 1
+                            }
+                          }
+                        }
+                        true
                       case _ => true
                     }
                   case _ => true
@@ -112,7 +153,11 @@ object Mp4 {
             }
           case _ => true
         }
-        if (ok) { tracks += TrackMeta(handler, codec, w, h); () }
+        if (ok) {
+          tracks += TrackMeta(handler, codec, w, h, nSamples, sampleBytes,
+            sttsDur)
+          ()
+        }
         ok
       }
 
@@ -236,26 +281,57 @@ object Mp4 {
     box("stsd", b.array())
   }
 
+  private def stts(entries: Seq[(Long, Long)]): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + entries.length * 8)
+    b.putInt(0).putInt(entries.length)
+    entries.foreach { case (n, d) => b.putInt(n.toInt).putInt(d.toInt) }
+    box("stts", b.array())
+  }
+
+  /** Constant-size mode (`Left(size, count)`) or per-sample table mode
+    * (`Right(sizes)`) — both real stsz layouts.
+    */
+  private def stsz(sizes: Either[(Long, Long), Seq[Long]]): Array[Byte] =
+    sizes match {
+      case Left((sz, n)) =>
+        val b = ByteBuffer.allocate(12)
+        b.putInt(0).putInt(sz.toInt).putInt(n.toInt)
+        box("stsz", b.array())
+      case Right(tbl) =>
+        val b = ByteBuffer.allocate(12 + tbl.length * 4)
+        b.putInt(0).putInt(0).putInt(tbl.length)
+        tbl.foreach(s => b.putInt(s.toInt))
+        box("stsz", b.array())
+    }
+
   private def trak(trackId: Int, duration: Long, timescale: Long,
-      handler: String, stsd: Array[Byte], w: Int, h: Int): Array[Byte] =
+      handler: String, stsd: Array[Byte], w: Int, h: Int,
+      sampleTables: Array[Byte] = Array.empty): Array[Byte] =
     box("trak", cat(
       tkhd(trackId, duration, w, h),
       box("mdia", cat(
         mdhd(timescale, duration),
         hdlr(handler),
-        box("minf", box("stbl", stsd))))))
+        box("minf", box("stbl", cat(stsd, sampleTables)))))))
 
   /** Structurally valid moov-only MP4 for the given fields — the q247
     * round-trip source. `audioCodec = None` emits a single video track.
+    * `sttsEntries`/`stszSizes` add real sample tables to the VIDEO track
+    * (q250); the defaults emit the q247 layout byte-for-byte.
     */
   def mp4Bytes(brand: String, timescale: Long, duration: Long,
       width: Int, height: Int, videoCodec: String,
-      audioCodec: Option[String]): Array[Byte] = {
+      audioCodec: Option[String],
+      sttsEntries: Seq[(Long, Long)] = Seq.empty,
+      stszSizes: Option[Either[(Long, Long), Seq[Long]]] = None): Array[Byte] = {
     require(width > 0 && height > 0 && timescale > 0 && duration >= 0,
       "mp4Bytes: positive dims/timescale")
+    val tables = cat(
+      if (sttsEntries.nonEmpty) stts(sttsEntries) else Array.empty[Byte],
+      stszSizes.map(stsz).getOrElse(Array.empty[Byte]))
     val traks = cat(
       trak(1, duration, timescale, "vide",
-        stsdVisual(videoCodec, width, height), width, height),
+        stsdVisual(videoCodec, width, height), width, height, tables),
       audioCodec.map(c =>
         trak(2, duration, timescale, "soun", stsdAudio(c), 0, 0))
         .getOrElse(Array.empty[Byte]))

@@ -49,6 +49,61 @@ object CurationQueries {
        |      THEN substr(acc, 1, length(acc) - length(m.a)) || m.a || m.b
        |      ELSE acc || '|' || x END)""".stripMargin
 
+  /** q249 frozen EXTERNAL merge table (the published-merges stand-in,
+    * GPT-2 merges.txt lineage) — inlined identically into the file the
+    * Spark side loads and the oracle's literal folds. Rank order is
+    * load-bearing: "th e" can only fire after "t h" has formed "th".
+    * ABOVE `defs` (init-order trap).
+    */
+  private val ExtMerges = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"))
+
+  /** [[bpeFold]] with the merge pair inlined as LITERALS (no merge CTE —
+    * the frozen-merges q249 path).
+    */
+  private def bpeFoldLit(symExpr: String, a: String, b: String): String =
+    s"""list_reduce(string_split($symExpr, '|'), (acc, x) ->
+       |    CASE WHEN (acc = '$a' OR acc LIKE '%|' || '$a') AND x = '$b'
+       |      THEN substr(acc, 1, length(acc) - ${a.length}) || '$a' || '$b'
+       |      ELSE acc || '|' || x END)""".stripMargin
+
+  /** q249 oracle: the q139 encode/compression tail under the FROZEN
+    * external merge table — e0 symbolize, one literal fold per merge in
+    * rank order, per-source stats. ABOVE `defs` (init-order trap).
+    */
+  private val bpeExtMergesOracle: String = {
+    val encodes = ExtMerges.zipWithIndex.map { case ((a, b), i) =>
+      s"""e${i + 1} AS MATERIALIZED (
+         |  SELECT w, ${bpeFoldLit("sym", a, b)} AS sym
+         |  FROM e$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT source, w FROM (
+       |    SELECT source, unnest(list_filter(
+       |      regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      x -> x <> '')) AS w
+       |    FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+${"$"}') AND length(w) >= 2),
+       |vocab AS MATERIALIZED (SELECT DISTINCT w FROM tok),
+       |e0 AS MATERIALIZED (
+       |  SELECT w, array_to_string(list_transform(range(1, length(w) + 1),
+       |      i -> substr(w, CAST(i AS INT), 1)), '|') AS sym
+       |  FROM vocab),
+       |$encodes,
+       |enc AS MATERIALIZED (
+       |  SELECT w, CAST(len(string_split(sym, '|')) AS BIGINT) AS n_pieces
+       |  FROM e${ExtMerges.length})
+       |SELECT source,
+       |  count(*) AS n_words,
+       |  CAST(sum(length(w)) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       |  round(CAST(sum(n_pieces) AS DOUBLE) / CAST(sum(length(w)) AS BIGINT),
+       |        6) AS pieces_per_char
+       |FROM tok JOIN enc USING (w)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** Shared learn-stage CTEs for the BPE oracles (q137/q139): word counts,
     * the top-`BpeTopWords` symbolized dictionary, and `BpeMerges` unrolled
     * rounds of pair-count argmax (m1..mN) + fold application (v1..vN).
@@ -595,6 +650,44 @@ object CurationQueries {
           .orderBy("source")
       },
       Some(bpeEncodeOracle)
+    ),
+
+    // ---- BPE encode under an EXTERNAL merge table (r10, q246's sibling
+    //      for the GPT lineage): real pipelines tokenize with a fixed
+    //      PUBLISHED merges.txt, not a corpus-learned one. The query
+    //      writes the frozen table in the merges.txt format (#version
+    //      header, one "left right" per line, rank = line order), loads
+    //      it back through Bpe.loadMergesFile, and encodes the distinct
+    //      vocabulary in rank order; the DuckDB twin folds the identical
+    //      literal pairs. Rank dependence is exercised ("th e" only
+    //      fires on the output of "t h") — a parse or ordering drift
+    //      breaks the hash.
+    QueryDef(
+      "q249_bpe_ext_merges",
+      (s, dir) => {
+        val path = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_q249_merges.txt")
+        java.nio.file.Files.write(path,
+          Bpe.mergesFileLines(ExtMerges).mkString("\n").getBytes("UTF-8"))
+        val merges = Bpe.loadMergesFile(s, path.toString)
+        require(merges.map(m => (m.left, m.right)) == ExtMerges,
+          "merges.txt round trip drifted")
+        val words = t(s, dir, "documents")
+          .select(col("source"),
+            explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+          .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+        val enc = Bpe.encodeVocab(words.select("w").distinct(), "w", merges)
+          .select(col("w"), col("n_pieces"))
+        words.join(broadcast(enc), "w")
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_words"),
+            sum(length(col("w"))).cast("long").as("n_chars"),
+            sum(col("n_pieces")).cast("long").as("n_pieces"),
+            round(sum(col("n_pieces")).cast("double")
+              / sum(length(col("w"))), 6).as("pieces_per_char"))
+          .orderBy("source")
+      },
+      Some(bpeExtMergesOracle)
     ),
 
     // ---- bigram-LM surprisal signals (the perplexity-filter family in

@@ -1238,6 +1238,61 @@ object TextQueries {
              |FROM documents ORDER BY media_id""".stripMargin)
     ),
 
+    // ---- MP4 sample-table stats (r10, q247 one box deeper): stts
+    //      (decoding time-to-sample — media duration as Σ count·delta
+    //      over UNTRUSTED entry counts) and stsz in BOTH real layouts
+    //      (constant-size and per-sample u32 table) — the header-only
+    //      frame-count/bitrate pass a video-corpus datasheet needs,
+    //      media data never read. Even rows exercise the constant-size
+    //      path, odd rows the table path; the DuckDB twin replays the
+    //      closed forms including the table sum.
+    QueryDef(
+      "q250_mp4_sample_tables",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val n1 = id % 50 + 1
+            val n2 = id % 30 + 1
+            val n = n1 + n2
+            val dur = n1 * 512 + n2 * 1024
+            val sizes: Either[(Long, Long), Seq[Long]] =
+              if (id % 2 == 0) Left((id % 900 + 100, n))
+              else Right((0L until n).map(j => (id * 7 + j * 13) % 1000 + 1))
+            val bytes = graft.ext.Mp4.mp4Bytes("isom", 600, dur, 320, 240,
+              "avc1", None, sttsEntries = Seq((n1, 512L), (n2, 1024L)),
+              stszSizes = Some(sizes))
+            val v = graft.ext.Mp4.meta(bytes).get.video.get
+            (id, if (id % 2 == 0) "const" else "table",
+              v.nSamples, v.sttsDuration, v.sampleBytes,
+              v.sampleBytes / math.max(v.nSamples, 1L))
+          }
+          .toDF("media_id", "size_mode", "n_samples", "stts_duration",
+            "total_sample_bytes", "avg_sample_bytes")
+          .orderBy("media_id")
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id, doc_id % 50 + 1 AS n1, doc_id % 30 + 1 AS n2
+             |  FROM documents),
+             |t AS (
+             |  SELECT doc_id, n1 + n2 AS n,
+             |    n1 * 512 + n2 * 1024 AS dur,
+             |    CASE WHEN doc_id % 2 = 0
+             |      THEN (doc_id % 900 + 100) * (n1 + n2)
+             |      ELSE list_sum(list_transform(range(0, n1 + n2),
+             |           j -> (doc_id * 7 + j * 13) % 1000 + 1)) END AS tot
+             |  FROM s)
+             |SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'const' ELSE 'table' END
+             |    AS size_mode,
+             |  CAST(n AS BIGINT) AS n_samples,
+             |  CAST(dur AS BIGINT) AS stts_duration,
+             |  CAST(tot AS BIGINT) AS total_sample_bytes,
+             |  CAST(tot // n AS BIGINT) AS avg_sample_bytes
+             |FROM t ORDER BY media_id""".stripMargin)
+    ),
+
     // ---- image perceptual-hash dedup census (q169's sibling, one level
     //      deeper): REAL PNG encode → REAL JDK decode → integer box-average
     //      aHash → hash census. Generated stripe images make the hash

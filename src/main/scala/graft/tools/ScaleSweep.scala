@@ -136,7 +136,8 @@ object ScaleSweep {
         "q89_blocklist_filter", "q122_quality_rules",
         "q123_collocations_lift", "q126_source_lineage",
         "q127_association_rules", "q129_vocab_richness", "q137_bpe_merges",
-        "q139_bpe_encode", "q144_token_budget_waterfill",
+        "q139_bpe_encode", "q249_bpe_ext_merges",
+        "q144_token_budget_waterfill",
         "q163_feature_hashing", "q173_source_dup_profile",
         "q174_domain_score", "q176_zipf_profile", "q191_dataset_datasheet")),
     ("grouped-statistic readout on DECIMAL-routed moments, dashboard-" +
@@ -206,7 +207,8 @@ object ScaleSweep {
       Seq("q39_csv_roundtrip", "q54_multimodal_features",
         "q73_multimodal_sizes", "q169_media_header_census",
         "q236_orc_roundtrip", "q237_jsonl_roundtrip",
-        "q239_jsonl_gzip_roundtrip", "q247_mp4_container_census")))
+        "q239_jsonl_gzip_roundtrip", "q247_mp4_container_census",
+        "q250_mp4_sample_tables")))
 
   def excludedReasons: Map[String, String] =
     exclusionLedger.flatMap { case (r, qs) => qs.map(_ -> r) }.toMap

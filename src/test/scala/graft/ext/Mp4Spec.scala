@@ -23,6 +23,35 @@ class Mp4Spec extends AnyFunSuite {
     assert(v.video.get.width === 64 && v.video.get.height === 48)
   }
 
+  test("sample tables: stts duration sum, stsz constant and table modes") {
+    val tbl = Mp4.meta(Mp4.mp4Bytes("isom", 600, 3072, 64, 48, "avc1", None,
+      sttsEntries = Seq((4L, 512L), (1L, 1024L)),
+      stszSizes = Some(Right(Seq(100L, 200L, 300L, 400L, 500L))))).get
+    assert(tbl.video.get.nSamples === 5L)
+    assert(tbl.video.get.sttsDuration === 4 * 512 + 1024)
+    assert(tbl.video.get.sampleBytes === 1500L)
+    val const = Mp4.meta(Mp4.mp4Bytes("isom", 600, 3072, 64, 48, "avc1",
+      None, sttsEntries = Seq((6L, 512L)),
+      stszSizes = Some(Left((250L, 6L))))).get
+    assert(const.video.get.nSamples === 6L)
+    assert(const.video.get.sampleBytes === 1500L)
+    assert(const.video.get.sttsDuration === 3072L)
+    // without tables the fields stay 0 (q247's layout is untouched)
+    val plain = Mp4.meta(
+      Mp4.mp4Bytes("isom", 600, 600, 64, 48, "avc1", None)).get
+    assert(plain.video.get.nSamples === 0L &&
+      plain.video.get.sampleBytes === 0L)
+    // crafted stsz count escaping its box aborts, never over-reads
+    val b = Mp4.mp4Bytes("isom", 600, 3072, 64, 48, "avc1", None,
+      stszSizes = Some(Right(Seq(1L, 2L, 3L))))
+    // find the stsz payload and corrupt sample_count to a huge value
+    val idx = (0 until b.length - 4)
+      .find(i => new String(b, i, 4, "US-ASCII") == "stsz").get
+    val bb = java.nio.ByteBuffer.wrap(b)
+    bb.putInt(idx + 12, Int.MaxValue)
+    assert(Mp4.meta(b).isEmpty)
+  }
+
   test("headerMeta dispatches ftyp payloads to the mp4 walk") {
     val b = Mp4.mp4Bytes("isom", 600, 600, 320, 240, "av01", None)
     assert(Multimodal.headerMeta(b).contains(("mp4", 320, 240)))
