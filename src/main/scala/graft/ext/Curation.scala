@@ -666,6 +666,80 @@ object Curation {
     * training-data pipeline gates batch geometry on; all integer math
     * (⌈·⌉ via (a+b−1) div b), one narrow aggregation over token counts.
     */
+  /** URL canonicalization — the standard web-corpus dedup key: two
+    * spellings of one resource must collapse before any exact/near dedup
+    * sees them. Rules (the widely-used conservative set):
+    *
+    *  - scheme and host lowercased; a leading `www.` stripped
+    *  - the scheme-DEFAULT port dropped (https:443 / http:80); any other
+    *    explicit port kept
+    *  - fragment removed
+    *  - path dot-segments resolved (`/./` skipped, `/x/../` popped) via
+    *    a left fold with a STRING accumulator (the canonical path so
+    *    far) — expressible identically as Spark `aggregate` and DuckDB
+    *    `list_reduce`; empty path → "/"
+    *  - tracking parameters dropped (`utm_*`, `fbclid`, `gclid`),
+    *    remaining query parameters sorted bytewise
+    *
+    * Entirely composed Spark functions (codegen'd, no UDF); every HOF
+    * input is a MATERIALIZED projection column (the q84 rule). Adds
+    * `outCol` plus `_host`/`_path`/`_n_params` diagnostics; internal
+    * columns dropped.
+    */
+  def canonicalizeUrls(df: DataFrame, urlCol: String,
+      outCol: String = "canonical_url"): DataFrame = {
+    val d1 = df
+      .withColumn("_nf", regexp_replace(col(urlCol), "#.*", ""))
+    val d2 = d1
+      .withColumn("_scheme",
+        lower(regexp_extract(col("_nf"), "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1)))
+      .withColumn("_rest",
+        regexp_replace(col("_nf"), "^[A-Za-z][A-Za-z0-9+.\\-]*://", ""))
+    val d3 = d2
+      .withColumn("_hostport", regexp_extract(col("_rest"), "^([^/?]*)", 1))
+      .withColumn("_after", regexp_replace(col("_rest"), "^[^/?]*", ""))
+    val d4 = d3
+      .withColumn("_host",
+        regexp_replace(lower(regexp_extract(col("_hostport"), "^([^:]*)", 1)),
+          "^www\\.", ""))
+      .withColumn("_port", regexp_extract(col("_hostport"), ":([0-9]+)$", 1))
+      .withColumn("_pathraw", regexp_extract(col("_after"), "^([^?]*)", 1))
+      .withColumn("_queryraw",
+        when(col("_after").contains("?"),
+          regexp_replace(col("_after"), "^[^?]*\\?", ""))
+          .otherwise(lit("")))
+    val d5 = d4
+      .withColumn("_segs", split(col("_pathraw"), "/"))
+      .withColumn("_params0", split(col("_queryraw"), "&"))
+    val d6 = d5
+      .withColumn("_path0",
+        aggregate(col("_segs"), lit(""), (acc, x) =>
+          when(x === "" || x === ".", acc)
+            .when(x === "..", regexp_replace(acc, "/[^/]*$", ""))
+            .otherwise(concat(acc, lit("/"), x))))
+      .withColumn("_paramlist",
+        array_sort(filter(col("_params0"), x =>
+          x =!= "" && !x.startsWith("utm_") &&
+            !x.startsWith("fbclid=") && !x.startsWith("gclid="))))
+    val keepPort = col("_port") =!= "" &&
+      !(col("_scheme") === "https" && col("_port") === "443") &&
+      !(col("_scheme") === "http" && col("_port") === "80")
+    d6
+      .withColumn("_path",
+        when(col("_path0") === "", lit("/")).otherwise(col("_path0")))
+      .withColumn("_n_params", size(col("_paramlist")).cast("long"))
+      .withColumn("_params", array_join(col("_paramlist"), "&"))
+      .withColumn(outCol, concat(
+        col("_scheme"), lit("://"), col("_host"),
+        when(keepPort, concat(lit(":"), col("_port"))).otherwise(lit("")),
+        when(col("_path0") === "", lit("/")).otherwise(col("_path0")),
+        when(col("_params") =!= "", concat(lit("?"), col("_params")))
+          .otherwise(lit(""))))
+      .drop("_nf", "_rest", "_hostport", "_after", "_pathraw", "_queryraw",
+        "_segs", "_params0", "_path0", "_paramlist", "_params", "_port",
+        "_scheme")
+  }
+
   def lengthBucketBatching(
       docs: DataFrame,
       textCol: String,

@@ -690,6 +690,97 @@ object CurationQueries {
       Some(bpeExtMergesOracle)
     ),
 
+    // ---- URL canonicalization (r10): the web-corpus dedup key — two
+    //      spellings of one resource must collapse BEFORE any exact/
+    //      near-dup pass sees them. Synthetic raws (identical
+    //      construction in both engines) exercise every rule: scheme/
+    //      host case, www stripping, scheme-default port drop (https:443
+    //      drops, http:443 KEEPS, :8080 keeps), dot-segment resolution
+    //      (/./ skip, /../ pop via the string-accumulator fold —
+    //      aggregate HOF ≡ list_reduce with a prepended init element),
+    //      tracking-param removal (utm_*, gclid), bytewise param sort,
+    //      fragment drop. The twin replays the same chain; anchored
+    //      regexes keep Spark's replace-all and DuckDB's replace-first
+    //      semantics identical.
+    QueryDef(
+      "q251_url_canonicalize",
+      (s, dir) => {
+        val id = col("doc_id")
+        val raw = concat(
+          when(id % 2 === 0, lit("HTTPS")).otherwise(lit("http")),
+          lit("://WWW.Site"), (id % 7).cast("string"), lit(".COM"),
+          when(id % 3 === 0, lit(":443"))
+            .when(id % 3 === 1, lit(":8080")).otherwise(lit("")),
+          lit("/Dir/./Sub"), (id % 5).cast("string"), lit("/../Page"),
+          lit("?utm_source=x&b="), (id % 5).cast("string"),
+          lit("&a="), (id % 3).cast("string"),
+          when(id % 4 === 0, lit("&gclid=zz")).otherwise(lit("")),
+          lit("#Sec"))
+        graft.ext.Curation.canonicalizeUrls(
+            t(s, dir, "documents").select(id, raw.as("url")), "url")
+          .select(col("doc_id"), col("canonical_url"),
+            col("_host").as("host"), col("_path").as("path"),
+            col("_n_params").as("n_params"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id,
+             |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+             |      || '://WWW.Site' || (doc_id % 7) || '.COM'
+             |      || (CASE WHEN doc_id % 3 = 0 THEN ':443'
+             |               WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+             |      || '/Dir/./Sub' || (doc_id % 5) || '/../Page'
+             |      || '?utm_source=x&b=' || (doc_id % 5)
+             |      || '&a=' || (doc_id % 3)
+             |      || (CASE WHEN doc_id % 4 = 0 THEN '&gclid=zz' ELSE '' END)
+             |      || '#Sec' AS url
+             |  FROM documents),
+             |p1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nf
+             |  FROM raw),
+             |p2 AS (SELECT doc_id,
+             |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
+             |    AS scheme,
+             |  regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS rest
+             |  FROM p1),
+             |p3 AS (SELECT doc_id, scheme,
+             |  regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+             |  regexp_replace(rest, '^[^/?]*', '') AS aft
+             |  FROM p2),
+             |p4 AS (SELECT doc_id, scheme,
+             |  regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
+             |    '^www\.', '') AS host,
+             |  regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+             |  regexp_extract(aft, '^([^?]*)', 1) AS pathraw,
+             |  CASE WHEN contains(aft, '?')
+             |    THEN regexp_replace(aft, '^[^?]*\?', '') ELSE '' END
+             |    AS queryraw
+             |  FROM p3),
+             |p5 AS (SELECT doc_id, scheme, host, port,
+             |  list_reduce([''] || string_split(pathraw, '/'), (acc, x) ->
+             |    CASE WHEN x = '' OR x = '.' THEN acc
+             |         WHEN x = '..' THEN regexp_replace(acc, '/[^/]*$', '')
+             |         ELSE acc || '/' || x END) AS path0,
+             |  list_sort(list_filter(string_split(queryraw, '&'), x ->
+             |    x <> '' AND NOT starts_with(x, 'utm_')
+             |      AND NOT starts_with(x, 'fbclid=')
+             |      AND NOT starts_with(x, 'gclid='))) AS plist
+             |  FROM p4)
+             |SELECT doc_id,
+             |  scheme || '://' || host
+             |    || CASE WHEN port <> ''
+             |         AND NOT (scheme = 'https' AND port = '443')
+             |         AND NOT (scheme = 'http' AND port = '80')
+             |       THEN ':' || port ELSE '' END
+             |    || CASE WHEN path0 = '' THEN '/' ELSE path0 END
+             |    || CASE WHEN len(plist) > 0
+             |       THEN '?' || array_to_string(plist, '&') ELSE '' END
+             |    AS canonical_url,
+             |  host,
+             |  CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+             |  CAST(len(plist) AS BIGINT) AS n_params
+             |FROM p5 ORDER BY doc_id""".stripMargin)
+    ),
+
     // ---- bigram-LM surprisal signals (the perplexity-filter family in
     //      rational arithmetic): corpus-learned absolute-discount bigram
     //      probabilities scored back per document. min/avg/low-count
