@@ -258,6 +258,14 @@ object GraftFunctions {
         require(args.length == 1, "nfc_normalize takes (str)")
         NfcNormalize(args.head)
       }
+    ),
+    (
+      "strip_accents",
+      new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "strip_accents takes (str)")
+        StripAccents(args.head)
+      }
     )
   )
 

@@ -1137,6 +1137,76 @@ object TextQueries {
              |FROM normalized ORDER BY doc_id""".stripMargin)
     ),
 
+    // ---- diacritic stripping census (r10, q245's sibling): the
+    //      `strip_accents=True` step of BERT-family lowercasing and of
+    //      accent-insensitive dedup keys — NFD + remove combining marks,
+    //      recompose. The native `strip_accents` expression wraps the
+    //      JDK recipe; the DuckDB twin runs ITS OWN ICU `strip_accents`
+    //      over the same deterministically-built text. The mix covers
+    //      every path: combining marks on decomposed letters (removed),
+    //      a PRECOMPOSED é (decomposes, mark removed), cedilla (a
+    //      non-ASCII Mn mark), and ø (NO canonical decomposition —
+    //      passes through in BOTH implementations). All BMP, so JVM
+    //      UTF-16 and DuckDB codepoint indexing coincide.
+    QueryDef(
+      "q252_strip_accents_census",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val n = (40 + id % 23).toInt
+              val sb = new StringBuilder
+              var j = 0
+              while (j < n) {
+                sb.append((97 + (id * 3 + j * 5) % 26).toInt.toChar)
+                if (j % 7 == 0) sb.append('\u0308') // combining diaeresis
+                if (j % 3 == 0) sb.append('\u0301') // combining acute
+                if (j % 5 == 0) sb.append('\u0327') // combining cedilla
+                if (j % 11 == 0) sb.append('\u00e9') // precomposed e-acute
+                if (j % 13 == 0) sb.append('\u00f8') // o-slash: no decomposition
+                j += 1
+              }
+              (id, sb.toString)
+            }
+          }
+          .toDF("doc_id", "raw")
+          .withColumn("stripped",
+            call_function("strip_accents", col("raw")))
+          .select(col("doc_id"),
+            length(col("raw")).cast("long").as("len_raw"),
+            length(col("stripped")).cast("long").as("len_stripped"),
+            expr("""aggregate(
+                 |  transform(sequence(1, length(stripped)),
+                 |    i -> CAST(i AS LONG) * ascii(substring(stripped, i, 1))),
+                 |  0L, (a, x) -> a + x)""".stripMargin).as("strip_chk"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH built AS (
+             |  SELECT doc_id,
+             |    array_to_string(list_transform(
+             |      range(0, 40 + doc_id % 23),
+             |      j -> chr((97 + (doc_id * 3 + j * 5) % 26)::INT)
+             |        || CASE WHEN j % 7 = 0 THEN chr(776) ELSE '' END
+             |        || CASE WHEN j % 3 = 0 THEN chr(769) ELSE '' END
+             |        || CASE WHEN j % 5 = 0 THEN chr(807) ELSE '' END
+             |        || CASE WHEN j % 11 = 0 THEN chr(233) ELSE '' END
+             |        || CASE WHEN j % 13 = 0 THEN chr(248) ELSE '' END),
+             |      '') AS raw
+             |  FROM documents),
+             |st AS (
+             |  SELECT doc_id, raw, strip_accents(raw) AS stripped
+             |  FROM built)
+             |SELECT doc_id,
+             |  CAST(len(raw) AS BIGINT) AS len_raw,
+             |  CAST(len(stripped) AS BIGINT) AS len_stripped,
+             |  CAST(coalesce(list_sum(list_transform(
+             |    range(1, len(stripped) + 1),
+             |    i -> i * unicode(substr(stripped, i, 1)))), 0) AS BIGINT)
+             |    AS strip_chk
+             |FROM st ORDER BY doc_id""".stripMargin)
+    ),
+
     // ---- media HEADER parsing, oracled as an encode→parse ROUND TRIP:
     //      deterministic PNG/JPEG/GIF header bytes are built from each
     //      row's fields (real container structure: IHDR / SOF0 marker

@@ -30,6 +30,7 @@ object ScaleSweep {
     "q142_bigram_lm_surprisal", "q243_wordpiece_census",
     "q244_substring_blocklist_census", "q245_unicode_nfc_census",
     "q246_wordpiece_ext_vocab", "x246_wordpiece_ext_vocab_30k",
+    "q252_strip_accents_census",
     // similarity / ANN / graph. Excluded oracle-scale forms whose 100×
     // channel is an x-extra: q205 (16-bucket candidate-quadratic,
     // "sf-scale parity only" — x205/x214) and q168 (its oracle embeds
@@ -248,7 +249,8 @@ object ScaleSweep {
         "q87_bm25_topk", "q102_chunk_documents", "q136_boilerplate_segments",
         "q142_bigram_lm_surprisal", "q243_wordpiece_census",
         "q244_substring_blocklist_census", "q245_unicode_nfc_census",
-        "q246_wordpiece_ext_vocab", "x246_wordpiece_ext_vocab_30k")),
+        "q246_wordpiece_ext_vocab", "x246_wordpiece_ext_vocab_30k",
+        "q252_strip_accents_census")),
     ShuffleBudget("exact-dedup", 32.0, // r10 max 12.6 (q134)
       Seq("q22_exact_dup_census", "q23_exact_dedup_keep_first",
         "q134_record_linkage")),

@@ -49,4 +49,31 @@ class NfcNormalizeSpec extends SparkSpec {
     // the dedup consequence: both spellings of cafe now compare equal
     assert(rows(3) == rows(4))
   }
+
+  test("strip_accents: marks removed from decomposed AND precomposed " +
+    "forms, non-decomposable letters pass, recomposition, fast path") {
+    def strip(s: String): String =
+      StripAccents.compute(UTF8String.fromString(s)).toString
+    val cedilla = "\u0327"
+    val cCedilComposed = "\u00e7" // one codepoint c-cedilla
+    val oSlash = "\u00f8" // o-slash: no canonical decomposition
+    assert(strip("e" + acute) == "e")
+    assert(strip(eAcuteComposed) == "e") // precomposed decomposes first
+    assert(strip("c" + cedilla) == "c")
+    assert(strip(cCedilComposed) == "c")
+    assert(strip("b" + diaer) == "b") // non-composable mark still removed
+    assert(strip("a" + diaer + acute) == "a") // every stacked mark goes
+    assert(strip(oSlash) == oSlash) // nothing to decompose: untouched
+    assert(strip("plain ascii") == "plain ascii") // fast path
+    assert(strip("re" + acute + "sume" + acute) == "resume")
+    assert(strip("") == "")
+    // idempotent, and output is NFC (recomposed)
+    val messy = "Mu" + diaer + "nchen " + cCedilComposed + oSlash
+    assert(strip(strip(messy)) == strip(messy))
+    // Column path parity
+    val got = Seq("e" + acute, cCedilComposed, oSlash).toDF("s")
+      .select(call_function("strip_accents", col("s")).as("n"))
+      .as[String].collect().toSeq
+    assert(got === Seq("e", "c", oSlash))
+  }
 }
