@@ -740,6 +740,33 @@ object Curation {
         "_scheme")
   }
 
+  /** HTML → text extraction (the WET step of web curation): drop
+    * script/style blocks and comments WHOLE (their content is not text —
+    * and a `1 < 2` inside a script would otherwise shred the naive
+    * tag regex), strip remaining tags, decode the common entities
+    * (`&amp;` LAST — the classic double-decode pitfall), collapse
+    * whitespace. One chain of codegen'd regexp/replace calls, no UDF.
+    * Anchored-free patterns are safe cross-engine because the DuckDB
+    * twin passes the 'g' flag (Spark's regexp_replace is always
+    * replace-all); `(?is)` + lazy `.*?` parse identically in Java
+    * regex and RE2.
+    */
+  def htmlToText(c: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " "),
+        "(?is)<style[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (col0, (ent, ch)) =>
+        replace(col0, lit(ent), lit(ch))
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   def lengthBucketBatching(
       docs: DataFrame,
       textCol: String,

@@ -781,6 +781,76 @@ object CurationQueries {
              |FROM p5 ORDER BY doc_id""".stripMargin)
     ),
 
+    // ---- HTML → text extraction (r10): the WET step every web-corpus
+    //      pipeline runs before any text analysis. Each doc's text is
+    //      wrapped in a real page skeleton whose script block contains
+    //      `1 < 2 && 3 > 2` — a canary that shreds the naive tag regex
+    //      unless script/style/comment blocks are dropped WHOLE — plus
+    //      entities (&amp; decoded LAST, the double-decode pitfall).
+    //      The twin replays the chain with the 'g' flag (Spark
+    //      regexp_replace is always replace-all); extracted text pinned
+    //      by md5, length, and word count.
+    QueryDef(
+      "q253_html_extract",
+      (s, dir) => {
+        val id = col("doc_id")
+        val raw = concat(
+          lit("<html><head><title>T"), (id % 9).cast("string"),
+          lit("</title><style>p { color: red; }</style>" +
+            "<script>var x = 1 < 2 && 3 > 2;</script></head>" +
+            "<body><!-- hidden --><h1 class=\"hd\">Head&nbsp;"),
+          (id % 7).cast("string"),
+          lit("</h1><p>"), coalesce(col("text"), lit("")),
+          lit("</p><br/><div id='d'>tail &amp; &lt;b&gt; &quot;q&quot; " +
+            "&#39;s&#39;</div></body></html>"))
+        t(s, dir, "documents")
+          .select(id, raw.as("_raw"))
+          .withColumn("_txt", graft.ext.Curation.htmlToText(col("_raw")))
+          .select(id,
+            length(col("_raw")).cast("long").as("n_chars_raw"),
+            length(col("_txt")).cast("long").as("n_chars_text"),
+            size(filter(split(col("_txt"), " "), x => x =!= ""))
+              .cast("long").as("n_words"),
+            md5(col("_txt").cast("binary")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id,
+             |    '<html><head><title>T' || (doc_id % 9)
+             |      || '</title><style>p { color: red; }</style>'
+             |      || '<script>var x = 1 < 2 && 3 > 2;</script></head>'
+             |      || '<body><!-- hidden --><h1 class="hd">Head&nbsp;'
+             |      || (doc_id % 7)
+             |      || '</h1><p>' || coalesce(text, '')
+             |      || '</p><br/><div id=''d''>tail &amp; &lt;b&gt; '
+             |      || '&quot;q&quot; &#39;s&#39;</div></body></html>'
+             |      AS raw
+             |  FROM documents),
+             |ext AS (
+             |  SELECT doc_id, raw,
+             |    trim(regexp_replace(
+             |      replace(replace(replace(replace(replace(replace(
+             |        regexp_replace(
+             |          regexp_replace(
+             |            regexp_replace(
+             |              regexp_replace(raw,
+             |                '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             |              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             |            '(?s)<!--.*?-->', ' ', 'g'),
+             |          '<[^>]*>', ' ', 'g'),
+             |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+             |        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+             |      '\s+', ' ', 'g')) AS txt
+             |  FROM raw)
+             |SELECT doc_id,
+             |  CAST(len(raw) AS BIGINT) AS n_chars_raw,
+             |  CAST(len(txt) AS BIGINT) AS n_chars_text,
+             |  CAST(len(list_filter(string_split(txt, ' '), x -> x <> ''))
+             |    AS BIGINT) AS n_words,
+             |  md5(txt) AS text_md5
+             |FROM ext ORDER BY doc_id""".stripMargin)
+    ),
+
     // ---- bigram-LM surprisal signals (the perplexity-filter family in
     //      rational arithmetic): corpus-learned absolute-discount bigram
     //      probabilities scored back per document. min/avg/low-count

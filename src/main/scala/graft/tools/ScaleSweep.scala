@@ -138,7 +138,8 @@ object ScaleSweep {
         "q123_collocations_lift", "q126_source_lineage",
         "q127_association_rules", "q129_vocab_richness", "q137_bpe_merges",
         "q139_bpe_encode", "q249_bpe_ext_merges",
-        "q251_url_canonicalize", "q144_token_budget_waterfill",
+        "q251_url_canonicalize", "q253_html_extract",
+        "q144_token_budget_waterfill",
         "q163_feature_hashing", "q173_source_dup_profile",
         "q174_domain_score", "q176_zipf_profile", "q191_dataset_datasheet")),
     ("grouped-statistic readout on DECIMAL-routed moments, dashboard-" +
