@@ -63,13 +63,20 @@ object Bpe {
     * 8-byte word hashes, never of documents.
     */
   def encodeVocab(words: DataFrame, wordCol: String, merges: Seq[Merge]): DataFrame = {
-    val sym = merges.foldLeft(symbolize(col(wordCol))) {
-      (s, m) => applyMerge(s, m.left, m.right)
+    // ONE PROJECTION PER MERGE, not one nested expression: an `aggregate`
+    // HOF re-evaluates an INLINE array argument per element (the q84
+    // rule), so folding k merges into a single expression tree makes
+    // level i re-run the whole chain below it per symbol — measured 49 s
+    // for 8 merges over a 31k-word vocab where the materialized chain
+    // runs in under a second. Each step's alias is a non-cheap
+    // projection CollapseProject keeps, so the fold input is always an
+    // attribute.
+    val start = words.withColumn("sym", symbolize(col(wordCol)))
+    val folded = merges.foldLeft(start) { (df, m) =>
+      df.withColumn("sym", applyMerge(col("sym"), m.left, m.right))
     }
-    words
-      .withColumn("sym", sym)
-      .withColumn("n_pieces",
-        size(split(col("sym"), "\\|")).cast("long"))
+    folded.withColumn("n_pieces",
+      size(split(col("sym"), "\\|")).cast("long"))
   }
 
   /** Render an ordered merge list as the GPT-2-lineage `merges.txt`
