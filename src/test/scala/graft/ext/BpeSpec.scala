@@ -83,4 +83,35 @@ class BpeSpec extends SparkSpec {
     val ms = Bpe.learnMerges(docs, "text", nMerges = 2, topWords = 10)
     assert(ms.map(m => (m.left, m.right, m.count)) == Seq(("z", "z", 2L)))
   }
+
+  test("encodeVocab stays ONE PROJECTION PER MERGE after optimization " +
+    "(the 49s nested-HOF regression pin)") {
+    // folding k merges into one expression makes each aggregate HOF's
+    // inline array input re-run the whole chain below per SYMBOL —
+    // measured 49.3 s vs 0.64 s at 8 merges over the sf0.1 vocabulary.
+    // If CollapseProject ever starts inlining these aliases, some
+    // Project node will carry 2+ nested ArrayAggregates and this fails.
+    // NOT a LocalRelation: ConvertToLocalRelation would fold the whole
+    // plan into literal rows and leave nothing to inspect (r5 lesson)
+    val words = spark.range(50)
+      .select(concat(lit("word"), col("id")).as("w"))
+    val merges = Seq("wo", "or", "rd", "wd")
+      .zipWithIndex.map { case (p, i) =>
+        Bpe.Merge(i + 1, p.take(1), p.drop(1), 0L)
+      }
+    val plan = Bpe.encodeVocab(words, "w", merges)
+      .queryExecution.optimizedPlan
+    def countAgg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      e.collect {
+        case _: org.apache.spark.sql.catalyst.expressions.ArrayAggregate => 1
+      }.sum
+    val perProject = plan.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.map(countAgg).sum
+    }
+    assert(perProject.sum >= merges.size,
+      s"expected >= ${merges.size} fold HOFs in the plan: $perProject")
+    assert(perProject.forall(_ <= 1),
+      s"a Project carries nested merge folds (re-collapsed!): $perProject")
+  }
 }
