@@ -69,8 +69,14 @@ object Mp4 {
               be64(i + 8)
             } else if (sz0 == 0L) (to - i).toLong // to end of enclosing
             else sz0
-          if (sz < hdr || i + sz > to) return false // untrusted size
-          if (!f(tp, i + hdr, (i + sz).toInt)) return false
+          // Untrusted size, compare overflow-free: a crafted 64-bit
+          // largesize near Long.MaxValue would wrap `i + sz` negative and
+          // pass a naive `i + sz > to` check, then step i BACKWARD via the
+          // truncated toInt — an infinite walk. `sz > to - i` (all values
+          // non-negative after the sz < hdr check, to/i are Ints) cannot
+          // overflow, and bounds sz to an Int range so toInt is exact.
+          if (sz < hdr || sz > (to - i).toLong) return false
+          if (!f(tp, i + hdr, i + sz.toInt)) return false
           i += sz.toInt
         }
         true
@@ -118,10 +124,15 @@ object Mp4 {
                         if (dt - df >= 8) {
                           val n = be32(df + 4)
                           if (n < 0 || df + 8 + n * 8 > dt) return false
+                          // count·delta are untrusted u32s: Σ count·delta
+                          // can overflow Long on crafted values — abort
+                          // (ArithmeticException → outer catch → None)
+                          // rather than report garbage duration stats.
                           var i = 0
                           while (i < n) {
-                            sttsDur +=
-                              be32(df + 8 + i * 8) * be32(df + 12 + i * 8)
+                            sttsDur = Math.addExact(sttsDur,
+                              Math.multiplyExact(
+                                be32(df + 8 + i * 8), be32(df + 12 + i * 8)))
                             i += 1
                           }
                         }
@@ -134,12 +145,17 @@ object Mp4 {
                           val n = be32(df + 8)
                           if (n < 0) return false
                           nSamples = n
-                          if (sz != 0L) sampleBytes = sz * n
+                          // sz and n are untrusted u32s — sz*n (and the
+                          // per-sample sum) overflow Long on crafted
+                          // values; abort via the exact-arith throw.
+                          if (sz != 0L)
+                            sampleBytes = Math.multiplyExact(sz, n)
                           else {
                             if (df + 12 + n * 4 > dt) return false
                             var i = 0
                             while (i < n) {
-                              sampleBytes += be32(df + 12 + i * 4)
+                              sampleBytes = Math.addExact(sampleBytes,
+                                be32(df + 12 + i * 4))
                               i += 1
                             }
                           }

@@ -665,10 +665,8 @@ object CurationQueries {
     QueryDef(
       "q249_bpe_ext_merges",
       (s, dir) => {
-        val path = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_q249_merges.txt")
-        java.nio.file.Files.write(path,
-          Bpe.mergesFileLines(ExtMerges).mkString("\n").getBytes("UTF-8"))
+        val path = graft.util.ArtifactFiles.writeAtomic(
+          "graft_q249_merges.txt", Bpe.mergesFileLines(ExtMerges))
         val merges = Bpe.loadMergesFile(s, path.toString)
         require(merges.map(m => (m.left, m.right)) == ExtMerges,
           "merges.txt round trip drifted")

@@ -977,11 +977,9 @@ object TextQueries {
       (s, dir) => {
         val whole = (ExtWhole ++ graft.ext.Wordpiece.Charset).distinct
         val cont = (ExtCont ++ graft.ext.Wordpiece.Charset).distinct
-        val path = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_q246_vocab.txt")
-        java.nio.file.Files.write(path,
-          graft.ext.Wordpiece.vocabFileLines(whole, cont)
-            .mkString("\n").getBytes("UTF-8"))
+        val path = graft.util.ArtifactFiles.writeAtomic(
+          "graft_q246_vocab.txt",
+          graft.ext.Wordpiece.vocabFileLines(whole, cont))
         val (w, c) = graft.ext.Wordpiece.loadVocabFile(s, path.toString)
         require(w.toSet == whole.toSet && c.toSet == cont.toSet,
           "vocab file round trip drifted")

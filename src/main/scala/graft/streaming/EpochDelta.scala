@@ -20,8 +20,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[streaming] object EpochDelta {
 
-  /** Delta directories that contain committed output (a part file or
-    * the `_SUCCESS` marker) — uncommitted scratch is invisible.
+  /** Delta directories that contain JOB-committed output: the `_SUCCESS`
+    * marker is required. A bare part- file without `_SUCCESS` means the
+    * crash landed between task commit and job commit — the streaming flow
+    * replays (and overwrites) that epoch before any later epoch reads, but
+    * a BATCH caller of readAll after such a crash would otherwise observe
+    * partial state (r10 ADVICE). Dirs written by a non-committer path
+    * (none of ours) would need the part- fallback; we deliberately do not
+    * keep one — partial state is worse than a missed pre-existing dir.
     */
   def committedDeltas(spark: SparkSession, root: String): Seq[String] = {
     val p = new Path(root)
@@ -30,10 +36,8 @@ private[streaming] object EpochDelta {
     else fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
       .filter { s =>
-        fs.listStatus(s.getPath).exists { f =>
-          val n = f.getPath.getName
-          n.startsWith("part-") || n == "_SUCCESS"
-        }
+        fs.exists(new Path(s.getPath, "_SUCCESS")) &&
+        fs.listStatus(s.getPath).exists(_.getPath.getName.startsWith("part-"))
       }
       .map(_.getPath.toString)
   }

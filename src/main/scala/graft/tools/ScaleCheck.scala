@@ -298,12 +298,14 @@ object ScaleCheck {
       val pieces = enum(15000)
       val whole = (pieces ++ graft.ext.Wordpiece.Charset).distinct
       val cont = (pieces ++ graft.ext.Wordpiece.Charset).distinct
-      val path = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_x246_vocab30k.txt")
-      java.nio.file.Files.write(path,
-        graft.ext.Wordpiece.vocabFileLines(whole, cont)
-          .mkString("\n").getBytes("UTF-8"))
+      val path = graft.util.ArtifactFiles.writeAtomic(
+        "graft_x246_vocab30k.txt",
+        graft.ext.Wordpiece.vocabFileLines(whole, cont))
       val (w, c) = graft.ext.Wordpiece.loadVocabFile(s, path.toString)
+      // x246 has no oracle hash — a truncated vocab would pass silently,
+      // so the round-trip require lives here too (r10 ADVICE).
+      require(w.toSet == whole.toSet && c.toSet == cont.toSet,
+        "x246 vocab file round trip drifted")
       graft.ext.Wordpiece.encodeCensusPieces(
         graft.queries.Q.t(s, dir, "documents"), "text", "source", w, c)
     })

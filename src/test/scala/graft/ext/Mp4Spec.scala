@@ -78,6 +78,49 @@ class Mp4Spec extends AnyFunSuite {
     // not a box stream at all
     assert(Mp4.meta("plainly not an mp4 file".getBytes).isEmpty)
     assert(Mp4.meta(Array.empty[Byte]).isEmpty)
+    // crafted 64-bit largesize near Long.MaxValue at a NONZERO offset:
+    // a naive `i + sz > to` wraps negative and the toInt-truncated step
+    // walks BACKWARD — the overflow-free compare must abort instead of
+    // cycling forever (the walk would otherwise hang, not throw)
+    val pre = java.nio.ByteBuffer.allocate(8 + 16)
+    pre.putInt(8).put("free".getBytes("US-ASCII")) // one small valid box
+    pre.putInt(1).put("moov".getBytes("US-ASCII"))
+    pre.putLong(Long.MaxValue - 4) // i=8: 8 + (MaxValue-4) wraps negative
+    assert(Mp4.meta(pre.array()).isEmpty)
+    // crafted stts entries whose Σ count·delta overflows Long → abort,
+    // never a silently-wrapped garbage duration
+    val stts = java.nio.ByteBuffer.allocate(8 + 8 + 2 * 8)
+    stts.putInt(8 + 8 + 16).put("stts".getBytes("US-ASCII"))
+    stts.putInt(0).putInt(2)
+    stts.putInt(-1).putInt(-1).putInt(-1).putInt(-1) // 2 × (2^32-1)²
+    val overflowed = wrapTrack(stts.array())
+    assert(Mp4.meta(overflowed).isEmpty)
+    // crafted constant-mode stsz sz*n overflowing Long → abort too
+    val stsz = java.nio.ByteBuffer.allocate(8 + 12)
+    stsz.putInt(8 + 12).put("stsz".getBytes("US-ASCII"))
+    stsz.putInt(0).putInt(-1).putInt(-1) // sz = n = 2^32-1
+    assert(Mp4.meta(wrapTrack(stsz.array())).isEmpty)
+  }
+
+  /** Wrap a raw stbl child box into a minimal ftyp+moov/trak/mdia/minf/stbl
+    * container so the sample-table parsers actually reach it.
+    */
+  private def wrapTrack(stblChild: Array[Byte]): Array[Byte] = {
+    def bx(tp: String, p: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + p.length)
+      b.putInt(8 + p.length).put(tp.getBytes("US-ASCII")).put(p)
+      b.array()
+    }
+    val good = Mp4.mp4Bytes("isom", 600, 600, 32, 32, "avc1", None)
+    val ftypLen = java.nio.ByteBuffer.wrap(good, 0, 4).getInt
+    val mvhdBox = {
+      val moovPayload = good.drop(ftypLen + 8)
+      val mvhdLen = java.nio.ByteBuffer.wrap(moovPayload, 0, 4).getInt
+      moovPayload.take(mvhdLen)
+    }
+    val trak = bx("trak",
+      bx("mdia", bx("minf", bx("stbl", stblChild))))
+    good.take(ftypLen) ++ bx("moov", mvhdBox ++ trak)
   }
 
   test("size==0 (to end of file) and 64-bit largesize both parse") {
