@@ -30,7 +30,7 @@ object ScaleSweep {
     "q142_bigram_lm_surprisal", "q243_wordpiece_census",
     "q244_substring_blocklist_census", "q245_unicode_nfc_census",
     "q246_wordpiece_ext_vocab", "x246_wordpiece_ext_vocab_30k",
-    "q252_strip_accents_census",
+    "q252_strip_accents_census", "q254_warc_ingest",
     // similarity / ANN / graph. Excluded oracle-scale forms whose 100×
     // channel is an x-extra: q205 (16-bucket candidate-quadratic,
     // "sf-scale parity only" — x205/x214) and q168 (its oracle embeds
@@ -251,7 +251,7 @@ object ScaleSweep {
         "q142_bigram_lm_surprisal", "q243_wordpiece_census",
         "q244_substring_blocklist_census", "q245_unicode_nfc_census",
         "q246_wordpiece_ext_vocab", "x246_wordpiece_ext_vocab_30k",
-        "q252_strip_accents_census")),
+        "q252_strip_accents_census", "q254_warc_ingest")),
     ShuffleBudget("exact-dedup", 32.0, // r10 max 12.6 (q134)
       Seq("q22_exact_dup_census", "q23_exact_dedup_keep_first",
         "q134_record_linkage")),
