@@ -1,7 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ext.{Bpe, Curation, TextAnalysis}
+import graft.ext.{Bpe, Curation, Dedup, TextAnalysis}
 import graft.queries.Q._
 
 /** Corpus-curation operators (graft.ext.Curation) over `documents`, every one
@@ -58,6 +59,193 @@ object CurationQueries {
   private val ExtMerges = Seq(
     ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
     ("e", "r"), ("o", "n"), ("r", "e"))
+
+  /** The generic URL-canonicalization rule chain (q251's oracle) as
+    * reusable CTE text over a CTE `src`(doc_id, url): emits p1..p5 plus
+    * `canon`(doc_id, canonical_url, host, path, n_params). Factored so
+    * the q255 capstone replays the IDENTICAL chain q251 pins.
+    */
+  private def urlCanonCtes(src: String): String =
+    s"""p1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nf
+       |  FROM $src),
+       |p2 AS (SELECT doc_id,
+       |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))
+       |    AS scheme,
+       |  regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
+       |  FROM p1),
+       |p3 AS (SELECT doc_id, scheme,
+       |  regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+       |  regexp_replace(rest, '^[^/?]*', '') AS aft
+       |  FROM p2),
+       |p4 AS (SELECT doc_id, scheme,
+       |  regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
+       |    '^www\\.', '') AS host,
+       |  regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+       |  regexp_extract(aft, '^([^?]*)', 1) AS pathraw,
+       |  CASE WHEN contains(aft, '?')
+       |    THEN regexp_replace(aft, '^[^?]*\\?', '') ELSE '' END
+       |    AS queryraw
+       |  FROM p3),
+       |p5 AS (SELECT doc_id, scheme, host, port,
+       |  list_reduce([''] || string_split(pathraw, '/'), (acc, x) ->
+       |    CASE WHEN x = '' OR x = '.' THEN acc
+       |         WHEN x = '..' THEN regexp_replace(acc, '/[^/]*$$', '')
+       |         ELSE acc || '/' || x END) AS path0,
+       |  list_sort(list_filter(string_split(queryraw, '&'), x ->
+       |    x <> '' AND NOT starts_with(x, 'utm_')
+       |      AND NOT starts_with(x, 'fbclid=')
+       |      AND NOT starts_with(x, 'gclid='))) AS plist
+       |  FROM p4),
+       |canon AS (SELECT doc_id,
+       |  scheme || '://' || host ||
+       |    CASE WHEN port <> ''
+       |         AND NOT (scheme = 'https' AND port = '443')
+       |         AND NOT (scheme = 'http' AND port = '80')
+       |       THEN ':' || port ELSE '' END ||
+       |    CASE WHEN path0 = '' THEN '/' ELSE path0 END ||
+       |    CASE WHEN len(plist) > 0
+       |       THEN '?' || array_to_string(plist, '&') ELSE '' END
+       |    AS canonical_url,
+       |  host,
+       |  CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+       |  CAST(len(plist) AS BIGINT) AS n_params
+       |FROM p5)""".stripMargin
+
+  /** The HTML→text extraction chain (q253's oracle) as a reusable scalar
+    * SQL expression on a column: script/style/comment blocks dropped
+    * WHOLE, then tags, then entities with &amp; decoded LAST, then
+    * whitespace squeeze+trim — the exact twin of Curation.htmlToText.
+    */
+  private def htmlToTextSqlExpr(c: String): String =
+    s"""trim(regexp_replace(
+       |      replace(replace(replace(replace(replace(replace(
+       |        regexp_replace(
+       |          regexp_replace(
+       |            regexp_replace(
+       |              regexp_replace($c,
+       |                '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+       |              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+       |            '(?s)<!--.*?-->', ' ', 'g'),
+       |          '<[^>]*>', ' ', 'g'),
+       |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+       |        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+       |      '\\s+', ' ', 'g'))""".stripMargin
+
+  /** q255's oracle: the full web-curation chain as chained CTE blocks —
+    * fixture build, HTML extraction ([[htmlToTextSqlExpr]]), URL
+    * canonicalization ([[urlCanonCtes]]), URL keep-first dedup, the q46
+    * portable-minhash band/verify/drop stages (TextQueries'
+    * portableSigCtes/bandKeySql), the q67 quality and q29 langId
+    * replays, and the per-domain rollup. Heavily-reused CTEs are
+    * MATERIALIZED (the r9 exponential re-evaluation lesson).
+    */
+  private def webCapstoneOracleSql: String =
+    s"""WITH srcw AS MATERIALIZED (
+       |  SELECT doc_id, text,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) ||
+       |      '://' ||
+       |      (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END) ||
+       |      'Site' || (doc_id % 7) || '.COM' ||
+       |      (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) ||
+       |      '/w/./x/../doc/' || substr(md5(text), 1, 8) ||
+       |      (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&utm_source=x'
+       |            ELSE '?a=1&b=2' END) ||
+       |      (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url,
+       |    '<html><head><title>P' || (doc_id % 9) ||
+       |      '</title><script>if (1 < 2 && 3 > 2) { x(); }</script>' ||
+       |      '</head><body><h1>Dom ' || (doc_id % 7) ||
+       |      '</h1><p>' || text ||
+       |      '</p><div>footer &amp; &lt;nav&gt;</div></body></html>'
+       |      AS rawhtml
+       |  FROM documents WHERE text IS NOT NULL),
+       |extw AS MATERIALIZED (
+       |  SELECT doc_id, url, ${htmlToTextSqlExpr("rawhtml")} AS txt
+       |  FROM srcw),
+       |${urlCanonCtes("extw")},
+       |pages AS MATERIALIZED (
+       |  SELECT e.doc_id, e.txt, c.canonical_url, c.host,
+       |    row_number() OVER (PARTITION BY c.canonical_url
+       |      ORDER BY e.doc_id) AS rn
+       |  FROM extw e JOIN canon c USING (doc_id)),
+       |ex2 AS MATERIALIZED (
+       |  SELECT doc_id, txt AS text FROM pages WHERE rn = 1),
+       |${TextQueries.portableSigCtes("ex2")},
+       |bands AS (
+       |  ${TextQueries.bandKeySql("sigs")}),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+       |hsets AS (SELECT doc_id, list_distinct(list_transform(g,
+       |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS st
+       |  FROM grams WHERE len(g) > 0),
+       |dropids AS (SELECT DISTINCT id_b FROM (
+       |  SELECT id_b,
+       |    round(CASE WHEN len(list_distinct(a.st || b.st)) = 0 THEN 0.0
+       |      ELSE len(list_intersect(a.st, b.st))::DOUBLE /
+       |           len(list_distinct(a.st || b.st)) END, 4) AS j
+       |    FROM cand JOIN hsets a ON a.doc_id = cand.id_a
+       |              JOIN hsets b ON b.doc_id = cand.id_b)
+       |  WHERE j >= CAST(0.7 AS DOUBLE)),
+       |qm AS (SELECT doc_id,
+       |  len(list_filter(regexp_split_to_array(trim(txt), '\\s+'),
+       |    x -> x <> '')) AS ntok,
+       |  CASE WHEN length(txt) = 0 THEN 0.0
+       |       ELSE length(regexp_replace(txt, '[^a-zA-Z]', '', 'g'))::DOUBLE
+       |            / length(txt) END AS alpha,
+       |  len(regexp_extract_all(lower(txt),
+       |    '\\b(the|and|of|to|in|is|that|it|was|for)\\b')) AS ens,
+       |  length(regexp_replace(txt, '\\s+', '', 'g')) AS nws,
+       |  length(txt) AS qlen
+       |  FROM pages),
+       |qs AS (SELECT doc_id, ntok, round(
+       |    least(qlen / 500.0, 1.0) * 0.25 + alpha * 0.35 +
+       |    least((CASE WHEN ntok = 0 THEN 0.0
+       |      ELSE ens::DOUBLE / ntok END) * 5.0, 1.0) * 0.2 +
+       |    (CASE WHEN (CASE WHEN ntok = 0 THEN 0.0
+       |      ELSE nws::DOUBLE / ntok END)
+       |          BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2, 4)
+       |    AS score
+       |  FROM qm),
+       |lg AS (SELECT doc_id,
+       |  CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+       |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+       |         AND s_de >= s_zh THEN 'de'
+       |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh
+       |         THEN 'en'
+       |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |       WHEN s_fr >= s_zh THEN 'fr'
+       |       ELSE 'zh' END AS pred_lang
+       |  FROM (SELECT doc_id,
+       |    len(regexp_extract_all(lower(txt),
+       |      '\\b(the|and|of|to|in|is|that|it|was|for)\\b')) AS s_en,
+       |    len(regexp_extract_all(lower(txt),
+       |      '\\b(el|la|de|que|y|los|las|en|un|una)\\b')) AS s_es,
+       |    len(regexp_extract_all(lower(txt),
+       |      '\\b(der|die|das|und|ist|nicht|ein|eine|zu|mit)\\b')) AS s_de,
+       |    len(regexp_extract_all(lower(txt),
+       |      '\\b(le|la|les|de|et|un|une|est|que|pour)\\b')) AS s_fr,
+       |    len(regexp_extract_all(lower(txt), '[一-鿿]')) AS s_zh
+       |    FROM pages)),
+       |tg AS (
+       |  SELECT p.host,
+       |    p.rn = 1 AS url_ok,
+       |    p.rn = 1 AND p.doc_id NOT IN (SELECT id_b FROM dropids)
+       |      AS near_ok,
+       |    p.rn = 1 AND p.doc_id NOT IN (SELECT id_b FROM dropids)
+       |      AND q.score >= 0.3 AND l.pred_lang = 'en'
+       |      AND q.ntok BETWEEN 5 AND 100000 AS kept,
+       |    q.ntok
+       |  FROM pages p JOIN qs q USING (doc_id) JOIN lg l USING (doc_id))
+       |SELECT host AS domain,
+       |  CAST(count(*) AS BIGINT) AS n_pages,
+       |  CAST(sum(CASE WHEN url_ok THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_url_unique,
+       |  CAST(sum(CASE WHEN near_ok THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_near_unique,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(sum(CASE WHEN kept THEN ntok END), 0) AS BIGINT)
+       |    AS total_tokens
+       |FROM tg GROUP BY host ORDER BY domain""".stripMargin
 
   /** [[bpeFold]] with the merge pair inlined as LITERALS (no merge CTE —
     * the frozen-merges q249 path).
@@ -721,7 +909,7 @@ object CurationQueries {
             col("_n_params").as("n_params"))
           .orderBy("doc_id")
       },
-      Some("""WITH raw AS (
+      Some(s"""WITH raw AS (
              |  SELECT doc_id,
              |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
              |      || '://WWW.Site' || (doc_id % 7) || '.COM'
@@ -733,50 +921,9 @@ object CurationQueries {
              |      || (CASE WHEN doc_id % 4 = 0 THEN '&gclid=zz' ELSE '' END)
              |      || '#Sec' AS url
              |  FROM documents),
-             |p1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nf
-             |  FROM raw),
-             |p2 AS (SELECT doc_id,
-             |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
-             |    AS scheme,
-             |  regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS rest
-             |  FROM p1),
-             |p3 AS (SELECT doc_id, scheme,
-             |  regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
-             |  regexp_replace(rest, '^[^/?]*', '') AS aft
-             |  FROM p2),
-             |p4 AS (SELECT doc_id, scheme,
-             |  regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
-             |    '^www\.', '') AS host,
-             |  regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
-             |  regexp_extract(aft, '^([^?]*)', 1) AS pathraw,
-             |  CASE WHEN contains(aft, '?')
-             |    THEN regexp_replace(aft, '^[^?]*\?', '') ELSE '' END
-             |    AS queryraw
-             |  FROM p3),
-             |p5 AS (SELECT doc_id, scheme, host, port,
-             |  list_reduce([''] || string_split(pathraw, '/'), (acc, x) ->
-             |    CASE WHEN x = '' OR x = '.' THEN acc
-             |         WHEN x = '..' THEN regexp_replace(acc, '/[^/]*$', '')
-             |         ELSE acc || '/' || x END) AS path0,
-             |  list_sort(list_filter(string_split(queryraw, '&'), x ->
-             |    x <> '' AND NOT starts_with(x, 'utm_')
-             |      AND NOT starts_with(x, 'fbclid=')
-             |      AND NOT starts_with(x, 'gclid='))) AS plist
-             |  FROM p4)
-             |SELECT doc_id,
-             |  scheme || '://' || host
-             |    || CASE WHEN port <> ''
-             |         AND NOT (scheme = 'https' AND port = '443')
-             |         AND NOT (scheme = 'http' AND port = '80')
-             |       THEN ':' || port ELSE '' END
-             |    || CASE WHEN path0 = '' THEN '/' ELSE path0 END
-             |    || CASE WHEN len(plist) > 0
-             |       THEN '?' || array_to_string(plist, '&') ELSE '' END
-             |    AS canonical_url,
-             |  host,
-             |  CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
-             |  CAST(len(plist) AS BIGINT) AS n_params
-             |FROM p5 ORDER BY doc_id""".stripMargin)
+             |${urlCanonCtes("raw")}
+             |SELECT doc_id, canonical_url, host, path, n_params
+             |FROM canon ORDER BY doc_id""".stripMargin)
     ),
 
     // ---- HTML → text extraction (r10): the WET step every web-corpus
@@ -812,7 +959,7 @@ object CurationQueries {
             md5(col("_txt").cast("binary")).as("text_md5"))
           .orderBy("doc_id")
       },
-      Some("""WITH raw AS (
+      Some(s"""WITH raw AS (
              |  SELECT doc_id,
              |    '<html><head><title>T' || (doc_id % 9)
              |      || '</title><style>p { color: red; }</style>'
@@ -826,19 +973,7 @@ object CurationQueries {
              |  FROM documents),
              |ext AS (
              |  SELECT doc_id, raw,
-             |    trim(regexp_replace(
-             |      replace(replace(replace(replace(replace(replace(
-             |        regexp_replace(
-             |          regexp_replace(
-             |            regexp_replace(
-             |              regexp_replace(raw,
-             |                '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-             |              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-             |            '(?s)<!--.*?-->', ' ', 'g'),
-             |          '<[^>]*>', ' ', 'g'),
-             |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-             |        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-             |      '\s+', ' ', 'g')) AS txt
+             |    ${htmlToTextSqlExpr("raw")} AS txt
              |  FROM raw)
              |SELECT doc_id,
              |  CAST(len(raw) AS BIGINT) AS n_chars_raw,
@@ -964,6 +1099,107 @@ object CurationQueries {
              |  CAST(strlen(body) AS BIGINT) AS body_bytes,
              |  md5(body) AS body_md5
              |FROM recs ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ---- web-curation CAPSTONE (r11, VERDICT r10 #2 — the q207 pattern
+    //      for the web lineage): ONE composed query running the whole
+    //      chain a web corpus actually goes through —
+    //        WARC encode→parse round trip (q254's container)
+    //        → HTML→text extraction (q253's operator)
+    //        → URL canonicalization (q251's operator)
+    //        → URL-key exact dedup (keep lowest doc_id per canonical)
+    //        → portable-minhash near-dup drop (q46's banded stage)
+    //        → quality + language gate (q67/q29's scoring)
+    //        → per-domain datasheet rollup.
+    //      The fixture makes every stage load-bearing: raw URLs carry
+    //      id-varying decorations (case, www, :443, utm junk, dot
+    //      segments, fragments) that all collapse canonically, the page
+    //      path is keyed on md5(text) so URL dups == exact-text dups
+    //      within a domain, and the SAME text posted under two domains
+    //      survives URL dedup but gets caught by minhash (a cross-host
+    //      mirror). The oracle chains the already-proven CTE blocks
+    //      (urlCanonCtes + htmlToTextSqlExpr + TextQueries'
+    //      portableSigCtes/bandKeySql + the q67 quality and q29 langId
+    //      replays) — the hash pins the COMPOSITION end-to-end.
+    QueryDef(
+      "q255_web_curation_capstone",
+      (s, dir) => {
+        import s.implicits._
+        val id = col("doc_id")
+        val rawUri = concat(
+          when(id % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+          lit("://"),
+          when(id % 5 === 0, lit("WWW.")).otherwise(lit("")),
+          lit("Site"), (id % 7).cast("string"), lit(".COM"),
+          when(id % 3 === 0, lit(":443")).otherwise(lit("")),
+          lit("/w/./x/../doc/"),
+          substring(md5(col("text").cast("binary")), 1, 8),
+          when(id % 2 === 0, lit("?b=2&a=1&utm_source=x"))
+            .otherwise(lit("?a=1&b=2")),
+          when(id % 6 === 0, lit("#frag")).otherwise(lit("")))
+        val rawHtml = concat(
+          lit("<html><head><title>P"), (id % 9).cast("string"),
+          lit("</title><script>if (1 < 2 && 3 > 2) { x(); }</script>" +
+            "</head><body><h1>Dom "),
+          (id % 7).cast("string"),
+          lit("</h1><p>"), col("text"),
+          lit("</p><div>footer &amp; &lt;nav&gt;</div></body></html>"))
+        // stage 0: real WARC bytes in, parsed fields out (per row — the
+        // crawl-file grain; the container layer itself is pinned by q254)
+        val parsed = t(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(id, rawUri.as("_uri"), rawHtml.as("_html"))
+          .as[(Long, String, String)]
+          .map { case (i, uri, h) =>
+            val warc = graft.ext.Warc.warcBytes(Seq((Seq(
+              "WARC-Type" -> "response",
+              "WARC-Record-ID" -> s"<urn:uuid:$i>",
+              "WARC-Target-URI" -> uri,
+              "Content-Type" -> "application/http; msgtype=response"),
+              graft.ext.Warc.httpResponseBytes(200, "OK",
+                Seq("Content-Type" -> "text/html"),
+                h.getBytes("UTF-8")))))
+            val rec = graft.ext.Warc.records(warc).get.head
+            val (_, _, body) = graft.ext.Warc.httpSplit(rec.payload).get
+            (i, rec.targetUri, new String(body, "UTF-8"))
+          }
+          .toDF("doc_id", "url", "html")
+        // stages 1-2: WET extraction + canonical dedup key (scan-side)
+        val canon = Curation.canonicalizeUrls(
+          parsed.withColumn("txt", Curation.htmlToText(col("html")))
+            .drop("html"),
+          "url")
+        // stage 3: URL-key exact dedup — keep the lowest doc_id
+        val ranked = canon.withColumn("_rn", row_number().over(
+          Window.partitionBy("canonical_url").orderBy("doc_id")))
+        // stage 4: near-dup drop among URL survivors (portable twin)
+        val drops = Dedup.minHashPairsPortable(
+            ranked.filter(col("_rn") === 1).select(col("doc_id"), col("txt")),
+            "doc_id", "txt", threshold = 0.7)
+          .select(col("id_b").as("doc_id")).distinct()
+          .withColumn("_neardrop", lit(true))
+        // stages 5-6: quality/lang gate + per-domain datasheet
+        val tagged = ranked.join(drops, Seq("doc_id"), "left")
+          .withColumn("_url_ok", col("_rn") === 1)
+          .withColumn("_near_ok", col("_url_ok") && col("_neardrop").isNull)
+          .withColumn("_ntok", TextAnalysis.tokenCount(col("txt")))
+          .withColumn("_q", TextAnalysis.qualityScore(col("txt")))
+          .withColumn("_kept", col("_near_ok") && col("_q") >= 0.3 &&
+            TextAnalysis.langId(col("txt")) === "en" &&
+            col("_ntok").between(5L, 100000L))
+        tagged.groupBy(col("_host").as("domain"))
+          .agg(count(lit(1)).cast("long").as("n_pages"),
+            sum(when(col("_url_ok"), 1L).otherwise(0L)).cast("long")
+              .as("n_url_unique"),
+            sum(when(col("_near_ok"), 1L).otherwise(0L)).cast("long")
+              .as("n_near_unique"),
+            sum(when(col("_kept"), 1L).otherwise(0L)).cast("long")
+              .as("n_kept"),
+            coalesce(sum(when(col("_kept"), col("_ntok"))), lit(0L))
+              .cast("long").as("total_tokens"))
+          .orderBy("domain")
+      },
+      Some(webCapstoneOracleSql)
     ),
 
     // ---- bigram-LM surprisal signals (the perplexity-filter family in

@@ -2185,7 +2185,7 @@ object TextQueries {
     * columns h0..h15 — exactly
     * [[graft.ext.Dedup.minHashSignaturesPortable]]'s math, over `src`.
     */
-  private def portableSigCtes(src: String = "documents"): String = {
+  private[queries] def portableSigCtes(src: String = "documents"): String = {
     val mins = graft.ext.Dedup.affineConsts(16, 30).zipWithIndex.map {
       case ((a, b), i) =>
         s"list_min(list_transform(h, x -> x * $a + $b)) AS h$i"
@@ -2212,7 +2212,7 @@ object TextQueries {
     * (doc_id, band, bk) with bk = the band's 4 signature VALUES — the
     * value-keyed banding [[graft.ext.Dedup.minHashPairsPortable]] uses.
     */
-  private def bandKeySql(src: String): String =
+  private[queries] def bandKeySql(src: String): String =
     (0 until 4).map { j =>
       val parts = (0 until 4).map(i => s"h${j * 4 + i}::VARCHAR")
         .mkString(" || ',' || ")

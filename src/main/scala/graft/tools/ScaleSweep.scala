@@ -31,6 +31,7 @@ object ScaleSweep {
     "q244_substring_blocklist_census", "q245_unicode_nfc_census",
     "q246_wordpiece_ext_vocab", "x246_wordpiece_ext_vocab_30k",
     "q252_strip_accents_census", "q254_warc_ingest",
+    "q255_web_curation_capstone",
     // similarity / ANN / graph. Excluded oracle-scale forms whose 100×
     // channel is an x-extra: q205 (16-bucket candidate-quadratic,
     // "sf-scale parity only" — x205/x214) and q168 (its oracle embeds
