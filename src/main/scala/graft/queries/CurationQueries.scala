@@ -131,6 +131,110 @@ object CurationQueries {
        |        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
        |      '\\s+', ' ', 'g'))""".stripMargin
 
+  /** The q67 quality-score replay as reusable CTE text over
+    * `src`(doc_id, textCol): emits `qm$sfx` and `qs$sfx`, the latter
+    * with (doc_id, ntok, score). Shared by q255's gate and q256's
+    * weak-supervision labels.
+    */
+  private def qualityScoreCtes(src: String, textCol: String,
+      sfx: String = ""): String =
+    s"""qm$sfx AS (SELECT doc_id,
+       |  len(list_filter(regexp_split_to_array(trim($textCol), '\\s+'),
+       |    x -> x <> '')) AS ntok,
+       |  CASE WHEN length($textCol) = 0 THEN 0.0
+       |       ELSE length(regexp_replace($textCol, '[^a-zA-Z]', '',
+       |            'g'))::DOUBLE / length($textCol) END AS alpha,
+       |  len(regexp_extract_all(lower($textCol),
+       |    '\\b(the|and|of|to|in|is|that|it|was|for)\\b')) AS ens,
+       |  length(regexp_replace($textCol, '\\s+', '', 'g')) AS nws,
+       |  length($textCol) AS qlen
+       |  FROM $src),
+       |qs$sfx AS (SELECT doc_id, ntok, round(
+       |    least(qlen / 500.0, 1.0) * 0.25 + alpha * 0.35 +
+       |    least((CASE WHEN ntok = 0 THEN 0.0
+       |      ELSE ens::DOUBLE / ntok END) * 5.0, 1.0) * 0.2 +
+       |    (CASE WHEN (CASE WHEN ntok = 0 THEN 0.0
+       |      ELSE nws::DOUBLE / ntok END)
+       |          BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2, 4)
+       |    AS score
+       |  FROM qm$sfx)""".stripMargin
+
+  /** q256's oracle: the WHOLE classifier training unrolled as chained
+    * CTEs. wi0 = zero weights; for k = 0..3, sc_k scores every doc with
+    * wi_k's weights through the identical fixed-shape rational chain,
+    * ag_k folds the quantized integer sufficient stats, and wi_{k+1}
+    * applies the identical update arithmetic — by induction every
+    * weight (and hence every loss) is bit-identical to the engine's.
+    */
+  private def qcTrainOracleSql: String = {
+    val nB = 16
+    val xcols = (0 until nB).map(j =>
+      s"len(list_filter(bks, v -> v = $j))::DOUBLE / ntok::DOUBLE AS x$j")
+      .mkString(",\n  ")
+    def zChain(w: String): String =
+      (0 until nB).foldLeft(s"$w.b")((acc, j) => s"$acc + $w.w$j * f.x$j")
+    def scoreBlock(k: Int): String =
+      s"""sc$k AS (SELECT f.*, CAST(0.5 AS DOUBLE) +
+         |    z / (CAST(2 AS DOUBLE) * (CAST(1 AS DOUBLE) + abs(z))) AS p
+         |  FROM (SELECT f.*, ${zChain(s"wi$k")} AS z
+         |        FROM fx f, wi$k) f)""".stripMargin
+    def aggBlock(k: Int): String = {
+      val per = (0 until nB).map(j =>
+        s"CAST(sum(round(p * x$j * CAST(1000000 AS DOUBLE))) AS BIGINT)" +
+          s" AS p$j,\n  " +
+          s"CAST(sum(y * CAST(round(x$j * CAST(1000000 AS DOUBLE))" +
+          s" AS BIGINT)) AS BIGINT) AS y$j").mkString(",\n  ")
+      s"""ag$k AS (SELECT
+         |  CAST(sum(round((p - y) * (p - y) * CAST(1000000 AS DOUBLE)))
+         |    AS BIGINT) AS loss,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(round(p * CAST(1000000 AS DOUBLE))) AS BIGINT) AS pb,
+         |  CAST(sum(y * 1000000) AS BIGINT) AS yb,
+         |  $per
+         |FROM sc$k)""".stripMargin
+    }
+    def updateBlock(k: Int): String = {
+      val per = (0 until nB).map(j =>
+        s"w.w$j - CAST(0.5 AS DOUBLE) * ((CAST(a.p$j - a.y$j AS DOUBLE)" +
+          s" / CAST(1000000 AS DOUBLE)) / CAST(a.n AS DOUBLE)) AS w$j")
+        .mkString(",\n  ")
+      s"""wi${k + 1} AS (SELECT
+         |  w.b - CAST(0.5 AS DOUBLE) * ((CAST(a.pb - a.yb AS DOUBLE)
+         |    / CAST(1000000 AS DOUBLE)) / CAST(a.n AS DOUBLE)) AS b,
+         |  $per
+         |FROM wi$k w, ag$k a)""".stripMargin
+    }
+    val wi0 = "wi0 AS (SELECT CAST(0 AS DOUBLE) AS b, " +
+      (0 until nB).map(j => s"CAST(0 AS DOUBLE) AS w$j").mkString(", ") + ")"
+    val chain = (0 to 3).map { k =>
+      if (k < 3) Seq(scoreBlock(k), aggBlock(k), updateBlock(k))
+      else Seq(scoreBlock(k), aggBlock(k))
+    }.flatten.mkString(",\n")
+    val rows = (0 to 3).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS iter, ag$k.loss AS loss_q, wi$k.*" +
+        s" FROM ag$k, wi$k").mkString("\nUNION ALL ")
+    s"""WITH ${qualityScoreCtes("documents", "text", "0")},
+       |fx AS MATERIALIZED (
+       |  SELECT doc_id, y, ntok, $xcols
+       |  FROM (
+       |    SELECT d.doc_id,
+       |      CASE WHEN q.score >= CAST(0.65 AS DOUBLE) THEN 1 ELSE 0
+       |        END AS y,
+       |      len(toks) AS ntok,
+       |      list_transform(toks, t ->
+       |        (('0x' || substr(md5(t), 1, 15))::BIGINT) % $nB) AS bks
+       |    FROM (SELECT doc_id, text, list_filter(
+       |        regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |        x -> x <> '') AS toks
+       |      FROM documents WHERE text IS NOT NULL) d
+       |    JOIN qs0 q USING (doc_id))
+       |  WHERE ntok >= 1),
+       |$wi0,
+       |$chain
+       |$rows
+       |ORDER BY iter""".stripMargin
+  }
+
   /** q255's oracle: the full web-curation chain as chained CTE blocks —
     * fixture build, HTML extraction ([[htmlToTextSqlExpr]]), URL
     * canonicalization ([[urlCanonCtes]]), URL keep-first dedup, the q46
@@ -186,26 +290,7 @@ object CurationQueries {
        |    FROM cand JOIN hsets a ON a.doc_id = cand.id_a
        |              JOIN hsets b ON b.doc_id = cand.id_b)
        |  WHERE j >= CAST(0.7 AS DOUBLE)),
-       |qm AS (SELECT doc_id,
-       |  len(list_filter(regexp_split_to_array(trim(txt), '\\s+'),
-       |    x -> x <> '')) AS ntok,
-       |  CASE WHEN length(txt) = 0 THEN 0.0
-       |       ELSE length(regexp_replace(txt, '[^a-zA-Z]', '', 'g'))::DOUBLE
-       |            / length(txt) END AS alpha,
-       |  len(regexp_extract_all(lower(txt),
-       |    '\\b(the|and|of|to|in|is|that|it|was|for)\\b')) AS ens,
-       |  length(regexp_replace(txt, '\\s+', '', 'g')) AS nws,
-       |  length(txt) AS qlen
-       |  FROM pages),
-       |qs AS (SELECT doc_id, ntok, round(
-       |    least(qlen / 500.0, 1.0) * 0.25 + alpha * 0.35 +
-       |    least((CASE WHEN ntok = 0 THEN 0.0
-       |      ELSE ens::DOUBLE / ntok END) * 5.0, 1.0) * 0.2 +
-       |    (CASE WHEN (CASE WHEN ntok = 0 THEN 0.0
-       |      ELSE nws::DOUBLE / ntok END)
-       |          BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2, 4)
-       |    AS score
-       |  FROM qm),
+       |${qualityScoreCtes("pages", "txt")},
        |lg AS (SELECT doc_id,
        |  CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
        |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
@@ -1200,6 +1285,29 @@ object CurationQueries {
           .orderBy("domain")
       },
       Some(webCapstoneOracleSql)
+    ),
+
+    // ---- IN-ENGINE quality-classifier TRAINING (r11, VERDICT r10 #3):
+    //      distill the heuristic quality gate into a linear classifier
+    //      over hashed-unigram relative frequencies — 3 unrolled batch-
+    //      GD steps with the RATIONAL fast-sigmoid link (no libm),
+    //      quantized integer sufficient-stat sums (order-independent),
+    //      fixed-shape driver-side weight updates. The oracle replays
+    //      the entire training as chained CTEs (the FA-EM/Bradley-Terry
+    //      pattern): per-iteration loss strictly decreases IN THE DATA
+    //      and every weight double is bit-identical. Production-width
+    //      sparse training (2^12 buckets, xxhash64, broadcast weight
+    //      dim) is the x256 channel.
+    QueryDef(
+      "q256_quality_classifier_train",
+      (s, dir) =>
+        graft.ext.QualityClassifier.trainDense(
+          t(s, dir, "documents").filter(col("text").isNotNull),
+          "text",
+          TextAnalysis.qualityScore(col("text")) >= 0.65,
+          nBuckets = 16, iters = 3, lr = 0.5, portable = true)
+          .orderBy("iter"),
+      Some(qcTrainOracleSql)
     ),
 
     // ---- bigram-LM surprisal signals (the perplexity-filter family in

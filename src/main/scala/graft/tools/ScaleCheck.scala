@@ -271,6 +271,18 @@ object ScaleCheck {
     // scale. Segmentation stays distinct-word-bound: the vocab rides
     // the plan as a payload map, so 30k pieces cost map lookups, not
     // corpus passes, and 100× replication re-segments nothing.
+    // q256's production-shape point (r11): sparse classifier training at
+    // 2^12 hashed buckets with xxhash64 — features as (doc, bucket, cnt)
+    // rows, the per-pass weight dim broadcast; the shape that scales to
+    // 2^18 buckets where q256's dense column form cannot.
+    "x256_quality_classifier_sparse" -> ((s, dir) =>
+      graft.ext.QualityClassifier.trainSparse(
+        graft.queries.Q.t(s, dir, "documents")
+          .filter(org.apache.spark.sql.functions.col("text").isNotNull),
+        "doc_id", "text",
+        graft.ext.TextAnalysis.qualityScore(
+          org.apache.spark.sql.functions.col("text")) >= 0.65,
+        nBuckets = 4096, iters = 3, lr = 0.5)),
     "x246_wordpiece_ext_vocab_30k" -> ((s, dir) => {
       // deterministic synthetic vocab: lowercase strings in length order
       // (a..z, aa..zz, aaa..) — 15k whole + 15k continuation entries

@@ -32,6 +32,7 @@ object ScaleSweep {
     "q246_wordpiece_ext_vocab", "x246_wordpiece_ext_vocab_30k",
     "q252_strip_accents_census", "q254_warc_ingest",
     "q255_web_curation_capstone",
+    "q256_quality_classifier_train", "x256_quality_classifier_sparse",
     // similarity / ANN / graph. Excluded oracle-scale forms whose 100×
     // channel is an x-extra: q205 (16-bucket candidate-quadratic,
     // "sf-scale parity only" — x205/x214) and q168 (its oracle embeds
@@ -287,7 +288,10 @@ object ScaleSweep {
     ShuffleBudget("stats-readout", 64.0, // r10 max 30.1 (q227)
       Seq("q206_conformal_coverage", "q210_trimmed_mean",
         "q40_monte_carlo_scenarios", "q227_krippendorff_alpha",
-        "x41_bootstrap_seeded", "x151_equal_freq_binning_approx")),
+        "x41_bootstrap_seeded", "x151_equal_freq_binning_approx",
+        // dense classifier training: 4 scan-side passes, each ending in
+        // one 36-slot global aggregate — partials only cross the wire
+        "q256_quality_classifier_train")),
     ShuffleBudget("sampling-training-plan", 96.0, // r10 max 35.8 (q207)
       Seq("q121_priority_sample", "q167_groupsafe_split",
         "q175_epoch_shuffle", "q177_temporal_split",
