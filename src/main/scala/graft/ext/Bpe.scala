@@ -36,19 +36,22 @@ object Bpe {
         transform(sequence(lit(1), length(w).cast("int")),
           i => w.substr(i, lit(1)))))
 
-  /** Apply one learned merge (a,b) → ab to a '|'-separated symbol string,
-    * greedy left-to-right. String accumulator: the last symbol of the
-    * accumulated prefix is `a` iff the prefix IS `a` or ends with "|a" —
-    * safe because symbols never contain '|'.
+  /** Apply one learned merge (a,b) → ab to a `sep`-separated symbol
+    * string, greedy left-to-right. String accumulator: the last symbol
+    * of the accumulated prefix is `a` iff the prefix IS `a` or ends
+    * with sep+a — safe because symbols never contain the separator
+    * ('|' for the word-level path, U+0400 for the byte-level path,
+    * chosen outside the byte-encoder image).
     */
-  def applyMerge(sym: Column, a: String, b: String): Column = {
-    val arr = split(sym, "\\|")
+  def applyMerge(sym: Column, a: String, b: String,
+      sep: String = "|"): Column = {
+    val arr = split(sym, java.util.regex.Pattern.quote(sep))
     val rest = slice(arr, lit(2), greatest(size(arr) - 1, lit(0)))
     aggregate(rest, element_at(arr, 1),
       (acc, x) =>
-        when((acc === lit(a) || acc.endsWith(lit("|" + a))) && x === lit(b),
+        when((acc === lit(a) || acc.endsWith(lit(sep + a))) && x === lit(b),
           concat(acc.substr(lit(1), length(acc) - lit(a.length)), lit(a + b)))
-          .otherwise(concat(acc, lit("|"), x)))
+          .otherwise(concat(acc, lit(sep), x)))
   }
 
   final case class Merge(rank: Int, left: String, right: String, count: Long)
@@ -77,6 +80,53 @@ object Bpe {
     }
     folded.withColumn("n_pieces",
       size(split(col("sym"), "\\|")).cast("long"))
+  }
+
+  // ---- GPT-2 byte-level lineage (r11, VERDICT r10 #4) ---------------
+
+  /** The published GPT-2 pretokenizer regex: contractions, optional-
+    * space-prefixed letter/number/punctuation runs, then whitespace
+    * (with a lookahead that splits trailing runs) — Java regex, run
+    * verbatim. This is the segmentation that byte-level merges apply
+    * within; word-level `tokens()` is NOT it (leading spaces are part
+    * of the token — "Ġthe" and "the" are different vocabulary items).
+    */
+  val Gpt2PretokenRegex: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+|" +
+      " ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
+  /** Array of GPT-2 pretokens of `c` (the matches of the published
+    * regex, in order — concatenation restores the input exactly).
+    */
+  def gpt2Pretokenize(c: Column): Column =
+    regexp_extract_all(c, lit(Gpt2PretokenRegex), lit(0))
+
+  /** Byte-level symbol separator (U+0400, outside the byte-encoder
+    * image) — the byte path's '|'.
+    */
+  val ByteSep: String = graft.functions.Gpt2ByteSym.Sep.toString
+
+  /** Byte-level symbolization: UTF-8 bytes mapped through the GPT-2
+    * bytes→unicode table, ByteSep-joined (native expression).
+    */
+  def byteSymbolize(c: Column): Column =
+    call_function("gpt2_byte_sym", c)
+
+  /** Byte-level [[encodeVocab]]: encode a distinct-PRETOKEN vocabulary
+    * with an ordered byte-level merge list (entries over byte-encoder
+    * symbols, e.g. ("Ġ","t")). Same one-projection-per-merge shape; the
+    * vocabulary grain means a 100 TB corpus still folds once per
+    * pretoken TYPE.
+    */
+  def encodeVocabBytes(pretokens: DataFrame, colName: String,
+      merges: Seq[Merge]): DataFrame = {
+    val start = pretokens.withColumn("sym", byteSymbolize(col(colName)))
+    val folded = merges.foldLeft(start) { (df, m) =>
+      df.withColumn("sym", applyMerge(col("sym"), m.left, m.right, ByteSep))
+    }
+    folded.withColumn("n_pieces",
+      size(split(col("sym"), java.util.regex.Pattern.quote(ByteSep)))
+        .cast("long"))
   }
 
   /** Render an ordered merge list as the GPT-2-lineage `merges.txt`

@@ -266,6 +266,14 @@ object GraftFunctions {
         require(args.length == 1, "strip_accents takes (str)")
         StripAccents(args.head)
       }
+    ),
+    (
+      "gpt2_byte_sym",
+      new ExpressionInfo(classOf[Gpt2ByteSym].getName, "gpt2_byte_sym"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "gpt2_byte_sym takes (str)")
+        Gpt2ByteSym(args.head)
+      }
     )
   )
 

@@ -60,6 +60,23 @@ object CurationQueries {
     ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
     ("e", "r"), ("o", "n"), ("r", "e"))
 
+  /** 'Ġ' (U+0120), the GPT-2 byte-encoding of space, and the byte-symbol
+    * separator U+0400 — explicit escapes (r3 control-char rule). ABOVE
+    * `defs` (init-order trap).
+    */
+  private val G = "\u0120"
+  private val BSep = "\u0400"
+
+  /** q257 frozen BYTE-LEVEL merge table (GPT-2 merges.txt lineage over
+    * byte-encoder symbols): space-prefixed entries ("Ġ t") are the
+    * hallmark of byte-level BPE — "Ġthe" and "the" are different items.
+    * Rank-dependence exercised twice: ("Ġt","he") needs both ("Ġ","t")
+    * and ("h","e") to have fired first.
+    */
+  private val ExtByteMerges = Seq(
+    (G, "t"), (G, "a"), ("h", "e"), (G + "t", "he"),
+    ("e", "r"), (G, "s"), ("r", "e"), ("i", "n"))
+
   /** The generic URL-canonicalization rule chain (q251's oracle) as
     * reusable CTE text over a CTE `src`(doc_id, url): emits p1..p5 plus
     * `canon`(doc_id, canonical_url, host, path, n_params). Factored so
@@ -335,11 +352,55 @@ object CurationQueries {
   /** [[bpeFold]] with the merge pair inlined as LITERALS (no merge CTE —
     * the frozen-merges q249 path).
     */
-  private def bpeFoldLit(symExpr: String, a: String, b: String): String =
-    s"""list_reduce(string_split($symExpr, '|'), (acc, x) ->
-       |    CASE WHEN (acc = '$a' OR acc LIKE '%|' || '$a') AND x = '$b'
+  private def bpeFoldLit(symExpr: String, a: String, b: String,
+      sep: String = "|"): String =
+    s"""list_reduce(string_split($symExpr, '$sep'), (acc, x) ->
+       |    CASE WHEN (acc = '$a' OR acc LIKE '%$sep' || '$a') AND x = '$b'
        |      THEN substr(acc, 1, length(acc) - ${a.length}) || '$a' || '$b'
-       |      ELSE acc || '|' || x END)""".stripMargin
+       |      ELSE acc || '$sep' || x END)""".stripMargin
+
+  /** q257 oracle: the GPT-2 byte-level encode chain — the RE2-safe twin
+    * of the pretokenizer (valid on this [a-z ]-pure corpus, where the
+    * lookahead branch can never fire), per-char byte-encoding (ASCII:
+    * only space changes, to 'Ġ'), then one literal fold per byte-level
+    * merge in rank order, per-source stats at the distinct-pretoken
+    * grain.
+    */
+  private val bpeByteLevelOracle: String = {
+    val encodes = ExtByteMerges.zipWithIndex.map { case ((a, b), i) =>
+      s"""b${i + 1} AS MATERIALIZED (
+         |  SELECT pt, ${bpeFoldLit("sym", a, b, BSep)} AS sym
+         |  FROM b$i)""".stripMargin
+    }.mkString(",\n")
+    val re2Twin =
+      "''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+|" +
+        " ?[^ A-Za-z0-9]+| +"
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT source, unnest(regexp_extract_all(text,
+       |    '$re2Twin')) AS pt
+       |  FROM documents WHERE text IS NOT NULL),
+       |dict AS MATERIALIZED (SELECT DISTINCT pt FROM pts),
+       |b0 AS MATERIALIZED (
+       |  SELECT pt, array_to_string(list_transform(
+       |      range(1, strlen(pt) + 1),
+       |      i -> CASE WHEN substr(pt, CAST(i AS INT), 1) = ' '
+       |           THEN '$G' ELSE substr(pt, CAST(i AS INT), 1) END),
+       |    '$BSep') AS sym
+       |  FROM dict),
+       |$encodes,
+       |benc AS MATERIALIZED (
+       |  SELECT pt, CAST(len(string_split(sym, '$BSep')) AS BIGINT)
+       |    AS n_pieces
+       |  FROM b${ExtByteMerges.length})
+       |SELECT source,
+       |  count(*) AS n_pretokens,
+       |  CAST(sum(strlen(pt)) AS BIGINT) AS n_bytes,
+       |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       |  round(CAST(sum(n_pieces) AS DOUBLE)
+       |    / CAST(sum(strlen(pt)) AS BIGINT), 6) AS pieces_per_byte
+       |FROM pts JOIN benc USING (pt)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
 
   /** q249 oracle: the q139 encode/compression tail under the FROZEN
     * external merge table — e0 symbolize, one literal fold per merge in
@@ -959,6 +1020,45 @@ object CurationQueries {
           .orderBy("source")
       },
       Some(bpeExtMergesOracle)
+    ),
+
+    // ---- BYTE-LEVEL BPE pretokenization + encode (r11, VERDICT r10
+    //      #4 — the GPT-2 lineage q249 only approximated): the REAL
+    //      published pretokenizer regex (contractions, optional-space-
+    //      prefixed runs, lookahead whitespace split) segments the raw
+    //      text, each pretoken's UTF-8 bytes map through the GPT-2
+    //      bytes→unicode table (space → 'Ġ' — leading spaces are part
+    //      of the vocabulary item), and the frozen byte-level merges
+    //      fold in rank order over a round-tripped merges.txt. Encoding
+    //      runs at the distinct-PRETOKEN grain (the q246/q249 scale
+    //      shape); the oracle replays the chain with the RE2-safe twin
+    //      regex (exact on this corpus) and per-char byte mapping.
+    QueryDef(
+      "q257_bpe_byte_level",
+      (s, dir) => {
+        val path = graft.util.ArtifactFiles.writeAtomic(
+          "graft_q257_byte_merges.txt",
+          Bpe.mergesFileLines(ExtByteMerges))
+        val merges = Bpe.loadMergesFile(s, path.toString)
+        require(merges.map(m => (m.left, m.right)) == ExtByteMerges,
+          "byte-level merges.txt round trip drifted")
+        val pts = t(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("source"),
+            explode(Bpe.gpt2Pretokenize(col("text"))).as("pt"))
+        val enc = Bpe.encodeVocabBytes(
+            pts.select("pt").distinct(), "pt", merges)
+          .select(col("pt"), col("n_pieces"))
+        pts.join(broadcast(enc), "pt")
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_pretokens"),
+            sum(octet_length(col("pt"))).cast("long").as("n_bytes"),
+            sum(col("n_pieces")).cast("long").as("n_pieces"),
+            round(sum(col("n_pieces")).cast("double")
+              / sum(octet_length(col("pt"))), 6).as("pieces_per_byte"))
+          .orderBy("source")
+      },
+      Some(bpeByteLevelOracle)
     ),
 
     // ---- URL canonicalization (r10): the web-corpus dedup key — two

@@ -33,6 +33,7 @@ object ScaleSweep {
     "q252_strip_accents_census", "q254_warc_ingest",
     "q255_web_curation_capstone",
     "q256_quality_classifier_train", "x256_quality_classifier_sparse",
+    "q257_bpe_byte_level",
     // similarity / ANN / graph. Excluded oracle-scale forms whose 100×
     // channel is an x-extra: q205 (16-bucket candidate-quadratic,
     // "sf-scale parity only" — x205/x214) and q168 (its oracle embeds
@@ -253,7 +254,8 @@ object ScaleSweep {
         "q142_bigram_lm_surprisal", "q243_wordpiece_census",
         "q244_substring_blocklist_census", "q245_unicode_nfc_census",
         "q246_wordpiece_ext_vocab", "x246_wordpiece_ext_vocab_30k",
-        "q252_strip_accents_census", "q254_warc_ingest")),
+        "q252_strip_accents_census", "q254_warc_ingest",
+        "q257_bpe_byte_level")),
     ShuffleBudget("exact-dedup", 32.0, // r10 max 12.6 (q134)
       Seq("q22_exact_dup_census", "q23_exact_dedup_keep_first",
         "q134_record_linkage")),

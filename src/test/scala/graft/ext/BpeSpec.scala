@@ -114,4 +114,62 @@ class BpeSpec extends SparkSpec {
     assert(perProject.forall(_ <= 1),
       s"a Project carries nested merge folds (re-collapsed!): $perProject")
   }
+
+  // ---- GPT-2 byte-level lineage (r11) --------------------------------
+
+  test("byte-encoder table matches the published GPT-2 mapping") {
+    val enc = graft.functions.Gpt2ByteSym.ByteEncoder
+    assert(enc(' ') == 'Ġ') // space -> Ġ, the hallmark
+    assert(enc('\n') == 'Ċ') // newline -> Ċ
+    assert(enc('!') == '!' && enc('~') == '~') // printable ascii fixed
+    assert(enc(0) == 'Ā') // NUL is the first shifted byte
+    assert(enc(0xad) == 'Ń') // soft hyphen is the last (256+67)
+    // bijective: 256 distinct images, decoder inverts
+    assert(enc.distinct.length == 256)
+    assert((0 until 256).forall(b =>
+      graft.functions.Gpt2ByteSym.ByteDecoder(enc(b)) == b))
+    // separator stays outside the image
+    assert(!enc.contains(graft.functions.Gpt2ByteSym.Sep))
+  }
+
+  test("gpt2 pretokenizer: contractions, spaces, lookahead split") {
+    val df = spark.range(1).select(
+      Bpe.gpt2Pretokenize(org.apache.spark.sql.functions
+        .lit("I've  got 2 cats, don't I?")).as("t"))
+    val got = df.collect()(0).getSeq[String](0)
+    // the published regex: "'ve" splits off, " ?\p{L}+" keeps ONE
+    // leading space, the double space splits as lone-space + " got"
+    // (the lookahead branch), punctuation binds its leading space
+    assert(got == Seq("I", "'ve", " ", " got", " 2", " cats", ",",
+      " don", "'t", " I", "?"), got.mkString("[", "][", "]"))
+    // concatenation restores the input exactly (regex covers all bytes)
+    assert(got.mkString == "I've  got 2 cats, don't I?")
+  }
+
+  test("byte symbolize: ascii, space and multi-byte UTF-8") {
+    val sep = graft.functions.Gpt2ByteSym.Sep
+    assert(graft.functions.Gpt2ByteSym.symbolize(" the") ==
+      Seq("Ġ", "t", "h", "e").mkString(sep.toString))
+    // 'é' is two UTF-8 bytes (0xc3 0xa9): 0xc3 -> Ã (self), 0xa9 -> ©
+    assert(graft.functions.Gpt2ByteSym.symbolize("é") ==
+      s"Ã$sep©")
+  }
+
+  test("byte-level encode folds merges over byte symbols in rank order") {
+    import spark.implicits._
+    val g = "Ġ"
+    val merges = Seq((g, "t"), ("h", "e"), (g + "t", "he"))
+      .zipWithIndex.map { case ((a, b), i) => Bpe.Merge(i + 1, a, b, 0L) }
+    val out = Bpe.encodeVocabBytes(
+        Seq(" the", "the", " tot").toDF("pt"), "pt", merges)
+      .select("pt", "sym", "n_pieces").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val s = graft.functions.Gpt2ByteSym.Sep
+    // " the": Ġ|t|h|e -> Ġt|h|e -> Ġt|he -> Ġthe (rank-dependent)
+    assert(out(" the") == ((s"${g}the", 1L)))
+    // "the" (no leading space): t|h|e -> t|he — "Ġt" merges don't apply
+    assert(out("the") == ((s"t${s}he", 2L)))
+    // " tot": Ġ|t|o|t -> Ġt|o|t — only the first merge fires
+    assert(out(" tot") == ((s"${g}t${s}o${s}t", 3L)))
+  }
 }
