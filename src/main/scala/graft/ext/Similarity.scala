@@ -1581,4 +1581,140 @@ object Similarity {
           .as("centroid_cos"))
       .orderBy(groupCol)
   }
+
+  // ------------------------------------------- graph-based ANN (r11)
+
+  /** Quantized integer vector (the q70/q75 portable family): exact
+    * cross-engine distance arithmetic on longs.
+    */
+  def quantVec(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Integer squared L2 between two quantized vectors — exact long math
+    * (64 dims × (≤4000)² stays far under Long range). HOF inputs must
+    * be materialized attributes at call sites (the q84 rule).
+    */
+  def qdistL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Degree-capped EXACT kNN graph over quantized vectors: for every
+    * node its `degree` nearest by (integer L2, id) — the ORACLE
+    * channel's index build (all-pairs, sf-gated like the q205 family;
+    * [[knnGraphBucketed]] is the scale build). Output (s, d).
+    */
+  def knnGraphExact(df: DataFrame, idCol: String, vecCol: String,
+      degree: Int): DataFrame = {
+    val sp = df.sparkSession.sparkContext.defaultParallelism
+    val v = df.select(col(idCol).as("s"), quantVec(col(vecCol)).as("_vs"))
+      .repartition(sp)
+    val w = df.select(col(idCol).as("d"), quantVec(col(vecCol)).as("_vd"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("s").orderBy(col("_qd"), col("d"))
+    v.crossJoin(w).filter(col("s") =!= col("d"))
+      .withColumn("_qd", qdistL2(col("_vs"), col("_vd")))
+      .withColumn("_rn", row_number().over(win))
+      .filter(col("_rn") <= degree)
+      .select("s", "d")
+  }
+
+  /** Production graph build: the bucketed [[knnJoin]] (SRP buckets +
+    * multi-probe equi-join, never all-pairs) degree-capped per node.
+    * Nodes whose probe buckets hold no other vector get no out-edges —
+    * the honest recall trade of every bucketed index build.
+    */
+  def knnGraphBucketed(df: DataFrame, idCol: String, vecCol: String,
+      degree: Int, dim: Int, nBits: Int = 12, probeHamming: Int = 1,
+      portable: Boolean = false, saltBucketsAbove: Int = 0): DataFrame =
+    knnJoin(df, df, idCol, vecCol, k = degree, dim = dim, nBits = nBits,
+      probeHamming = probeHamming, portable = portable,
+      saltBucketsAbove = saltBucketsAbove)
+      .select(col("q_id").as("s"), col("c_id").as("d"))
+
+  /** SYNCHRONIZED fixed-step beam search over a neighbor graph (the
+    * HNSW-class query path, expressed Spark-first): all queries advance
+    * together — each hop expands the whole beam's out-edges in ONE
+    * equi-join against the edge list, scores candidates in ONE pass
+    * over the vector table (broadcast candidate set, vectors never
+    * shuffle), and keeps the best `ef` per query by (integer L2, id).
+    * `hops` rounds, then top-`k` of the final beam (query itself
+    * excluded). Deterministic by construction — quantized distances and
+    * id tie-breaks — which is what makes the whole search (graph build
+    * included) DuckDB-replayable in q258's unrolled oracle.
+    *
+    * A per-row plan-payload expression (the Aho-Corasick pattern) was
+    * considered and rejected: the graph+vectors payload is the INDEX —
+    * data-sized, not constant-sized — and belongs distributed; the
+    * synchronized-round join form keeps every hop a bucket-local
+    * equi-join at any corpus size. Lineage is cut per hop
+    * (localCheckpoint, the house iterative-op rule).
+    *
+    * Returns (q, v, qd, rank): top-k candidate ids per query.
+    */
+  def beamSearchTopK(df: DataFrame, idCol: String, vecCol: String,
+      graph: DataFrame, queryPred: Column, k: Int, ef: Int,
+      hops: Int, entryId: Long): DataFrame = {
+    val vecs = df.select(col(idCol).as("v"), quantVec(col(vecCol)).as("_vv"))
+    val queries = df.filter(queryPred)
+      .select(col(idCol).as("q"), quantVec(col(vecCol)).as("_qv"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("q").orderBy(col("_qd"), col("v"))
+
+    def score(cand: DataFrame): DataFrame =
+      vecs.join(broadcast(cand), Seq("v"))
+        .join(broadcast(queries), Seq("q"))
+        .withColumn("_qd", qdistL2(col("_vv"), col("_qv")))
+
+    var beam = queries.select(col("q"), lit(entryId).as("v"))
+    for (_ <- 1 to hops) {
+      val expanded = beam.union(
+          beam.join(graph, beam("v") === graph("s"))
+            .select(beam("q"), graph("d").as("v")))
+        .distinct()
+      beam = score(expanded)
+        .withColumn("_rn", row_number().over(win))
+        .filter(col("_rn") <= ef)
+        .select("q", "v")
+        .localCheckpoint()
+    }
+    score(beam)
+      .filter(col("q") =!= col("v"))
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q"), col("v"), col("_qd").as("qd"), col("rank"))
+  }
+
+  /** The q258 readout: recall@k of the beam search against exact brute
+    * force, one row per beam width — the operating curve that prices
+    * `ef` (the q248 pattern). recall = |beam top-k ∩ exact top-k| /
+    * (n_queries·k), exact rational division.
+    */
+  def beamRecallCurve(df: DataFrame, idCol: String, vecCol: String,
+      graph: DataFrame, queryPred: Column, k: Int, efs: Seq[Int],
+      hops: Int, entryId: Long): DataFrame = {
+    val vecs = df.select(col(idCol).as("v"), quantVec(col(vecCol)).as("_vv"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val queries = df.filter(queryPred)
+      .select(col(idCol).as("q"), quantVec(col(vecCol)).as("_qv"))
+    val nq = queries.count()
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("q").orderBy(col("_qd"), col("v"))
+    val brute = vecs.crossJoin(broadcast(queries))
+      .filter(col("q") =!= col("v"))
+      .withColumn("_qd", qdistL2(col("_vv"), col("_qv")))
+      .withColumn("_rn", row_number().over(win))
+      .filter(col("_rn") <= k)
+      .select("q", "v")
+      .localCheckpoint()
+    efs.map { ef =>
+      val hits = beamSearchTopK(df, idCol, vecCol, graph, queryPred,
+          k, ef, hops, entryId)
+        .select("q", "v").join(brute, Seq("q", "v"))
+        .agg(count(lit(1)).as("_m"))
+      hits.select(lit(ef.toLong).as("beam_width"),
+        lit(nq).as("n_queries"),
+        round(col("_m").cast("double") /
+          lit((nq * k).toDouble), 4).as("recall_at_k"))
+    }.reduce(_.unionAll(_)).orderBy("beam_width")
+  }
 }

@@ -38,6 +38,16 @@ object SimilarityQueries {
   private val PqM = 8
   private val PqK = 16
 
+  /** q258 graph-ANN operating point: degree-6 exact neighbor graph,
+    * 4 synchronized hops from entry node 0, 20 query vectors, recall@10
+    * across beam widths 2/4/8. (ABOVE `defs` — see RecallBits.)
+    */
+  private val BeamDegree = 6
+  private val BeamHops = 4
+  private val BeamK = 10
+  private val BeamEfs = Seq(2, 4, 8)
+  private val BeamNq = 20
+
   /** q248 operating grid: nProbe (of 8 coarse cells) × codebook size
     * (2-bit/4-bit codes), recall@CurveK against exact quantized-L2 ground
     * truth. ABOVE `defs` (the q75 init-order trap).
@@ -921,6 +931,31 @@ object SimilarityQueries {
         kappaFromNn(e, nn)
       },
       Some(pqKappaOracleSql)
+    ),
+
+    // ---- GRAPH-BASED ANN (r11, VERDICT r10 #5): beam search over a
+    //      degree-capped kNN graph — the HNSW-class index family the
+    //      LSH/IVF/PQ lineup lacked. The exact degree-6 graph (integer-
+    //      quantized L2, id tie-breaks) is the index; queries advance in
+    //      SYNCHRONIZED fixed-step rounds: each hop expands the beam's
+    //      out-edges through one equi-join and keeps the best `ef` per
+    //      query; recall@10 vs brute force reported per beam width 2/4/8
+    //      (the q248 operating-curve pattern). Every step is integer/
+    //      rational → the oracle replays graph build + all hops + recall
+    //      as unrolled CTEs. The all-pairs graph build is the ORACLE
+    //      channel; x258 sweeps the bucketed production build at 100×.
+    QueryDef(
+      "q258_graph_ann_beam",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val graph = Similarity.knnGraphExact(e, "vec_id", "embedding",
+            BeamDegree)
+          .localCheckpoint() // reused by all three beam widths
+        Similarity.beamRecallCurve(e, "vec_id", "embedding", graph,
+          col("vec_id") < BeamNq, k = BeamK, efs = BeamEfs,
+          hops = BeamHops, entryId = 0L)
+      },
+      Some(beamAnnOracleSql)
     ),
 
     // ---- EMBEDDING CENTROID DRIFT: per-label cosine between the mean
@@ -1830,6 +1865,70 @@ object SimilarityQueries {
        |SELECT id_a, id_b, cos_sim FROM p
        |WHERE cos_sim >= CAST(0.35 AS DOUBLE)
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** q258's oracle: the whole graph-ANN search unrolled — quantized
+    * vectors, the exact degree-capped graph, `BeamHops` beam steps per
+    * beam width (each: expand out-edges ∪ beam, distinct, rank by
+    * (integer L2, id), keep ef), final top-k excluding the query, and
+    * the recall join against brute force. Everything integer or one
+    * exact division, so the hash pins index build AND search.
+    */
+  private def beamAnnOracleSql: String = {
+    def dist(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1, 64), " +
+        s"j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))"
+    def beamChain(ef: Int): String = {
+      val steps = (1 to BeamHops).map { h =>
+        s"""bm${h}_$ef AS MATERIALIZED (
+           |  SELECT q, v FROM (
+           |    SELECT t.q, t.v, row_number() OVER (PARTITION BY t.q
+           |      ORDER BY ${dist("s.x", "c.x")}, t.v) AS rn
+           |    FROM (SELECT DISTINCT q, v FROM (
+           |        SELECT q, v FROM bm${h - 1}_$ef
+           |        UNION ALL
+           |        SELECT b.q, g.d AS v
+           |        FROM bm${h - 1}_$ef b JOIN graph g ON g.s = b.v)) t
+           |    JOIN qv c ON c.v = t.v
+           |    JOIN qs s ON s.q = t.q)
+           |  WHERE rn <= $ef)""".stripMargin
+      }.mkString(",\n")
+      s"""bm0_$ef AS (SELECT q, CAST(0 AS BIGINT) AS v FROM qs),
+         |$steps,
+         |res_$ef AS (SELECT q, v FROM (
+         |  SELECT t.q, t.v, row_number() OVER (PARTITION BY t.q
+         |    ORDER BY ${dist("s.x", "c.x")}, t.v) AS rn
+         |  FROM bm${BeamHops}_$ef t
+         |  JOIN qv c ON c.v = t.v
+         |  JOIN qs s ON s.q = t.q
+         |  WHERE t.v <> t.q)
+         |WHERE rn <= $BeamK)""".stripMargin
+    }
+    val rows = BeamEfs.map { ef =>
+      s"""SELECT CAST($ef AS BIGINT) AS beam_width,
+         |  CAST((SELECT count(*) FROM qs) AS BIGINT) AS n_queries,
+         |  round(CAST((SELECT count(*) FROM res_$ef r
+         |    JOIN brute b ON b.q = r.q AND b.v = r.v) AS DOUBLE)
+         |    / CAST(${BeamNq * BeamK} AS DOUBLE), 4) AS recall_at_k"""
+        .stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH qv AS MATERIALIZED (SELECT vec_id AS v,
+       |    list_transform(embedding,
+       |      x -> round(x::DOUBLE * 1000)::BIGINT) AS x
+       |  FROM embeddings),
+       |qs AS MATERIALIZED (SELECT v AS q, x FROM qv WHERE v < $BeamNq),
+       |graph AS MATERIALIZED (SELECT s, d FROM (
+       |  SELECT a.v AS s, b.v AS d, row_number() OVER (PARTITION BY a.v
+       |    ORDER BY ${dist("a.x", "b.x")}, b.v) AS rn
+       |  FROM qv a JOIN qv b ON a.v <> b.v)
+       |WHERE rn <= $BeamDegree),
+       |brute AS MATERIALIZED (SELECT q, v FROM (
+       |  SELECT s.q, c.v, row_number() OVER (PARTITION BY s.q
+       |    ORDER BY ${dist("s.x", "c.x")}, c.v) AS rn
+       |  FROM qs s JOIN qv c ON c.v <> s.q)
+       |WHERE rn <= $BeamK),
+       |${BeamEfs.map(beamChain).mkString(",\n")}
+       |SELECT * FROM ($rows) ORDER BY beam_width""".stripMargin
+  }
 
   private def recallOracleSql: String = {
     val cosExpr =

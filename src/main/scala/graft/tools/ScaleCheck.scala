@@ -271,6 +271,23 @@ object ScaleCheck {
     // scale. Segmentation stays distinct-word-bound: the vocab rides
     // the plan as a payload map, so 30k pieces cost map lookups, not
     // corpus passes, and 100× replication re-segments nothing.
+    // q258's production-shape point (r11): graph-ANN with the BUCKETED
+    // graph build (knnJoin, never all-pairs) + the synchronized beam —
+    // vectors never shuffle in the search (broadcast candidate sets),
+    // the graph build is the q78 equi-join shape.
+    "x258_graph_ann_beam_prod" -> ((s, dir) => {
+      val e = graft.queries.Q.t(s, dir, "embeddings")
+      val graph = graft.ext.Similarity.knnGraphBucketed(e, "vec_id",
+          "embedding", degree = 6, dim = 64, nBits = 12, probeHamming = 1,
+          saltBucketsAbove = 65536)
+        .localCheckpoint()
+      graft.ext.Similarity.beamSearchTopK(e, "vec_id", "embedding", graph,
+          col("vec_id") % 1000 === 0, k = 10, ef = 8, hops = 4,
+          entryId = 0L)
+        .agg(count(lit(1)).cast("long").as("n_results"),
+          countDistinct(col("q")).cast("long").as("n_queries"),
+          sum(col("qd")).cast("long").as("qd_checksum"))
+    }),
     // q256's production-shape point (r11): sparse classifier training at
     // 2^12 hashed buckets with xxhash64 — features as (doc, bucket, cnt)
     // rows, the per-pass weight dim broadcast; the shape that scales to

@@ -33,7 +33,7 @@ object ScaleSweep {
     "q252_strip_accents_census", "q254_warc_ingest",
     "q255_web_curation_capstone",
     "q256_quality_classifier_train", "x256_quality_classifier_sparse",
-    "q257_bpe_byte_level",
+    "q257_bpe_byte_level", "x258_graph_ann_beam_prod",
     // similarity / ANN / graph. Excluded oracle-scale forms whose 100×
     // channel is an x-extra: q205 (16-bucket candidate-quadratic,
     // "sf-scale parity only" — x205/x214) and q168 (its oracle embeds
@@ -194,7 +194,10 @@ object ScaleSweep {
         "q75_ann_recall", "q80_pq_codes", "q81_pq_adc_topk",
         "q82_ivfpq_topk", "q124_int8_quantization", "q146_silhouette",
         "q193_rq_encode", "q223_lsh_banding_curve",
-        "q248_ivfpq_operating_curve")),
+        "q248_ivfpq_operating_curve",
+        // all-pairs exact-graph oracle point; x258 sweeps the bucketed
+        // production build + beam at 100x
+        "q258_graph_ann_beam")),
     ("pair-output answer-quadratic under synthetic replication (q46 " +
       "precedent) or candidate-quadratic oracle point; the 10x section " +
       "and/or an x-channel (x25/x26/x74) carries scale",
@@ -263,7 +266,7 @@ object ScaleSweep {
       Seq("q78_knn_join", "q181_kmeans_codebook", "q212_ivf_incremental_add",
         "q213_recall_curve", "q216_centroid_drift", "q217_retrieval_mrr",
         "x230_label_noise_pq", "x214_label_kappa_pq",
-        "x183_semantic_decon_prod")),
+        "x183_semantic_decon_prod", "x258_graph_ann_beam_prod")),
     // raw quantized vectors cross the bucket exchange by design here
     // (~512 B/candidate); the PQ-code channels above are the 18× fix
     ShuffleBudget("ann-raw-vector", 1024.0, // r10 max 577.8 (x77)
