@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ext.{Bpe, Curation, Dedup, TextAnalysis}
@@ -76,6 +77,34 @@ object CurationQueries {
   private val ExtByteMerges = Seq(
     (G, "t"), (G, "a"), ("h", "e"), (G + "t", "he"),
     ("e", "r"), (G, "s"), ("r", "e"), ("i", "n"))
+
+  /** q251's messy-URL fixture (every canonicalization rule exercised:
+    * case, www, default/explicit ports, dot segments, tracking params,
+    * fragment) — shared by q260's per-domain census. Both sides.
+    */
+  private def messyUrlFixture(id: Column): Column = concat(
+    when(id % 2 === 0, lit("HTTPS")).otherwise(lit("http")),
+    lit("://WWW.Site"), (id % 7).cast("string"), lit(".COM"),
+    when(id % 3 === 0, lit(":443"))
+      .when(id % 3 === 1, lit(":8080")).otherwise(lit("")),
+    lit("/Dir/./Sub"), (id % 5).cast("string"), lit("/../Page"),
+    lit("?utm_source=x&b="), (id % 5).cast("string"),
+    lit("&a="), (id % 3).cast("string"),
+    when(id % 4 === 0, lit("&gclid=zz")).otherwise(lit("")),
+    lit("#Sec"))
+
+  // NOTE: no line starts with '||' — an interpolated fragment whose line
+  // begins with | gets mangled by the OUTER oracle string's stripMargin
+  private val messyUrlFixtureSql: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) ||
+      |      '://WWW.Site' || (doc_id % 7) || '.COM' ||
+      |      (CASE WHEN doc_id % 3 = 0 THEN ':443'
+      |            WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
+      |      '/Dir/./Sub' || (doc_id % 5) || '/../Page' ||
+      |      '?utm_source=x&b=' || (doc_id % 5) ||
+      |      '&a=' || (doc_id % 3) ||
+      |      (CASE WHEN doc_id % 4 = 0 THEN '&gclid=zz' ELSE '' END) ||
+      |      '#Sec'""".stripMargin
 
   /** The generic URL-canonicalization rule chain (q251's oracle) as
     * reusable CTE text over a CTE `src`(doc_id, url): emits p1..p5 plus
@@ -175,6 +204,56 @@ object CurationQueries {
        |          BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2, 4)
        |    AS score
        |  FROM qm$sfx)""".stripMargin
+
+  /** q260's oracle: q251's canon chain over the messy-URL fixture, then
+    * the q191 datasheet CTEs and the q85 mixture CTEs re-keyed on the
+    * canonical domain, plus the exact token share.
+    */
+  private def domainCensusOracleSql: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, text, lang,
+       |    $messyUrlFixtureSql AS url
+       |  FROM documents WHERE text IS NOT NULL),
+       |${urlCanonCtes("raw")},
+       |docs AS MATERIALIZED (
+       |  SELECT r.doc_id, r.text, r.lang, c.host AS domain
+       |  FROM raw r JOIN canon c USING (doc_id)),
+       |tok AS MATERIALIZED (SELECT domain, lang, md5(text) AS h,
+       |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |      x -> x <> '')) AS BIGINT) AS nt
+       |  FROM docs),
+       |base AS (SELECT domain, count(*) AS n_docs,
+       |    sum(nt)::BIGINT AS total_tokens,
+       |    round(quantile_cont(nt, 0.5), 1) AS median_tokens
+       |  FROM tok GROUP BY domain),
+       |hg AS (SELECT domain, h, count(*) AS n FROM tok GROUP BY 1, 2),
+       |dups AS (SELECT domain,
+       |    sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS dup_docs
+       |  FROM hg GROUP BY domain),
+       |lg AS (SELECT domain, lang, count(*) AS ln FROM tok GROUP BY 1, 2),
+       |nl AS (SELECT domain, count(*) AS n_langs FROM lg GROUP BY domain),
+       |top AS (SELECT domain, lang AS top_lang, ln FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY domain
+       |      ORDER BY ln DESC, lang) AS rn FROM lg) WHERE rn = 1),
+       |g AS (SELECT domain, count(*) AS n_docs,
+       |    CAST(round(sqrt(CAST(count(*) AS DOUBLE)), 6)
+       |      AS DECIMAL(20,6)) AS w
+       |  FROM docs GROUP BY 1),
+       |wt AS (SELECT domain,
+       |    round(CAST(w AS DOUBLE) / CAST(total AS DOUBLE), 6) AS weight
+       |  FROM g CROSS JOIN (SELECT sum(w) AS total FROM g)),
+       |tt AS (SELECT sum(total_tokens)::BIGINT AS t FROM base)
+       |SELECT b.domain, b.n_docs, b.total_tokens, b.median_tokens,
+       |  d.dup_docs, nl.n_langs, top.top_lang,
+       |  round(CAST(100.0 AS DOUBLE) * top.ln::DOUBLE /
+       |    b.n_docs::DOUBLE, 2) AS top_lang_pct,
+       |  wt.weight,
+       |  round(CAST(b.total_tokens AS DOUBLE) / CAST(tt.t AS DOUBLE), 6)
+       |    AS token_share
+       |FROM base b JOIN dups d USING (domain)
+       |JOIN nl USING (domain) JOIN top USING (domain)
+       |JOIN wt USING (domain), tt
+       |ORDER BY domain""".stripMargin
 
   /** q256's oracle: the WHOLE classifier training unrolled as chained
     * CTEs. wi0 = zero weights; for k = 0..3, sc_k scores every doc with
@@ -1077,18 +1156,9 @@ object CurationQueries {
       "q251_url_canonicalize",
       (s, dir) => {
         val id = col("doc_id")
-        val raw = concat(
-          when(id % 2 === 0, lit("HTTPS")).otherwise(lit("http")),
-          lit("://WWW.Site"), (id % 7).cast("string"), lit(".COM"),
-          when(id % 3 === 0, lit(":443"))
-            .when(id % 3 === 1, lit(":8080")).otherwise(lit("")),
-          lit("/Dir/./Sub"), (id % 5).cast("string"), lit("/../Page"),
-          lit("?utm_source=x&b="), (id % 5).cast("string"),
-          lit("&a="), (id % 3).cast("string"),
-          when(id % 4 === 0, lit("&gclid=zz")).otherwise(lit("")),
-          lit("#Sec"))
         graft.ext.Curation.canonicalizeUrls(
-            t(s, dir, "documents").select(id, raw.as("url")), "url")
+            t(s, dir, "documents")
+              .select(id, messyUrlFixture(id).as("url")), "url")
           .select(col("doc_id"), col("canonical_url"),
             col("_host").as("host"), col("_path").as("path"),
             col("_n_params").as("n_params"))
@@ -1096,15 +1166,7 @@ object CurationQueries {
       },
       Some(s"""WITH raw AS (
              |  SELECT doc_id,
-             |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
-             |      || '://WWW.Site' || (doc_id % 7) || '.COM'
-             |      || (CASE WHEN doc_id % 3 = 0 THEN ':443'
-             |               WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
-             |      || '/Dir/./Sub' || (doc_id % 5) || '/../Page'
-             |      || '?utm_source=x&b=' || (doc_id % 5)
-             |      || '&a=' || (doc_id % 3)
-             |      || (CASE WHEN doc_id % 4 = 0 THEN '&gclid=zz' ELSE '' END)
-             |      || '#Sec' AS url
+             |    $messyUrlFixtureSql AS url
              |  FROM documents),
              |${urlCanonCtes("raw")}
              |SELECT doc_id, canonical_url, host, path, n_params
@@ -1385,6 +1447,42 @@ object CurationQueries {
           .orderBy("domain")
       },
       Some(webCapstoneOracleSql)
+    ),
+
+    // ---- PER-DOMAIN curation census (r11, VERDICT r10 #7): the domain-
+    //      mixing decision table every web corpus needs — canonical
+    //      domain (canonicalizeUrls' _host) promoted to the first-class
+    //      group key, the q191 datasheet machinery rolled up per domain
+    //      (volume, exact median, dup load, language mix), the exact
+    //      token share, and the q85 temperature mixture weight the
+    //      training sampler consumes. One chain: canon → datasheet ⋈
+    //      mixtureWeights ⋈ share; the oracle composes the proven q251/
+    //      q191/q85 CTE blocks over the domain key.
+    QueryDef(
+      "q260_domain_census",
+      (s, dir) => {
+        val id = col("doc_id")
+        val docs = t(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(id, col("text"), col("lang"),
+            messyUrlFixture(id).as("url"))
+        val canon = Curation.canonicalizeUrls(docs, "url")
+          .withColumn("domain", col("_host"))
+        val sheet = Curation.datasheet(canon, "domain", "text", "lang")
+          .withColumnRenamed("source", "domain")
+        val mix = Curation.mixtureWeights(canon, "domain")
+          .select(col("domain"), col("weight"))
+        val total = broadcast(
+          sheet.agg(sum(col("total_tokens")).as("_tt")))
+        sheet.join(mix, Seq("domain"))
+          .crossJoin(total)
+          .withColumn("token_share",
+            round(col("total_tokens").cast("double")
+              / col("_tt").cast("double"), 6))
+          .drop("_tt")
+          .orderBy("domain")
+      },
+      Some(domainCensusOracleSql)
     ),
 
     // ---- IN-ENGINE quality-classifier TRAINING (r11, VERDICT r10 #3):

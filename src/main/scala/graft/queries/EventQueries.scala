@@ -242,6 +242,86 @@ object EventQueries {
               |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // ---- DECLARED-SCHEMA nested JSON flattening (r11, VERDICT r10 #6):
+    //      q50 stops at a scalar get_json_object; real telemetry is a
+    //      nested document with arrays-of-structs that the lake pipeline
+    //      flattens via from_json (declared schema — the lake contract,
+    //      no per-batch inference) + explode. The nested raw payload is
+    //      constructed deterministically in BOTH engines from event
+    //      fields around the REAL props key (the q251 synthetic-raw
+    //      pattern); the twin replays with json_extract + index unnest.
+    //      JsonFlattenSpec pins the scan shape: event_type pushed down,
+    //      ReadSchema pruned to the three touched columns.
+    QueryDef(
+      "q259_json_nested_flatten",
+      (s, dir) => {
+        val id = col("event_id")
+        val raw = concat(
+          lit("{\"device\":{\"os\":\""),
+          when(id % 3 === 0, lit("android"))
+            .when(id % 3 === 1, lit("ios")).otherwise(lit("web")),
+          lit("\",\"ver\":"), (id % 5).cast("string"),
+          lit("},\"tags\":[\"t"), (id % 4).cast("string"),
+          lit("\",\"t"), (id % 7).cast("string"),
+          lit("\"],\"metrics\":[{\"name\":\"lat\",\"val\":"),
+          (id % 100).cast("string"),
+          lit("},{\"name\":\"mem\",\"val\":"), (id % 17).cast("string"),
+          lit("}],\"k\":"),
+          get_json_object(col("props"), "$.k"),
+          lit("}"))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "device STRUCT<os: STRING, ver: BIGINT>, tags ARRAY<STRING>, " +
+            "metrics ARRAY<STRUCT<name: STRING, val: BIGINT>>, k BIGINT")
+        t(s, dir, "events")
+          .filter(col("event_type") === "click")
+          .select(id, col("props"))
+          .withColumn("_j", from_json(raw, schema))
+          .select(col("_j.device.os").as("os"),
+            size(col("_j.tags")).cast("long").as("_ntags"),
+            col("_j.k").as("_k"),
+            explode(col("_j.metrics")).as("m"))
+          .select(col("os"), col("_ntags"), col("_k"),
+            col("m.name").as("metric"), col("m.val").as("val"))
+          .groupBy("os", "metric")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("val")).cast("long").as("val_sum"),
+            sum(col("_ntags")).cast("long").as("tags_sum"),
+            sum(col("_k")).cast("long").as("k_sum"))
+          .orderBy("os", "metric")
+      },
+      Some("""WITH raw AS (
+             |  SELECT '{"device":{"os":"' ||
+             |    (CASE WHEN event_id % 3 = 0 THEN 'android'
+             |          WHEN event_id % 3 = 1 THEN 'ios'
+             |          ELSE 'web' END) ||
+             |    '","ver":' || (event_id % 5) ||
+             |    '},"tags":["t' || (event_id % 4) ||
+             |    '","t' || (event_id % 7) ||
+             |    '"],"metrics":[{"name":"lat","val":' || (event_id % 100) ||
+             |    '},{"name":"mem","val":' || (event_id % 17) ||
+             |    '}],"k":' || json_extract_string(props, '$.k') || '}'
+             |    AS raw
+             |  FROM events WHERE event_type = 'click'),
+             |m AS (
+             |  SELECT json_extract_string(raw, '$.device.os') AS os,
+             |    json_array_length(raw, '$.tags') AS ntags,
+             |    CAST(json_extract(raw, '$.k') AS BIGINT) AS k,
+             |    json_extract_string(raw,
+             |      '$.metrics[' || i || '].name') AS metric,
+             |    CAST(json_extract(raw,
+             |      '$.metrics[' || i || '].val') AS BIGINT) AS val
+             |  FROM (SELECT raw,
+             |      unnest(range(0, CAST(json_array_length(raw,
+             |        '$.metrics') AS BIGINT))) AS i
+             |    FROM raw))
+             |SELECT os, metric,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(val) AS BIGINT) AS val_sum,
+             |  CAST(sum(ntags) AS BIGINT) AS tags_sum,
+             |  CAST(sum(k) AS BIGINT) AS k_sum
+             |FROM m GROUP BY os, metric ORDER BY os, metric""".stripMargin)
+    ),
+
     // ---- as-of join: each purchase enriched with the user's most recent
     //      prior-or-simultaneous click (DuckDB verifies with native ASOF)
     QueryDef(

@@ -34,6 +34,7 @@ object ScaleSweep {
     "q255_web_curation_capstone",
     "q256_quality_classifier_train", "x256_quality_classifier_sparse",
     "q257_bpe_byte_level", "x258_graph_ann_beam_prod",
+    "q259_json_nested_flatten", "q260_domain_census",
     // similarity / ANN / graph. Excluded oracle-scale forms whose 100×
     // channel is an x-extra: q205 (16-bucket candidate-quadratic,
     // "sf-scale parity only" — x205/x214) and q168 (its oracle embeds
@@ -258,7 +259,11 @@ object ScaleSweep {
         "q244_substring_blocklist_census", "q245_unicode_nfc_census",
         "q246_wordpiece_ext_vocab", "x246_wordpiece_ext_vocab_30k",
         "q252_strip_accents_census", "q254_warc_ingest",
-        "q257_bpe_byte_level")),
+        "q257_bpe_byte_level",
+        // scan-side JSON parse + tiny (os, metric) agg — same shape
+        "q259_json_nested_flatten",
+        // canon + hash/count aggregations at domain grain — same shape
+        "q260_domain_census")),
     ShuffleBudget("exact-dedup", 32.0, // r10 max 12.6 (q134)
       Seq("q22_exact_dup_census", "q23_exact_dedup_keep_first",
         "q134_record_linkage")),

@@ -37,6 +37,21 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("l_quantity"))
   }
 
+  test("q259: event_type pushed to the scan; ReadSchema pruned to the " +
+    "three touched columns (from_json adds no scan width)") {
+    val p = plan(q("q259_json_nested_flatten"))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("EqualTo(event_type,click)"),
+      s"event_type filter not pushed:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse("")
+    assert(readSchema.contains("event_id") && readSchema.contains("props"),
+      s"scan missing needed columns: $readSchema")
+    assert(!readSchema.contains("user_id") && !readSchema.contains("value")
+      && !readSchema.contains("ts"),
+      s"scan reads unused columns: $readSchema")
+  }
+
   test("q04: dimension joins broadcast (no shuffle for small sides)") {
     val p = plan(q("q04_regional_revenue"))
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
