@@ -111,19 +111,19 @@ object CurationQueries {
     * `canon`(doc_id, canonical_url, host, path, n_params). Factored so
     * the q255 capstone replays the IDENTICAL chain q251 pins.
     */
-  private def urlCanonCtes(src: String): String =
-    s"""p1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nf
+  private def urlCanonCtes(src: String, sfx: String = ""): String =
+    s"""p1$sfx AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nf
        |  FROM $src),
-       |p2 AS (SELECT doc_id,
+       |p2$sfx AS (SELECT doc_id,
        |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))
        |    AS scheme,
        |  regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
-       |  FROM p1),
-       |p3 AS (SELECT doc_id, scheme,
+       |  FROM p1$sfx),
+       |p3$sfx AS (SELECT doc_id, scheme,
        |  regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
        |  regexp_replace(rest, '^[^/?]*', '') AS aft
-       |  FROM p2),
-       |p4 AS (SELECT doc_id, scheme,
+       |  FROM p2$sfx),
+       |p4$sfx AS (SELECT doc_id, scheme,
        |  regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
        |    '^www\\.', '') AS host,
        |  regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
@@ -131,8 +131,8 @@ object CurationQueries {
        |  CASE WHEN contains(aft, '?')
        |    THEN regexp_replace(aft, '^[^?]*\\?', '') ELSE '' END
        |    AS queryraw
-       |  FROM p3),
-       |p5 AS (SELECT doc_id, scheme, host, port,
+       |  FROM p3$sfx),
+       |p5$sfx AS (SELECT doc_id, scheme, host, port,
        |  list_reduce([''] || string_split(pathraw, '/'), (acc, x) ->
        |    CASE WHEN x = '' OR x = '.' THEN acc
        |         WHEN x = '..' THEN regexp_replace(acc, '/[^/]*$$', '')
@@ -141,8 +141,8 @@ object CurationQueries {
        |    x <> '' AND NOT starts_with(x, 'utm_')
        |      AND NOT starts_with(x, 'fbclid=')
        |      AND NOT starts_with(x, 'gclid='))) AS plist
-       |  FROM p4),
-       |canon AS (SELECT doc_id,
+       |  FROM p4$sfx),
+       |canon$sfx AS (SELECT doc_id,
        |  scheme || '://' || host ||
        |    CASE WHEN port <> ''
        |         AND NOT (scheme = 'https' AND port = '443')
@@ -155,7 +155,7 @@ object CurationQueries {
        |  host,
        |  CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
        |  CAST(len(plist) AS BIGINT) AS n_params
-       |FROM p5)""".stripMargin
+       |FROM p5$sfx)""".stripMargin
 
   /** The HTML→text extraction chain (q253's oracle) as a reusable scalar
     * SQL expression on a column: script/style/comment blocks dropped
@@ -254,6 +254,88 @@ object CurationQueries {
        |JOIN nl USING (domain) JOIN top USING (domain)
        |JOIN wt USING (domain), tt
        |ORDER BY domain""".stripMargin
+
+  /** q261's oracle: the canon chain twice (page URLs, link targets —
+    * suffix-parameterized CTEs; link rows keyed doc_id·10+i), the href
+    * extraction twin, and the q99 PageRank iteration chain over the
+    * domain-id graph.
+    */
+  private def linkGraphOracleSql: String = {
+    def linkUrlSql(tgt: String): String =
+      s"'https://WWW.Site' || ($tgt) || '.COM:443/Ref/./x/../p' || " +
+        s"(doc_id % 5) || '?utm_campaign=z&a=1#top'"
+    // triple-quoted: \s stays a literal backslash-s for the SQL regex
+    val pat = """(?i)<a\s[^>]*href=["'']([^"'']+)["'']"""
+    def prIter(k: Int): String =
+      s"""c$k AS (SELECT eid.dst,
+         |    sum(CAST(r${k - 1}.r / deg.deg AS DECIMAL(28,12))) AS s
+         |  FROM eid JOIN deg USING (src)
+         |  JOIN r${k - 1} ON r${k - 1}.node = eid.src
+         |  GROUP BY 1),
+         |r$k AS (SELECT node,
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+         |      + CAST(0.85 AS DOUBLE) * coalesce(CAST(s AS DOUBLE), 0.0)
+         |      AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c$k ON c$k.dst = node)"""
+        .stripMargin
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    $messyUrlFixtureSql AS url,
+       |    '<html><body><p>' || text || '</p><a href="' ||
+       |      ${linkUrlSql("(doc_id + 1) % 7")} ||
+       |      '">n1</a><a class=''x'' href=''' ||
+       |      ${linkUrlSql("(doc_id * 2 + 3) % 7")} || '''>n2</a>' ||
+       |      (CASE WHEN doc_id % 5 = 0 THEN '<a href="' ||
+       |        ${linkUrlSql("(doc_id + 4) % 7")} || '">n3</a>'
+       |       ELSE '' END) ||
+       |      '</body></html>' AS html
+       |  FROM documents WHERE text IS NOT NULL),
+       |${urlCanonCtes("raw")},
+       |own AS MATERIALIZED (SELECT doc_id, host AS src_domain FROM canon),
+       |larr AS (SELECT doc_id,
+       |    regexp_extract_all(html, '$pat', 1) AS ls
+       |  FROM raw),
+       |lnk AS (SELECT doc_id * 10 + i AS doc_id, ls[CAST(i AS INT)] AS url
+       |  FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i
+       |        FROM larr)),
+       |${urlCanonCtes("lnk", "L")},
+       |dst AS MATERIALIZED (
+       |  SELECT o.doc_id, o.src_domain, cl.host AS dst_domain
+       |  FROM canonL cl JOIN own o ON o.doc_id = cl.doc_id // 10),
+       |ed AS MATERIALIZED (
+       |  SELECT DISTINCT src_domain AS s, dst_domain AS d FROM dst),
+       |dim AS MATERIALIZED (SELECT domain,
+       |    CAST(row_number() OVER (ORDER BY domain) AS BIGINT) AS nid
+       |  FROM (SELECT DISTINCT s AS domain FROM ed
+       |        UNION SELECT d FROM ed)),
+       |eid AS MATERIALIZED (SELECT ds.nid AS src, dd.nid AS dst
+       |  FROM ed JOIN dim ds ON ds.domain = ed.s
+       |  JOIN dim dd ON dd.domain = ed.d),
+       |deg AS (SELECT src, count(*) AS deg FROM eid GROUP BY 1),
+       |nodes AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM eid UNION ALL SELECT dst FROM eid)),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS r
+       |  FROM nodes CROSS JOIN nn),
+       |${prIter(1)},
+       |${prIter(2)},
+       |${prIter(3)},
+       |ol AS (SELECT src_domain AS domain, count(*) AS n_links
+       |  FROM dst GROUP BY 1),
+       |od AS (SELECT s AS domain, count(*) AS out_domains FROM ed
+       |  GROUP BY 1),
+       |idg AS (SELECT d AS domain, count(*) AS in_domains FROM ed
+       |  GROUP BY 1)
+       |SELECT dim.domain,
+       |  CAST(coalesce(ol.n_links, 0) AS BIGINT) AS n_links,
+       |  CAST(coalesce(od.out_domains, 0) AS BIGINT) AS out_domains,
+       |  CAST(coalesce(idg.in_domains, 0) AS BIGINT) AS in_domains,
+       |  round(r3.r, 10) AS rank
+       |FROM dim JOIN r3 ON r3.node = dim.nid
+       |LEFT JOIN ol USING (domain) LEFT JOIN od USING (domain)
+       |LEFT JOIN idg USING (domain)
+       |ORDER BY domain""".stripMargin
+  }
 
   /** q256's oracle: the WHOLE classifier training unrolled as chained
     * CTEs. wi0 = zero weights; for k = 0..3, sc_k scores every doc with
@@ -1483,6 +1565,85 @@ object CurationQueries {
           .orderBy("domain")
       },
       Some(domainCensusOracleSql)
+    ),
+
+    // ---- LINK-GRAPH extraction + domain PageRank (r11): the crawl-
+    //      frontier half of web curation — anchor hrefs pulled from the
+    //      page HTML (both quote styles, attribute junk tolerated),
+    //      canonicalized with the SAME rule chain as the page URLs, and
+    //      folded into a distinct domain→domain edge list that the q99
+    //      PageRank machinery ranks (DECIMAL-routed contributions, 3
+    //      iterations). Per-domain readout: raw link volume, distinct
+    //      out/in domains, rank. The oracle runs the canon chain TWICE
+    //      (page URLs + link targets, suffix-parameterized CTEs) and
+    //      replays the q99 iteration chain on the tiny domain graph.
+    QueryDef(
+      "q261_link_graph_pagerank",
+      (s, dir) => {
+        val id = col("doc_id")
+        def linkUrl(tgt: Column): Column = concat(
+          lit("https://WWW.Site"), tgt.cast("string"),
+          lit(".COM:443/Ref/./x/../p"), (id % 5).cast("string"),
+          lit("?utm_campaign=z&a=1#top"))
+        val html = concat(
+          lit("<html><body><p>"), col("text"),
+          lit("</p><a href=\""), linkUrl((id + 1) % 7),
+          lit("\">n1</a><a class='x' href='"),
+          linkUrl((id * 2 + 3) % 7), lit("'>n2</a>"),
+          when(id % 5 === 0,
+            concat(lit("<a href=\""), linkUrl((id + 4) % 7),
+              lit("\">n3</a>"))).otherwise(lit("")),
+          lit("</body></html>"))
+        val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(id, messyUrlFixture(id).as("url"), html.as("_html"))
+        val own = Curation.canonicalizeUrls(docs, "url")
+          .select(id, col("_host").as("src_domain"), col("_html"))
+        val pat = "(?i)<a\\s[^>]*href=[\"']([^\"']+)[\"']"
+        val links = own.select(col("doc_id"), col("src_domain"),
+          explode(regexp_extract_all(col("_html"), lit(pat), lit(1)))
+            .as("href"))
+        val dst = Curation.canonicalizeUrls(links, "href")
+          .select(col("doc_id"), col("src_domain"),
+            col("_host").as("dst_domain"))
+        val edges = dst.select("src_domain", "dst_domain").distinct()
+          .localCheckpoint(true)
+        // |domains|-sized dim — the partitionless window sees a handful
+        // of rows, never the corpus
+        val dim = edges.select(col("src_domain").as("domain"))
+          .union(edges.select(col("dst_domain")))
+          .distinct()
+          .withColumn("nid",
+            row_number().over(Window.orderBy("domain")).cast("long"))
+          .localCheckpoint(true)
+        val eIds = edges
+          .join(dim.select(col("domain").as("src_domain"),
+            col("nid").as("sid")), "src_domain")
+          .join(dim.select(col("domain").as("dst_domain"),
+            col("nid").as("did")), "dst_domain")
+          .select("sid", "did")
+        val ranks = graft.ext.Graph.pageRank(eIds, "sid", "did",
+          iterations = 3, assumeDistinct = true)
+        val outLinks = dst.groupBy("src_domain")
+          .agg(count(lit(1)).cast("long").as("n_links"))
+        val outDeg = edges.groupBy("src_domain")
+          .agg(count(lit(1)).cast("long").as("out_domains"))
+        val inDeg = edges.groupBy("dst_domain")
+          .agg(count(lit(1)).cast("long").as("in_domains"))
+        dim.join(ranks, dim("nid") === ranks("node"))
+          .join(outLinks.withColumnRenamed("src_domain", "domain"),
+            Seq("domain"), "left")
+          .join(outDeg.withColumnRenamed("src_domain", "domain"),
+            Seq("domain"), "left")
+          .join(inDeg.withColumnRenamed("dst_domain", "domain"),
+            Seq("domain"), "left")
+          .select(col("domain"),
+            coalesce(col("n_links"), lit(0L)).as("n_links"),
+            coalesce(col("out_domains"), lit(0L)).as("out_domains"),
+            coalesce(col("in_domains"), lit(0L)).as("in_domains"),
+            round(col("r"), 10).as("rank"))
+          .orderBy("domain")
+      },
+      Some(linkGraphOracleSql)
     ),
 
     // ---- IN-ENGINE quality-classifier TRAINING (r11, VERDICT r10 #3):

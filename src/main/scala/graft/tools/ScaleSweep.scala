@@ -35,6 +35,7 @@ object ScaleSweep {
     "q256_quality_classifier_train", "x256_quality_classifier_sparse",
     "q257_bpe_byte_level", "x258_graph_ann_beam_prod",
     "q259_json_nested_flatten", "q260_domain_census",
+    "q261_link_graph_pagerank",
     // similarity / ANN / graph. Excluded oracle-scale forms whose 100×
     // channel is an x-extra: q205 (16-bucket candidate-quadratic,
     // "sf-scale parity only" — x205/x214) and q168 (its oracle embeds
@@ -263,7 +264,9 @@ object ScaleSweep {
         // scan-side JSON parse + tiny (os, metric) agg — same shape
         "q259_json_nested_flatten",
         // canon + hash/count aggregations at domain grain — same shape
-        "q260_domain_census")),
+        "q260_domain_census",
+        // scan-side href extraction + |domains|-sized graph — same shape
+        "q261_link_graph_pagerank")),
     ShuffleBudget("exact-dedup", 32.0, // r10 max 12.6 (q134)
       Seq("q22_exact_dup_census", "q23_exact_dedup_keep_first",
         "q134_record_linkage")),
