@@ -1591,10 +1591,16 @@ object Similarity {
     transform(c, x => round(x.cast("double") * 1000).cast("long"))
 
   /** Integer squared L2 between two quantized vectors — exact long math
-    * (64 dims × (≤4000)² stays far under Long range). HOF inputs must
-    * be materialized attributes at call sites (the q84 rule).
+    * (64 dims × (≤4000)² stays far under Long range), via graft's native
+    * fused expression (whole-stage codegen; the composable HOF form runs
+    * interpreted and allocates per evaluation — r11: the q258 graph
+    * build spent its whole budget there). [[qdistL2Composable]] is the
+    * bit-identity cross-check twin.
     */
   def qdistL2(a: Column, b: Column): Column =
+    call_function("qdist_l2", a, b)
+
+  private[graft] def qdistL2Composable(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 
@@ -1602,6 +1608,15 @@ object Similarity {
     * node its `degree` nearest by (integer L2, id) — the ORACLE
     * channel's index build (all-pairs, sf-gated like the q205 family;
     * [[knnGraphBucketed]] is the scale build). Output (s, d).
+    *
+    * Per-node top-`degree` runs as the packed bounded aggregate
+    * (shiftleft(qd, idBits) + d into top_k_longs — the knnJoin/pqKnnJoin
+    * recipe: map-side codegen HashAggregate instead of a window that
+    * shuffles AND sorts every candidate pair) whenever the driver-checked
+    * bounds fit a long: qd ≤ dim·(2·maxAbs)², ids in [0, 2^idBits), and
+    * degree ≤ 64 (the aggregate's O(k²) merge limit). The window form
+    * stays as the general fallback — identical output by the same
+    * (qd, d) lexicographic order.
     */
   def knnGraphExact(df: DataFrame, idCol: String, vecCol: String,
       degree: Int): DataFrame = {
@@ -1609,13 +1624,29 @@ object Similarity {
     val v = df.select(col(idCol).as("s"), quantVec(col(vecCol)).as("_vs"))
       .repartition(sp)
     val w = df.select(col(idCol).as("d"), quantVec(col(vecCol)).as("_vd"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("s").orderBy(col("_qd"), col("d"))
-    v.crossJoin(w).filter(col("s") =!= col("d"))
+    val scored = v.crossJoin(w).filter(col("s") =!= col("d"))
       .withColumn("_qd", qdistL2(col("_vs"), col("_vd")))
-      .withColumn("_rn", row_number().over(win))
-      .filter(col("_rn") <= degree)
-      .select("s", "d")
+    // one tiny driver pass bounds the pack: max |quantized component|,
+    // dim, and the id range (the knnJoin packability check, adapted to
+    // integer distances)
+    val idBits = packIdBits(df, idCol, vecCol)
+    if (idBits > 0 && degree <= 64) {
+      val idType = df.schema(df.schema.fieldIndex(idCol)).dataType
+      scored.groupBy("s")
+        .agg(graft.functions.GraftFunctions
+          .topKLongs(shiftleft(col("_qd"), idBits) + col("d").cast("long"),
+            degree).as("_pk"))
+        .select(col("s"), explode(col("_pk")).as("_p"))
+        .select(col("s"),
+          col("_p").bitwiseAND(lit((1L << idBits) - 1)).cast(idType).as("d"))
+    } else {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("s").orderBy(col("_qd"), col("d"))
+      scored
+        .withColumn("_rn", row_number().over(win))
+        .filter(col("_rn") <= degree)
+        .select("s", "d")
+    }
   }
 
   /** Production graph build: the bucketed [[knnJoin]] (SRP buckets +
@@ -1653,35 +1684,119 @@ object Similarity {
     */
   def beamSearchTopK(df: DataFrame, idCol: String, vecCol: String,
       graph: DataFrame, queryPred: Column, k: Int, ef: Int,
-      hops: Int, entryId: Long): DataFrame = {
+      hops: Int, entryId: Long): DataFrame =
+    beamSearchTopKWithBounds(df, idCol, vecCol, graph, queryPred, k, ef,
+      hops, entryId, packIdBits(df, idCol, vecCol))
+
+  /** Driver-checked packability of the (qd, id) pair into one long:
+    * returns the id width when qd ≤ dim·(2·maxAbs)² and ids are
+    * nonnegative and narrow enough, else -1 (callers fall back to the
+    * window form). One tiny aggregate job — shared across the graph
+    * build / beam searches of one query via explicit passing.
+    */
+  private[graft] def packIdBits(df: DataFrame, idCol: String,
+      vecCol: String): Int = {
+    val idIntegral = df.schema(df.schema.fieldIndex(idCol)).dataType match {
+      case _: org.apache.spark.sql.types.IntegerType |
+          _: org.apache.spark.sql.types.LongType |
+          _: org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    if (!idIntegral) return -1
+    val b = df.select(col(idCol).cast("long").as("_i"),
+        quantVec(col(vecCol)).as("_q"))
+      .agg(min(col("_i")), max(col("_i")),
+        max(array_max(transform(col("_q"), x => abs(x)))),
+        max(size(col("_q"))))
+      .head()
+    if (b.isNullAt(0) || b.getLong(0) < 0) return -1
+    val idBits =
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(b.getLong(1), 1L))
+    val maxAbs = BigInt(b.getLong(2))
+    val qdMax = BigInt(b.getInt(3)) * (2 * maxAbs) * (2 * maxAbs)
+    if (idBits + qdMax.bitLength <= 63) idBits else -1
+  }
+
+  private[graft] def beamSearchTopKWithBounds(df: DataFrame, idCol: String,
+      vecCol: String, graph: DataFrame, queryPred: Column, k: Int, ef: Int,
+      hops: Int, entryId: Long, idBits: Int): DataFrame = {
+    val idType = df.schema(df.schema.fieldIndex(idCol)).dataType
     val vecs = df.select(col(idCol).as("v"), quantVec(col(vecCol)).as("_vv"))
     val queries = df.filter(queryPred)
       .select(col(idCol).as("q"), quantVec(col(vecCol)).as("_qv"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("q").orderBy(col("_qd"), col("v"))
 
-    def score(cand: DataFrame): DataFrame =
-      vecs.join(broadcast(cand), Seq("v"))
-        .join(broadcast(queries), Seq("q"))
-        .withColumn("_qd", qdistL2(col("_vv"), col("_qv")))
-
-    var beam = queries.select(col("q"), lit(entryId).as("v"))
-    for (_ <- 1 to hops) {
-      val expanded = beam.union(
-          beam.join(graph, beam("v") === graph("s"))
-            .select(beam("q"), graph("d").as("v")))
-        .distinct()
-      beam = score(expanded)
-        .withColumn("_rn", row_number().over(win))
-        .filter(col("_rn") <= ef)
-        .select("q", "v")
-        .localCheckpoint()
+    if (idBits > 0) {
+      // packed path (r11): the beam state is one long per member —
+      // shiftleft(qd, idBits) + id preserves the (qd, id) order — so each
+      // hop's merge + dedup + top-ef is ONE tiny groupBy (sorted distinct
+      // array, sliced to ef) instead of a distinct exchange plus a window
+      // exchange, and the final per-query ranking is array arithmetic
+      // instead of a re-scoring pass + window. The beam is query-batch-
+      // bounded (nq·ef rows) at ANY corpus size, so collect_list here is
+      // safe by construction. All checkpoints LAZY: the whole search
+      // materializes inside the caller's one action instead of one
+      // blocking job per hop (12 hop-jobs across q258's three widths
+      // were pure scheduling overhead).
+      val mask = (1L << idBits) - 1
+      def unpackV(p: Column): Column = p.bitwiseAND(lit(mask)).cast(idType)
+      def scorePairs(cand: DataFrame): DataFrame =
+        vecs.join(broadcast(cand), Seq("v"))
+          .join(broadcast(queries), Seq("q"))
+          .select(col("q"),
+            (shiftleft(qdistL2(col("_vv"), col("_qv")), idBits) +
+              col("v").cast("long")).as("_pk"))
+      var beam = scorePairs(
+          queries.select(col("q"), lit(entryId).cast(idType).as("v")))
+        .localCheckpoint(false)
+      var lastSorted: DataFrame = null
+      for (_ <- 1 to hops) {
+        val expansion = beam
+          .select(col("q"), unpackV(col("_pk")).as("v"))
+          .join(graph, col("v") === graph("s"))
+          .select(col("q"), graph("d").as("v"))
+        val merged = beam.unionByName(scorePairs(expansion))
+        lastSorted = merged.groupBy("q")
+          .agg(slice(array_sort(array_distinct(collect_list(col("_pk")))),
+            1, ef).as("_bs"))
+          .localCheckpoint(false)
+        beam = lastSorted
+          .select(col("q"), explode(col("_bs")).as("_pk"))
+      }
+      // final top-k of the ef-beam, query itself excluded — array ops on
+      // the already-sorted beam, no re-scoring, no window
+      lastSorted
+        .select(col("q"), posexplode(slice(
+          filter(col("_bs"), p => unpackV(p) =!= col("q")), 1, k))
+          .as(Seq("_r0", "_pk")))
+        .select(col("q"), unpackV(col("_pk")).as("v"),
+          shiftright(col("_pk"), idBits).as("qd"),
+          (col("_r0") + 1).cast("long").as("rank"))
+    } else {
+      // general fallback: the windowed definition
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("q").orderBy(col("_qd"), col("v"))
+      def score(cand: DataFrame): DataFrame =
+        vecs.join(broadcast(cand), Seq("v"))
+          .join(broadcast(queries), Seq("q"))
+          .withColumn("_qd", qdistL2(col("_vv"), col("_qv")))
+      var beam = queries.select(col("q"), lit(entryId).as("v"))
+      for (_ <- 1 to hops) {
+        val expanded = beam.union(
+            beam.join(graph, beam("v") === graph("s"))
+              .select(beam("q"), graph("d").as("v")))
+          .distinct()
+        beam = score(expanded)
+          .withColumn("_rn", row_number().over(win))
+          .filter(col("_rn") <= ef)
+          .select("q", "v")
+          .localCheckpoint(false)
+      }
+      score(beam)
+        .filter(col("q") =!= col("v"))
+        .withColumn("rank", row_number().over(win).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("q"), col("v"), col("_qd").as("qd"), col("rank"))
     }
-    score(beam)
-      .filter(col("q") =!= col("v"))
-      .withColumn("rank", row_number().over(win).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q"), col("v"), col("_qd").as("qd"), col("rank"))
   }
 
   /** The q258 readout: recall@k of the beam search against exact brute
@@ -1697,24 +1812,54 @@ object Similarity {
     val queries = df.filter(queryPred)
       .select(col(idCol).as("q"), quantVec(col(vecCol)).as("_qv"))
     val nq = queries.count()
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("q").orderBy(col("_qd"), col("v"))
-    val brute = vecs.crossJoin(broadcast(queries))
+    // pack bounds computed ONCE and shared by brute force + every width
+    val idBits = packIdBits(df, idCol, vecCol)
+    val scored = vecs.crossJoin(broadcast(queries))
       .filter(col("q") =!= col("v"))
       .withColumn("_qd", qdistL2(col("_vv"), col("_qv")))
-      .withColumn("_rn", row_number().over(win))
-      .filter(col("_rn") <= k)
-      .select("q", "v")
-      .localCheckpoint()
-    efs.map { ef =>
-      val hits = beamSearchTopK(df, idCol, vecCol, graph, queryPred,
-          k, ef, hops, entryId)
-        .select("q", "v").join(brute, Seq("q", "v"))
-        .agg(count(lit(1)).as("_m"))
-      hits.select(lit(ef.toLong).as("beam_width"),
+    val brute = (if (idBits > 0) {
+      // packed top-k (the knnGraphExact recipe): map-side HashAggregate
+      // instead of a window sort of every (query, vector) pair
+      scored.groupBy("q")
+        .agg(graft.functions.GraftFunctions.topKLongs(
+          shiftleft(col("_qd"), idBits) + col("v").cast("long"), k).as("_pk"))
+        .select(col("q"), explode(col("_pk")).as("_p"))
+        .select(col("q"),
+          col("_p").bitwiseAND(lit((1L << idBits) - 1))
+            .cast(df.schema(df.schema.fieldIndex(idCol)).dataType).as("v"))
+    } else {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("q").orderBy(col("_qd"), col("v"))
+      scored
+        .withColumn("_rn", row_number().over(win))
+        .filter(col("_rn") <= k)
+        .select("q", "v")
+    }).localCheckpoint() // EAGER: shared by the concurrently-driven widths
+    // the per-width searches are independent serial chains of tiny stages
+    // (hop -> broadcast -> hop ...); driving them from driver threads
+    // overlaps those chains (guide-§2.6 back-fill) instead of paying each
+    // width's scheduling latency in sequence. Only the hit COUNT (one long
+    // per width) is collected; the readout arithmetic stays the identical
+    // Spark expressions on a local relation.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val spark = df.sparkSession
+    val counts: Seq[(Int, Long)] = Await.result(
+      Future.traverse(efs) { ef => Future {
+        val m = beamSearchTopKWithBounds(df, idCol, vecCol, graph,
+            queryPred, k, ef, hops, entryId, idBits)
+          .select("q", "v").join(brute, Seq("q", "v"))
+          .agg(count(lit(1)).as("_m"))
+          .head().getLong(0)
+        ef -> m
+      }}, Duration.Inf)
+    import spark.implicits._
+    counts.toDF("_ef", "_m")
+      .select(col("_ef").cast("long").as("beam_width"),
         lit(nq).as("n_queries"),
         round(col("_m").cast("double") /
           lit((nq * k).toDouble), 4).as("recall_at_k"))
-    }.reduce(_.unionAll(_)).orderBy("beam_width")
+      .orderBy("beam_width")
   }
 }

@@ -268,6 +268,14 @@ object GraftFunctions {
       }
     ),
     (
+      "qdist_l2",
+      new ExpressionInfo(classOf[QDistL2].getName, "qdist_l2"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "qdist_l2 takes 2 arguments")
+        QDistL2(args.head, args(1))
+      }
+    ),
+    (
       "gpt2_byte_sym",
       new ExpressionInfo(classOf[Gpt2ByteSym].getName, "gpt2_byte_sym"),
       (args: Seq[Expression]) => {

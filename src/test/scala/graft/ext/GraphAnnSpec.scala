@@ -65,6 +65,51 @@ class GraphAnnSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("native qdist_l2 is bit-identical to the composable HOF twin, " +
+    "including null/mismatch degenerate cases") {
+    import spark.implicits._
+    val rows = Seq(
+      (Seq(0L, 3L, -5L), Seq(4L, 0L, 5L)),
+      (Seq(1000L, -1000L, 0L), Seq(-1000L, 1000L, 1L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(1L, 2L), Seq(1L, 2L, 3L)), // length mismatch -> null
+      (null, Seq(1L)), // null side -> null
+      (Seq(7L), null)
+    ).toDF("a", "b")
+    val cmp = rows.select(
+      Similarity.qdistL2(col("a"), col("b")).as("native"),
+      Similarity.qdistL2Composable(col("a"), col("b")).as("hof"))
+    assert(cmp.filter(not(col("native") <=> col("hof"))).count() == 0)
+    // and on real quantized embedding pairs
+    val v = e.limit(50).select(col("vec_id"),
+      Similarity.quantVec(col("embedding")).as("_q"))
+    val p = v.select(col("vec_id").as("ia"), col("_q").as("qa"))
+      .crossJoin(v.select(col("vec_id").as("ib"), col("_q").as("qb")))
+    val diff = p.select(
+      Similarity.qdistL2(col("qa"), col("qb")).as("native"),
+      Similarity.qdistL2Composable(col("qa"), col("qb")).as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+    assert(diff.count() == 0)
+  }
+
+  test("packed top-k graph build == windowed definition (same (qd, d) " +
+    "order, same edge set)") {
+    val g = Similarity.knnGraphExact(e, "vec_id", "embedding", degree = 6)
+    // re-derive via the bare window definition over the composable distance
+    val v = e.select(col("vec_id").as("s"),
+      Similarity.quantVec(col("embedding")).as("_vs"))
+    val w = e.select(col("vec_id").as("d"),
+      Similarity.quantVec(col("embedding")).as("_vd"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("s").orderBy(col("_qd"), col("d"))
+    val ref = v.crossJoin(w).filter(col("s") =!= col("d"))
+      .withColumn("_qd", Similarity.qdistL2Composable(col("_vs"), col("_vd")))
+      .withColumn("_rn", row_number().over(win))
+      .filter(col("_rn") <= 6)
+      .select("s", "d")
+    assert(g.exceptAll(ref).count() == 0 && ref.exceptAll(g).count() == 0)
+  }
+
   test("bucketed production graph is degree-capped and self-free") {
     val g = Similarity.knnGraphBucketed(e, "vec_id", "embedding",
       degree = 6, dim = 64, nBits = 8, probeHamming = 1, portable = true)
