@@ -36,7 +36,8 @@ object Graph {
       dstCol: String,
       iterations: Int = 3,
       damping: Double = 0.85,
-      assumeDistinct: Boolean = false
+      assumeDistinct: Boolean = false,
+      broadcastRanksBelow: Long = 4000000L
   ): DataFrame = {
     val e0 = edges
       .select(col(srcCol).cast("long").as("src"),
@@ -48,26 +49,45 @@ object Graph {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
-    val nN = broadcast(nodes.agg(count(lit(1)).cast("long").as("n")))
+    // n collected ONCE (nodes is already materialized, so this is a
+    // metadata-cheap job) — (1-d)/n and 1/n inline as literals with the
+    // identical long->double division, and the node count doubles as the
+    // broadcast gate below
+    val n = nodes.count()
     val deg = e.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
     // the only full-edge-list materialization: (src, dst, deg) reused by
     // every iteration's contribution join
     val eDeg = e.join(deg, "src").localCheckpoint(true)
+    // r11: the per-iteration rank tables are |nodes|-sized — far below
+    // broadcast range on any graph whose rank vector a driver MM could
+    // hold anyway. Broadcasting them keeps the edge list UNSHUFFLED in
+    // the contribution join (map-side BHJ + partial DECIMAL aggregation
+    // over the checkpointed edge partitions); the pre-r11 SMJ shape
+    // additionally AQE-coalesced its post-shuffle side to ONE task that
+    // sort-merged 1.18M rows per iteration (measured 1.9 s/iter at
+    // sf0.1). Above the gate (4M nodes ≈ 64 MB broadcast) the
+    // shuffle-join form is the right plan and stays. Below ~4k nodes the
+    // whole iteration is trivial either way and the per-iteration
+    // broadcast-BUILD jobs are the larger cost (q261's domain graph
+    // measured +0.5 s under always-broadcast) — tiny graphs keep the
+    // plain join.
+    val small = n >= 4096 && n <= broadcastRanksBelow
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
-    var ranks = nodes.crossJoin(nN)
-      .select(col("node"), (lit(1.0) / col("n")).as("r"))
+    var ranks = nodes
+      .select(col("node"), (lit(1.0) / lit(n)).as("r"))
       .localCheckpoint(true)
     for (_ <- 1 to iterations) {
       val contribs = eDeg
-        .join(ranks.select(col("node").as("src"), col("r")), "src")
+        .join(maybeB(ranks.select(col("node").as("src"), col("r"))), "src")
         .select(col("dst"),
           (col("r") / col("deg")).cast(DecimalType(28, 12)).as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).as("s"))
-      ranks = nodes.crossJoin(nN)
-        .join(contribs, col("node") === col("dst"), "left")
+      ranks = nodes
+        .join(maybeB(contribs), col("node") === col("dst"), "left")
         .select(col("node"),
-          ((lit(1.0) - lit(damping)) / col("n")
+          ((lit(1.0) - lit(damping)) / lit(n)
             + lit(damping) * coalesce(col("s").cast("double"), lit(0.0)))
             .as("r"))
         .localCheckpoint(true)
