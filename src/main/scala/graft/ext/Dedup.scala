@@ -42,6 +42,12 @@ object Dedup {
     * has no DuckDB counterpart).
     */
   def portableHash60(c: Column): Column =
+    call_function("portable_hash60", c.cast("binary"))
+
+  /** The pre-r11 composable form — kept as the bit-identity cross-check
+    * twin of the native expression (the MinHashSignature precedent).
+    */
+  private[graft] def portableHash60Composable(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** Duplicate-group summary: one row per content hash with >1 occurrence. */
@@ -66,14 +72,35 @@ object Dedup {
     * jaccard(empty, empty) = 0, matching set semantics in any engine);
     * shorter-than-n text → one whole-text gram.
     */
-  def wordNgrams(c: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(c)
+  def wordNgrams(c: Column, n: Int = 3): Column =
+    wordNgramsOfTokens(TextAnalysis.tokens(c), n)
+
+  /** [[wordNgrams]] over an ALREADY-MATERIALIZED token-array attribute.
+    * Call this (with the tokens projected once) whenever the gram array
+    * feeds another higher-order function: an inline `tokens(text)` inside
+    * the window lambda re-evaluates the whole tokenization per ELEMENT
+    * (the q84 rule — O(tokens²)/doc interpreted).
+    */
+  def wordNgramsOfTokens(toks: Column, n: Int): Column =
     array_distinct(
       when(size(toks) === 0, array().cast("array<string>"))
         .when(size(toks) < n, array(concat_ws(" ", toks)))
         .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n))))))
-  }
+
+  /** Distinct 64-bit hashes of the word n-grams, in ONE fused native pass
+    * (graft's `word_gram_hashes`): no gram strings, no interpreted HOFs.
+    * The hash family is the expression's token-polynomial roll, NOT
+    * xxhash64-of-the-gram-string — legal exactly for the consumers whose
+    * outputs are hash-function-INDEPENDENT (cardinality-only set math:
+    * Jaccard/containment values, prefix-filter candidate generation under
+    * any consistent total order). The r11 composable form
+    * `array_distinct(transform(wordNgrams(text), hash))` additionally
+    * re-evaluated the inline gram subtree per element — a ~50× interpreted
+    * blowup on every pair-op's scan side.
+    */
+  private def hashedGramSet(text: Column, n: Int): Column =
+    call_function("word_gram_hashes", TextAnalysis.tokens(text), lit(n))
 
   /** Exact Jaccard similarity between two DISTINCT-element arrays, via
     * graft's native fused expression (one hash-set build, membership
@@ -106,16 +133,18 @@ object Dedup {
     // grams are hashed to longs once per document: the O(pairs) intersect/
     // union math then runs on fixed-width longs instead of strings (~5×).
     // A cross-gram hash collision would perturb one jaccard value; at 64
-    // bits over ~100-gram unions that chance is ~1e-15 per pair.
-    val base = df.select(
-      (col(idCol) +: groupCols.map(col)) :+
-        array_distinct(transform(wordNgrams(col(textCol), n), g => xxhash64(g)))
-          .as("_grams"): _*)
+    // bits over ~100-gram unions that chance is ~1e-15 per pair. r11: the
+    // hashing is the fused native word_gram_hashes pass, projected ABOVE
+    // a round-robin repartition so single-file local inputs don't hash
+    // the whole corpus in the one scan task; the pair loop itself runs
+    // post-shuffle on the groupCols partitions either way.
+    val base = df
+      .select((col(idCol) +: groupCols.map(col)) :+ col(textCol): _*)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select((col(idCol) +: groupCols.map(col)) :+
+        hashedGramSet(col(textCol), n).as("_grams"): _*)
     val a = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c,
       if (c == "_grams") "_grams_a" else if (c == idCol) "id_a" else c))
-      // the probe side carries the O(pairs) work; small single-file inputs
-      // otherwise run the whole pair loop in ONE task
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val b = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c,
       if (c == "_grams") "_grams_b" else if (c == idCol) "id_b" else c))
     a.join(b, groupCols)
@@ -156,13 +185,15 @@ object Dedup {
       n: Int = 1,
       minContainment: Double = 0.8
   ): DataFrame = {
-    val base = df.select(
-      (col(idCol) +: groupCols.map(col)) :+
-        array_distinct(transform(wordNgrams(col(textCol), n), g => xxhash64(g)))
-          .as("_grams"): _*)
+    // r11: fused native gram hashing above a repartition — see
+    // ngramJaccardPairs; containment values are cardinality-only too
+    val base = df
+      .select((col(idCol) +: groupCols.map(col)) :+ col(textCol): _*)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select((col(idCol) +: groupCols.map(col)) :+
+        hashedGramSet(col(textCol), n).as("_grams"): _*)
     val a = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c,
       if (c == "_grams") "_grams_a" else if (c == idCol) "id_a" else c))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val b = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c,
       if (c == "_grams") "_grams_b" else if (c == idCol) "id_b" else c))
     val ga = col("_grams_a")
@@ -227,11 +258,23 @@ object Dedup {
   ): DataFrame =
     df.select(col(idCol), col(textCol))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      // r11: tokens and grams are MATERIALIZED attributes (one projection
+      // each — CollapseProject keeps non-cheap aliases) so neither HOF
+      // lambda re-evaluates its input subtree per element; the old inline
+      // form re-ran the whole tokenize+gram build per GRAM (q84 rule,
+      // ~50× interpreted). Hash values are unchanged — the per-gram
+      // gramHash still runs on the identical gram strings.
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_tk"))
+      .select(col(idCol), wordNgramsOfTokens(col("_tk"), shingleWords).as("_gr"))
       .select(col(idCol),
         call_function("minhash_signature",
-          transform(wordNgrams(col(textCol), shingleWords), g => gramHash(g)),
+          transform(col("_gr"), g => gramHash(g)),
           lit(nHashes), lit(constBits)).as("signature"))
-      .filter(col("signature").isNotNull)
+      // noPushdown barrier (r11): a bare isNotNull here gets predicate-
+      // pushed below the repartition WITH THE WHOLE SIGNATURE EXPRESSION
+      // substituted in — the scan task then computes every signature a
+      // second time, single-threaded (measured 3.4 s of q69's 3.9 s)
+      .filter(graft.util.PlanHints.noPushdown(col("signature").isNotNull))
 
   /** Engine-portable minhash: the SAME signature machinery as
     * [[minHashSignatures]] (word shingles → per-gram hash → per-function
@@ -409,10 +452,11 @@ object Dedup {
       .distinct()
     // verify sets carry gram HASHES, not gram strings: the O(pairs·|set|)
     // jaccard math runs on fixed-width longs (same trick, and the same
-    // ~1e-15 per-pair collision odds, as ngramJaccardPairs above)
+    // ~1e-15 per-pair collision odds, as ngramJaccardPairs above); the
+    // Jaccard VALUE is a cardinality ratio, so the fused native hash pass
+    // is family-legal here (r11)
     val sets = df.select(col(idCol),
-      array_distinct(transform(wordNgrams(col(textCol), shingleWords),
-        g => xxhash64(g))).as("_set"))
+      hashedGramSet(col(textCol), shingleWords).as("_set"))
     candidates
       .join(sets.select(col(idCol).as("id_a"), col("_set").as("_set_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("_set").as("_set_b")), "id_b")
@@ -467,9 +511,13 @@ object Dedup {
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
+    // r11: verify sets use the fused native hash pass — the Jaccard VALUE
+    // is a cardinality ratio, identical for ANY injective-enough family
+    // (the twin's md5 sets rely on the same argument vs raw string sets:
+    // a divergence needs a 60/64-bit collision, ~1e-15/pair). Candidate
+    // portability is untouched — band keys stay signature VALUES.
     val sets = df.select(col(idCol),
-      array_distinct(transform(wordNgrams(col(textCol), shingleWords),
-        g => portableHash60(g))).as("_set"))
+      hashedGramSet(col(textCol), shingleWords).as("_set"))
     candidates
       .join(sets.select(col(idCol).as("id_a"), col("_set").as("_set_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("_set").as("_set_b")), "id_b")
@@ -814,13 +862,18 @@ object Dedup {
     // the tokenize+gram+hash scan re-runs in every branch (12 scans, no
     // exchange reuse across renamed subtrees). This is the signature table
     // a production pipeline persists anyway (the q74 incremental index).
-    val base = df.select(col(idCol).as("_pid"),
-        array_distinct(transform(wordNgrams(col(textCol), n), g => xxhash64(g)))
-          .as("_h"))
+    // r11: hashing is the fused native word_gram_hashes pass projected
+    // ABOVE the repartition — the old select-below-repartition shape ran
+    // the (then ~50×-interpreted) gram hashing of the whole corpus in the
+    // ONE scan task of a single-file input (measured 6.4 s of q140's
+    // 9.2 s at sf0.1). Prefix-filtering is lossless under ANY consistent
+    // total gram order and the verify Jaccard is a cardinality ratio, so
+    // the hash family is not load-bearing here (the q140 design note).
+    val base = df.select(col(idCol).as("_pid"), col(textCol).as("_tx"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("_pid"), hashedGramSet(col("_tx"), n).as("_h"))
       .withColumn("_sz", size(col("_h")))
       .filter(col("_sz") > 0)
-      // single-file local inputs = one partition: spread the gram explode
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint()
     val exploded = base.select(col("_pid"), col("_sz"), explode(col("_h")).as("_g"))
     val gramDf = exploded.groupBy("_g")

@@ -268,6 +268,14 @@ object GraftFunctions {
       }
     ),
     (
+      "portable_hash60",
+      new ExpressionInfo(classOf[PortableHash60].getName, "portable_hash60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "portable_hash60 takes 1 argument")
+        PortableHash60(args.head)
+      }
+    ),
+    (
       "qdist_l2",
       new ExpressionInfo(classOf[QDistL2].getName, "qdist_l2"),
       (args: Seq[Expression]) => {

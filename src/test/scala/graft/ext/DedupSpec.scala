@@ -35,6 +35,25 @@ class DedupSpec extends SparkSpec {
       g.head.getAs[Long]("keep_id") == 0L)
   }
 
+  test("native portable_hash60 is bit-identical to the composable " +
+    "md5/conv twin on strings, binaries, and nulls") {
+    import spark.implicits._
+    val rows = (Seq("", "a", "hello world", "δüñ†", "x" * 1000)
+      .map(Option(_)) :+ Option.empty[String]).toDF("s")
+    val cmp = rows.select(
+      Dedup.portableHash60(col("s")).as("native"),
+      Dedup.portableHash60Composable(col("s")).as("twin"))
+    assert(cmp.filter(not(col("native") <=> col("twin"))).count() == 0)
+    // and over a large generated key space (codegen path)
+    val big = spark.range(0, 10000)
+      .select(concat(lit("k|"), col("id").cast("string")).as("s"))
+    val diff = big.select(
+      Dedup.portableHash60(col("s")).as("native"),
+      Dedup.portableHash60Composable(col("s")).as("twin"))
+      .filter(not(col("native") <=> col("twin")))
+    assert(diff.count() == 0)
+  }
+
   test("jaccard: exact value on known sets") {
     import spark.implicits._
     val d = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
