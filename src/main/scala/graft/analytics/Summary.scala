@@ -32,38 +32,210 @@ object Summary {
       return spark.emptyDataFrame
     val exprs = cols.flatMap { c =>
       val dc = col(c).cast("double")
-      val quartiles =
-        if (approximate)
-          approx_percentile(dc, array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
-        else percentile(dc, array(lit(0.25), lit(0.5), lit(0.75)))
-      Seq(
-        count(dc),
-        avg(dc),
-        stddev_samp(dc),
-        min(dc),
-        quartiles, // one buffer/sketch for all three quartiles
-        max(dc)
-      )
+      Seq(count(dc), avg(dc), stddev_samp(dc), min(dc), max(dc)) ++
+        (if (approximate)
+          Seq(approx_percentile(dc,
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)))
+         else Nil)
     }
     val r = df.agg(exprs.head, exprs.tail: _*).head()
+    // exact quartiles via the shared histogram-refinement helper — the
+    // single-buffer percentile aggregate merged every distinct value of
+    // every column in ONE reduce task (2.5 s of q43's 3.8 s at sf0.1)
+    val exact: Map[String, Seq[Option[Double]]] =
+      if (approximate) Map.empty
+      else exactPercentilesHist(df, cols.map(c => c -> Seq(0.25, 0.5, 0.75)))
+    val stride = if (approximate) 6 else 5
     val schema = StructType(
       StructField("index", StringType) +: Seq(
         "count", "mean", "std", "min", "p25", "p50", "p75", "max"
       ).map(StructField(_, DoubleType)))
     val rows = cols.zipWithIndex.map { case (c, i) =>
-      val base = i * 6
-      val qs = if (r.isNullAt(base + 4)) Seq[Any](null, null, null)
-        else r.getSeq[Double](base + 4)
+      val base = i * stride
+      val qs: Seq[Any] =
+        if (approximate) {
+          if (r.isNullAt(base + 5)) Seq[Any](null, null, null)
+          else r.getSeq[Double](base + 5)
+        } else exact(c).map(_.map(v => v: Any).orNull)
       val flat = Seq[Any](
         r.getLong(base).toDouble,
         if (r.isNullAt(base + 1)) null else r.getDouble(base + 1),
         if (r.isNullAt(base + 2)) null else r.getDouble(base + 2),
         if (r.isNullAt(base + 3)) null else r.getDouble(base + 3),
         qs(0), qs(1), qs(2),
-        if (r.isNullAt(base + 5)) null else r.getDouble(base + 5))
+        if (r.isNullAt(base + 4)) null else r.getDouble(base + 4))
       Row.fromSeq(c +: flat)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Exact GLOBAL percentiles for several columns at once, via histogram
+    * refinement instead of Spark's `percentile` aggregate (r11).
+    *
+    * The builtin buffers every (value, count) pair into one
+    * TypedImperativeAggregate whose FINAL merge+sort runs in a single
+    * reduce task (q43's 2.5 s / q151's 3.3 s single-task stages at sf0.1 —
+    * and the buffer is corpus-sized on mostly-distinct columns, which is
+    * exactly what breaks at lake scale). Here:
+    *   1. one aggregate: per-column count / min / max;
+    *   2. one map-side-combined pass: per-column `nBuckets` fixed-width
+    *      histogram (columns exploded into (ci, v) so ALL columns share
+    *      the pass); the driver walks cumulative counts to locate the
+    *      bucket holding each needed order statistic;
+    *   3. exact resolve inside the located buckets only (≈1/nBuckets of
+    *      the rows): distinct-value counts collected and walked on the
+    *      driver (bounded by `maxResolveRows`, pre-checked from the
+    *      histogram itself; above the bound the plain aggregate runs
+    *      instead — correctness never depends on the distribution).
+    *
+    * BIT-IDENTICAL to the builtin on NaN-free columns: order statistics
+    * are exact ranks over the identical double ordering, and the
+    * interpolation replays Percentile.getPercentile — position =
+    * (n−1)·p, keys at ⌊position⌋/⌈position⌉, result
+    * (higher−position)·lowerKey + (position−lower)·higherKey with the
+    * same equal-key short-circuits. Nulls are ignored like the builtin;
+    * NaN-bearing columns must use the builtin (histogram bucketing cannot
+    * place NaN) — every oracle-backed caller is NaN-free by construction.
+    *
+    * Returns per column one Option[Double] per requested prob (None when
+    * the column has no non-null values).
+    */
+  def exactPercentilesHist(
+      df: DataFrame,
+      specs: Seq[(String, Seq[Double])],
+      nBuckets: Int = 4096,
+      maxResolveRows: Long = 4000000L
+  ): Map[String, Seq[Option[Double]]] = {
+    require(specs.nonEmpty)
+    val k = specs.length
+    // narrow LAZY checkpoint shared by all three passes: rows × k doubles
+    // in spillable executor storage, so a caller's derived lineage (e.g.
+    // the cleaning chain) is computed once, not per pass — without it the
+    // q49 clean stage measured SLOWER than the single-buffer aggregate it
+    // replaces
+    val narrow = df
+      .select(specs.zipWithIndex.map { case ((c, _), i) =>
+        col(c).cast("double").as(s"_c$i") }: _*)
+      .localCheckpoint(false)
+    val vcols = specs.indices.map(i => col(s"_c$i"))
+    // pass 1: per-column bounds
+    val bRow = narrow.agg(
+      vcols.flatMap(c => Seq(count(c), min(c), max(c))).head,
+      vcols.flatMap(c => Seq(count(c), min(c), max(c))).tail: _*).head()
+    val ns = specs.indices.map(i => bRow.getLong(i * 3))
+    val los = specs.indices.map(i =>
+      if (bRow.isNullAt(i * 3 + 1)) 0.0 else bRow.getDouble(i * 3 + 1))
+    val his = specs.indices.map(i =>
+      if (bRow.isNullAt(i * 3 + 2)) 0.0 else bRow.getDouble(i * 3 + 2))
+    val widths = specs.indices.map(i =>
+      if (his(i) > los(i)) (his(i) - los(i)) / nBuckets else 1.0)
+    // needed 0-based ranks per column
+    val ranksByCol: Seq[Seq[Long]] = specs.zipWithIndex.map { case ((_, ps), i) =>
+      if (ns(i) == 0) Nil
+      else ps.flatMap { p =>
+        val pos = (ns(i) - 1).toDouble * p
+        Seq(pos.floor.toLong, pos.ceil.toLong)
+      }.distinct.sorted
+    }
+    if (ranksByCol.forall(_.isEmpty))
+      return specs.map { case (c, ps) => c -> ps.map(_ => None) }.toMap
+    // pass 2: shared per-column histogram
+    val loLit = typedLit(los)
+    val wLit = typedLit(widths)
+    val ex = narrow
+      .select(posexplode(array(vcols: _*)).as(Seq("_ci", "_v")))
+      .filter(col("_v").isNotNull)
+    val bucketOf = least(lit(nBuckets - 1), greatest(lit(0),
+      floor((col("_v") - element_at(loLit, col("_ci") + 1)) /
+        element_at(wLit, col("_ci") + 1)).cast("int")))
+    val hist = ex.groupBy(col("_ci"), bucketOf.as("_b"))
+      .agg(count(lit(1)).as("_n"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (ci, rows) =>
+        ci -> rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+      }
+    // driver walk: (ci, rank) -> (bucket, rankInBucket); needed buckets per ci
+    val perRank = scala.collection.mutable.Map.empty[(Int, Long), (Int, Long)]
+    val neededBuckets =
+      scala.collection.mutable.Map.empty[Int, scala.collection.mutable.Set[Int]]
+    var resolveRows = 0L
+    for (ci <- specs.indices; if ranksByCol(ci).nonEmpty) {
+      val bs = hist.getOrElse(ci, Array.empty[(Int, Long)])
+      var cum = 0L
+      var ri = 0
+      val ranks = ranksByCol(ci)
+      val counted = scala.collection.mutable.Set.empty[Int]
+      for ((b, c) <- bs if ri < ranks.length) {
+        while (ri < ranks.length && ranks(ri) < cum + c) {
+          perRank((ci, ranks(ri))) = (b, ranks(ri) - cum)
+          neededBuckets.getOrElseUpdate(ci,
+            scala.collection.mutable.Set.empty[Int]) += b
+          if (!counted.contains(b)) { counted += b; resolveRows += c }
+          ri += 1
+        }
+        cum += c
+      }
+    }
+    val keys: Map[(Int, Long), Double] =
+      if (resolveRows <= maxResolveRows) {
+        // pass 3: exact resolve inside the located buckets
+        val pred = specs.indices
+          .filter(ci => neededBuckets.contains(ci))
+          .map(ci => col("_ci") === ci &&
+            bucketOf.isin(neededBuckets(ci).toSeq: _*))
+          .reduce(_ || _)
+        val vals = ex.filter(pred)
+          .groupBy(col("_ci"), bucketOf.as("_b"), col("_v"))
+          .agg(count(lit(1)).as("_n"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+          .map { case (key, rows) =>
+            key -> rows.map(r => (r.getDouble(2), r.getLong(3)))
+              .sortBy(_._1)(Ordering.fromLessThan(
+                (a, b) => java.lang.Double.compare(a, b) < 0))
+          }
+        perRank.toMap.map { case ((ci, rank), (b, rib)) =>
+          val vs = vals((ci, b))
+          var rem = rib
+          var vi = 0
+          while (rem >= vs(vi)._2) { rem -= vs(vi)._2; vi += 1 }
+          (ci, rank) -> vs(vi)._1
+        }
+      } else {
+        // distribution defeated the refinement — run the builtin
+        // single-buffer aggregate at the caller's probs instead
+        val aggRow = narrow.agg(
+          specs.indices.map(i =>
+            percentile(vcols(i), array(specs(i)._2.map(lit): _*))).head,
+          specs.indices.map(i =>
+            percentile(vcols(i), array(specs(i)._2.map(lit): _*))).tail: _*)
+          .head()
+        return specs.zipWithIndex.map { case ((c, ps), i) =>
+          c -> (if (aggRow.isNullAt(i)) ps.map(_ => Option.empty[Double])
+                else aggRow.getSeq[Double](i).map(Option(_)))
+        }.toMap
+      }
+    // interpolation — Percentile.getPercentile replayed exactly
+    specs.zipWithIndex.map { case ((c, ps), ci) =>
+      c -> ps.map { p =>
+        if (ns(ci) == 0) None
+        else {
+          val position = (ns(ci) - 1).toDouble * p
+          val lower = position.floor.toLong
+          val higher = position.ceil.toLong
+          val lowerKey = keys((ci, lower))
+          if (higher == lower) Some(lowerKey)
+          else {
+            val higherKey = keys((ci, higher))
+            if (java.lang.Double.valueOf(higherKey)
+                .equals(java.lang.Double.valueOf(lowerKey))) Some(lowerKey)
+            else Some((higher - position) * lowerKey +
+              (position - lower) * higherKey)
+          }
+        }
+      }
+    }.toMap
   }
 
   /** A11: `nunique()` per column — exact by default; at lake scale flip

@@ -162,9 +162,17 @@ object Cleaning {
   def cleanNumerics(df: DataFrame, cols: Seq[String]): DataFrame = {
     val present = cols.filter(df.columns.contains)
     if (present.isEmpty) return df
+    // LAZY checkpoint (r11): the numeric stage is inherently multi-pass
+    // (null fractions, Q1/Q3, post-clip medians, then the consumer), and
+    // the upstream clean lineage (keep-first window, multi-format
+    // timestamp parse) re-executed on every pass. The first aggregate
+    // materializes the frame into spillable executor storage; every later
+    // pass reads the cache. At true lake scale the medallion pipeline
+    // persists this stage as parquet anyway (Pipeline.scala), so the
+    // in-memory cache only ever holds interactive-sized tables.
     val coerced = present.foldLeft(df)((d, c) =>
       d.withColumn(c, coerceToDouble(col(c)))
-    )
+    ).localCheckpoint(false)
     val fracRow = coerced
       .agg(
         avg(col(present.head).isNull.cast("double")).as("f0"),
@@ -180,24 +188,29 @@ object Cleaning {
   }
 
   private def cleanNumericsFused(df: DataFrame, cols: Seq[String]): DataFrame = {
-    // one pass, one buffer per column: Q1 & Q3 via array-percentile
-    val qExprs = cols.map(c =>
-      percentile(col(c), array(lit(0.25), lit(0.75))))
-    val qRow = df.agg(qExprs.head, qExprs.tail: _*).head()
-    val clipped = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-      if (qRow.isNullAt(i)) d // all-null column: pandas clip(NaN, NaN) is a no-op
-      else {
-        val qs = qRow.getSeq[Double](i)
-        val q1 = qs(0); val q3 = qs(1)
-        val iqr = q3 - q1
-        d.withColumn(c, clip(col(c), q1 - 1.5 * iqr, q3 + 1.5 * iqr))
+    // Q1 & Q3 via the shared histogram-refinement helper (r11) — values
+    // bit-identical to the single-buffer percentile aggregate, without its
+    // one-reduce-task merge of every distinct value of every column.
+    // Columns are NaN-free here by construction (coerceToDouble nulls NaN).
+    val q13 = graft.analytics.Summary.exactPercentilesHist(
+      df, cols.map(c => c -> Seq(0.25, 0.75)))
+    val clipped = cols.foldLeft(df) { case (d, c) =>
+      q13(c).head match {
+        case None => d // all-null column: pandas clip(NaN, NaN) is a no-op
+        case Some(q1) =>
+          val q3 = q13(c)(1).get
+          val iqr = q3 - q1
+          d.withColumn(c, clip(col(c), q1 - 1.5 * iqr, q3 + 1.5 * iqr))
       }
     }
-    // one pass: median of every post-clip column
-    val mExprs = cols.map(c => percentile(col(c), lit(0.5)))
-    val mRow = clipped.agg(mExprs.head, mExprs.tail: _*).head()
-    cols.zipWithIndex.foldLeft(clipped) { case (d, (c, i)) =>
-      if (mRow.isNullAt(i)) d else d.na.fill(Map(c -> mRow.getDouble(i)))
+    // median of every post-clip column
+    val med = graft.analytics.Summary.exactPercentilesHist(
+      clipped, cols.map(c => c -> Seq(0.5)))
+    cols.foldLeft(clipped) { case (d, c) =>
+      med(c).head match {
+        case None => d
+        case Some(m) => d.na.fill(Map(c -> m))
+      }
     }
   }
 
@@ -205,18 +218,21 @@ object Cleaning {
     val fracRow = df.agg(avg(col(c).isNull.cast("double"))).head()
     val frac = if (fracRow.isNullAt(0)) 0.0 else fracRow.getDouble(0)
     val dropped = if (frac > 0.5) df.na.drop(Seq(c)) else df
-    val qRow = dropped
-      .agg(percentile(col(c), lit(0.25)), percentile(col(c), lit(0.75)))
-      .head()
-    val clipped =
-      if (qRow.isNullAt(0)) dropped
-      else {
-        val q1 = qRow.getDouble(0); val q3 = qRow.getDouble(1)
+    val q13 = graft.analytics.Summary.exactPercentilesHist(
+      dropped, Seq(c -> Seq(0.25, 0.75)))(c)
+    val clipped = q13.head match {
+      case None => dropped
+      case Some(q1) =>
+        val q3 = q13(1).get
         val iqr = q3 - q1
         dropped.withColumn(c, clip(col(c), q1 - 1.5 * iqr, q3 + 1.5 * iqr))
-      }
-    val mRow = clipped.agg(percentile(col(c), lit(0.5))).head()
-    if (mRow.isNullAt(0)) clipped else clipped.na.fill(Map(c -> mRow.getDouble(0)))
+    }
+    val med = graft.analytics.Summary.exactPercentilesHist(
+      clipped, Seq(c -> Seq(0.5)))(c).head
+    med match {
+      case None => clipped
+      case Some(m) => clipped.na.fill(Map(c -> m))
+    }
   }
 
   /** C3: `pd.to_numeric(errors='coerce')` analog. Plain `cast` almost

@@ -251,18 +251,21 @@ object CoreQueries {
     // ---- A2/A3: exact median + quartiles (linear interpolation, both engines)
     QueryDef(
       "q07_median_quantiles",
-      (s, dir) =>
-        t(s, dir, "lineitem")
-          .agg(
-            percentile(col("l_quantity"), lit(0.5)).as("mq"),
-            percentile(col("l_extendedprice"), array(lit(0.25), lit(0.75)))
-              .as("qp"), // one buffer for both price quantiles
-            percentile(col("l_discount"), lit(0.95)).as("pd"))
-          .select(
-            round(col("mq"), 4).as("median_qty"),
-            round(element_at(col("qp"), 1), 4).as("q1_price"),
-            round(element_at(col("qp"), 2), 4).as("q3_price"),
-            round(col("pd"), 6).as("p95_disc")),
+      (s, dir) => {
+        // exact quantiles via the shared histogram-refinement helper
+        // (r11): bit-identical to the percentile aggregate, without its
+        // single-reduce-task merge of every distinct value (guide §2.5)
+        val r = graft.analytics.Summary.exactPercentilesHist(
+          t(s, dir, "lineitem"), Seq(
+            "l_quantity" -> Seq(0.5),
+            "l_extendedprice" -> Seq(0.25, 0.75),
+            "l_discount" -> Seq(0.95)))
+        s.range(1).select(
+          round(lit(r("l_quantity").head.get), 4).as("median_qty"),
+          round(lit(r("l_extendedprice").head.get), 4).as("q1_price"),
+          round(lit(r("l_extendedprice")(1).get), 4).as("q3_price"),
+          round(lit(r("l_discount").head.get), 6).as("p95_disc"))
+      },
       Some("""SELECT round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
              |round(quantile_cont(l_extendedprice, 0.25), 4) AS q1_price,
              |round(quantile_cont(l_extendedprice, 0.75), 4) AS q3_price,
@@ -275,13 +278,13 @@ object CoreQueries {
       "q08_iqr_clip",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
-        val stats = li
-          .agg(percentile(col("l_extendedprice"), array(lit(0.25), lit(0.75)))
-            .as("q13"))
-          .select(element_at(col("q13"), 1).as("q1"),
-            element_at(col("q13"), 2).as("q3"))
-        val b = broadcast(stats)
-        li.crossJoin(b)
+        // Q1/Q3 via the histogram-refinement helper (r11), inlined as
+        // literals — same doubles, same bound arithmetic, and the second
+        // pass loses its crossJoin(broadcast) wiring
+        val q13 = graft.analytics.Summary.exactPercentilesHist(
+          li, Seq("l_extendedprice" -> Seq(0.25, 0.75)))("l_extendedprice")
+        li.withColumn("q1", lit(q13.head.get))
+          .withColumn("q3", lit(q13(1).get))
           .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
           .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
           .agg(
@@ -308,14 +311,13 @@ object CoreQueries {
           .withColumn("qty_n",
             when(col("l_orderkey") % 10 === 0, lit(null).cast("double"))
               .otherwise(col("l_quantity")))
-        val med = broadcast(
-          li.agg(percentile(col("qty_n"), lit(0.5)).as("med")))
-        li.crossJoin(med)
-          .agg(
-            (sumExact(coalesce(col("qty_n"), col("med")), 2) / count(lit(1)))
-              .as("filled_avg"),
-            count(when(col("qty_n").isNull, 1)).as("n_filled")
-          )
+        val med = graft.analytics.Summary.exactPercentilesHist(
+          li, Seq("qty_n" -> Seq(0.5)))("qty_n").head.get
+        li.agg(
+          (sumExact(coalesce(col("qty_n"), lit(med)), 2) / count(lit(1)))
+            .as("filled_avg"),
+          count(when(col("qty_n").isNull, 1)).as("n_filled")
+        )
       },
       Some(s"""WITH src AS (SELECT CASE WHEN l_orderkey % 10 = 0 THEN NULL
               |                         ELSE l_quantity END AS qty_n FROM lineitem),
