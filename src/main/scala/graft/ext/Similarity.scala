@@ -170,6 +170,20 @@ object Similarity {
     */
   def lshBucketQuantized(vecCol: Column, dim: Int, nBits: Int = 8): Column = {
     require(nBits <= 63, "bucket must fit a long")
+    // r11: one fused native pass (graft's srp_bucket_q) — the composable
+    // nested-HOF form ran interpreted and re-quantized the vector per BIT;
+    // bucket values and degenerate cases are identical
+    // (lshBucketQuantizedComposable stays as the pinned cross-check twin)
+    val m = typedLit(quantPlanes(dim, nBits).map(_.toSeq).toSeq)
+    call_function("srp_bucket_q", quantVec(vecCol), m)
+  }
+
+  /** The pre-r11 composable form — kept as the bit-identity cross-check
+    * twin of the native expression (the MinHashSignature precedent).
+    */
+  private[graft] def lshBucketQuantizedComposable(
+      vecCol: Column, dim: Int, nBits: Int): Column = {
+    require(nBits <= 63, "bucket must fit a long")
     val m = typedLit(quantPlanes(dim, nBits).map(_.toSeq).toSeq)
     val vq = transform(vecCol, x => round(x.cast("double") * 1000).cast("long"))
     // null vector → null bucket (same hot-bucket-0 hazard as lshBucket)
@@ -483,9 +497,14 @@ object Similarity {
     val bucket =
       if (portable) lshBucketQuantized(col(vecCol), dim, nBits)
       else lshBucket(col(vecCol), dim, nBits, seed)
-    val b = df.select(col(idCol), col(vecCol)).withColumn("_bucket", bucket)
-    val a = b.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("_bucket"))
+    // r11: repartition BEFORE the bucket projection (single-file inputs
+    // otherwise bucket the whole corpus in one scan task) and lazily
+    // checkpoint — both self-join sides read one computation
+    val b = df.select(col(idCol), col(vecCol))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("_bucket", bucket)
+      .localCheckpoint(false)
+    val a = b.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("_bucket"))
     val c = b.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("_bucket"))
     val pairs = a.join(c, Seq("_bucket"))
       .filter(col("id_a") < col("id_b"))

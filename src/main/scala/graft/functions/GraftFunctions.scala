@@ -101,6 +101,14 @@ object GraftFunctions {
       }
     ),
     (
+      "srp_bucket_q",
+      new ExpressionInfo(classOf[SrpBucketQ].getName, "srp_bucket_q"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "srp_bucket_q takes (quantized_vec, planes)")
+        SrpBucketQ(args.head, VectorOps.foldableLongMatrix(args(1)))
+      }
+    ),
+    (
       "ivf_argmin",
       new ExpressionInfo(classOf[IvfArgMin].getName, "ivf_argmin"),
       (args: Seq[Expression]) => {

@@ -141,6 +141,107 @@ case class SrpBucket(child: Expression, planes: IndexedSeq[IndexedSeq[Double]])
     copy(child = newChild)
 }
 
+/** `srp_bucket_q(quantized_vec, planes)` — the engine-portable quantized
+  * sign-random-projection bucket over LONG planes: bit i set iff
+  * Σ_j vq(j)·w(i)(j) > 0, exact wrapping long arithmetic.
+  *
+  * Replaces the composable nested-HOF form (aggregate over bits with an
+  * inner zip_with dot product), which ran fully interpreted and
+  * re-evaluated its inline quantized-array argument per BIT (r11: the two
+  * single-task 0.75 s bucket projections of q77 at sf0.1). Degenerate
+  * inputs replicate the HOF form exactly: null array → null; any null
+  * element or a length ≠ the planes' dim → every per-bit sum is null →
+  * no bit set → bucket 0.
+  */
+@ExpressionDescription(
+  usage = "_FUNC_(vec, planes) - quantized SRP bucket over long planes.")
+case class SrpBucketQ(child: Expression, planes: IndexedSeq[IndexedSeq[Long]])
+    extends UnaryExpression {
+
+  require(planes.nonEmpty, "need at least one plane")
+  require(planes.forall(_.size == planes.head.size),
+    "planes must share one dimension")
+
+  private val nBits = planes.size
+  private val dim = planes.head.size
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"srp_bucket_q expects array<bigint> (quantized), got ${t.catalogString}")
+  }
+
+  @transient private lazy val flat: Array[Long] = {
+    val a = new Array[Long](nBits * dim)
+    var b = 0
+    while (b < nBits) {
+      var j = 0
+      while (j < dim) { a(b * dim + j) = planes(b)(j); j += 1 }
+      b += 1
+    }
+    a
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var bad = n != dim
+    var j = 0
+    while (!bad && j < n) { if (v.isNullAt(j)) bad = true; j += 1 }
+    if (bad) return 0L
+    var bucket = 0L
+    var b = 0
+    while (b < nBits) {
+      var d = 0L
+      var i = 0
+      while (i < dim) { d += v.getLong(i) * flat(b * dim + i); i += 1 }
+      if (d > 0L) bucket += (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("srpQPlanes", flat, "long[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val bad = ctx.freshName("bad")
+      val j = ctx.freshName("j")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |boolean $bad = $v.numElements() != $dim;
+         |for (int $j = 0; !$bad && $j < $dim; $j++) {
+         |  if ($v.isNullAt($j)) $bad = true;
+         |}
+         |if ($bad) {
+         |  ${ev.value} = 0L;
+         |} else {
+         |  long $bucket = 0L;
+         |  for (int $b = 0; $b < $nBits; $b++) {
+         |    long $d = 0L;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $d += $v.getLong($i) * $pRef[$b * $dim + $i];
+         |    }
+         |    if ($d > 0L) $bucket += (1L << $b);
+         |  }
+         |  ${ev.value} = $bucket;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override def toString: String = s"srp_bucket_q($child, <${nBits}x$dim planes>)"
+  override def sql: String = s"srp_bucket_q(${child.sql}, <${nBits}x$dim planes>)"
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBucketQ =
+    copy(child = newChild)
+}
+
 /** `ivf_argmin(quantized_vec, centroids)` — index of the nearest centroid by
   * exact integer squared-L2 over `round(v·1000)`-quantized longs; ties break
   * to the LOWEST index (strict `<` against the best-so-far). Degenerate

@@ -1478,6 +1478,10 @@ object CurationQueries {
         val parsed = t(s, dir, "documents")
           .filter(col("text").isNotNull)
           .select(id, rawUri.as("_uri"), rawHtml.as("_html"))
+          // r11: spread the row-at-a-time WARC encode+parse — a
+          // single-file input otherwise runs the whole typed map in ONE
+          // task (the q140 scan-side lesson)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String, String)]
           .map { case (i, uri, h) =>
             val warc = graft.ext.Warc.warcBytes(Seq((Seq(
@@ -1498,9 +1502,13 @@ object CurationQueries {
           parsed.withColumn("txt", Curation.htmlToText(col("html")))
             .drop("html"),
           "url")
-        // stage 3: URL-key exact dedup — keep the lowest doc_id
+        // stage 3: URL-key exact dedup — keep the lowest doc_id. LAZY
+        // checkpoint (r11): ranked feeds BOTH the near-dup channel and the
+        // final rollup — without it the WARC parse + WET extraction +
+        // canonicalization chain executed twice.
         val ranked = canon.withColumn("_rn", row_number().over(
-          Window.partitionBy("canonical_url").orderBy("doc_id")))
+            Window.partitionBy("canonical_url").orderBy("doc_id")))
+          .localCheckpoint(false)
         // stage 4: near-dup drop among URL survivors (portable twin)
         val drops = Dedup.minHashPairsPortable(
             ranked.filter(col("_rn") === 1).select(col("doc_id"), col("txt")),

@@ -837,9 +837,9 @@ object SimilarityQueries {
         val brute = vq.crossJoin(broadcast(qv))
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("c_id"),
-            expr("""aggregate(zip_with(_qq, _vq, (a, b) -> (a - b) * (a - b)),
-                 |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
-              .as("_d"))
+            // r11: native fused distance (the interpreted zip_with/
+            // aggregate chain ran per candidate pair)
+            Similarity.qdistL2(col("_qq"), col("_vq")).as("_d"))
           .withColumn("_br", row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy("q_id").orderBy(asc("_d"), asc("c_id"))))
@@ -849,40 +849,55 @@ object SimilarityQueries {
         val corpusCells = vq.select(col("vec_id").as("c_id"),
           Similarity.ivfAssignQuantizedLongs(col("_vq"), centroids)
             .as("_ccell"))
-        val points = for {
+        // r11: the six grid points are independent serial chains of small
+        // stages — drive them from concurrent driver threads (guide-§2.6
+        // back-fill; the q258 recall-curve pattern) and collect only the
+        // two counts each; the readout arithmetic stays the identical
+        // Spark expressions over a local relation.
+        val grid = for {
           kCodes <- CurveCodes
           nProbe <- CurveProbes
-        } yield {
-          val cbs = Similarity.pqCodebooksFixed(e, "vec_id", "embedding",
-            dim = 64, m = PqM, kCodes = kCodes)
-          val nn = Similarity.pqKnnJoin(
-            e.filter(col("vec_id") < DcgQueries), e, "vec_id", "embedding",
-            k = CurveK, centroids, cbs, nProbe = nProbe)
-          val hits = nn.join(brute, Seq("q_id", "c_id"))
-            .agg(count(lit(1)).cast("long").as("n_hits"))
-          // routing ceiling: true pairs whose corpus cell IS probed —
-          // recall ≤ ceiling by construction; the gap is quantization
-          val qp = vq.filter(col("vec_id") < DcgQueries)
-            .select(col("vec_id").as("q_id"),
-              explode(Similarity.ivfProbeCells(col("_vq"), centroids,
-                nProbe)).as("_pcell"))
-          val reach = brute.join(qp, Seq("q_id"))
-            .join(corpusCells, Seq("c_id"))
-            .filter(col("_ccell") === col("_pcell"))
-            .agg(count(lit(1)).cast("long").as("n_reachable"))
-          hits.crossJoin(reach)
-            .select(lit(nProbe.toLong).as("n_probe"),
-              lit(java.lang.Long.numberOfTrailingZeros(kCodes.toLong)
-                .toLong).as("pq_bits"),
-              lit(CurveK.toLong).as("k"),
-              lit(DcgQueries.toLong).as("n_queries"),
-              col("n_hits"), col("n_reachable"),
-              (col("n_hits").cast("double") /
-                lit((CurveK * DcgQueries).toDouble)).as("recall"),
-              (col("n_reachable").cast("double") /
-                lit((CurveK * DcgQueries).toDouble)).as("reach_ceiling"))
-        }
-        points.reduce(_ unionByName _).orderBy("pq_bits", "n_probe")
+        } yield (kCodes, nProbe)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val measured = Await.result(
+          Future.traverse(grid) { case (kCodes, nProbe) => Future {
+            val cbs = Similarity.pqCodebooksFixed(e, "vec_id", "embedding",
+              dim = 64, m = PqM, kCodes = kCodes)
+            val nn = Similarity.pqKnnJoin(
+              e.filter(col("vec_id") < DcgQueries), e, "vec_id", "embedding",
+              k = CurveK, centroids, cbs, nProbe = nProbe)
+            val nHits = nn.join(brute, Seq("q_id", "c_id"))
+              .agg(count(lit(1)).cast("long").as("n_hits"))
+              .head().getLong(0)
+            // routing ceiling: true pairs whose corpus cell IS probed —
+            // recall ≤ ceiling by construction; the gap is quantization
+            val qp = vq.filter(col("vec_id") < DcgQueries)
+              .select(col("vec_id").as("q_id"),
+                explode(Similarity.ivfProbeCells(col("_vq"), centroids,
+                  nProbe)).as("_pcell"))
+            val nReach = brute.join(qp, Seq("q_id"))
+              .join(corpusCells, Seq("c_id"))
+              .filter(col("_ccell") === col("_pcell"))
+              .agg(count(lit(1)).cast("long").as("n_reachable"))
+              .head().getLong(0)
+            (nProbe.toLong,
+              java.lang.Long.numberOfTrailingZeros(kCodes.toLong).toLong,
+              nHits, nReach)
+          }}, Duration.Inf)
+        import s.implicits._
+        measured.toDF("_np", "_bits", "_nh", "_nr")
+          .select(col("_np").as("n_probe"),
+            col("_bits").as("pq_bits"),
+            lit(CurveK.toLong).as("k"),
+            lit(DcgQueries.toLong).as("n_queries"),
+            col("_nh").as("n_hits"), col("_nr").as("n_reachable"),
+            (col("_nh").cast("double") /
+              lit((CurveK * DcgQueries).toDouble)).as("recall"),
+            (col("_nr").cast("double") /
+              lit((CurveK * DcgQueries).toDouble)).as("reach_ceiling"))
+          .orderBy("pq_bits", "n_probe")
       },
       Some(ivfPqCurveOracleSql)
     ),
