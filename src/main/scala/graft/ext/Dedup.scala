@@ -843,14 +843,14 @@ object Dedup {
       val lt = left.select(col(leftId).as("id_l"), col(leftStr).as("s_l"))
       val rt = right.select(col(rightId).as("id_r"), col(rightStr).as("s_r"))
       // sig i=0 is the string itself; i>=1 deletes character i. Hashed at
-      // the scan, so every downstream exchange moves (id, long) only.
+      // the scan (fused native pass since r11 — the interpreted per-variant
+      // substring+concat+hash chain was 2.8 s of q134's 3.1 s; values are
+      // bit-identical, DeletionSigSpec pins it), so every downstream
+      // exchange moves (id, long) only.
       def sigs(t: DataFrame, id: String, s: String) =
         t.repartition(par)
           .select(col(id),
-            transform(sequence(lit(0), length(col(s))), i =>
-              xxhash64(when(i === 0, col(s)).otherwise(concat(
-                col(s).substr(lit(1), i - 1),
-                col(s).substr(i + 1, length(col(s)) - i))))).as("_sigs"))
+            call_function("deletion_sig_hashes", col(s)).as("_sigs"))
           .select(col(id), explode(col("_sigs")).as("_sig"))
       val cand = sigs(lt, "id_l", "s_l")
         .join(sigs(rt, "id_r", "s_r"), "_sig")

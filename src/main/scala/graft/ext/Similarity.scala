@@ -962,12 +962,19 @@ object Similarity {
     * the approximate distance used for candidate ranking at scale.
     */
   def pqAdcScore(codesCol: Column, tables: IndexedSeq[IndexedSeq[Long]]): Column = {
+    // explicit sum of element_at terms (the pqSdcDist pattern, r11): the
+    // old aggregate-HOF fold ran interpreted AND — because codesCol is
+    // referenced inside the lambda BODY — re-evaluated the whole inlined
+    // encode expression once per subspace after CollapseProject folded the
+    // codes alias in (8× full pqEncode per row: 4.5 s of q81's 5.2 s).
+    // The multi-referenced form keeps the codes alias materialized and
+    // every term codegen-able; the left-associated long sum is exact
+    // either way.
     val t = typedLit(tables)
-    aggregate(
-      sequence(lit(0), lit(tables.length - 1)),
-      lit(0L),
-      (acc, s) => acc + element_at(element_at(t, s + 1),
-        (element_at(codesCol, s + 1) + 1).cast("int")))
+    (0 until tables.length).map { s =>
+      element_at(element_at(t, s + 1),
+        (element_at(codesCol, s + 1) + 1).cast("int"))
+    }.reduce(_ + _)
   }
 
   /** PQ encode from an ALREADY-quantized `round(v·1000)` long array — lets

@@ -284,6 +284,15 @@ object GraftFunctions {
       }
     ),
     (
+      "deletion_sig_hashes",
+      new ExpressionInfo(classOf[DeletionSigHashes].getName,
+        "deletion_sig_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "deletion_sig_hashes takes 1 argument")
+        DeletionSigHashes(args.head)
+      }
+    ),
+    (
       "qdist_l2",
       new ExpressionInfo(classOf[QDistL2].getName, "qdist_l2"),
       (args: Seq[Expression]) => {

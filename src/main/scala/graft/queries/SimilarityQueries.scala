@@ -326,9 +326,15 @@ object SimilarityQueries {
         // one scalar column per code (q69's precedent: the driver compare
         // sorts rows by the alphabetically-first column, which must never
         // be an array)
-        val codes = Similarity.pqEncode(col("embedding"), cbs)
-        e.select(col("vec_id") +:
-            (0 until PqM).map(s => element_at(codes, s + 1).as(s"c$s")): _*)
+        // r11: quantization and codes materialized as attributes — the
+        // inline form re-ran the full encode once per projected code
+        e.select(col("vec_id"),
+            Similarity.quantVec(col("embedding")).as("_vq"))
+          .select(col("vec_id"),
+            Similarity.pqEncodeQuantized(col("_vq"), cbs).as("_codes"))
+          .select(col("vec_id") +:
+            (0 until PqM).map(s => element_at(col("_codes"), s + 1)
+              .as(s"c$s")): _*)
           .orderBy("vec_id")
       },
       Some(pqCodesOracleSql)
@@ -350,8 +356,11 @@ object SimilarityQueries {
           .head().getSeq[Long](0).toIndexedSeq
         val tables = Similarity.pqAdcTables(qq, cbs)
         e.filter(col("vec_id") =!= 0)
+          // r11: _vq/_codes as materialized attributes (the q84 rule)
           .select(col("vec_id"),
-            Similarity.pqEncode(col("embedding"), cbs).as("_codes"))
+            Similarity.quantVec(col("embedding")).as("_vq"))
+          .select(col("vec_id"),
+            Similarity.pqEncodeQuantized(col("_vq"), cbs).as("_codes"))
           .select(col("vec_id"),
             Similarity.pqAdcScore(col("_codes"), tables).as("adc"))
           .orderBy(asc("adc"), asc("vec_id"))
@@ -385,12 +394,16 @@ object SimilarityQueries {
           }
           .sortBy { case (i, d) => (d, i) }.take(3).map(_._1.toLong)
         val tables = Similarity.pqAdcTables(qq, cbs)
-        e.withColumn("_cell",
-            Similarity.ivfAssignQuantized(col("embedding"), centroids))
+        // r11: one materialized quantization feeds cell routing and codes
+        e.select(col("vec_id"),
+            Similarity.quantVec(col("embedding")).as("_vq"))
+          .withColumn("_cell",
+            Similarity.ivfAssignQuantizedLongs(col("_vq"), centroids))
           .filter(col("_cell").isin(cells: _*) && col("vec_id") =!= 0)
           .select(col("vec_id"),
-            Similarity.pqAdcScore(
-              Similarity.pqEncode(col("embedding"), cbs), tables).as("adc"))
+            Similarity.pqEncodeQuantized(col("_vq"), cbs).as("_codes"))
+          .select(col("vec_id"),
+            Similarity.pqAdcScore(col("_codes"), tables).as("adc"))
           .orderBy(asc("adc"), asc("vec_id"))
           .limit(10)
       },

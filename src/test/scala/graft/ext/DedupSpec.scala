@@ -54,6 +54,21 @@ class DedupSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("native deletion_sig_hashes is bit-identical to the composable " +
+    "transform/xxhash64 form, including multibyte and degenerate strings") {
+    import spark.implicits._
+    val rows = (Seq("", "a", "ab", "abc#12", "naïve δx", "x" * 200)
+      .map(Option(_)) :+ Option.empty[String]).toDF("s")
+    val twin = transform(sequence(lit(0), length(col("s"))), i =>
+      xxhash64(when(i === 0, col("s")).otherwise(concat(
+        col("s").substr(lit(1), i - 1),
+        col("s").substr(i + 1, length(col("s")) - i)))))
+    val cmp = rows.select(
+      call_function("deletion_sig_hashes", col("s")).as("native"),
+      twin.as("hof"))
+    assert(cmp.filter(not(col("native") <=> col("hof"))).count() == 0)
+  }
+
   test("jaccard: exact value on known sets") {
     import spark.implicits._
     val d = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
