@@ -336,7 +336,12 @@ object Similarity {
         lit(0.0), (a, x) => a + x)
       c.isNotNull && n2 > 0 && !isnan(n2)
     }
+    // r11: repartition BEFORE the guard/bucket projections on both sides —
+    // single-file local inputs otherwise evaluate them (and the salted
+    // join's extra histogram pass over the probe side) in one scan task
+    val sp = corpus.sparkSession.sparkContext.defaultParallelism
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .repartition(sp)
       .filter(usableVec(col("q_vec")))
       .withColumn("_qbucket", bucketOf(col("q_vec")))
       .withColumn("_bucket",
@@ -345,9 +350,9 @@ object Similarity {
     // the salted join replans the hot buckets deterministically; output
     // multiset unchanged, so rank/window results are identical
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .repartition(sp)
       .filter(usableVec(col("c_vec")))
       .withColumn("_bucket", bucketOf(col("c_vec")))
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val scored = saltedBucketJoin(q, c, "_bucket", "q_id", saltBucketsAbove)
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
