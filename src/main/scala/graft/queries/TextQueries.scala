@@ -19,7 +19,7 @@ object TextQueries {
     * (a fresh session reads the parquet artifact instead of re-deriving).
     */
   private def pairIndexParts(dir: String): Seq[String] =
-    Seq(dir, "prefix_jaccard_pairs", "n=3", "minSim=0.5", "v1")
+    Seq(dir, "prefix_jaccard_pairs", "n=3", "minSim=0.5", "v2")
 
   /** q171 window width, q172 winnow width. ABOVE `defs` — the oracle SQL
     * interpolates them eagerly while `defs` is constructed (the q75
