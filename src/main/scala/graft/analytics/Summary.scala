@@ -108,15 +108,15 @@ object Summary {
   ): Map[String, Seq[Option[Double]]] = {
     require(specs.nonEmpty)
     val k = specs.length
-    // narrow LAZY checkpoint shared by all three passes: rows × k doubles
-    // in spillable executor storage, so a caller's derived lineage (e.g.
-    // the cleaning chain) is computed once, not per pass — without it the
-    // q49 clean stage measured SLOWER than the single-buffer aggregate it
-    // replaces
+    // the passes run straight over the caller's frame: callers with an
+    // expensive derived lineage cache/checkpoint it themselves (the
+    // cleaning stage checkpoints its coerced frame), and for the common
+    // raw-scan callers a narrow checkpoint here was measured as a pure
+    // LOSS at 100× (writing rows×k doubles to executor storage cost more
+    // than three parquet re-scans)
     val narrow = df
       .select(specs.zipWithIndex.map { case ((c, _), i) =>
         col(c).cast("double").as(s"_c$i") }: _*)
-      .localCheckpoint(false)
     val vcols = specs.indices.map(i => col(s"_c$i"))
     // pass 1: per-column bounds
     val bRow = narrow.agg(
